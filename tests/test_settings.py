@@ -1,0 +1,78 @@
+import os
+
+import pytest
+
+from tpu_audio.io.settings import Settings
+
+EXAMPLE = """
+# comment line
+conv.count 2
+
+conv[0].fftSize \t131072
+conv[0].index\t./ir/all.index
+conv[0].cc.message\t176
+conv[0].value.dry\t0.5
+conv[0].value.panDry \t0
+flag.on true
+flag.off no
+# trailing comment
+"""
+
+
+def make() -> Settings:
+    s = Settings()
+    s.parse(EXAMPLE)
+    return s
+
+
+def test_basic_types():
+    s = make()
+    assert s.u32("conv.count") == 2
+    assert s.u32("conv[%d].fftSize", 0) == 131072
+    assert s.str("conv[%d].index", 0) == "./ir/all.index"
+    assert s.u8("conv[%d].cc.message", 0) == 176
+    assert s.f32("conv[%d].value.dry", 0) == pytest.approx(0.5)
+    assert s.f32("conv[%d].value.panDry", 0) == 0.0
+
+
+def test_bool_semantics():
+    s = make()
+    assert s.is_true("flag.on")
+    assert not s.is_true("flag.off")
+    assert s.is_false("flag.off")
+
+
+def test_missing_key_raises_and_default():
+    s = make()
+    with pytest.raises(KeyError):
+        s.u32("conv[%d].fftSize", 9)
+    assert s.u32("conv[%d].fftSize", 9, default=2048) == 2048
+    assert s.str("nope", default="") == ""
+
+
+def test_u8_masks():
+    s = Settings().parse("big 300")
+    assert s.u8("big") == 300 & 0xFF
+    assert s.u16("big") == 300
+
+
+def test_reference_settings_file_parses():
+    path = "/root/reference/settings.txt"
+    if not os.path.exists(path):
+        pytest.skip("reference settings not mounted")
+    s = Settings().open(path, verbose=False)
+    assert s.u32("conv.count") == 2
+    assert s.u32("conv[%d].fftSize", 1) == 131072
+    assert s.str("conv[%d].cc.device", 0) == "hw:2,0"
+    assert s.f32("conv[%d].value.level", 1) == pytest.approx(1.0)
+    assert s.u32("conv[%d].value.predelay", 0) == 1024
+
+
+def test_save_roundtrip(tmp_path):
+    s = make()
+    out = tmp_path / "saved.txt"
+    s.save(out)
+    s2 = Settings().open(out, verbose=False)
+    assert s2.u32("conv.count") == 2
+    assert s2.str("conv[%d].index", 0) == "./ir/all.index"
+    assert len(s2) == len(s)

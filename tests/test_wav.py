@@ -1,0 +1,110 @@
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from tpu_audio.io.wav import read_wav, write_wav
+
+
+def test_write_read_roundtrip_16bit(tmp_path):
+    rng = np.random.default_rng(0)
+    frames = (rng.uniform(-0.9, 0.9, size=(1000, 2))).astype(np.float32)
+    p = tmp_path / "t16.wav"
+    write_wav(p, frames, 44100, bits=16, scale="full")
+    w = read_wav(p, scale="full", verbose=False)
+    assert w.sample_rate == 44100
+    assert w.num_channels == 2
+    assert w.num_frames == 1000
+    np.testing.assert_allclose(w.frames, frames, atol=1.0 / 32768)
+
+
+def test_write_read_roundtrip_24bit(tmp_path):
+    rng = np.random.default_rng(1)
+    frames = rng.uniform(-0.9, 0.9, size=(777, 2)).astype(np.float32)
+    p = tmp_path / "t24.wav"
+    write_wav(p, frames, 48000, bits=24, scale="full")
+    w = read_wav(p, scale="full", verbose=False)
+    np.testing.assert_allclose(w.frames, frames, atol=1.0 / 8388608)
+
+
+def test_write_read_roundtrip_float32(tmp_path):
+    rng = np.random.default_rng(2)
+    frames = rng.uniform(-1, 1, size=(333, 1)).astype(np.float32)
+    p = tmp_path / "tf32.wav"
+    write_wav(p, frames, 44100, bits=32, scale="full")
+    w = read_wav(p, scale="full", verbose=False)
+    np.testing.assert_allclose(w.frames, frames, atol=0)
+    assert w.num_channels == 1
+
+
+def test_reference_scaling_16bit(tmp_path):
+    """Reference scale divides 16-bit PCM by 65536 (src/wav.cu:13): full-scale
+    positive (32767) maps to just under 0.5."""
+    import struct
+    pcm = np.array([[32767, -32768], [16384, -16384]], dtype="<i2")
+    payload = pcm.tobytes()
+    p = tmp_path / "ref16.wav"
+    with open(p, "wb") as fh:
+        fh.write(b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE")
+        fh.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 44100 * 4, 4, 16))
+        fh.write(b"data" + struct.pack("<I", len(payload)) + payload)
+    w = read_wav(p, scale="reference", verbose=False)
+    np.testing.assert_allclose(
+        w.frames,
+        np.array([[32767, -32768], [16384, -16384]], np.float32) / 65536.0,
+        rtol=0, atol=0,
+    )
+
+
+def test_reference_scaling_24bit(tmp_path):
+    """Reference scale: sign-extended 24-bit value / 2^24 (src/wav.cu:27-41)."""
+    import struct
+    vals = np.array([8388607, -8388608, 1, -1], dtype=np.int64)
+    u = vals.astype(np.uint32) & 0xFFFFFF
+    b = np.empty((4, 3), np.uint8)
+    b[:, 0] = u & 0xFF
+    b[:, 1] = (u >> 8) & 0xFF
+    b[:, 2] = (u >> 16) & 0xFF
+    payload = b.tobytes()
+    p = tmp_path / "ref24.wav"
+    with open(p, "wb") as fh:
+        fh.write(b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE")
+        fh.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 44100 * 6, 6, 24))
+        fh.write(b"data" + struct.pack("<I", len(payload)) + payload)
+    w = read_wav(p, scale="reference", verbose=False)
+    np.testing.assert_allclose(
+        w.frames.reshape(-1), vals.astype(np.float32) / 16777216.0, rtol=0, atol=0)
+
+
+def test_extra_chunks_are_skipped(tmp_path):
+    """RIFF files with LIST/INFO chunks between fmt and data must parse."""
+    import struct
+    pcm = np.zeros(10, dtype="<i2")
+    payload = pcm.tobytes()
+    p = tmp_path / "chunky.wav"
+    junk = b"JUNKDATA"
+    with open(p, "wb") as fh:
+        fh.write(b"RIFF" + struct.pack("<I", 0) + b"WAVE")
+        fh.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 44100, 88200, 2, 16))
+        fh.write(b"LIST" + struct.pack("<I", len(junk)) + junk)
+        fh.write(b"data" + struct.pack("<I", len(payload)) + payload)
+    w = read_wav(p, verbose=False)
+    assert w.num_frames == 10
+
+
+REFERENCE_IRS = sorted(glob.glob("/root/reference/ir/1/*.wav"))[:3] + \
+    sorted(glob.glob("/root/reference/ir/2/**/*.wav", recursive=True))[:3]
+
+
+@pytest.mark.parametrize("path", REFERENCE_IRS or ["missing"])
+def test_reference_ir_files_load(path):
+    if not os.path.exists(path):
+        pytest.skip("reference IRs not mounted")
+    w = read_wav(path, verbose=False)
+    assert w.num_channels == 2
+    assert w.sample_rate in (44100, 48000, 96000)
+    assert w.num_frames > 1000
+    assert np.all(np.isfinite(w.frames))
+    # reference scaling keeps everything within +-0.5 full scale
+    assert np.max(np.abs(w.frames)) <= 0.5
