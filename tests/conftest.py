@@ -16,3 +16,10 @@ os.environ.setdefault("TPU_AUDIO_LOG", "warn")
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The shell may export JAX_PLATFORMS=axon (the tunneled TPU); the env override
+# above is not always honored once the axon plugin registers, so force the
+# platform through the config API as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
