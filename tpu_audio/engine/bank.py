@@ -1,0 +1,158 @@
+"""IR bank: host-side loading + precomputed device spectra.
+
+Capability equivalent of the reference's `_irBuffers` spectra map filled by
+``Convolution::prepare`` (reference src/conv.cu:207-253, wired from index
+files at src/main.cu:72-81), redesigned for TPU:
+
+  - spectra are precomputed ONCE per bank into a single dense HBM array
+    ([K, 2, P, F] partition spectra or [K, 2, Fm] monolithic half-spectra)
+    so per-block IR selection is a pure gather by traced index — no
+    recompile, no host transfer, click-free crossfade via the engine slew;
+  - ``prepare(idx, wav)`` supports live per-slot replacement like the
+    reference (conv.cu:206 "TODO make thread safe" — here it is: replace is
+    a host-side swap of an immutable device array between blocks);
+  - spectra banks are cacheable to disk keyed by content+geometry hash
+    (the reference recomputes FFTs of all 152 IRs on every startup).
+
+Unlike the reference, which silently shares one `_irBuffers` map between the
+two channels of a pair (src/main.cu:74-81 overwrites channel 0's bank with
+channel 1's when their index files differ), a bank here is an explicit
+object; give two channels the same bank by giving them the same object.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+
+from tpu_audio.io.index import load_index
+from tpu_audio.io.wav import WavFile, read_wav
+from tpu_audio.ops.partition import monolithic_spectrum, num_partitions, partition_spectra
+from tpu_audio.utils.log import Log
+
+
+class IRBank:
+    """Ordered collection of stereo IRs with precomputed spectra."""
+
+    def __init__(self, sample_rate: int = 44100):
+        self.sample_rate = sample_rate
+        self._irs: list[np.ndarray] = []  # each [2, L] float32
+        self._paths: list[str] = []
+
+    # -- construction ------------------------------------------------------------
+
+    @classmethod
+    def from_index(cls, index_path: str | os.PathLike, sample_rate: int = 44100,
+                   root: str | os.PathLike | None = None,
+                   max_seconds: float | None = None,
+                   verbose: bool = True) -> "IRBank":
+        bank = cls(sample_rate)
+        for path in load_index(index_path, root=root):
+            bank.append(read_wav(path, verbose=verbose), max_seconds=max_seconds)
+        return bank
+
+    def append(self, wav: WavFile | np.ndarray, path: str = "",
+               max_seconds: float | None = None) -> int:
+        idx = len(self._irs)
+        self._insert(idx, wav, path, max_seconds)
+        return idx
+
+    def prepare(self, idx: int, wav: WavFile | np.ndarray, path: str = "",
+                max_seconds: float | None = None) -> None:
+        """Replace/extend slot `idx` (reference prepare, src/conv.cu:207-253)."""
+        while len(self._irs) <= idx:
+            self._irs.append(np.zeros((2, 1), np.float32))
+            self._paths.append("")
+        self._insert(idx, wav, path, max_seconds)
+
+    def _insert(self, idx: int, wav, path: str, max_seconds: float | None):
+        if isinstance(wav, WavFile):
+            ir = np.ascontiguousarray(wav.stereo().T, dtype=np.float32)
+            path = path or wav.path
+            if wav.sample_rate != self.sample_rate:
+                Log.warn("bank", "IR %s is %d Hz, bank is %d Hz (no resample)",
+                         path, wav.sample_rate, self.sample_rate)
+        else:
+            ir = np.asarray(wav, dtype=np.float32)
+            if ir.ndim == 1:
+                ir = np.stack([ir, ir])
+        if max_seconds is not None:
+            ir = ir[:, : int(max_seconds * self.sample_rate)]
+        if idx < len(self._irs):
+            self._irs[idx] = ir
+            self._paths[idx] = path
+        else:
+            self._irs.append(ir)
+            self._paths.append(path)
+
+    # -- introspection -------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self._irs)
+
+    @property
+    def paths(self) -> list[str]:
+        return list(self._paths)
+
+    def ir(self, idx: int) -> np.ndarray:
+        return self._irs[idx]
+
+    @property
+    def max_length(self) -> int:
+        return max((ir.shape[-1] for ir in self._irs), default=1)
+
+    def max_partitions(self, block: int) -> int:
+        return num_partitions(self.max_length, block)
+
+    # -- spectra -----------------------------------------------------------------
+
+    def partitioned_spectra(self, block: int,
+                            max_partitions: int | None = None,
+                            backend: str = "fft") -> np.ndarray:
+        """[K, 2, P, F] complex64 uniform partition spectra (F = block + 1).
+
+        Every IR is padded to the bank-wide partition count so selection is
+        a plain gather; zero partitions cost only the bank's HBM footprint,
+        never per-block compute beyond the uniform MAC.
+        """
+        p = max_partitions or self.max_partitions(block)
+        out = np.zeros((len(self._irs), 2, p, block + 1), np.complex64)
+        for k, ir in enumerate(self._irs):
+            spec = partition_spectra(ir, block, max_partitions=p, backend=backend)
+            out[k, :, : spec.shape[1]] = spec
+        return out
+
+    def monolithic_spectra(self, fft_size: int, reserve: int = 1024) -> np.ndarray:
+        """[K, 2, fft_size//2+1] complex64 half-spectra, IRs truncated to
+        fft_size - reserve (reference src/conv.cu:239)."""
+        fm = fft_size // 2 + 1
+        out = np.zeros((len(self._irs), 2, fm), np.complex64)
+        for k, ir in enumerate(self._irs):
+            full = monolithic_spectrum(ir, fft_size, reserve)
+            out[k] = full[..., :fm]
+        return out
+
+    # -- disk cache -----------------------------------------------------------------
+
+    def _cache_key(self, kind: str, *geometry) -> str:
+        h = hashlib.sha256()
+        h.update(repr((kind, geometry, self.sample_rate)).encode())
+        for ir in self._irs:
+            h.update(np.ascontiguousarray(ir).tobytes())
+        return h.hexdigest()[:24]
+
+    def cached_partitioned_spectra(self, block: int, cache_dir: str | os.PathLike,
+                                   max_partitions: int | None = None) -> np.ndarray:
+        """partitioned_spectra with a content-addressed .npz disk cache."""
+        os.makedirs(cache_dir, exist_ok=True)
+        key = self._cache_key("part", block, max_partitions)
+        path = os.path.join(os.fspath(cache_dir), f"bank_{key}.npz")
+        if os.path.exists(path):
+            Log.info("bank", "spectra cache hit: %s", path)
+            return np.load(path)["spectra"]
+        spectra = self.partitioned_spectra(block, max_partitions)
+        np.savez(path, spectra=spectra)
+        Log.info("bank", "spectra cache write: %s", path)
+        return spectra

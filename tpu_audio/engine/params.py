@@ -1,0 +1,211 @@
+"""Voice parameter plane: MIDI CC -> per-voice engine parameters.
+
+Capability equivalent of the reference's control path (reference
+src/conv.h:33-50 ``struct CC``, src/conv.cu:255-285 ``handleCC``/
+``onMidiMessage``, and the settings wiring src/main.cu:54-70).
+
+Design: parameters are HOST-owned numpy arrays mutated by MIDI/scripted
+events between blocks, and enter the jitted step as small traced inputs
+([V, 2] arrays) — so parameter changes never recompile, exactly the
+"params as traced inputs" rule for click-free live control on TPU. The
+``vsteps`` crossfade countdown (decremented once per block by the reference
+audio thread, src/conv.cu:345,353) is advanced host-side per block, keeping
+the device step a pure function.
+
+CC value scalings are the reference's exactly (src/conv.cu:255-276):
+  select   = v * bank_size / 128        (resets vsteps to speed)
+  predelay = v * 8192 / 128
+  dry/wet/level = v / 128
+  panDry/panWet = v / 64 - 1
+  speed    = v * 1024 / 128             (clamps vsteps down to new speed)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields
+
+import jax
+import numpy as np
+
+from tpu_audio.utils.log import Log
+
+CC_MAX_PREDELAY = 8192  # reference src/conv.h:26-28
+CC_MAX_SPEED = 1024     # reference src/conv.h:22-24
+
+
+@dataclass
+class CCMapping:
+    """Controller-number assignment for one engine channel
+    (reference settings keys conv[i].cc.*, src/main.cu:54-62)."""
+
+    device: str = ""
+    message: int = 0xB0
+    select: int = 0
+    predelay: int = 0
+    dry: int = 0
+    wet: int = 0
+    speed: int = 0
+    pan_dry: int = 0
+    pan_wet: int = 0
+    level: int = 0
+
+    @classmethod
+    def from_settings(cls, settings, idx: int) -> "CCMapping":
+        return cls(
+            device=settings.str("conv[%d].cc.device", idx, default=""),
+            message=settings.u8("conv[%d].cc.message", idx, default=0xB0),
+            select=settings.u8("conv[%d].cc.select", idx, default=0),
+            predelay=settings.u8("conv[%d].cc.predelay", idx, default=0),
+            dry=settings.u8("conv[%d].cc.dry", idx, default=0),
+            wet=settings.u8("conv[%d].cc.wet", idx, default=0),
+            speed=settings.u8("conv[%d].cc.speed", idx, default=0),
+            pan_dry=settings.u8("conv[%d].cc.panDry", idx, default=0),
+            pan_wet=settings.u8("conv[%d].cc.panWet", idx, default=0),
+            level=settings.u8("conv[%d].cc.level", idx, default=0),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class VoiceParams:
+    """Per-block traced parameter snapshot. All arrays are [V, 2]
+    (V stereo voices x 2 engine channels, the reference's cc[2] pair)."""
+
+    select: jax.Array    # int32, bank index
+    predelay: jax.Array  # int32, samples [0, max_predelay]
+    vsteps: jax.Array    # int32, crossfade countdown
+    dry: jax.Array       # f32 [0, 1]
+    wet: jax.Array       # f32 [0, 1]
+    pan_dry: jax.Array   # f32 [-1, 1]
+    pan_wet: jax.Array   # f32 [-1, 1]
+    level: jax.Array     # f32 [0, 1]
+
+
+_F32_DEFAULTS = {"dry": 0.5, "wet": 0.5, "pan_dry": 0.0, "pan_wet": 0.0,
+                 "level": 1.0}
+_I32_DEFAULTS = {"select": 0, "predelay": 0, "vsteps": 0}
+
+
+class ControlPlane:
+    """Host-side parameter store for V stereo voices.
+
+    Mutates numpy arrays on CC events / direct sets; snapshot() yields the
+    traced VoiceParams for the next block; end_block() advances countdowns.
+    """
+
+    def __init__(self, num_voices: int, bank_size: int,
+                 max_predelay: int = CC_MAX_PREDELAY):
+        self.num_voices = num_voices
+        self.bank_size = bank_size
+        self.max_predelay = max_predelay
+        v = num_voices
+        self.select = np.zeros((v, 2), np.int32)
+        self.predelay = np.zeros((v, 2), np.int32)
+        self.vsteps = np.zeros((v, 2), np.int32)
+        self.speed = np.full((v, 2), 100, np.int32)  # reference conv.h:40
+        self.dry = np.full((v, 2), 0.5, np.float32)
+        self.wet = np.full((v, 2), 0.5, np.float32)
+        self.pan_dry = np.zeros((v, 2), np.float32)
+        self.pan_wet = np.zeros((v, 2), np.float32)
+        self.level = np.ones((v, 2), np.float32)
+        self.mappings: dict[tuple[int, int], CCMapping] = {}
+        # host mirror of the select a voice last *collapsed* at, for the
+        # coefficient-form engine (see engine/partitioned.py)
+        self.on_select_change = None  # callback (voice, ch, old, new)
+
+    # -- wiring ---------------------------------------------------------------
+
+    def set_mapping(self, voice: int, ch: int, mapping: CCMapping) -> None:
+        self.mappings[(voice, ch)] = mapping
+
+    def load_initial_values(self, settings, voice: int, ch: int, idx: int) -> None:
+        """Initial values from settings (reference src/main.cu:63-70)."""
+        self.select[voice, ch] = settings.u32("conv[%d].value.select", idx, default=0)
+        self.predelay[voice, ch] = settings.u32("conv[%d].value.predelay", idx, default=0)
+        self.dry[voice, ch] = settings.f32("conv[%d].value.dry", idx, default=0.5)
+        self.wet[voice, ch] = settings.f32("conv[%d].value.wet", idx, default=0.5)
+        self.speed[voice, ch] = settings.u32("conv[%d].value.speed", idx, default=100)
+        self.pan_dry[voice, ch] = settings.f32("conv[%d].value.panDry", idx, default=0.0)
+        self.pan_wet[voice, ch] = settings.f32("conv[%d].value.panWet", idx, default=0.0)
+        self.level[voice, ch] = settings.f32("conv[%d].value.level", idx, default=1.0)
+
+    # -- events -----------------------------------------------------------------
+
+    def apply_cc(self, voice: int, ch: int, status: int, controller: int,
+                 value: int) -> bool:
+        """Apply one CC event to one engine channel with reference scalings
+        (src/conv.cu:255-276). Returns True if any parameter changed."""
+        m = self.mappings.get((voice, ch))
+        if m is None or status != m.message:
+            return False
+        hit = False
+        if controller == m.select:
+            new = value * self.bank_size // 128
+            old = int(self.select[voice, ch])
+            self.select[voice, ch] = new
+            self.vsteps[voice, ch] = self.speed[voice, ch]
+            Log.info("conv", "Selected IR %d", new)
+            if new != old and self.on_select_change is not None:
+                self.on_select_change(voice, ch, old, new)
+            hit = True
+        if controller == m.predelay:
+            self.predelay[voice, ch] = value * self.max_predelay // 128
+            hit = True
+        if controller == m.dry:
+            self.dry[voice, ch] = value / 128.0
+            hit = True
+        if controller == m.wet:
+            self.wet[voice, ch] = value / 128.0
+            hit = True
+        if controller == m.pan_dry:
+            self.pan_dry[voice, ch] = value / 64.0 - 1.0
+            hit = True
+        if controller == m.pan_wet:
+            self.pan_wet[voice, ch] = value / 64.0 - 1.0
+            hit = True
+        if controller == m.level:
+            self.level[voice, ch] = value / 128.0
+            hit = True
+        if controller == m.speed:
+            self.speed[voice, ch] = value * CC_MAX_SPEED // 128
+            self.vsteps[voice, ch] = min(self.vsteps[voice, ch],
+                                         self.speed[voice, ch])
+            hit = True
+        return hit
+
+    def apply_midi_message(self, message: bytes, device: str = "") -> None:
+        """Dispatch a framed MIDI message to every channel mapped to
+        `device` (reference onMidiMessage, src/conv.cu:278-285)."""
+        if len(message) < 3:
+            return
+        status, controller, value = message[0], message[1], message[2]
+        for (voice, ch), m in self.mappings.items():
+            if not device or m.device == device:
+                self.apply_cc(voice, ch, status, controller, value)
+
+    def set_select(self, voice: int, ch: int, index: int) -> None:
+        """Direct (non-MIDI) IR selection with crossfade, like a CC hit."""
+        old = int(self.select[voice, ch])
+        self.select[voice, ch] = index
+        self.vsteps[voice, ch] = self.speed[voice, ch]
+        if index != old and self.on_select_change is not None:
+            self.on_select_change(voice, ch, old, index)
+
+    # -- per-block ---------------------------------------------------------------
+
+    def snapshot(self) -> VoiceParams:
+        """Traced parameter snapshot for the next block step."""
+        return VoiceParams(
+            select=np.clip(self.select, 0, max(self.bank_size - 1, 0)),
+            predelay=self.predelay.copy(),
+            vsteps=self.vsteps.copy(),
+            dry=self.dry.copy(),
+            wet=self.wet.copy(),
+            pan_dry=self.pan_dry.copy(),
+            pan_wet=self.pan_wet.copy(),
+            level=self.level.copy(),
+        )
+
+    def end_block(self) -> None:
+        """Advance the crossfade countdown (reference src/conv.cu:345,353)."""
+        np.maximum(self.vsteps - 1, 0, out=self.vsteps)

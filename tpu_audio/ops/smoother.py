@@ -13,12 +13,12 @@ smoother keeps converging at rate 1/5 — that permanent 1/5-per-block slew is
 also what smooths live `wet` changes.
 
 Because the step factor is identical for every bin, this recursion commutes
-with the Fourier transform and with IR partitioning: slewing partitioned
-overlap-save spectra produces bit-for-bit the same engine output trajectory
-as the reference's monolithic-spectrum slew (same linear recursion applied to
-the same linear transform of the IR). That equivalence is what lets the
-partitioned TPU engine keep reference crossfade behaviour; it is covered by
-tests/test_engine_equivalence.py.
+with the Fourier transform and with IR partitioning: the slewed *spectra*
+trajectory is identical whether applied to the time-domain IR, the
+monolithic spectrum, or partition spectra (tests/test_ops.py::
+test_slew_commutes_with_partitioning). Engine *output* during a fade still
+depends on the convolution structure — see the crossfade-semantics note in
+tpu_audio/engine/partitioned.py.
 """
 
 from __future__ import annotations
