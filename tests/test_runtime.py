@@ -1,0 +1,225 @@
+import numpy as np
+import pytest
+from scipy.signal import fftconvolve
+
+from tpu_audio.engine import ControlPlane, IRBank
+from tpu_audio.models.reverb import ConvolutionReverb
+from tpu_audio.runtime.backends import (
+    ImpulseSource, LoopbackBuffer, NoiseSource, SilenceSource, WavSink,
+    WavSource,
+)
+from tpu_audio.runtime.checkpoint import load_checkpoint, save_checkpoint
+from tpu_audio.runtime.stream import MidiSchedule
+
+
+def small_model(num_voices=2, block=64, ir_len=200, num_irs=3, variant="coef",
+                engine="partitioned", seed=0):
+    rng = np.random.default_rng(seed)
+    bank = IRBank()
+    for _ in range(num_irs):
+        ir = rng.standard_normal((2, ir_len)).astype(np.float32)
+        bank.append(ir * (0.5 / np.abs(ir).max()))
+    return ConvolutionReverb(bank, num_voices=num_voices, block=block,
+                             engine=engine, variant=variant, fft_size=1024,
+                             max_predelay=128)
+
+
+# --------------------------------------------------------------- backends
+
+def test_wav_source_tiles_voices(tmp_path):
+    from tpu_audio.io.wav import write_wav
+    data = np.random.default_rng(0).uniform(-0.4, 0.4, (300, 2)).astype(np.float32)
+    write_wav(tmp_path / "in.wav", data, 44100)
+    src = WavSource(tmp_path / "in.wav", num_voices=4, block=128, scale="full")
+    b1 = src.read()
+    assert b1.shape == (4, 2, 128)
+    np.testing.assert_allclose(b1[0], b1[3])
+    b2 = src.read()
+    b3 = src.read()
+    assert b3.shape == (4, 2, 128)
+    np.testing.assert_allclose(b3[..., 44:], 0.0)  # zero-padded tail
+    assert src.read() is None
+
+
+def test_wav_source_loop():
+    data = np.arange(10, dtype=np.float32).reshape(1, 1, 10)
+    data = np.repeat(data, 2, axis=1)
+    src = WavSource(data, num_voices=1, block=8, loop=True, max_blocks=3)
+    blocks = [src.read() for _ in range(4)]
+    assert blocks[3] is None
+    joined = np.concatenate(blocks[:3], axis=-1)[0, 0]
+    np.testing.assert_allclose(joined, np.arange(24) % 10)
+
+
+def test_impulse_and_silence_sources():
+    imp = ImpulseSource(1, 16, 2)
+    b0, b1 = imp.read(), imp.read()
+    assert b0[0, 0, 0] == 1.0 and b0[0, 0, 1:].max() == 0.0
+    assert b1.max() == 0.0
+    assert imp.read() is None
+    sil = SilenceSource(1, 16, 1)
+    assert sil.read().max() == 0.0
+    assert sil.read() is None
+
+
+def test_wav_sink_roundtrip(tmp_path):
+    sink = WavSink(tmp_path / "out.wav", 44100, bits=32)
+    sink.write(np.full((1, 2, 8), 0.25, np.float32))
+    sink.write(np.full((1, 2, 8), -0.5, np.float32))
+    sink.close()
+    from tpu_audio.io.wav import read_wav
+    w = read_wav(tmp_path / "out.wav", scale="full", verbose=False)
+    assert w.num_frames == 16
+    np.testing.assert_allclose(w.frames[0], [0.25, 0.25])
+    np.testing.assert_allclose(w.frames[-1], [-0.5, -0.5])
+
+
+def test_loopback_buffer():
+    lb = LoopbackBuffer()
+    lb.write(np.ones((1, 2, 4)))
+    lb.write(np.zeros((1, 2, 4)))
+    src = lb.as_source()
+    assert src.read().max() == 1.0
+    assert src.read().max() == 0.0
+    assert src.read() is None
+
+
+# --------------------------------------------------------------- midi schedule
+
+def test_midi_schedule_parse_and_pop():
+    sched = MidiSchedule.parse("""
+    # select IR 2 on block 5
+    5 B0 15 40
+    10 hw:2,0 B0 17 7F
+    3 B0 18 00
+    """)
+    assert sched.pop_due(0) == []
+    due = sched.pop_due(5)  # pops blocks 3 and 5
+    assert due == [("", bytes([0xB0, 0x18, 0x00])), ("", bytes([0xB0, 0x15, 0x40]))]
+    assert sched.pop_due(9) == []
+    assert sched.pop_due(10) == [("hw:2,0", bytes([0xB0, 0x17, 0x7F]))]
+
+
+# --------------------------------------------------------------- stream session
+
+@pytest.mark.parametrize("variant", ["coef", "materialized"])
+def test_stream_end_to_end_matches_offline(variant):
+    """Full stack: WavSource -> StreamSession(jitted engine) -> WavSink
+    equals offline convolution."""
+    model = small_model(num_voices=2, variant=variant)
+    model.control.dry[:] = 0.0
+    model.control.wet[:] = 1.0
+    model.control.select[:] = 1
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((2, 2, 64 * 10)) * 0.05).astype(np.float32)
+    source = WavSource(x, num_voices=2, block=64)
+    sink = WavSink("/dev/null", 44100)
+    state, summary = model.process(source, sink)
+    got = sink.data
+    assert got.shape == (2, 2, 640)
+    ir = model.bank.ir(1)
+    for v in range(2):
+        for o in range(2):
+            want = (fftconvolve(x[v, 0], ir[o]) + fftconvolve(x[v, 1], ir[o]))[:640]
+            np.testing.assert_allclose(got[v, o], np.clip(want, -1, 1), atol=3e-4)
+    assert summary["blocks"] == 0  # 10 blocks, all inside warmup=10
+    assert summary["num_voices"] == 2
+
+
+def test_stream_midi_select_triggers_collapse_and_steady_switch():
+    """Coef engine through the full runtime: IR re-select via scripted MIDI
+    must collapse, crossfade, and land on the new IR's response."""
+    from tpu_audio.engine.params import CCMapping
+    model = small_model(num_voices=1, num_irs=2, ir_len=128)
+    model.control.set_mapping(0, 0, CCMapping(message=0xB0, select=0x15))
+    model.control.set_mapping(0, 1, CCMapping(message=0xB0, select=0x15))
+    model.control.dry[:] = 0.0
+    model.control.wet[:] = 1.0
+    model.control.speed[:] = 4
+
+    n_blocks = 120
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal((1, 2, 64 * n_blocks)) * 0.05).astype(np.float32)
+    # value 64 -> select 64*2//128 = 1
+    midi = MidiSchedule([(20, "", bytes([0xB0, 0x15, 64]))])
+    source = WavSource(x, num_voices=1, block=64)
+    sink = WavSink("/dev/null", 44100)
+    state, summary = model.process(source, sink, midi=midi, warmup=0)
+    got = sink.data
+
+    ir = model.bank.ir(1)
+    tail = slice(-64 * 4, None)
+    for o in range(2):
+        want = (fftconvolve(x[0, 0], ir[o]) + fftconvolve(x[0, 1], ir[o]))
+        want = np.clip(want[: 64 * n_blocks], -1, 1)
+        np.testing.assert_allclose(got[0, o][tail], want[tail], atol=1e-3)
+    assert summary["blocks"] == n_blocks
+
+
+def test_stream_deadline_watchdog():
+    model = small_model(num_voices=1)
+    missed = []
+    source = NoiseSource(1, 64, 5)
+    session = model.session(source, WavSink("/dev/null"), warmup=0,
+                            on_missed_deadline=lambda b, e: missed.append(b))
+    # force an absurd deadline so every block misses
+    session.timer.deadline_s = 1e-12
+    session.run(model.init_state())
+    assert session.timer.missed == 5
+    assert len(missed) == 5
+
+
+def test_stream_realtime_pacing():
+    model = small_model(num_voices=1, block=64)
+    source = SilenceSource(1, 64, 6)
+    session = model.session(source, WavSink("/dev/null"), realtime=True,
+                            warmup=0)
+    import time
+    t0 = time.perf_counter()
+    session.run(model.init_state())
+    elapsed = time.perf_counter() - t0
+    # 6 blocks at 64/44100 s; allow generous slack for jit compile inside
+    assert elapsed >= 5 * 64 / 44100
+
+
+# --------------------------------------------------------------- checkpoint
+
+def test_checkpoint_roundtrip_resumes_bit_exact(tmp_path):
+    model = small_model(num_voices=2)
+    model.control.wet[:] = 0.9
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((2, 2, 64 * 8)) * 0.05).astype(np.float32)
+
+    # run 4 blocks, checkpoint, run 4 more
+    src_a = WavSource(x[..., : 64 * 4], num_voices=2, block=64)
+    sink_a = WavSink("/dev/null")
+    state = model.init_state()
+    session = model.session(src_a, sink_a, donate=False)
+    state = session.run(state)
+    save_checkpoint(tmp_path / "ckpt.npz", state, model.control,
+                    meta={"block_index": 4})
+    src_b = WavSource(x[..., 64 * 4:], num_voices=2, block=64)
+    sink_b = WavSink("/dev/null")
+    state = session2_state = model.session(src_b, sink_b, donate=False).run(state)
+    full_tail = sink_b.data
+
+    # fresh model restores the checkpoint and must produce identical output
+    model2 = small_model(num_voices=2)
+    state2, meta = load_checkpoint(tmp_path / "ckpt.npz",
+                                   model2.engine.init_state(), model2.control)
+    assert meta["block_index"] == 4
+    assert model2.control.wet[0, 0] == np.float32(0.9)
+    src_c = WavSource(x[..., 64 * 4:], num_voices=2, block=64)
+    sink_c = WavSink("/dev/null")
+    model2.session(src_c, sink_c, donate=False).run(state2)
+    np.testing.assert_array_equal(sink_c.data, full_tail)
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path):
+    model = small_model(num_voices=2)
+    state = model.init_state()
+    save_checkpoint(tmp_path / "c.npz", state, model.control)
+    other = small_model(num_voices=1)
+    with pytest.raises(ValueError):
+        load_checkpoint(tmp_path / "c.npz", other.engine.init_state(),
+                        other.control)

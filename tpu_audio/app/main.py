@@ -1,0 +1,123 @@
+"""Application entry point: settings-driven streaming reverb.
+
+Capability equivalent of the reference's main() (reference src/main.cu:18-116):
+select the accelerator, read settings, build IR banks and convolution
+voices, wire control mappings and initial values, stream audio, report the
+average per-block runtime at exit. The JACK graph becomes file / synthetic /
+shared-memory block backends; ALSA rawmidi becomes a scripted MIDI schedule
+or a live byte FIFO.
+
+    python -m tpu_audio.app --settings settings.txt \
+        --input in.wav --output out.wav [--midi events.txt] \
+        [--engine partitioned|monolithic] [--voices N] [--blocks N] [--realtime]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from tpu_audio.models.reverb import ConvolutionReverb
+from tpu_audio.runtime.backends import (
+    ImpulseSource, NoiseSource, NullSink, SilenceSource, WavSink, WavSource,
+)
+from tpu_audio.runtime.stream import MidiSchedule
+from tpu_audio.utils.device import select_tpu
+from tpu_audio.utils.log import Log
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpu_audio", description="TPU-native convolution reverb")
+    p.add_argument("--settings", default="settings.txt",
+                   help="reference-format settings file")
+    p.add_argument("--root", default=None,
+                   help="base dir for relative IR index paths")
+    p.add_argument("--input", default=None,
+                   help="input WAV (default: impulse test signal)")
+    p.add_argument("--output", default=None,
+                   help="output WAV (default: discard)")
+    p.add_argument("--engine", default="partitioned",
+                   choices=["partitioned", "monolithic"])
+    p.add_argument("--variant", default="coef",
+                   choices=["coef", "materialized"])
+    p.add_argument("--voices", type=int, default=None,
+                   help="override voice count (default: conv.count/2)")
+    p.add_argument("--blocks", type=int, default=None,
+                   help="stop after N blocks")
+    p.add_argument("--block-size", type=int, default=256)
+    p.add_argument("--sample-rate", type=int, default=44100)
+    p.add_argument("--midi", default=None,
+                   help="scripted MIDI schedule file (block hexbytes per line)")
+    p.add_argument("--max-ir-seconds", type=float, default=None,
+                   help="truncate bank IRs (memory control)")
+    p.add_argument("--cache-dir", default=None,
+                   help="IR spectra disk cache directory")
+    p.add_argument("--realtime", action="store_true",
+                   help="pace blocks at the audio rate")
+    p.add_argument("--out-voice", default=None,
+                   help="which voice to write: index or 'all' (default 0)")
+    p.add_argument("--signal", default="impulse",
+                   choices=["impulse", "noise", "silence"],
+                   help="test signal when --input is absent")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.quiet:
+        Log.level = 2
+
+    select_tpu(verbose=not args.quiet)
+
+    if not os.path.exists(args.settings):
+        Log.error("app", "settings file not found: %s", args.settings)
+        return 2
+
+    model = ConvolutionReverb.from_settings(
+        args.settings, engine=args.engine, root=args.root,
+        num_voices=args.voices, max_ir_seconds=args.max_ir_seconds,
+        variant=args.variant, block=args.block_size,
+        sample_rate=args.sample_rate, cache_dir=args.cache_dir,
+        verbose=not args.quiet)
+
+    v, b = model.engine.num_voices, model.block
+    if args.input:
+        source = WavSource(args.input, v, b, max_blocks=args.blocks)
+        sample_rate = source.sample_rate or args.sample_rate
+    else:
+        n = args.blocks or 400
+        source = {"impulse": ImpulseSource(v, b, n),
+                  "noise": NoiseSource(v, b, n),
+                  "silence": SilenceSource(v, b, n)}[args.signal]
+        sample_rate = args.sample_rate
+
+    if args.output:
+        voice = args.out_voice
+        if voice is not None and voice != "all":
+            voice = int(voice)
+        sink = WavSink(args.output, sample_rate, voice=voice)
+    else:
+        sink = NullSink()
+
+    midi = None
+    if args.midi:
+        with open(args.midi) as fh:
+            midi = MidiSchedule.parse(fh.read())
+
+    session = model.session(source, sink, realtime=args.realtime)
+    state = model.init_state()
+    session.run(state, max_blocks=args.blocks, midi=midi)
+
+    # reference exit report (src/main.cu:106) + the latency stats it lacked
+    session.log_summary()
+    s = session.summary()
+    if args.output:
+        Log.info("app", "wrote %s", args.output)
+    return 0 if s["blocks_streamed"] > 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

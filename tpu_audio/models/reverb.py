@@ -1,0 +1,149 @@
+"""High-level reverb models: engine + bank + control plane bundles.
+
+``ConvolutionReverb`` is the single-stereo-pair model matching the
+reference's application wiring (reference src/main.cu:18-116: settings ->
+IR bank -> Convolution instance -> control mapping -> stream).
+``MultiVoiceReverbServer`` is the flagship: V concurrent stereo voices
+batched into one partitioned engine, one shared HBM spectra bank, built for
+the 64-voice / 4-second-IR / 256-frame real-time target (BASELINE.md), and
+shardable over a device mesh via tpu_audio.parallel.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from tpu_audio.engine.bank import IRBank
+from tpu_audio.engine.monolithic import MonolithicConvolution
+from tpu_audio.engine.params import CCMapping, ControlPlane
+from tpu_audio.engine.partitioned import PartitionedConvolution
+from tpu_audio.io.settings import Settings
+from tpu_audio.runtime.backends import BlockSink, BlockSource
+from tpu_audio.runtime.stream import MidiSchedule, StreamSession
+from tpu_audio.utils.log import Log
+
+
+class ConvolutionReverb:
+    """V stereo voices of convolution reverb over one IR bank."""
+
+    def __init__(self, bank: IRBank, num_voices: int = 1, block: int = 256,
+                 sample_rate: int = 44100, engine: str = "partitioned",
+                 variant: str = "coef", fft_size: int = 131072,
+                 max_predelay: int = 8192, max_partitions: int | None = None,
+                 backend: str = "auto", cache_dir: str | None = None):
+        self.bank = bank
+        self.block = block
+        self.sample_rate = sample_rate
+        self.control = ControlPlane(num_voices, len(bank), max_predelay)
+        if engine == "partitioned":
+            partitions = max_partitions or bank.max_partitions(block)
+            self.engine = PartitionedConvolution(
+                num_voices, block, partitions, max_predelay=max_predelay,
+                backend=backend, variant=variant)
+            if cache_dir:
+                spectra = bank.cached_partitioned_spectra(
+                    block, cache_dir, max_partitions=partitions)
+            else:
+                spectra = bank.partitioned_spectra(
+                    block, max_partitions=partitions)
+        elif engine == "monolithic":
+            self.engine = MonolithicConvolution(
+                num_voices, fft_size, block, max_predelay=max_predelay,
+                backend=backend)
+            spectra = bank.monolithic_spectra(fft_size)
+        else:
+            raise ValueError(f"unknown engine {engine!r}")
+        self.spectra = jnp.asarray(spectra)
+        Log.info("reverb", "%d voice(s), %d IRs, engine=%s, spectra %s (%.1f MB)",
+                 num_voices, len(bank), engine, tuple(self.spectra.shape),
+                 self.spectra.size * 8 / 1e6)
+
+    # -- reference-settings construction (src/main.cu:18-116) --------------------
+
+    @classmethod
+    def from_settings(cls, settings: Settings | str, engine: str = "partitioned",
+                      root: str | None = None, num_voices: int | None = None,
+                      max_ir_seconds: float | None = None,
+                      verbose: bool = True, **kwargs) -> "ConvolutionReverb":
+        """Build from a reference-format settings file.
+
+        conv.count / 2 stereo voices (reference asserts count is even,
+        src/main.cu:26); per-channel CC mappings + initial values
+        (src/main.cu:54-70); IR bank from channel 0's index file (the
+        reference loads both channels' index files into ONE shared map,
+        src/main.cu:74-81 — one bank per model here, channel 0 wins).
+        """
+        if not isinstance(settings, Settings):
+            settings = Settings().open(settings, verbose=verbose)
+        count = settings.u32("conv.count", default=2)
+        if count % 2:
+            raise ValueError("conv.count must be a multiple of 2 (main.cu:26)")
+        v = num_voices if num_voices is not None else count // 2
+        fft_size = settings.u32("conv[%d].fftSize", 0, default=131072)
+        fs2 = settings.u32("conv[%d].fftSize", 1, default=fft_size)
+        if fft_size != fs2:
+            raise ValueError("convolution pair needs identical fft sizes "
+                             "(main.cu:36)")
+        max_pd = settings.u32("conv[%d].maxPredelay", 0, default=8192)
+
+        index = settings.str("conv[%d].index", 0, default="")
+        if index and root and not os.path.exists(index):
+            candidate = os.path.join(root, index)
+            if os.path.exists(candidate):
+                index = candidate
+        bank = IRBank.from_index(index, root=root, verbose=verbose,
+                                 max_seconds=max_ir_seconds) if index else IRBank()
+        model = cls(bank, num_voices=v, engine=engine, fft_size=fft_size,
+                    max_predelay=max_pd, **kwargs)
+        for voice in range(min(v, count // 2)):
+            for ch in range(2):
+                idx = voice * 2 + ch
+                model.control.set_mapping(
+                    voice, ch, CCMapping.from_settings(settings, idx))
+                model.control.load_initial_values(settings, voice, ch, idx)
+        # replicate voice 0's config across extra voices (server scale-out)
+        for voice in range(count // 2, v):
+            for ch in range(2):
+                model.control.set_mapping(voice, ch,
+                                          CCMapping.from_settings(settings, ch))
+                model.control.load_initial_values(settings, voice, ch, ch)
+        return model
+
+    # -- running --------------------------------------------------------------------
+
+    def init_state(self, converged: bool = True):
+        if converged:
+            import jax
+            params = jax.tree.map(jnp.asarray, self.control.snapshot())
+            return self.engine.init_converged(self.spectra, params)
+        return self.engine.init_state()
+
+    def session(self, source: BlockSource, sink: BlockSink,
+                **kwargs) -> StreamSession:
+        return StreamSession(self.engine, self.spectra, self.control,
+                             source, sink, sample_rate=self.sample_rate,
+                             **kwargs)
+
+    def process(self, source: BlockSource, sink: BlockSink,
+                midi: MidiSchedule | None = None,
+                max_blocks: int | None = None, state=None,
+                **session_kwargs):
+        """Convenience: build a session, run to completion, return
+        (final_state, summary dict)."""
+        session = self.session(source, sink, **session_kwargs)
+        state = state if state is not None else self.init_state()
+        state = session.run(state, max_blocks=max_blocks, midi=midi)
+        return state, session.summary()
+
+
+class MultiVoiceReverbServer(ConvolutionReverb):
+    """Flagship model: 64+ concurrent stereo voices, partitioned engine."""
+
+    def __init__(self, bank: IRBank, num_voices: int = 64, block: int = 256,
+                 **kwargs):
+        kwargs.setdefault("engine", "partitioned")
+        super().__init__(bank, num_voices=num_voices, block=block, **kwargs)

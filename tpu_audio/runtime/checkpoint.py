@@ -1,0 +1,79 @@
+"""Checkpoint/resume: full parameter + engine-state serialisation.
+
+The reference has none of this (SURVEY.md §5: settings.txt only, and its
+Settings::save is ``assert(false)``, reference src/settings.cu:26-29). Here a
+checkpoint captures everything needed to resume a live session bit-exactly:
+the engine state pytree (delay lines, crossfade state), the control plane
+(all live parameter values, countdowns, speeds), and geometry metadata to
+validate compatibility on load. Spectra banks are NOT stored — they are
+content-addressed derived data (see IRBank.cached_partitioned_spectra).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+import jax
+
+from tpu_audio.engine.params import ControlPlane
+
+_CP_FIELDS = ("select", "predelay", "vsteps", "speed", "dry", "wet",
+              "pan_dry", "pan_wet", "level")
+
+
+def save_checkpoint(path: str | os.PathLike, state, control: ControlPlane,
+                    meta: dict | None = None) -> None:
+    """Serialise engine state + control plane to one .npz file."""
+    arrays: dict[str, np.ndarray] = {}
+    leaves, treedef = jax.tree.flatten(state)
+    for i, leaf in enumerate(leaves):
+        arrays[f"state_{i}"] = np.asarray(leaf)
+    for name in _CP_FIELDS:
+        arrays[f"cp_{name}"] = getattr(control, name)
+    header = {
+        "num_state_leaves": len(leaves),
+        "state_class": type(state).__name__,
+        "num_voices": control.num_voices,
+        "bank_size": control.bank_size,
+        "max_predelay": control.max_predelay,
+        "meta": meta or {},
+    }
+    arrays["header"] = np.frombuffer(
+        json.dumps(header).encode(), dtype=np.uint8)
+    np.savez(path, **arrays)
+
+
+def load_checkpoint(path: str | os.PathLike, state_template,
+                    control: ControlPlane):
+    """Restore (state, control) from a checkpoint.
+
+    state_template: a state pytree with the expected structure/shapes (e.g.
+    engine.init_state()); shapes are validated leaf-by-leaf.
+    """
+    with np.load(path) as data:
+        header = json.loads(bytes(data["header"]).decode())
+        leaves, treedef = jax.tree.flatten(state_template)
+        if header["num_state_leaves"] != len(leaves):
+            raise ValueError(
+                f"checkpoint has {header['num_state_leaves']} state leaves, "
+                f"engine expects {len(leaves)}")
+        if header["num_voices"] != control.num_voices:
+            raise ValueError(
+                f"checkpoint is for {header['num_voices']} voices, "
+                f"control plane has {control.num_voices}")
+        new_leaves = []
+        for i, leaf in enumerate(leaves):
+            arr = data[f"state_{i}"]
+            if arr.shape != leaf.shape:
+                raise ValueError(
+                    f"state leaf {i}: checkpoint shape {arr.shape} != "
+                    f"engine shape {leaf.shape}")
+            new_leaves.append(arr.astype(leaf.dtype))
+        state = jax.tree.unflatten(treedef, new_leaves)
+        for name in _CP_FIELDS:
+            getattr(control, name)[...] = data[f"cp_{name}"]
+        return state, header.get("meta", {})

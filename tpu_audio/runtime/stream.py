@@ -1,0 +1,215 @@
+"""Host streaming loop: the real-time driver around the jitted block step.
+
+Capability equivalent of the reference's JACK process-callback runtime
+(reference src/jackclient.cu:4-11 + src/conv.cu:287-466 + src/main.cu:82-95),
+restructured for TPU dispatch:
+
+  - the whole block pipeline is ONE jitted function with static shapes and
+    DONATED state buffers (no per-block allocation, no recompiles);
+  - double buffering via JAX async dispatch: block t's step is dispatched
+    before block t-1's output is synced back to the host, overlapping host
+    I/O with device compute (the reference overlaps H2D/compute/D2H with 4
+    CUDA streams, src/conv.cu:149-153);
+  - per-block wall timing with warmup discard (reference _nruns = -10,
+    src/conv.h:80), p50/p99, RTF, and a missed-deadline watchdog
+    (SURVEY.md §5 failure-detection gap);
+  - scripted/live MIDI events are applied between blocks through the
+    ControlPlane (reference's per-device MIDI thread, src/midi.cu:22-59);
+  - coefficient-engine management: host-side collapse on IR re-select and
+    an analytic coef_a tracker that switches to the steady-state step
+    (no base term) once every crossfade has decayed — the hot path then
+    never touches the reference's "most time consuming" interpolation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpu_audio.engine.params import ControlPlane
+from tpu_audio.engine.partitioned import PartitionedConvolution
+from tpu_audio.runtime.backends import BlockSink, BlockSource
+from tpu_audio.utils.log import Log
+from tpu_audio.utils.profiling import BlockTimer
+
+STEADY_THRESHOLD = 1e-6  # coef_a below this ≈ crossfade fully decayed
+
+
+class MidiSchedule:
+    """Scripted MIDI event stream: (block_index, device, message_bytes)."""
+
+    def __init__(self, events: list[tuple[int, str, bytes]] = ()):  # noqa: B006
+        self._events = sorted(events, key=lambda e: e[0])
+        self._next = 0
+
+    @classmethod
+    def parse(cls, text: str) -> "MidiSchedule":
+        """One event per line: ``<block> [device] <hex bytes...>``, e.g.
+        ``100 B0 15 40`` or ``100 hw:2,0 B0 15 40``. '#' comments. A device
+        token is recognised by containing a non-hex character."""
+        def is_hex(tok: str) -> bool:
+            return all(c in "0123456789abcdefABCDEF" for c in tok) and len(tok) <= 2
+
+        events = []
+        for line in text.splitlines():
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            tokens = line.split()
+            block = int(tokens[0])
+            rest = tokens[1:]
+            device = ""
+            if rest and not is_hex(rest[0]):
+                device, rest = rest[0], rest[1:]
+            events.append((block, device, bytes(int(t, 16) for t in rest)))
+        return cls(events)
+
+    def pop_due(self, block_index: int) -> list[tuple[str, bytes]]:
+        due = []
+        while (self._next < len(self._events)
+               and self._events[self._next][0] <= block_index):
+            _, device, data = self._events[self._next]
+            due.append((device, data))
+            self._next += 1
+        return due
+
+
+class StreamSession:
+    """Drives (source -> jitted engine step -> sink) to completion."""
+
+    def __init__(self, engine, bank, control: ControlPlane,
+                 source: BlockSource, sink: BlockSink,
+                 sample_rate: int = 44100, warmup: int = 10,
+                 donate: bool = True, realtime: bool = False,
+                 on_missed_deadline=None):
+        self.engine = engine
+        self.bank = jnp.asarray(bank)
+        self.control = control
+        self.source = source
+        self.sink = sink
+        self.sample_rate = sample_rate
+        self.realtime = realtime
+        self.block_period = engine.block / sample_rate
+        self.timer = BlockTimer(warmup=warmup, deadline_s=self.block_period)
+        self.on_missed_deadline = on_missed_deadline
+        self._missed_logged = 0
+
+        donate_args = (0,) if donate else ()
+        self._is_coef = (isinstance(engine, PartitionedConvolution)
+                         and engine.variant == "coef")
+        if self._is_coef:
+            self._step_full = jax.jit(engine.step_coef, donate_argnums=donate_args)
+            self._step_steady = jax.jit(engine.step_coef_steady,
+                                        donate_argnums=donate_args)
+            self._collapse = jax.jit(engine.collapse, donate_argnums=donate_args)
+            # analytic host mirror of coef_a for the steady-state switch
+            self._a_host = np.zeros((engine.num_voices, 2), np.float64)
+            self._pending_old: dict[tuple[int, int], int] = {}
+            control.on_select_change = self._note_select_change
+        else:
+            self._step_full = jax.jit(engine.step, donate_argnums=donate_args)
+            self._step_steady = None
+
+    # -- coef-engine hooks ---------------------------------------------------------
+
+    def _note_select_change(self, voice: int, ch: int, old: int, new: int) -> None:
+        # keep the select the engine last stepped with (first change wins
+        # between two steps)
+        self._pending_old.setdefault((voice, ch), old)
+
+    def _maybe_collapse(self, state):
+        if not self._pending_old:
+            return state
+        old_sel = self.control.select.copy()
+        changed = np.zeros_like(old_sel, dtype=bool)
+        for (v, ch), old in self._pending_old.items():
+            old_sel[v, ch] = old
+            changed[v, ch] = True
+            self._a_host[v, ch] = 1.0
+        self._pending_old.clear()
+        return self._collapse(state, self.bank, jnp.asarray(old_sel),
+                              jnp.asarray(changed))
+
+    # -- main loop ---------------------------------------------------------------------
+
+    def run(self, state, max_blocks: int | None = None,
+            midi: MidiSchedule | None = None):
+        """Stream until the source ends (or max_blocks). Returns final state."""
+        import time
+
+        prev_out = None
+        block_index = 0
+        next_deadline = time.perf_counter() + self.block_period
+
+        while max_blocks is None or block_index < max_blocks:
+            x = self.source.read()
+            if x is None:
+                break
+
+            if midi is not None:
+                for device, message in midi.pop_due(block_index):
+                    self.control.apply_midi_message(message, device)
+
+            self.timer.start()
+            if self._is_coef:
+                state = self._maybe_collapse(state)
+                vsteps = self.control.vsteps.astype(np.float64)
+                steady = bool((self._a_host < STEADY_THRESHOLD).all())
+                step = self._step_steady if steady else self._step_full
+                self._a_host *= 1.0 - 1.0 / (vsteps + 5.0)
+            else:
+                step = self._step_full
+
+            params = jax.tree.map(jnp.asarray, self.control.snapshot())
+            state, out = step(state, self.bank, params, jnp.asarray(x))
+            self.control.end_block()
+
+            # double buffering: sync/deliver the PREVIOUS block while the
+            # device crunches this one
+            if prev_out is not None:
+                self.sink.write(np.asarray(prev_out))
+            prev_out = out
+
+            elapsed = self.timer.stop()
+            if (self.timer.deadline_s is not None
+                    and elapsed > self.timer.deadline_s
+                    and self.timer.missed > self._missed_logged):
+                self._missed_logged = self.timer.missed
+                if self.on_missed_deadline is not None:
+                    self.on_missed_deadline(block_index, elapsed)
+                else:
+                    Log.debug("stream", "missed deadline at block %d: %.2f ms",
+                              block_index, elapsed * 1e3)
+
+            if self.realtime:
+                now = time.perf_counter()
+                if now < next_deadline:
+                    time.sleep(next_deadline - now)
+                next_deadline += self.block_period
+
+            block_index += 1
+
+        if prev_out is not None:
+            self.sink.write(np.asarray(prev_out))
+        self.sink.close()
+        self.blocks_streamed = getattr(self, "blocks_streamed", 0) + block_index
+        return state
+
+    # -- reporting ------------------------------------------------------------------------
+
+    def summary(self) -> dict:
+        s = self.timer.summary(self.block_period)
+        s["sample_rate"] = self.sample_rate
+        s["block"] = self.engine.block
+        s["num_voices"] = self.engine.num_voices
+        s["blocks_streamed"] = getattr(self, "blocks_streamed", 0)
+        return s
+
+    def log_summary(self) -> None:
+        s = self.summary()
+        Log.info("stream", "Average convolution runtime: %f ms "
+                 "(rtf %.2f, p99 %.3f ms, %d/%d deadlines missed)",
+                 s["avg_ms"], s.get("rtf", 0), s["p99_ms"],
+                 s["missed_deadlines"], s["blocks"])
