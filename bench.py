@@ -1,0 +1,169 @@
+"""Headline benchmark: multi-voice real-time convolution reverb on one chip.
+
+Target (BASELINE.md, driver-set): >= 64 concurrent stereo voices, each
+convolving against a >= 4 s IR, at 44.1 kHz / 256-frame blocks, in real time
+(RTF > 1, p99 block latency < 5.8 ms) on a single TPU v5e chip. The
+reference proves RTF >= 1 for ONE stereo pair with a 2.95 s IR on a Jetson
+Nano (reference README.md:26, conv.cu:239); vs_baseline is therefore the
+real-time factor itself (baseline == the real-time deadline, RTF 1.0).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": RTF, "unit": "x_realtime", "vs_baseline": RTF}
+
+The measured step is the steady-state hot path (what runs whenever no IR
+crossfade is in flight); the crossfading step is also timed and reported to
+stderr, and deadline misses across BOTH paths count against p99.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build(args):
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_audio.engine import ControlPlane, IRBank, PartitionedConvolution
+
+    sr = args.sample_rate
+    ir_len = int(args.ir_seconds * sr)
+    rng = np.random.default_rng(0)
+    bank = IRBank(sample_rate=sr)
+
+    # Real reference IRs tiled/padded to the target length when available,
+    # else synthetic exponential-decay noise IRs (same spectra footprint).
+    import glob
+    import os
+    ref = sorted(glob.glob("/root/reference/ir/1/*.wav"))[: args.num_irs]
+    for k in range(args.num_irs):
+        if k < len(ref) and os.path.exists(ref[k]):
+            from tpu_audio.io.wav import read_wav
+            ir = read_wav(ref[k], verbose=False).stereo().T
+            reps = -(-ir_len // ir.shape[1])
+            ir = np.tile(ir, (1, reps))[:, :ir_len]
+        else:
+            t = np.arange(ir_len, dtype=np.float32)
+            env = np.exp(-t / (0.4 * ir_len)).astype(np.float32)
+            ir = rng.standard_normal((2, ir_len)).astype(np.float32) * env * 0.3
+        bank.append(ir)
+
+    from tpu_audio.utils.transfer import device_put_maybe_complex
+
+    engine = PartitionedConvolution(
+        args.voices, args.block, bank.max_partitions(args.block),
+        max_predelay=8192, variant="coef", backend=args.fft_backend)
+    spectra = device_put_maybe_complex(bank.partitioned_spectra(args.block))
+    control = ControlPlane(args.voices, args.num_irs)
+    control.wet[:] = 0.7
+    control.dry[:] = 0.2
+    control.predelay[:] = 1024
+    params = jax.tree.map(jnp.asarray, control.snapshot())
+    state = engine.init_converged(spectra, params)
+    log(f"bench: {args.voices} voices, block {args.block}, "
+        f"{engine.partitions} partitions ({args.ir_seconds}s IR), "
+        f"{args.num_irs} IRs, bank {spectra.size * 8 / 1e6:.0f} MB, "
+        f"platform {jax.devices()[0].platform} ({jax.devices()[0]})")
+    return engine, spectra, control, params, state
+
+
+def time_step(step, state, bank, params, make_block, n_blocks, warmup,
+              deadline_s):
+    import jax
+
+    times = []
+    missed = 0
+    for t in range(n_blocks + warmup):
+        x = make_block(t)
+        t0 = time.perf_counter()
+        state, out = step(state, bank, params, x)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        if t >= warmup:
+            times.append(dt)
+            if dt > deadline_s:
+                missed += 1
+    # honesty check: the timed result must be real, readable, finite audio —
+    # a broken/async-lying backend must fail here, not report phantom RTF
+    final = np.asarray(out)
+    if not np.isfinite(final).all():
+        raise RuntimeError("benchmark output contains non-finite samples")
+    if np.abs(final).max() == 0.0:
+        raise RuntimeError("benchmark produced silent output")
+    return state, np.asarray(times), missed
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--voices", type=int, default=64)
+    ap.add_argument("--block", type=int, default=256)
+    ap.add_argument("--sample-rate", type=int, default=44100)
+    ap.add_argument("--ir-seconds", type=float, default=4.0)
+    ap.add_argument("--num-irs", type=int, default=4)
+    ap.add_argument("--blocks", type=int, default=300)
+    ap.add_argument("--warmup", type=int, default=20)
+    ap.add_argument("--fft-backend", default="auto")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    engine, spectra, control, params, state = build(args)
+    deadline = args.block / args.sample_rate
+
+    rng = np.random.default_rng(1)
+    shape = (args.voices, 2, args.block)
+    pool = [jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 0.05)
+            for _ in range(8)]
+
+    def make_block(t):
+        return pool[t % len(pool)]
+
+    # steady-state hot path (donated state)
+    steady = jax.jit(engine.step_coef_steady, donate_argnums=(0,))
+    state, times_steady, missed_s = time_step(
+        steady, state, spectra, params, make_block, args.blocks, args.warmup,
+        deadline)
+
+    # crossfading path (full step with base term), fresh state
+    full = jax.jit(engine.step_coef, donate_argnums=(0,))
+    state2 = engine.init_converged(spectra, params)
+    state2, times_full, missed_f = time_step(
+        full, state2, spectra, params, make_block,
+        max(args.blocks // 4, 20), args.warmup, deadline)
+
+    def stats(ts):
+        return dict(avg_ms=float(ts.mean() * 1e3),
+                    p50_ms=float(np.percentile(ts, 50) * 1e3),
+                    p99_ms=float(np.percentile(ts, 99) * 1e3),
+                    max_ms=float(ts.max() * 1e3))
+
+    st, ft = stats(times_steady), stats(times_full)
+    rtf = deadline * 1e3 / st["avg_ms"]
+    rtf_fade = deadline * 1e3 / ft["avg_ms"]
+    log(f"steady: {st} missed={missed_s} RTF={rtf:.2f}")
+    log(f"fade:   {ft} missed={missed_f} RTF={rtf_fade:.2f}")
+    log(f"deadline {deadline * 1e3:.3f} ms; p99 steady {st['p99_ms']:.3f} ms "
+        f"({'PASS' if st['p99_ms'] < deadline * 1e3 else 'FAIL'} vs 5.8ms target)")
+
+    print(json.dumps({
+        "metric": f"rtf_{args.voices}voices_{args.ir_seconds:g}sIR_"
+                  f"{args.sample_rate // 1000}k{args.block}",
+        "value": round(rtf, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,133 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_audio.engine import ControlPlane, IRBank, PartitionedConvolution
+from tpu_audio.engine.fmajor import FMajorPartitionedConvolution
+
+
+def build(num_voices=4, block=32, ir_len=300, num_irs=3, seed=0):
+    rng = np.random.default_rng(seed)
+    bank = IRBank()
+    for _ in range(num_irs):
+        ir = rng.standard_normal((2, ir_len)).astype(np.float32)
+        bank.append(ir * (0.4 / np.abs(ir).max()))
+    p = bank.max_partitions(block)
+    ref = PartitionedConvolution(num_voices, block, p, max_predelay=64,
+                                 variant="coef")
+    fm = FMajorPartitionedConvolution(num_voices, block, p, max_predelay=64)
+    spectra = bank.partitioned_spectra(block)
+    return ref, fm, spectra, bank
+
+
+def test_fmajor_equals_coef_engine_steady():
+    ref, fm, spectra, _ = build()
+    cp = ControlPlane(4, 3, max_predelay=64)
+    cp.wet[:] = 0.8
+    cp.dry[:] = 0.2
+    cp.predelay[:] = 17
+    cp.level[:] = 0.9
+    cp.pan_wet[:] = [[0.3, -0.4]] * 4
+    cp.select[:] = [[0, 1], [1, 2], [2, 0], [0, 0]]
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+
+    s_ref = ref.init_converged(jnp.asarray(spectra), params)
+    s_fm = fm.init_converged(fm.prepare_bank(spectra), params)
+    bank_fm = fm.prepare_bank(spectra)
+    rng = np.random.default_rng(1)
+    for t in range(12):
+        x = jnp.asarray(rng.standard_normal((4, 2, 32)).astype(np.float32) * 0.05)
+        s_ref, o_ref = ref.step_coef(s_ref, jnp.asarray(spectra), params, x)
+        s_fm, o_fm = fm.step_coef(s_fm, bank_fm, params, x)
+        np.testing.assert_allclose(np.asarray(o_fm), np.asarray(o_ref),
+                                   atol=2e-5, err_msg=f"block {t}")
+
+
+def test_fmajor_equals_coef_engine_through_fade_and_collapse():
+    ref, fm, spectra, _ = build(num_voices=2)
+    bank_ref = jnp.asarray(spectra)
+    bank_fm = fm.prepare_bank(spectra)
+    cp = ControlPlane(2, 3, max_predelay=64)
+    cp.wet[:] = 0.7
+    cp.speed[:] = 6
+    cp.dry[:] = 0.1
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+    s_ref = ref.init_converged(bank_ref, params)
+    s_fm = fm.init_converged(bank_fm, params)
+
+    rng = np.random.default_rng(2)
+    for t in range(30):
+        if t == 5:
+            old = cp.select.copy()
+            cp.set_select(0, 0, 2)
+            cp.set_select(1, 1, 1)
+            changed = jnp.asarray(cp.select != old)
+            s_ref = ref.collapse(s_ref, bank_ref, jnp.asarray(old), changed)
+            s_fm = fm.collapse(s_fm, bank_fm, jnp.asarray(old), changed)
+        if t == 12:
+            cp.wet[:] = 0.95  # wet change mid-fade
+        params = jax.tree.map(jnp.asarray, cp.snapshot())
+        x = jnp.asarray(rng.standard_normal((2, 2, 32)).astype(np.float32) * 0.05)
+        s_ref, o_ref = ref.step_coef(s_ref, bank_ref, params, x)
+        s_fm, o_fm = fm.step_coef(s_fm, bank_fm, params, x)
+        cp.end_block()
+        np.testing.assert_allclose(np.asarray(o_fm), np.asarray(o_ref),
+                                   atol=3e-5, err_msg=f"block {t}")
+
+
+def test_fmajor_steady_equals_full_when_converged():
+    ref, fm, spectra, _ = build(num_voices=2)
+    bank_fm = fm.prepare_bank(spectra)
+    cp = ControlPlane(2, 3, max_predelay=64)
+    cp.wet[:] = 0.5
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+    state = fm.init_converged(bank_fm, params)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (2, 2, 32)).astype(np.float32) * 0.1)
+    _, o_full = fm.step_coef(state, bank_fm, params, x)
+    _, o_steady = fm.step_coef_steady(state, bank_fm, params, x)
+    np.testing.assert_allclose(np.asarray(o_full), np.asarray(o_steady),
+                               atol=1e-7)
+
+
+def test_fmajor_bank_geometry_validation():
+    _, fm, spectra, _ = build()
+    with pytest.raises(ValueError):
+        fm.prepare_bank(spectra[:, :, :-1])
+
+
+def test_fmajor_in_stream_session():
+    """The fmajor engine must plug into StreamSession (duck-typed coef
+    interface) including MIDI-triggered collapse."""
+    from tpu_audio.engine.params import CCMapping
+    from tpu_audio.runtime.backends import WavSink, WavSource
+    from tpu_audio.runtime.stream import MidiSchedule, StreamSession
+
+    ref, fm, spectra, bank = build(num_voices=1, num_irs=2, ir_len=128)
+    cp = ControlPlane(1, 2, max_predelay=64)
+    cp.set_mapping(0, 0, CCMapping(message=0xB0, select=0x15))
+    cp.set_mapping(0, 1, CCMapping(message=0xB0, select=0x15))
+    cp.wet[:] = 1.0
+    cp.dry[:] = 0.0
+    cp.speed[:] = 4
+
+    rng = np.random.default_rng(4)
+    n_blocks = 100
+    x = (rng.standard_normal((1, 2, 32 * n_blocks)) * 0.05).astype(np.float32)
+    source = WavSource(x, num_voices=1, block=32)
+    sink = WavSink("/dev/null")
+    session = StreamSession(fm, fm.prepare_bank(spectra), cp, source, sink,
+                            warmup=0)
+    midi = MidiSchedule([(10, "", bytes([0xB0, 0x15, 64]))])
+    state = fm.init_converged(session.bank, jax.tree.map(jnp.asarray, cp.snapshot()))
+    session.run(state, midi=midi)
+    got = sink.data
+
+    from scipy.signal import fftconvolve
+    ir = bank.ir(1)
+    tail = slice(-32 * 4, None)
+    for o in range(2):
+        want = np.clip((fftconvolve(x[0, 0], ir[o])
+                        + fftconvolve(x[0, 1], ir[o]))[: 32 * n_blocks], -1, 1)
+        np.testing.assert_allclose(got[0, o][tail], want[tail], atol=1e-3)

@@ -110,7 +110,7 @@ class IRBank:
 
     def partitioned_spectra(self, block: int,
                             max_partitions: int | None = None,
-                            backend: str = "fft") -> np.ndarray:
+                            backend: str = "numpy") -> np.ndarray:
         """[K, 2, P, F] complex64 uniform partition spectra (F = block + 1).
 
         Every IR is padded to the bank-wide partition count so selection is

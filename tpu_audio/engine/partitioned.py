@@ -103,6 +103,11 @@ class PartitionedConvolution:
         self.ring = max_predelay + block
 
     # -- state ---------------------------------------------------------------------
+    #
+    # State constructors are jitted: complex buffers must be DEVICE-generated
+    # — eagerly-created complex constants require a complex host->device
+    # transfer, which some TPU transports lack entirely (and a failed
+    # transfer can wedge the session; see tpu_audio.utils.transfer).
 
     def _zeros(self, with_active: bool, with_base: bool) -> PartitionedState:
         v, b, p, f = self.num_voices, self.block, self.partitions, self.num_bins
@@ -120,18 +125,27 @@ class PartitionedConvolution:
     def init_state(self) -> PartitionedState:
         """Zero state: crossfade slews up from silence (reference behaviour
         with zeroed buffers)."""
-        return self._zeros(with_active=self.variant == "materialized",
-                           with_base=self.variant == "coef")
+        return jax.jit(lambda: self._zeros(
+            with_active=self.variant == "materialized",
+            with_base=self.variant == "coef"))()
 
     def init_converged(self, bank: jax.Array, params: VoiceParams) -> PartitionedState:
         """Crossfade pre-settled at bank[select]*wet."""
-        state = self.init_state()
-        if self.variant == "coef":
-            # active = 0·base + wet·bank[sel]
-            return replace(state, coef_c=jnp.asarray(params.wet, jnp.float32))
-        target = jnp.take(bank, params.select, axis=0)
-        active = target * params.wet[..., None, None, None]
-        return replace(state, active=active.astype(jnp.complex64))
+
+        def build(bank, params):
+            state = self._zeros(with_active=self.variant == "materialized",
+                                with_base=self.variant == "coef")
+            if self.variant == "coef":
+                # active = 0·base + wet·bank[sel]; +0.0 forces a fresh buffer
+                # (the state is donated per block; aliasing params.wet would
+                # invalidate the caller's params)
+                return replace(state,
+                               coef_c=params.wet.astype(jnp.float32) + 0.0)
+            target = jnp.take(bank, params.select, axis=0)
+            active = target * params.wet[..., None, None, None]
+            return replace(state, active=active.astype(jnp.complex64))
+
+        return jax.jit(build)(bank, params)
 
     # -- shared pieces -----------------------------------------------------------------
 

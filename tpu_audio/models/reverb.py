@@ -25,6 +25,7 @@ from tpu_audio.io.settings import Settings
 from tpu_audio.runtime.backends import BlockSink, BlockSource
 from tpu_audio.runtime.stream import MidiSchedule, StreamSession
 from tpu_audio.utils.log import Log
+from tpu_audio.utils.transfer import device_put_maybe_complex
 
 
 class ConvolutionReverb:
@@ -57,7 +58,7 @@ class ConvolutionReverb:
             spectra = bank.monolithic_spectra(fft_size)
         else:
             raise ValueError(f"unknown engine {engine!r}")
-        self.spectra = jnp.asarray(spectra)
+        self.spectra = device_put_maybe_complex(spectra)
         Log.info("reverb", "%d voice(s), %d IRs, engine=%s, spectra %s (%.1f MB)",
                  num_voices, len(bank), engine, tuple(self.spectra.shape),
                  self.spectra.size * 8 / 1e6)

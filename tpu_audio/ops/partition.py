@@ -44,9 +44,16 @@ def partition_ir(ir: np.ndarray, block: int, max_partitions: int | None = None,
 
 def partition_spectra(ir: np.ndarray, block: int,
                       max_partitions: int | None = None,
-                      backend: str = "auto") -> np.ndarray:
-    """Time-domain IR [..., L] -> partition spectra [..., P, F] complex64."""
+                      backend: str = "numpy") -> np.ndarray:
+    """Time-domain IR [..., L] -> partition spectra [..., P, F] complex64.
+
+    Load-time preprocessing runs host-side in numpy: it is one FFT pass per
+    bank load, and device round-trips would require complex host<->device
+    transfers some TPU transports lack (see tpu_audio.utils.transfer).
+    """
     parts = partition_ir(ir, block, max_partitions)
+    if backend == "numpy":
+        return np.fft.rfft(parts, axis=-1).astype(np.complex64)
     xf = SpectralTransform(2 * block, backend=backend)
     return np.asarray(xf.rfft(parts))
 

@@ -1,0 +1,9 @@
+from tpu_audio.parallel.mesh import (
+    make_mesh, partitioned_state_sharding, partitioned_shardings,
+    shard_partitioned_step, shard_collapse,
+)
+
+__all__ = [
+    "make_mesh", "partitioned_state_sharding", "partitioned_shardings",
+    "shard_partitioned_step", "shard_collapse",
+]

@@ -1,0 +1,159 @@
+"""Multi-chip scaling: device mesh + shardings for the voice server.
+
+The reference is strictly single-GPU (SURVEY.md §2: no NCCL/MPI/collectives
+anywhere); its only scaling axes are CUDA streams and multiple engine
+instances on one device. The TPU-native framework scales over an ICI mesh
+with two axes:
+
+  - ``voice``: data parallelism over concurrent reverb voices. Voices are
+    independent, so the hot loop is communication-free along this axis —
+    it rides pure ICI bandwidth only for input/output distribution.
+  - ``part``: sequence parallelism over the IR partition axis (the moral
+    equivalent of blockwise/ring attention over sequence length,
+    SURVEY.md §5): the frequency-domain delay line, the IR bank, and the
+    crossfade base spectra all shard over partitions, the per-chip MAC
+    produces partial spectra, and XLA inserts the psum over ``part`` plus
+    the one-slot boundary shift of the delay-line roll (a collective
+    permute) automatically from the shardings.
+
+Implementation: GSPMD via jit + NamedSharding — annotate every state leaf,
+the bank, params, and I/O blocks with PartitionSpecs and let XLA place
+collectives. A single chip is the degenerate 1x1 mesh with zero overhead,
+so the same step function serves laptop CPU tests, one v5e chip, and a pod
+slice (SURVEY.md §5 comms-layer requirement).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_audio.engine.params import VoiceParams
+from tpu_audio.engine.partitioned import PartitionedConvolution, PartitionedState
+from tpu_audio.utils.log import Log
+from tpu_audio.utils.transfer import device_put_maybe_complex
+
+
+def make_mesh(n_devices: int | None = None, part: int | None = None,
+              devices=None) -> Mesh:
+    """Build a ('voice', 'part') mesh over the first n devices.
+
+    `part` defaults to 1 (pure voice-DP — communication-free hot loop).
+    Set part > 1 to shard the IR partition axis (huge IRs / few voices).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    part = part or 1
+    if n % part:
+        raise ValueError(f"part axis {part} does not divide {n} devices")
+    voice = n // part
+    arr = np.asarray(devices).reshape(voice, part)
+    mesh = Mesh(arr, axis_names=("voice", "part"))
+    Log.info("mesh", "%d device(s): voice=%d x part=%d on %s",
+             n, voice, part, devices[0].platform)
+    return mesh
+
+
+# -- sharding specs ------------------------------------------------------------------
+
+_STATE_SPECS = dict(
+    fdl=P("voice", None, "part", None),        # [V, 2, P, F]
+    prev_in=P("voice", None, None),            # [V, 2, B]
+    wet_ring=P("voice", None, None),           # [V, 2, D]
+    base=P("voice", None, None, "part", None),  # [V, 2, 2, P, F]
+    coef_a=P("voice", None),                   # [V, 2]
+    coef_c=P("voice", None),                   # [V, 2]
+    active=P("voice", None, None, "part", None),  # [V, 2, 2, P, F]
+)
+
+BANK_SPEC = P(None, None, "part", None)        # [K, 2, P, F]
+PARAMS_SPEC = P("voice", None)                 # [V, 2] each leaf
+BLOCK_SPEC = P("voice", None, None)            # [V, 2, B]
+
+
+def partitioned_state_sharding(mesh: Mesh, engine: PartitionedConvolution
+                               ) -> PartitionedState:
+    """Pytree of NamedShardings matching PartitionedState's leaves.
+
+    The unused representation's placeholder leaves ([V,2,2,1,1]) cannot
+    shard over 'part'; they get voice-only sharding.
+    """
+    placeholder_base = engine.variant != "coef"
+    placeholder_active = engine.variant != "materialized"
+    specs = dict(_STATE_SPECS)
+    if placeholder_base:
+        specs["base"] = P("voice", None, None, None, None)
+    if placeholder_active:
+        specs["active"] = P("voice", None, None, None, None)
+    return PartitionedState(
+        **{k: NamedSharding(mesh, v) for k, v in specs.items()})
+
+
+def partitioned_shardings(mesh: Mesh, engine: PartitionedConvolution):
+    """(state, bank, params, x) shardings for the partitioned step."""
+    state_sh = partitioned_state_sharding(mesh, engine)
+    bank_sh = NamedSharding(mesh, BANK_SPEC)
+    params_sh = VoiceParams(**{
+        f: NamedSharding(mesh, PARAMS_SPEC)
+        for f in ("select", "predelay", "vsteps", "dry", "wet", "pan_dry",
+                  "pan_wet", "level")})
+    x_sh = NamedSharding(mesh, BLOCK_SPEC)
+    return state_sh, bank_sh, params_sh, x_sh
+
+
+# -- sharded step factories -----------------------------------------------------------
+
+def _validate(mesh: Mesh, engine: PartitionedConvolution) -> None:
+    voice_n = mesh.shape["voice"]
+    part_n = mesh.shape["part"]
+    if engine.num_voices % voice_n:
+        raise ValueError(f"{engine.num_voices} voices not divisible by "
+                         f"voice axis {voice_n}")
+    if engine.partitions % part_n:
+        raise ValueError(f"{engine.partitions} partitions not divisible by "
+                         f"part axis {part_n}")
+
+
+def shard_partitioned_step(engine: PartitionedConvolution, mesh: Mesh,
+                           steady: bool = False, donate: bool = True):
+    """jit engine.step with mesh shardings. Returns the compiled step."""
+    _validate(mesh, engine)
+    state_sh, bank_sh, params_sh, x_sh = partitioned_shardings(mesh, engine)
+    if engine.variant == "coef":
+        fn = engine.step_coef_steady if steady else engine.step_coef
+    else:
+        fn = engine.step_materialized
+    return jax.jit(
+        fn,
+        in_shardings=(state_sh, bank_sh, params_sh, x_sh),
+        out_shardings=(state_sh, x_sh),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def shard_collapse(engine: PartitionedConvolution, mesh: Mesh,
+                   donate: bool = True):
+    """jit engine.collapse with mesh shardings (coef variant)."""
+    _validate(mesh, engine)
+    state_sh, bank_sh, _, _ = partitioned_shardings(mesh, engine)
+    sel_sh = NamedSharding(mesh, PARAMS_SPEC)
+    return jax.jit(
+        engine.collapse,
+        in_shardings=(state_sh, bank_sh, sel_sh, sel_sh),
+        out_shardings=state_sh,
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def place_state(state: PartitionedState, mesh: Mesh,
+                engine: PartitionedConvolution) -> PartitionedState:
+    """Device_put a host/state pytree onto the mesh shardings."""
+    return jax.device_put(state, partitioned_state_sharding(mesh, engine))
+
+
+def place_bank(bank, mesh: Mesh):
+    return device_put_maybe_complex(bank, NamedSharding(mesh, BANK_SPEC))

@@ -20,6 +20,7 @@ import numpy as np
 import jax
 
 from tpu_audio.engine.params import ControlPlane
+from tpu_audio.utils.transfer import device_put_maybe_complex, to_host_maybe_complex
 
 _CP_FIELDS = ("select", "predelay", "vsteps", "speed", "dry", "wet",
               "pan_dry", "pan_wet", "level")
@@ -31,7 +32,7 @@ def save_checkpoint(path: str | os.PathLike, state, control: ControlPlane,
     arrays: dict[str, np.ndarray] = {}
     leaves, treedef = jax.tree.flatten(state)
     for i, leaf in enumerate(leaves):
-        arrays[f"state_{i}"] = np.asarray(leaf)
+        arrays[f"state_{i}"] = to_host_maybe_complex(leaf)
     for name in _CP_FIELDS:
         arrays[f"cp_{name}"] = getattr(control, name)
     header = {
@@ -72,7 +73,7 @@ def load_checkpoint(path: str | os.PathLike, state_template,
                 raise ValueError(
                     f"state leaf {i}: checkpoint shape {arr.shape} != "
                     f"engine shape {leaf.shape}")
-            new_leaves.append(arr.astype(leaf.dtype))
+            new_leaves.append(device_put_maybe_complex(arr.astype(leaf.dtype)))
         state = jax.tree.unflatten(treedef, new_leaves)
         for name in _CP_FIELDS:
             getattr(control, name)[...] = data[f"cp_{name}"]

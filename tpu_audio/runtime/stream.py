@@ -32,6 +32,7 @@ from tpu_audio.engine.params import ControlPlane
 from tpu_audio.engine.partitioned import PartitionedConvolution
 from tpu_audio.runtime.backends import BlockSink, BlockSource
 from tpu_audio.utils.log import Log
+from tpu_audio.utils.transfer import device_put_maybe_complex
 from tpu_audio.utils.profiling import BlockTimer
 
 STEADY_THRESHOLD = 1e-6  # coef_a below this ≈ crossfade fully decayed
@@ -85,7 +86,11 @@ class StreamSession:
                  donate: bool = True, realtime: bool = False,
                  on_missed_deadline=None):
         self.engine = engine
-        self.bank = jnp.asarray(bank)
+        # bank may be a raw (possibly complex) host array or an already-
+        # device-resident pytree (e.g. FMajorBank)
+        self.bank = jax.tree.map(
+            lambda leaf: leaf if isinstance(leaf, jax.Array)
+            else device_put_maybe_complex(leaf), bank)
         self.control = control
         self.source = source
         self.sink = sink
@@ -97,8 +102,8 @@ class StreamSession:
         self._missed_logged = 0
 
         donate_args = (0,) if donate else ()
-        self._is_coef = (isinstance(engine, PartitionedConvolution)
-                         and engine.variant == "coef")
+        self._is_coef = (getattr(engine, "variant", None) == "coef"
+                         and hasattr(engine, "step_coef"))
         if self._is_coef:
             self._step_full = jax.jit(engine.step_coef, donate_argnums=donate_args)
             self._step_steady = jax.jit(engine.step_coef_steady,
