@@ -7,7 +7,7 @@ from tpu_audio.engine import ControlPlane, IRBank, PartitionedConvolution
 from tpu_audio.engine.fmajor import FMajorPartitionedConvolution
 
 
-def build(num_voices=4, block=32, ir_len=300, num_irs=3, seed=0):
+def build(num_voices=4, block=32, ir_len=300, num_irs=3, seed=0, ring=True):
     rng = np.random.default_rng(seed)
     bank = IRBank()
     for _ in range(num_irs):
@@ -16,13 +16,15 @@ def build(num_voices=4, block=32, ir_len=300, num_irs=3, seed=0):
     p = bank.max_partitions(block)
     ref = PartitionedConvolution(num_voices, block, p, max_predelay=64,
                                  variant="coef")
-    fm = FMajorPartitionedConvolution(num_voices, block, p, max_predelay=64)
+    fm = FMajorPartitionedConvolution(num_voices, block, p, max_predelay=64,
+                                      ring=ring)
     spectra = bank.partitioned_spectra(block)
     return ref, fm, spectra, bank
 
 
-def test_fmajor_equals_coef_engine_steady():
-    ref, fm, spectra, _ = build()
+@pytest.mark.parametrize("ring", [False, True])
+def test_fmajor_equals_coef_engine_steady(ring):
+    ref, fm, spectra, _ = build(ring=ring)
     cp = ControlPlane(4, 3, max_predelay=64)
     cp.wet[:] = 0.8
     cp.dry[:] = 0.2
@@ -44,8 +46,15 @@ def test_fmajor_equals_coef_engine_steady():
                                    atol=2e-5, err_msg=f"block {t}")
 
 
-def test_fmajor_equals_coef_engine_through_fade_and_collapse():
-    ref, fm, spectra, _ = build(num_voices=2)
+@pytest.mark.parametrize("ring", [False, True])
+def test_fmajor_equals_coef_engine_through_fade_and_collapse(ring):
+    """Roll mode stores the fade snapshot in f32 and must match the coef
+    engine exactly at all times. Ring mode stores it in bfloat16 — a
+    DESIGNED transient-only quantization: the base term's weight decays to
+    zero, so mid-fade output may differ at bf16 scale (~1e-3 here) but must
+    reconverge to exact equality."""
+    ref, fm, spectra, _ = build(num_voices=2, ring=ring)
+    fade_atol = 2e-3 if ring else 3e-5
     bank_ref = jnp.asarray(spectra)
     bank_fm = fm.prepare_bank(spectra)
     cp = ControlPlane(2, 3, max_predelay=64)
@@ -57,7 +66,7 @@ def test_fmajor_equals_coef_engine_through_fade_and_collapse():
     s_fm = fm.init_converged(bank_fm, params)
 
     rng = np.random.default_rng(2)
-    for t in range(30):
+    for t in range(120):
         if t == 5:
             old = cp.select.copy()
             cp.set_select(0, 0, 2)
@@ -72,7 +81,28 @@ def test_fmajor_equals_coef_engine_through_fade_and_collapse():
         s_ref, o_ref = ref.step_coef(s_ref, bank_ref, params, x)
         s_fm, o_fm = fm.step_coef(s_fm, bank_fm, params, x)
         cp.end_block()
+        atol = 3e-5 if t < 5 else fade_atol if t < 100 else 5e-5
         np.testing.assert_allclose(np.asarray(o_fm), np.asarray(o_ref),
+                                   atol=atol, err_msg=f"block {t}")
+
+
+def test_fmajor_ring_equals_roll_steady():
+    """Ring and roll modes are bit-equivalent whenever no fade is active."""
+    _, roll_eng, spectra, _ = build(num_voices=2, ring=False, seed=9)
+    _, ring_eng, _, _ = build(num_voices=2, ring=True, seed=9)
+    cp = ControlPlane(2, 3, max_predelay=64)
+    cp.wet[:] = 0.6
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+    b_roll = roll_eng.prepare_bank(spectra)
+    b_ring = ring_eng.prepare_bank(spectra)
+    s_roll = roll_eng.init_converged(b_roll, params)
+    s_ring = ring_eng.init_converged(b_ring, params)
+    rng = np.random.default_rng(10)
+    for t in range(2 * roll_eng.pp + 5):  # wrap the ring pointer twice
+        x = jnp.asarray(rng.standard_normal((2, 2, 32)).astype(np.float32) * 0.05)
+        s_roll, o_roll = roll_eng.step_coef_steady(s_roll, b_roll, params, x)
+        s_ring, o_ring = ring_eng.step_coef_steady(s_ring, b_ring, params, x)
+        np.testing.assert_allclose(np.asarray(o_ring), np.asarray(o_roll),
                                    atol=3e-5, err_msg=f"block {t}")
 
 

@@ -38,8 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="input WAV (default: impulse test signal)")
     p.add_argument("--output", default=None,
                    help="output WAV (default: discard)")
-    p.add_argument("--engine", default="partitioned",
-                   choices=["partitioned", "monolithic"])
+    p.add_argument("--engine", default="fmajor",
+                   choices=["fmajor", "partitioned", "monolithic"])
     p.add_argument("--variant", default="coef",
                    choices=["coef", "materialized"])
     p.add_argument("--voices", type=int, default=None,

@@ -25,10 +25,25 @@ the 64-voice/4s-IR flagship point; this one ~3.5 ms, Pallas kernel next):
     PartitionedConvolution.step_coef (scalar slew recursion, host collapse
     on re-select, steady-state step that skips the base term).
 
-The IR time-reversal trick used by the ring-pointer variants is NOT used
-here: the fdl is shifted one partition per block (a [F, VI, P2] roll), which
-keeps the per-voice ``base`` fade spectra naturally aligned. The planned
-Pallas kernel replaces the roll with in-kernel ring indexing.
+Two delay-line modes, equivalence-tested against each other:
+
+  - ``ring=False``: the fdl is shifted one partition per block (a
+    [F, VI, P2] roll) and everything stays naturally aligned.
+  - ``ring=True`` (the production mode): nothing ever shifts. The new block
+    spectrum lands in ring slot w = t mod Pp (a 0.26 MB dynamic write), and
+    slot s is paired with bank partition (w - s) mod Pp by slicing a
+    dynamic window out of a DOUBLED, time-REVERSED rhs
+    (rhs2[j] = H[(-j) mod Pp], tiled twice; window [Pp-w, 2Pp-w)). This
+    removes the delay-line roll — the dominant HBM cost — from the hot
+    loop entirely. The fade ``base`` spectra are stored the same way
+    (doubled+reversed per voice) and in bfloat16: the base term is a
+    transient whose weight coef_a decays to zero by construction, so
+    reduced precision never reaches the steady-state output.
+
+(A Pallas fused-MAC kernel for this exists in tpu_audio.ops.pallas_mac and
+is exact, but on the current tunneled chip Mosaic DMA streams at ~125 GB/s
+vs ~210 GB/s for XLA fusions, so the XLA path is faster end-to-end; the
+kernel is kept for hardware where Pallas DMA runs at full bandwidth.)
 """
 
 from __future__ import annotations
@@ -50,8 +65,10 @@ from tpu_audio.ops.mix import pan_gains
 class FMajorBank:
     """Device-side bank in MAC-ready real layouts (host-precomputed)."""
 
-    mac_rhs: jax.Array   # f32 [F, P*2, K*O*2]: complex-mult 2x2 blocks
-    spectra: jax.Array   # f32 [K, O, P, F, 2]: planar spectra (collapse/init)
+    mac_rhs: jax.Array      # f32 [F, 2, Pp, KOD] plane-major MAC rhs (roll)
+    rhs2: jax.Array         # f32 [F, 2, 2*Pp, KOD] doubled+reversed (ring)
+    spectra: jax.Array      # f32 [K, O, Pp, F, 2] planar (init/collapse)
+    spectra_rev2: jax.Array  # bf16 [K, F, O, 2, 2*Pp] doubled+reversed planar
 
     @property
     def num_irs(self) -> int:
@@ -61,36 +78,67 @@ class FMajorBank:
 @jax.tree_util.register_dataclass
 @dataclass
 class FMajorState:
-    fdl: jax.Array       # f32 [F, V*I, P*2] planar freq-domain delay line
+    fdl: jax.Array       # f32 [F, VI, 2, Pp] planar freq delay line
+                         # (contiguous view [F, VI, 2Pp] for the MAC)
     prev_in: jax.Array   # f32 [V, 2, B]
     wet_ring: jax.Array  # f32 [V, 2, maxPD + B]
-    base: jax.Array      # f32 [F, V, I, O, P, 2] frozen fade snapshot
+    base: jax.Array      # fade snapshot: ring: bf16 [F,V,I,O,2,2Pp]
+                         #                roll: f32  [F,V,I,O,2,Pp]
     coef_a: jax.Array    # f32 [V, 2]
     coef_c: jax.Array    # f32 [V, 2]
+    wptr: jax.Array      # i32 [] ring write slot of the NEWEST spectrum
 
 
-def pack_mac_rhs(spectra: np.ndarray) -> np.ndarray:
-    """[K, O, P, F] complex -> [F, P*2, K*O*2] f32 MAC rhs.
+def _pad_p(arr: np.ndarray, axis: int, pp: int) -> np.ndarray:
+    pad = pp - arr.shape[axis]
+    if pad == 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return np.pad(arr, widths)
 
-    Column pairs (d) are (re, im) of each (k, o); row pairs (c) are the
-    (re, im) of the fdl, so  y_d = sum_{p,c} fdl[p,c] * rhs[p,c,d]
-    implements the complex product-sum  sum_p X_p * H_p.
+
+def pack_mac_rhs(spectra: np.ndarray, pp: int) -> np.ndarray:
+    """[K, O, P, F] complex -> [F, 2, Pp, K*O*2] f32 plane-major MAC rhs.
+
+    Plane c=0 carries columns (br, bi) per (k, o); plane c=1 carries
+    (-bi, br), so summing the two plane-dots of the (ar, ai) fdl planes
+    yields the complex product-sum  sum_p X_p * H_p.
     """
     k, o, p, f = spectra.shape
-    br = spectra.real.astype(np.float32)
-    bi = spectra.imag.astype(np.float32)
-    # rhs[c=0 (ar)] -> (br, bi); rhs[c=1 (ai)] -> (-bi, br)
-    rhs = np.empty((f, p, 2, k, o, 2), np.float32)
-    rhs[:, :, 0, :, :, 0] = np.transpose(br, (3, 2, 0, 1))
-    rhs[:, :, 0, :, :, 1] = np.transpose(bi, (3, 2, 0, 1))
-    rhs[:, :, 1, :, :, 0] = -np.transpose(bi, (3, 2, 0, 1))
-    rhs[:, :, 1, :, :, 1] = np.transpose(br, (3, 2, 0, 1))
-    return rhs.reshape(f, p * 2, k * o * 2)
+    br = np.transpose(spectra.real.astype(np.float32), (3, 2, 0, 1))  # [F,P,K,O]
+    bi = np.transpose(spectra.imag.astype(np.float32), (3, 2, 0, 1))
+    rhs = np.empty((f, 2, p, k, o, 2), np.float32)
+    rhs[:, 0, :, :, :, 0] = br
+    rhs[:, 0, :, :, :, 1] = bi
+    rhs[:, 1, :, :, :, 0] = -bi
+    rhs[:, 1, :, :, :, 1] = br
+    return _pad_p(rhs.reshape(f, 2, p, k * o * 2), 2, pp)
 
 
-def pack_planar_spectra(spectra: np.ndarray) -> np.ndarray:
-    """[K, O, P, F] complex -> [K, O, P, F, 2] f32."""
-    return np.stack([spectra.real, spectra.imag], axis=-1).astype(np.float32)
+def double_reversed(arr: np.ndarray, axis: int) -> np.ndarray:
+    """out[j] = arr[(-j) mod P], tiled twice along `axis`."""
+    first = np.take(arr, [0], axis=axis)
+    rest = np.flip(np.take(arr, range(1, arr.shape[axis]), axis=axis), axis=axis)
+    rev = np.concatenate([first, rest], axis=axis)
+    return np.concatenate([rev, rev], axis=axis)
+
+
+def pack_planar_spectra(spectra: np.ndarray, pp: int) -> np.ndarray:
+    """[K, O, P, F] complex -> [K, O, Pp, F, 2] f32."""
+    planar = np.stack([spectra.real, spectra.imag], axis=-1).astype(np.float32)
+    return _pad_p(planar, 2, pp)
+
+
+def pack_spectra_rev2(spectra: np.ndarray, pp: int) -> np.ndarray:
+    """[K, O, P, F] complex -> bf16 [K, F, O, 2, 2*Pp] doubled+reversed."""
+    planar = _pad_p(
+        np.stack([spectra.real, spectra.imag], axis=1).astype(np.float32),
+        3, pp)                                       # [K, 2, O, Pp, F]
+    planar = np.transpose(planar, (0, 4, 2, 1, 3))   # [K, F, O, 2, Pp]
+    rev2 = double_reversed(planar, axis=4)
+    import jax.numpy as _jnp
+    return np.asarray(rev2, dtype=_jnp.bfloat16)
 
 
 class FMajorPartitionedConvolution:
@@ -99,11 +147,16 @@ class FMajorPartitionedConvolution:
     variant = "coef"  # runtime-compatible with the coef engine interface
 
     def __init__(self, num_voices: int, block: int, partitions: int,
-                 max_predelay: int = 8192, backend: str = "auto"):
+                 max_predelay: int = 8192, backend: str = "auto",
+                 ring: bool = True):
         self.num_voices = num_voices
         self.block = block
         self.partitions = partitions
+        # partition axis padded to a sublane multiple; extra zero partitions
+        # contribute nothing
+        self.pp = -(-partitions // 8) * 8
         self.max_predelay = max_predelay
+        self.ring_mode = ring
         self.xf = SpectralTransform(2 * block, backend=backend)
         self.num_bins = self.xf.num_bins
         self.ring = max_predelay + block
@@ -111,28 +164,39 @@ class FMajorPartitionedConvolution:
     # -- bank ---------------------------------------------------------------------
 
     def prepare_bank(self, spectra: np.ndarray) -> FMajorBank:
-        """Host [K, 2, P, F] complex spectra -> device FMajorBank (f32-only
-        transfers)."""
+        """Host [K, 2, P, F] complex spectra -> device FMajorBank (f32/bf16
+        transfers only; complex64 never crosses the host boundary)."""
         spectra = np.asarray(spectra)
         if spectra.shape[2] != self.partitions or spectra.shape[3] != self.num_bins:
             raise ValueError(f"bank geometry {spectra.shape} != engine "
                              f"(P={self.partitions}, F={self.num_bins})")
+        mac_rhs = pack_mac_rhs(spectra, self.pp)
         return FMajorBank(
-            mac_rhs=jnp.asarray(pack_mac_rhs(spectra)),
-            spectra=jnp.asarray(pack_planar_spectra(spectra)),
+            mac_rhs=jnp.asarray(mac_rhs),
+            rhs2=jnp.asarray(double_reversed(mac_rhs, axis=2)),
+            spectra=jnp.asarray(pack_planar_spectra(spectra, self.pp)),
+            spectra_rev2=jnp.asarray(pack_spectra_rev2(spectra, self.pp)),
         )
 
     # -- state ---------------------------------------------------------------------
 
+    def _base_shape(self):
+        v, f, pp = self.num_voices, self.num_bins, self.pp
+        if self.ring_mode:
+            return (f, v, 2, 2, 2, 2 * pp), jnp.bfloat16
+        return (f, v, 2, 2, 2, pp), jnp.float32
+
     def init_state(self) -> FMajorState:
-        v, b, p, f = self.num_voices, self.block, self.partitions, self.num_bins
+        v, b, pp, f = self.num_voices, self.block, self.pp, self.num_bins
+        base_shape, base_dtype = self._base_shape()
         return jax.jit(lambda: FMajorState(
-            fdl=jnp.zeros((f, v * 2, p * 2), jnp.float32),
+            fdl=jnp.zeros((f, v * 2, 2, pp), jnp.float32),
             prev_in=jnp.zeros((v, 2, b), jnp.float32),
             wet_ring=jnp.zeros((v, 2, self.ring), jnp.float32),
-            base=jnp.zeros((f, v, 2, 2, p, 2), jnp.float32),
+            base=jnp.zeros(base_shape, base_dtype),
             coef_a=jnp.zeros((v, 2), jnp.float32),
             coef_c=jnp.zeros((v, 2), jnp.float32),
+            wptr=jnp.zeros((), jnp.int32),
         ))()
 
     def init_converged(self, bank: FMajorBank, params: VoiceParams) -> FMajorState:
@@ -143,25 +207,22 @@ class FMajorPartitionedConvolution:
 
     # -- hot step -------------------------------------------------------------------
 
-    def _push(self, state: FMajorState, x: jax.Array) -> jax.Array:
-        """OLS segment rfft -> planar f-major -> shift delay line."""
-        seg = jnp.concatenate([state.prev_in, x], axis=-1)       # [V, 2, 2B]
-        spec = self.xf.rfft(seg)                                  # [V, 2, F] c64
+    def _input_spectrum(self, state: FMajorState, x: jax.Array) -> jax.Array:
+        """OLS segment rfft -> plane-major [F, 2, VI, 1]."""
+        seg = jnp.concatenate([state.prev_in, x], axis=-1)        # [V, 2, 2B]
+        spec = self.xf.rfft(seg)                                   # [V, 2, F]
         v = self.num_voices
-        xn = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)  # [V,2,F,2]
-        xn = jnp.transpose(xn, (2, 0, 1, 3)).reshape(
-            self.num_bins, v * 2, 2)                               # [F, VI, 2]
-        # shift partitions by one (slots [2:] <- [:-2]), new X into slot 0
-        fdl = jnp.concatenate([xn, state.fdl[:, :, :-2]], axis=-1)
-        return fdl
+        xn = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)  # [V, 2, F, 2]
+        return jnp.transpose(xn.reshape(v * 2, self.num_bins, 2),
+                             (1, 0, 2))[..., None]                 # [F, VI, 2, 1]
 
     def _wet_scale(self, params: VoiceParams) -> jax.Array:
         gl, gr = pan_gains(params.pan_wet)
-        return jnp.stack([gl, gr], axis=-1) * params.level[..., None]  # [V,2,O]
+        return jnp.stack([gl, gr], axis=-1) * params.level[..., None]  # [V,I,O]
 
     def _finish(self, state, params, x, y, **updates):
         """y [F, V, O, 2] planar spectra -> irfft -> predelay ring -> mix."""
-        b, v, f = self.block, self.num_voices, self.num_bins
+        b = self.block
         spec = jax.lax.complex(y[..., 0], y[..., 1])              # [F, V, O]
         spec = jnp.transpose(spec, (1, 2, 0))                     # [V, O, F]
         wet = self.xf.irfft(spec)[..., b:]                        # [V, O, B]
@@ -185,20 +246,34 @@ class FMajorPartitionedConvolution:
 
     def step_coef(self, state: FMajorState, bank: FMajorBank,
                   params: VoiceParams, x: jax.Array, with_base: bool = True):
-        """Full step (fade-capable). See PartitionedConvolution.step_coef for
-        the semantics contract; this is the same math in f-major layout."""
-        v, f, p = self.num_voices, self.num_bins, self.partitions
+        """Full step (fade-capable). Same semantics contract as
+        PartitionedConvolution.step_coef, in f-major layout."""
+        v, f, pp = self.num_voices, self.num_bins, self.pp
         k = bank.num_irs
-        fdl = self._push(state, x)
+        xn = self._input_spectrum(state, x)
+
+        if self.ring_mode:
+            w = jax.lax.rem(state.wptr + 1, jnp.int32(self.pp))
+            fdl = jax.lax.dynamic_update_slice(
+                state.fdl, xn, (0, 0, 0, w))
+            rhs = jax.lax.dynamic_slice_in_dim(
+                bank.rhs2, self.pp - w, self.pp, axis=2)
+        else:
+            w = state.wptr  # unused, kept for shape stability
+            fdl = jnp.concatenate([xn, state.fdl[..., :-1]], axis=-1)
+            rhs = bank.mac_rhs
+        rhs = rhs.reshape(f, 2 * pp, bank.rhs2.shape[-1])
 
         r = 1.0 / (params.vsteps.astype(jnp.float32) + 5.0)
         a = state.coef_a * (1.0 - r)
         c = state.coef_c * (1.0 - r) + params.wet * r
         scale = self._wet_scale(params)                           # [V, I, O]
 
-        # all-K MAC: [F, VI, P2] x [F, P2, KO2] -> [F, VI, KO2]
-        m = jnp.einsum("fvp,fpk->fvk", fdl, bank.mac_rhs,
-                       precision=jax.lax.Precision.HIGHEST)
+        # all-K MAC: [F, VI, 2Pp] x [F, 2Pp, KOD] -> [F, VI, KOD]
+        # (3-pass f32 matmul: ~1e-6 relative, far beyond audio resolution,
+        # at half the MXU passes of HIGHEST)
+        m = jnp.einsum("fvq,fqk->fvk", fdl.reshape(f, v * 2, 2 * pp), rhs,
+                       precision=jax.lax.Precision.HIGH)
         m = m.reshape(f, v, 2, k, 2, 2)                           # [F,V,I,K,O,d]
         sel = params.select[None, :, :, None, None, None]
         y_sel = jnp.take_along_axis(m, sel, axis=3)[:, :, :, 0]   # [F,V,I,O,d]
@@ -207,20 +282,25 @@ class FMajorPartitionedConvolution:
         y = jnp.einsum("fviod,vio->fvod", y_sel, coef)
 
         if with_base:
-            # base MAC (fades only): complex product-sum over p per (v,i,o)
-            fb = fdl.reshape(f, v, 2, p, 2)
-            ar, ai = fb[..., 0], fb[..., 1]
-            br, bi = state.base[..., 0], state.base[..., 1]
-            yre = (jnp.einsum("fvip,fviop->fvio", ar, br)
-                   - jnp.einsum("fvip,fviop->fvio", ai, bi))
-            yim = (jnp.einsum("fvip,fviop->fvio", ar, bi)
-                   + jnp.einsum("fvip,fviop->fvio", ai, br))
+            if self.ring_mode:
+                base = jax.lax.dynamic_slice_in_dim(
+                    state.base, self.pp - w, self.pp, axis=5)
+            else:
+                base = state.base
+            # ONE contraction reading fdl and base once each:
+            # mb[f,v,i,c,o,e] = sum_p fdl[c] * base[o,e]; the four complex
+            # cross-products are then combined elementwise on a tiny array.
+            fb = fdl.reshape(f, v, 2, 2, pp)                       # [F,V,I,c,Pp]
+            mb = jnp.einsum("fvicp,fvioep->fvicoe", fb, base,
+                            precision=jax.lax.Precision.HIGH)
+            yre = mb[:, :, :, 0, :, 0] - mb[:, :, :, 1, :, 1]
+            yim = mb[:, :, :, 0, :, 1] + mb[:, :, :, 1, :, 0]
             coef_b = (a[..., None] * scale)
             y = y + jnp.einsum(
                 "fviod,vio->fvod", jnp.stack([yre, yim], axis=-1), coef_b)
 
         return self._finish(state, params, x, y,
-                            fdl=fdl, coef_a=a, coef_c=c)
+                            fdl=fdl, coef_a=a, coef_c=c, wptr=w)
 
     def step_coef_steady(self, state, bank, params, x):
         """Steady-state hot path: base term elided (coef_a ~ 0)."""
@@ -234,10 +314,18 @@ class FMajorPartitionedConvolution:
     def collapse(self, state: FMajorState, bank: FMajorBank,
                  old_select: jax.Array, changed: jax.Array) -> FMajorState:
         """Re-base the affine form after IR re-select (host-triggered)."""
-        gathered = jnp.take(bank.spectra, old_select, axis=0)  # [V,I,O,P,F,2]
-        gathered = jnp.transpose(gathered, (4, 0, 1, 2, 3, 5))  # [F,V,I,O,P,2]
-        collapsed = (state.coef_a[None, :, :, None, None, None] * state.base
-                     + state.coef_c[None, :, :, None, None, None] * gathered)
+        if self.ring_mode:
+            gathered = jnp.take(bank.spectra_rev2, old_select, axis=0)
+            # [V, I, F, O, 2, 2Pp] -> [F, V, I, O, 2, 2Pp]
+            gathered = jnp.transpose(gathered, (2, 0, 1, 3, 4, 5))
+        else:
+            gathered = jnp.take(bank.spectra, old_select, axis=0)
+            # [V, I, O, Pp, F, 2] -> [F, V, I, O, 2(c), Pp]
+            gathered = jnp.transpose(gathered, (4, 0, 1, 2, 5, 3))
+        a = state.coef_a[None, :, :, None, None, None]
+        c = state.coef_c[None, :, :, None, None, None]
+        collapsed = (a * state.base.astype(jnp.float32)
+                     + c * gathered.astype(jnp.float32)).astype(state.base.dtype)
         mask = changed[None, :, :, None, None, None]
         return replace(
             state,

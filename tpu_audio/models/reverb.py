@@ -18,6 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from tpu_audio.engine.bank import IRBank
+from tpu_audio.engine.fmajor import FMajorPartitionedConvolution
 from tpu_audio.engine.monolithic import MonolithicConvolution
 from tpu_audio.engine.params import CCMapping, ControlPlane
 from tpu_audio.engine.partitioned import PartitionedConvolution
@@ -32,7 +33,7 @@ class ConvolutionReverb:
     """V stereo voices of convolution reverb over one IR bank."""
 
     def __init__(self, bank: IRBank, num_voices: int = 1, block: int = 256,
-                 sample_rate: int = 44100, engine: str = "partitioned",
+                 sample_rate: int = 44100, engine: str = "fmajor",
                  variant: str = "coef", fft_size: int = 131072,
                  max_predelay: int = 8192, max_partitions: int | None = None,
                  backend: str = "auto", cache_dir: str | None = None):
@@ -40,17 +41,24 @@ class ConvolutionReverb:
         self.block = block
         self.sample_rate = sample_rate
         self.control = ControlPlane(num_voices, len(bank), max_predelay)
-        if engine == "partitioned":
+        if engine in ("fmajor", "partitioned"):
             partitions = max_partitions or bank.max_partitions(block)
-            self.engine = PartitionedConvolution(
-                num_voices, block, partitions, max_predelay=max_predelay,
-                backend=backend, variant=variant)
             if cache_dir:
                 spectra = bank.cached_partitioned_spectra(
                     block, cache_dir, max_partitions=partitions)
             else:
                 spectra = bank.partitioned_spectra(
                     block, max_partitions=partitions)
+            if engine == "fmajor":
+                self.engine = FMajorPartitionedConvolution(
+                    num_voices, block, partitions, max_predelay=max_predelay,
+                    backend=backend)
+                # device bank is a pytree of MAC-ready real layouts
+                self.spectra = self.engine.prepare_bank(spectra)
+            else:
+                self.engine = PartitionedConvolution(
+                    num_voices, block, partitions, max_predelay=max_predelay,
+                    backend=backend, variant=variant)
         elif engine == "monolithic":
             self.engine = MonolithicConvolution(
                 num_voices, fft_size, block, max_predelay=max_predelay,
@@ -58,10 +66,13 @@ class ConvolutionReverb:
             spectra = bank.monolithic_spectra(fft_size)
         else:
             raise ValueError(f"unknown engine {engine!r}")
-        self.spectra = device_put_maybe_complex(spectra)
-        Log.info("reverb", "%d voice(s), %d IRs, engine=%s, spectra %s (%.1f MB)",
-                 num_voices, len(bank), engine, tuple(self.spectra.shape),
-                 self.spectra.size * 8 / 1e6)
+        if engine != "fmajor":
+            self.spectra = device_put_maybe_complex(spectra)
+        import jax
+        nbytes = sum(leaf.size * leaf.dtype.itemsize
+                     for leaf in jax.tree.leaves(self.spectra))
+        Log.info("reverb", "%d voice(s), %d IRs, engine=%s, bank %.1f MB",
+                 num_voices, len(bank), engine, nbytes / 1e6)
 
     # -- reference-settings construction (src/main.cu:18-116) --------------------
 

@@ -84,7 +84,7 @@ class StreamSession:
                  source: BlockSource, sink: BlockSink,
                  sample_rate: int = 44100, warmup: int = 10,
                  donate: bool = True, realtime: bool = False,
-                 on_missed_deadline=None):
+                 on_missed_deadline=None, pipeline_depth: int = 1):
         self.engine = engine
         # bank may be a raw (possibly complex) host array or an already-
         # device-resident pytree (e.g. FMajorBank)
@@ -96,6 +96,10 @@ class StreamSession:
         self.sink = sink
         self.sample_rate = sample_rate
         self.realtime = realtime
+        # how many blocks may be in flight between dispatch and sink
+        # delivery: 1 = minimum latency (local hardware); raise it on
+        # high-latency host links (e.g. tunneled chips) to hide transfer RTT
+        self.pipeline_depth = max(1, pipeline_depth)
         self.block_period = engine.block / sample_rate
         self.timer = BlockTimer(warmup=warmup, deadline_s=self.block_period)
         self.on_missed_deadline = on_missed_deadline
@@ -142,9 +146,10 @@ class StreamSession:
     def run(self, state, max_blocks: int | None = None,
             midi: MidiSchedule | None = None):
         """Stream until the source ends (or max_blocks). Returns final state."""
+        import collections
         import time
 
-        prev_out = None
+        pending = collections.deque()
         block_index = 0
         next_deadline = time.perf_counter() + self.block_period
 
@@ -171,11 +176,16 @@ class StreamSession:
             state, out = step(state, self.bank, params, jnp.asarray(x))
             self.control.end_block()
 
-            # double buffering: sync/deliver the PREVIOUS block while the
-            # device crunches this one
-            if prev_out is not None:
-                self.sink.write(np.asarray(prev_out))
-            prev_out = out
+            # pipelined delivery: start this block's device->host copy now,
+            # deliver the block from `pipeline_depth` steps ago (depth 1 ==
+            # classic double buffering)
+            try:
+                out.copy_to_host_async()
+            except Exception:
+                pass
+            pending.append(out)
+            if len(pending) >= self.pipeline_depth + 1:
+                self.sink.write(np.asarray(pending.popleft()))
 
             elapsed = self.timer.stop()
             if (self.timer.deadline_s is not None
@@ -196,8 +206,8 @@ class StreamSession:
 
             block_index += 1
 
-        if prev_out is not None:
-            self.sink.write(np.asarray(prev_out))
+        while pending:
+            self.sink.write(np.asarray(pending.popleft()))
         self.sink.close()
         self.blocks_streamed = getattr(self, "blocks_streamed", 0) + block_index
         return state
