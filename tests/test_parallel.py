@@ -113,3 +113,99 @@ def test_single_device_mesh_degenerate():
     state_p, out_p = jax.jit(eng.step_coef)(
         eng.init_converged(spectra, params), spectra, params, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_p), atol=1e-6)
+
+
+# ------------------------------------------------------------- fmajor voice-DP
+
+@requires_8
+def test_fmajor_sharded_step_matches_single_device():
+    from tpu_audio.engine.fmajor import FMajorPartitionedConvolution
+    from tpu_audio.parallel.mesh import fmajor_shardings, shard_fmajor_step
+
+    rng = np.random.default_rng(5)
+    bank = IRBank()
+    for _ in range(2):
+        ir = rng.standard_normal((2, 200)).astype(np.float32)
+        bank.append(ir * (0.4 / np.abs(ir).max()))
+    eng = FMajorPartitionedConvolution(8, 32, bank.max_partitions(32),
+                                       max_predelay=64)
+    bank_d = eng.prepare_bank(bank.partitioned_spectra(32))
+    cp = ControlPlane(8, 2, max_predelay=64)
+    cp.wet[:] = 0.8
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+
+    mesh = make_mesh(8, part=1)
+    state_sh, bank_sh, _, _ = fmajor_shardings(mesh, eng)
+    step_sh = shard_fmajor_step(eng, mesh, donate=False)
+    step_pl = jax.jit(eng.step_coef, donate_argnums=())
+
+    state_s = jax.device_put(eng.init_converged(bank_d, params), state_sh)
+    bank_s = jax.device_put(bank_d, bank_sh)
+    state_p = eng.init_converged(bank_d, params)
+    for t in range(6):
+        x = jnp.asarray(rng.standard_normal((8, 2, 32)).astype(np.float32) * 0.05)
+        state_s, out_s = step_sh(state_s, bank_s, params, x)
+        state_p, out_p = step_pl(state_p, bank_d, params, x)
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_p),
+                                   atol=1e-5, err_msg=f"block {t}")
+
+
+# ------------------------------------------------------------- differentiability
+
+def test_engine_is_differentiable_ir_estimation():
+    """The whole engine is a differentiable JAX program — gradient descent
+    through the streamed engine recovers an unknown IR from input/output
+    audio. (A capability with no reference equivalent: conv.cu is a fixed
+    CUDA pipeline; here system identification falls out of jax.grad.)"""
+    import jax
+
+    rng = np.random.default_rng(6)
+    block, n_blocks, ir_len = 32, 12, 64
+    true_ir = rng.standard_normal((2, ir_len)).astype(np.float32)
+    true_ir *= 0.4 / np.abs(true_ir).max()
+
+    bank = IRBank()
+    bank.append(true_ir)
+    eng = PartitionedConvolution(1, block, bank.max_partitions(block),
+                                 max_predelay=32, variant="coef")
+    cp = ControlPlane(1, 1, max_predelay=32)
+    cp.wet[:] = 1.0
+    cp.dry[:] = 0.0
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+    x = (rng.standard_normal((1, 2, block * n_blocks)) * 0.1).astype(np.float32)
+
+    from tpu_audio.ops.partition import partition_spectra
+
+    def stream_out(spectra_planar):
+        # planar [1,2,P,F,2] -> complex bank, run the whole stream
+        spec = jax.lax.complex(spectra_planar[..., 0], spectra_planar[..., 1])
+        state = eng.init_converged(spec, params)
+        outs = []
+        for t in range(n_blocks):
+            xb = jax.lax.dynamic_slice_in_dim(x, t * block, block, axis=-1)
+            state, out = eng.step_coef(state, spec, params, jnp.asarray(xb))
+            outs.append(out)
+        return jnp.concatenate(outs, axis=-1)
+
+    true_spec = partition_spectra(true_ir, block)[None]
+    target = stream_out(jnp.asarray(
+        np.stack([true_spec.real, true_spec.imag], -1).astype(np.float32)))
+
+    def loss(spectra_planar):
+        y = stream_out(spectra_planar)
+        return jnp.mean((y - target) ** 2)
+
+    import optax
+
+    guess = jnp.zeros((1, 2, eng.partitions, eng.num_bins, 2), jnp.float32)
+    value_and_grad = jax.jit(jax.value_and_grad(loss))
+    opt = optax.adam(0.05)
+    opt_state = opt.init(guess)
+    est = guess
+    l0, _ = value_and_grad(guess)
+    for _ in range(60):
+        l, g = value_and_grad(est)
+        updates, opt_state = opt.update(g, opt_state)
+        est = optax.apply_updates(est, updates)
+    l_final, _ = value_and_grad(est)
+    assert float(l_final) < float(l0) * 0.05, (float(l0), float(l_final))

@@ -1,0 +1,134 @@
+import os
+
+import numpy as np
+import pytest
+
+from tpu_audio.app.tools import main as tools_main
+from tpu_audio.io.wav import write_wav
+
+
+@pytest.fixture
+def bank_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    for k in range(3):
+        write_wav(tmp_path / f"ir{k}.wav",
+                  rng.uniform(-0.3, 0.3, (200, 2)).astype(np.float32), 44100)
+    return tmp_path
+
+
+def test_tools_makeindex(bank_dir, capsys):
+    idx = bank_dir / "all.index"
+    assert tools_main(["makeindex", str(bank_dir), "-o", str(idx)]) == 0
+    lines = idx.read_text().strip().splitlines()
+    assert len(lines) == 3
+    assert all(line.endswith(".wav") for line in lines)
+
+
+def test_tools_makeindex_empty(tmp_path):
+    assert tools_main(["makeindex", str(tmp_path)]) == 1
+
+
+def test_tools_prebuild_cache_and_bank_info(bank_dir, capsys):
+    idx = bank_dir / "all.index"
+    tools_main(["makeindex", str(bank_dir), "-o", str(idx)])
+    cache = bank_dir / "cache"
+    assert tools_main(["prebuild-cache", str(idx), "--block", "64",
+                       "--cache-dir", str(cache), "--quiet"]) == 0
+    assert any(f.startswith("bank_") for f in os.listdir(cache))
+    assert tools_main(["bank-info", str(idx), "--block", "64"]) == 0
+    out = capsys.readouterr().out
+    assert "3 IRs" in out
+
+
+def test_tools_inspect_checkpoint(tmp_path, capsys):
+    from tpu_audio.engine import ControlPlane, IRBank
+    from tpu_audio.models.reverb import ConvolutionReverb
+    from tpu_audio.runtime.checkpoint import save_checkpoint
+
+    rng = np.random.default_rng(1)
+    bank = IRBank()
+    bank.append(rng.standard_normal((2, 100)).astype(np.float32) * 0.2)
+    model = ConvolutionReverb(bank, num_voices=1, block=32, max_predelay=64)
+    ckpt = tmp_path / "c.npz"
+    save_checkpoint(ckpt, model.init_state(), model.control, meta={"x": 1})
+    assert tools_main(["inspect-checkpoint", str(ckpt)]) == 0
+    out = capsys.readouterr().out
+    assert '"x": 1' in out
+    assert "state_0" in out
+
+
+def test_midi_fifo_transport(tmp_path):
+    """Live MIDI over a FIFO reaches the control plane mid-stream."""
+    from tpu_audio.runtime.midi_transport import MidiByteStream
+
+    fifo = tmp_path / "midi.fifo"
+    os.mkfifo(fifo)
+    # open writer first (non-blocking reader open requires it on some systems)
+    wfd = os.open(fifo, os.O_RDWR | os.O_NONBLOCK)
+    stream = MidiByteStream(fifo, device="hw:9,0")
+    assert stream.poll() == []
+    os.write(wfd, bytes([0xB0, 21, 64, 22]))
+    events = stream.poll()
+    assert events == [("hw:9,0", bytes([0xB0, 21, 64]))]
+    os.write(wfd, bytes([100]))  # running-status continuation across polls
+    assert stream.poll() == [("hw:9,0", bytes([0xB0, 22, 100]))]
+    stream.close()
+    os.close(wfd)
+
+
+def test_session_live_midi_and_bank_swap():
+    """StreamSession: live MIDI events apply between blocks; swap_bank
+    replaces the IR bank without recompiling (same geometry)."""
+    import jax.numpy as jnp
+
+    from tpu_audio.engine import ControlPlane, IRBank
+    from tpu_audio.engine.params import CCMapping
+    from tpu_audio.models.reverb import ConvolutionReverb
+    from tpu_audio.runtime.backends import WavSink, WavSource
+
+    rng = np.random.default_rng(2)
+    bank = IRBank()
+    for _ in range(2):
+        ir = rng.standard_normal((2, 96)).astype(np.float32)
+        bank.append(ir * (0.4 / np.abs(ir).max()))
+    model = ConvolutionReverb(bank, num_voices=1, block=32, max_predelay=64)
+    model.control.set_mapping(0, 0, CCMapping(message=0xB0, dry=0x17))
+    model.control.set_mapping(0, 1, CCMapping(message=0xB0, dry=0x17))
+    model.control.dry[:] = 0.0
+    model.control.wet[:] = 1.0
+
+    class FakeLiveMidi:
+        def __init__(self):
+            self.sent = False
+
+        def poll(self):
+            if not self.sent:
+                self.sent = True
+                return [("", bytes([0xB0, 0x17, 64]))]  # dry -> 0.5
+            return []
+
+    x = (rng.standard_normal((1, 2, 32 * 6)) * 0.05).astype(np.float32)
+    session = model.session(WavSource(x, 1, 32), WavSink("/dev/null"),
+                            warmup=0)
+    state = model.init_state()
+    state = session.run(state, live_midi=FakeLiveMidi())
+    assert model.control.dry[0, 0] == np.float32(0.5)
+
+    # bank swap: silence bank -> output decays to dry-only
+    silent = IRBank()
+    for _ in range(2):
+        silent.append(np.zeros((2, 96), np.float32))
+    new_spectra = model.engine.prepare_bank(silent.partitioned_spectra(32, 3))
+    session.swap_bank(new_spectra)
+    sink2 = WavSink("/dev/null")
+    session.sink = sink2
+    session.source = WavSource(x, 1, 32)
+    session.run(state)
+    # with a silent bank and the engine converged, wet == 0: only the 2x2
+    # dry mix remains (both inputs into both outputs, conv.cu:126-140)
+    got = sink2.data
+    want_dry = (x[0, 0] + x[0, 1]) * 0.5
+    start = 96 + 64  # after old wet tail + max predelay flushes
+    for o in range(2):
+        np.testing.assert_allclose(got[0, o, start:], want_dry[start:],
+                                   atol=2e-3)

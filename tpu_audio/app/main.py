@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample-rate", type=int, default=44100)
     p.add_argument("--midi", default=None,
                    help="scripted MIDI schedule file (block hexbytes per line)")
+    p.add_argument("--midi-fifo", default=None,
+                   help="FIFO/device path to read live MIDI bytes from")
+    p.add_argument("--profile", default=None,
+                   help="write a jax profiler trace to this directory")
+    p.add_argument("--pipeline-depth", type=int, default=1,
+                   help="blocks in flight (raise on high-latency host links)")
     p.add_argument("--max-ir-seconds", type=float, default=None,
                    help="truncate bank IRs (memory control)")
     p.add_argument("--cache-dir", default=None,
@@ -106,10 +112,23 @@ def main(argv=None) -> int:
     if args.midi:
         with open(args.midi) as fh:
             midi = MidiSchedule.parse(fh.read())
+    live_midi = None
+    if args.midi_fifo:
+        from tpu_audio.runtime.midi_transport import MidiByteStream
+        live_midi = MidiByteStream(args.midi_fifo)
 
-    session = model.session(source, sink, realtime=args.realtime)
+    session = model.session(source, sink, realtime=args.realtime,
+                            pipeline_depth=args.pipeline_depth)
     state = model.init_state()
-    session.run(state, max_blocks=args.blocks, midi=midi)
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            session.run(state, max_blocks=args.blocks, midi=midi,
+                        live_midi=live_midi)
+        Log.info("app", "profiler trace written to %s", args.profile)
+    else:
+        session.run(state, max_blocks=args.blocks, midi=midi,
+                    live_midi=live_midi)
 
     # reference exit report (src/main.cu:106) + the latency stats it lacked
     session.log_summary()

@@ -157,3 +157,64 @@ def place_state(state: PartitionedState, mesh: Mesh,
 
 def place_bank(bank, mesh: Mesh):
     return device_put_maybe_complex(bank, NamedSharding(mesh, BANK_SPEC))
+
+
+# -- f-major production engine shardings ------------------------------------------
+
+def fmajor_shardings(mesh: Mesh, engine):
+    """(state, bank, params, x) shardings for FMajorPartitionedConvolution.
+
+    Voice data-parallelism: the delay line's V*I dim, all per-voice state,
+    params, and I/O blocks shard over 'voice'; the bank replicates (it is
+    small and read-only). The 'part' axis is not used by this engine — its
+    doubled-rhs dynamic window would straddle partition shards; use
+    PartitionedConvolution for IR-partition (sequence) sharding.
+    """
+    from tpu_audio.engine.fmajor import FMajorBank, FMajorState
+
+    state_sh = FMajorState(
+        fdl=NamedSharding(mesh, P(None, "voice", None, None)),
+        prev_in=NamedSharding(mesh, P("voice", None, None)),
+        wet_ring=NamedSharding(mesh, P("voice", None, None)),
+        base=NamedSharding(mesh, P(None, "voice", None, None, None, None)),
+        coef_a=NamedSharding(mesh, P("voice", None)),
+        coef_c=NamedSharding(mesh, P("voice", None)),
+        wptr=NamedSharding(mesh, P()),
+    )
+    repl = NamedSharding(mesh, P())
+    bank_sh = FMajorBank(mac_rhs=repl, rhs2=repl, spectra=repl,
+                         spectra_rev2=repl)
+    params_sh = VoiceParams(**{
+        f: NamedSharding(mesh, PARAMS_SPEC)
+        for f in ("select", "predelay", "vsteps", "dry", "wet", "pan_dry",
+                  "pan_wet", "level")})
+    x_sh = NamedSharding(mesh, BLOCK_SPEC)
+    return state_sh, bank_sh, params_sh, x_sh
+
+
+def shard_fmajor_step(engine, mesh: Mesh, steady: bool = False,
+                      donate: bool = True):
+    """jit the f-major engine step with voice-DP mesh shardings."""
+    voice_n = mesh.shape["voice"]
+    if engine.num_voices % voice_n:
+        raise ValueError(f"{engine.num_voices} voices not divisible by "
+                         f"voice axis {voice_n}")
+    state_sh, bank_sh, params_sh, x_sh = fmajor_shardings(mesh, engine)
+    fn = engine.step_coef_steady if steady else engine.step_coef
+    return jax.jit(
+        fn,
+        in_shardings=(state_sh, bank_sh, params_sh, x_sh),
+        out_shardings=(state_sh, x_sh),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def shard_fmajor_collapse(engine, mesh: Mesh, donate: bool = True):
+    state_sh, bank_sh, _, _ = fmajor_shardings(mesh, engine)
+    sel_sh = NamedSharding(mesh, PARAMS_SPEC)
+    return jax.jit(
+        engine.collapse,
+        in_shardings=(state_sh, bank_sh, sel_sh, sel_sh),
+        out_shardings=state_sh,
+        donate_argnums=(0,) if donate else (),
+    )

@@ -143,8 +143,17 @@ class StreamSession:
 
     # -- main loop ---------------------------------------------------------------------
 
+    def swap_bank(self, bank) -> None:
+        """Live IR-bank replacement between blocks (the reference's
+        `prepare` reload path, src/conv.cu:206-253, made actually safe:
+        the old bank array stays valid for in-flight blocks; the next step
+        reads the new one; no recompile while geometry [K, P, F] matches)."""
+        self.bank = jax.tree.map(
+            lambda leaf: leaf if isinstance(leaf, jax.Array)
+            else device_put_maybe_complex(leaf), bank)
+
     def run(self, state, max_blocks: int | None = None,
-            midi: MidiSchedule | None = None):
+            midi: MidiSchedule | None = None, live_midi=None):
         """Stream until the source ends (or max_blocks). Returns final state."""
         import collections
         import time
@@ -160,6 +169,9 @@ class StreamSession:
 
             if midi is not None:
                 for device, message in midi.pop_due(block_index):
+                    self.control.apply_midi_message(message, device)
+            if live_midi is not None:
+                for device, message in live_midi.poll():
                     self.control.apply_midi_message(message, device)
 
             self.timer.start()
