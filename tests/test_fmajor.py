@@ -161,3 +161,63 @@ def test_fmajor_in_stream_session():
         want = np.clip((fftconvolve(x[0, 0], ir[o])
                         + fftconvolve(x[0, 1], ir[o]))[: 32 * n_blocks], -1, 1)
         np.testing.assert_allclose(got[0, o][tail], want[tail], atol=1e-3)
+
+
+@pytest.mark.parametrize("ring", [False, True])
+def test_selected_strategy_equals_allk(ring):
+    """'selected' (per-voice materialized spectra) must equal 'allk' exactly
+    through steady blocks, a re-select + fade, and a wet change."""
+    rng = np.random.default_rng(21)
+    bank = IRBank()
+    for _ in range(3):
+        ir = rng.standard_normal((2, 200)).astype(np.float32)
+        bank.append(ir * (0.4 / np.abs(ir).max()))
+    p = bank.max_partitions(32)
+    spectra = bank.partitioned_spectra(32)
+    allk = FMajorPartitionedConvolution(2, 32, p, max_predelay=64, ring=ring,
+                                        mac_strategy="allk")
+    sel = FMajorPartitionedConvolution(2, 32, p, max_predelay=64, ring=ring,
+                                       mac_strategy="selected")
+    b_a = allk.prepare_bank(spectra)
+    b_s = sel.prepare_bank(spectra)
+
+    cp = ControlPlane(2, 3, max_predelay=64)
+    cp.wet[:] = 0.7
+    cp.speed[:] = 6
+    cp.dry[:] = 0.1
+    cp.select[:] = [[0, 1], [2, 0]]
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+    s_a = allk.init_converged(b_a, params)
+    s_s = sel.init_converged(b_s, params)
+
+    for t in range(40):
+        if t == 8:
+            old = cp.select.copy()
+            cp.set_select(0, 0, 2)
+            cp.set_select(1, 1, 1)
+            changed = jnp.asarray(cp.select != old)
+            new = jnp.asarray(cp.select.copy())
+            s_a = allk.collapse(s_a, b_a, jnp.asarray(old), changed)
+            s_s = sel.collapse(s_s, b_s, jnp.asarray(old), changed,
+                               new_select=new)
+        if t == 20:
+            cp.wet[:] = 0.9
+        params = jax.tree.map(jnp.asarray, cp.snapshot())
+        x = jnp.asarray(rng.standard_normal((2, 2, 32)).astype(np.float32) * 0.05)
+        s_a, o_a = allk.step_coef(s_a, b_a, params, x)
+        s_s, o_s = sel.step_coef(s_s, b_s, params, x)
+        cp.end_block()
+        np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_a),
+                                   atol=3e-5, err_msg=f"block {t}")
+
+
+def test_auto_strategy_selection():
+    p = 8
+    eng_small = FMajorPartitionedConvolution(1, 32, p, mac_strategy="auto",
+                                             num_irs=4)
+    eng_big = FMajorPartitionedConvolution(1, 32, p, mac_strategy="auto",
+                                           num_irs=152)
+    assert eng_small.mac_strategy == "allk"
+    assert eng_big.mac_strategy == "selected"
+    with pytest.raises(ValueError):
+        FMajorPartitionedConvolution(1, 32, p, mac_strategy="auto")

@@ -68,7 +68,7 @@ class FMajorBank:
     mac_rhs: jax.Array      # f32 [F, 2, Pp, KOD] plane-major MAC rhs (roll)
     rhs2: jax.Array         # f32 [F, 2, 2*Pp, KOD] doubled+reversed (ring)
     spectra: jax.Array      # f32 [K, O, Pp, F, 2] planar (init/collapse)
-    spectra_rev2: jax.Array  # bf16 [K, F, O, 2, 2*Pp] doubled+reversed planar
+    spectra_rev2: jax.Array  # f32 [K, F, O, 2, 2*Pp] doubled+reversed planar
 
     @property
     def num_irs(self) -> int:
@@ -87,6 +87,9 @@ class FMajorState:
     coef_a: jax.Array    # f32 [V, 2]
     coef_c: jax.Array    # f32 [V, 2]
     wptr: jax.Array      # i32 [] ring write slot of the NEWEST spectrum
+    sel_spectra: jax.Array  # 'selected' strategy only: f32, base's layout —
+                            # the per-voice selected bank spectra (updated at
+                            # collapse); placeholder [.,.,.,.,.,1] for 'allk' 
 
 
 def _pad_p(arr: np.ndarray, axis: int, pp: int) -> np.ndarray:
@@ -131,14 +134,12 @@ def pack_planar_spectra(spectra: np.ndarray, pp: int) -> np.ndarray:
 
 
 def pack_spectra_rev2(spectra: np.ndarray, pp: int) -> np.ndarray:
-    """[K, O, P, F] complex -> bf16 [K, F, O, 2, 2*Pp] doubled+reversed."""
+    """[K, O, P, F] complex -> f32 [K, F, O, 2, 2*Pp] doubled+reversed."""
     planar = _pad_p(
         np.stack([spectra.real, spectra.imag], axis=1).astype(np.float32),
         3, pp)                                       # [K, 2, O, Pp, F]
     planar = np.transpose(planar, (0, 4, 2, 1, 3))   # [K, F, O, 2, Pp]
-    rev2 = double_reversed(planar, axis=4)
-    import jax.numpy as _jnp
-    return np.asarray(rev2, dtype=_jnp.bfloat16)
+    return double_reversed(planar, axis=4)
 
 
 class FMajorPartitionedConvolution:
@@ -146,9 +147,15 @@ class FMajorPartitionedConvolution:
 
     variant = "coef"  # runtime-compatible with the coef engine interface
 
+    # all-K MAC is MXU-cheap while K*O*2 stays within one N-tile batch;
+    # beyond that, per-voice selected spectra (updated only on re-select)
+    # cost less than computing every bank entry's contribution
+    ALLK_MAX_COLUMNS = 64  # K <= 16 stereo IRs
+
     def __init__(self, num_voices: int, block: int, partitions: int,
                  max_predelay: int = 8192, backend: str = "auto",
-                 ring: bool = True):
+                 ring: bool = True, mac_strategy: str = "allk",
+                 num_irs: int | None = None):
         self.num_voices = num_voices
         self.block = block
         self.partitions = partitions
@@ -157,6 +164,14 @@ class FMajorPartitionedConvolution:
         self.pp = -(-partitions // 8) * 8
         self.max_predelay = max_predelay
         self.ring_mode = ring
+        if mac_strategy == "auto":
+            if num_irs is None:
+                raise ValueError("mac_strategy='auto' needs num_irs")
+            mac_strategy = ("allk" if num_irs * 4 <= self.ALLK_MAX_COLUMNS
+                            else "selected")
+        if mac_strategy not in ("allk", "selected"):
+            raise ValueError(f"unknown mac_strategy {mac_strategy!r}")
+        self.mac_strategy = mac_strategy
         self.xf = SpectralTransform(2 * block, backend=backend)
         self.num_bins = self.xf.num_bins
         self.ring = max_predelay + block
@@ -170,12 +185,23 @@ class FMajorPartitionedConvolution:
         if spectra.shape[2] != self.partitions or spectra.shape[3] != self.num_bins:
             raise ValueError(f"bank geometry {spectra.shape} != engine "
                              f"(P={self.partitions}, F={self.num_bins})")
-        mac_rhs = pack_mac_rhs(spectra, self.pp)
+        if self.mac_strategy == "allk":
+            mac_rhs = pack_mac_rhs(spectra, self.pp)
+            mac_rhs_d = jnp.asarray(mac_rhs)
+            rhs2_d = jnp.asarray(double_reversed(mac_rhs, axis=2))
+        else:
+            # selected strategy never MACs against the whole bank
+            mac_rhs_d = jnp.zeros((1, 1, 1, 1), jnp.float32)
+            rhs2_d = jnp.zeros((1, 1, 1, 1), jnp.float32)
+        if self.ring_mode:
+            rev2_d = jnp.asarray(pack_spectra_rev2(spectra, self.pp))
+        else:
+            rev2_d = jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
         return FMajorBank(
-            mac_rhs=jnp.asarray(mac_rhs),
-            rhs2=jnp.asarray(double_reversed(mac_rhs, axis=2)),
+            mac_rhs=mac_rhs_d,
+            rhs2=rhs2_d,
             spectra=jnp.asarray(pack_planar_spectra(spectra, self.pp)),
-            spectra_rev2=jnp.asarray(pack_spectra_rev2(spectra, self.pp)),
+            spectra_rev2=rev2_d,
         )
 
     # -- state ---------------------------------------------------------------------
@@ -186,9 +212,17 @@ class FMajorPartitionedConvolution:
             return (f, v, 2, 2, 2, 2 * pp), jnp.bfloat16
         return (f, v, 2, 2, 2, pp), jnp.float32
 
+    def _sel_shape(self):
+        v, f, pp = self.num_voices, self.num_bins, self.pp
+        if self.mac_strategy != "selected":
+            return (f, v, 2, 2, 2, 1), jnp.float32
+        last = 2 * pp if self.ring_mode else pp
+        return (f, v, 2, 2, 2, last), jnp.float32
+
     def init_state(self) -> FMajorState:
         v, b, pp, f = self.num_voices, self.block, self.pp, self.num_bins
         base_shape, base_dtype = self._base_shape()
+        sel_shape, sel_dtype = self._sel_shape()
         return jax.jit(lambda: FMajorState(
             fdl=jnp.zeros((f, v * 2, 2, pp), jnp.float32),
             prev_in=jnp.zeros((v, 2, b), jnp.float32),
@@ -197,13 +231,26 @@ class FMajorPartitionedConvolution:
             coef_a=jnp.zeros((v, 2), jnp.float32),
             coef_c=jnp.zeros((v, 2), jnp.float32),
             wptr=jnp.zeros((), jnp.int32),
+            sel_spectra=jnp.zeros(sel_shape, sel_dtype),
         ))()
 
     def init_converged(self, bank: FMajorBank, params: VoiceParams) -> FMajorState:
         state = self.init_state()
-        return replace(state,
-                       coef_c=jax.jit(lambda w: w.astype(jnp.float32) + 0.0)(
-                           params.wet))
+        state = replace(state,
+                        coef_c=jax.jit(lambda w: w.astype(jnp.float32) + 0.0)(
+                            params.wet))
+        if self.mac_strategy == "selected":
+            state = replace(state, sel_spectra=jax.jit(self._gather_selection)(
+                bank, params.select))
+        return state
+
+    def _gather_selection(self, bank: FMajorBank, select: jax.Array) -> jax.Array:
+        """Per-voice selected spectra in base layout [F,V,I,O,2,(2)Pp] f32."""
+        if self.ring_mode:
+            gathered = jnp.take(bank.spectra_rev2, select, axis=0)
+            return jnp.transpose(gathered, (2, 0, 1, 3, 4, 5))
+        gathered = jnp.take(bank.spectra, select, axis=0)
+        return jnp.transpose(gathered, (4, 0, 1, 2, 5, 3))
 
     # -- hot step -------------------------------------------------------------------
 
@@ -256,48 +303,62 @@ class FMajorPartitionedConvolution:
             w = jax.lax.rem(state.wptr + 1, jnp.int32(self.pp))
             fdl = jax.lax.dynamic_update_slice(
                 state.fdl, xn, (0, 0, 0, w))
-            rhs = jax.lax.dynamic_slice_in_dim(
-                bank.rhs2, self.pp - w, self.pp, axis=2)
         else:
             w = state.wptr  # unused, kept for shape stability
             fdl = jnp.concatenate([xn, state.fdl[..., :-1]], axis=-1)
-            rhs = bank.mac_rhs
-        rhs = rhs.reshape(f, 2 * pp, bank.rhs2.shape[-1])
 
         r = 1.0 / (params.vsteps.astype(jnp.float32) + 5.0)
         a = state.coef_a * (1.0 - r)
         c = state.coef_c * (1.0 - r) + params.wet * r
         scale = self._wet_scale(params)                           # [V, I, O]
 
-        # all-K MAC: [F, VI, 2Pp] x [F, 2Pp, KOD] -> [F, VI, KOD]
-        # (3-pass f32 matmul: ~1e-6 relative, far beyond audio resolution,
-        # at half the MXU passes of HIGHEST)
-        m = jnp.einsum("fvq,fqk->fvk", fdl.reshape(f, v * 2, 2 * pp), rhs,
-                       precision=jax.lax.Precision.HIGH)
-        m = m.reshape(f, v, 2, k, 2, 2)                           # [F,V,I,K,O,d]
-        sel = params.select[None, :, :, None, None, None]
-        y_sel = jnp.take_along_axis(m, sel, axis=3)[:, :, :, 0]   # [F,V,I,O,d]
-
-        coef = (c[..., None] * scale)                             # [V, I, O]
-        y = jnp.einsum("fviod,vio->fvod", y_sel, coef)
-
-        if with_base:
+        def window(arr, axis):
+            """ring: slice [Pp-w, 2Pp-w) of a doubled+reversed tensor; roll:
+            identity (natural order)."""
             if self.ring_mode:
-                base = jax.lax.dynamic_slice_in_dim(
-                    state.base, self.pp - w, self.pp, axis=5)
-            else:
-                base = state.base
-            # ONE contraction reading fdl and base once each:
-            # mb[f,v,i,c,o,e] = sum_p fdl[c] * base[o,e]; the four complex
-            # cross-products are then combined elementwise on a tiny array.
-            fb = fdl.reshape(f, v, 2, 2, pp)                       # [F,V,I,c,Pp]
-            mb = jnp.einsum("fvicp,fvioep->fvicoe", fb, base,
+                return jax.lax.dynamic_slice_in_dim(arr, self.pp - w, self.pp,
+                                                    axis=axis)
+            return arr
+
+        def per_voice_mac(tensors):
+            """ONE contraction of fdl against N stacked per-voice spectra
+            tensors [F,V,I,O,2,Pp] -> [N, F,V,I,O,2] complex products."""
+            stacked = jnp.stack(tensors, axis=1)                  # [F,N,V,I,O,e,Pp]
+            fb = fdl.reshape(f, v, 2, 2, pp)                      # [F,V,I,c,Pp]
+            mb = jnp.einsum("fvicp,fnvioep->fnvicoe", fb, stacked,
                             precision=jax.lax.Precision.HIGH)
-            yre = mb[:, :, :, 0, :, 0] - mb[:, :, :, 1, :, 1]
-            yim = mb[:, :, :, 0, :, 1] + mb[:, :, :, 1, :, 0]
-            coef_b = (a[..., None] * scale)
-            y = y + jnp.einsum(
-                "fviod,vio->fvod", jnp.stack([yre, yim], axis=-1), coef_b)
+            yre = mb[..., 0, :, 0] - mb[..., 1, :, 1]
+            yim = mb[..., 0, :, 1] + mb[..., 1, :, 0]
+            out = jnp.stack([yre, yim], axis=-1)                  # [F,N,V,I,O,d]
+            return [out[:, n] for n in range(len(tensors))]
+
+        coef_sel = (c[..., None] * scale)                         # [V, I, O]
+
+        if self.mac_strategy == "selected":
+            tensors = [window(state.sel_spectra, 5).astype(jnp.float32)]
+            if with_base:
+                tensors.append(window(state.base, 5).astype(jnp.float32))
+            macs = per_voice_mac(tensors)
+            y = jnp.einsum("fviod,vio->fvod", macs[0], coef_sel)
+            if with_base:
+                y = y + jnp.einsum("fviod,vio->fvod", macs[1],
+                                   a[..., None] * scale)
+        else:
+            # all-K MAC: [F, VI, 2Pp] x [F, 2Pp, KOD] -> [F, VI, KOD]
+            # (3-pass f32 matmul: ~1e-6 relative, far beyond audio
+            # resolution, at half the MXU passes of HIGHEST)
+            rhs = window(bank.rhs2, 2) if self.ring_mode else bank.mac_rhs
+            rhs = rhs.reshape(f, 2 * pp, rhs.shape[-1])
+            m = jnp.einsum("fvq,fqk->fvk", fdl.reshape(f, v * 2, 2 * pp), rhs,
+                           precision=jax.lax.Precision.HIGH)
+            m = m.reshape(f, v, 2, k, 2, 2)                       # [F,V,I,K,O,d]
+            sel = params.select[None, :, :, None, None, None]
+            y_sel = jnp.take_along_axis(m, sel, axis=3)[:, :, :, 0]
+            y = jnp.einsum("fviod,vio->fvod", y_sel, coef_sel)
+            if with_base:
+                mb = per_voice_mac([window(state.base, 5).astype(jnp.float32)])
+                y = y + jnp.einsum("fviod,vio->fvod", mb[0],
+                                   a[..., None] * scale)
 
         return self._finish(state, params, x, y,
                             fdl=fdl, coef_a=a, coef_c=c, wptr=w)
@@ -312,24 +373,30 @@ class FMajorPartitionedConvolution:
     # -- rare path ---------------------------------------------------------------------
 
     def collapse(self, state: FMajorState, bank: FMajorBank,
-                 old_select: jax.Array, changed: jax.Array) -> FMajorState:
-        """Re-base the affine form after IR re-select (host-triggered)."""
-        if self.ring_mode:
-            gathered = jnp.take(bank.spectra_rev2, old_select, axis=0)
-            # [V, I, F, O, 2, 2Pp] -> [F, V, I, O, 2, 2Pp]
-            gathered = jnp.transpose(gathered, (2, 0, 1, 3, 4, 5))
+                 old_select: jax.Array, changed: jax.Array,
+                 new_select: jax.Array | None = None) -> FMajorState:
+        """Re-base the affine form after IR re-select (host-triggered).
+        The 'selected' strategy also re-gathers the per-voice selected
+        spectra (pass `new_select`, i.e. the post-change selection)."""
+        if self.mac_strategy == "selected":
+            gathered = state.sel_spectra.astype(jnp.float32)
         else:
-            gathered = jnp.take(bank.spectra, old_select, axis=0)
-            # [V, I, O, Pp, F, 2] -> [F, V, I, O, 2(c), Pp]
-            gathered = jnp.transpose(gathered, (4, 0, 1, 2, 5, 3))
+            gathered = self._gather_selection(bank, old_select)
         a = state.coef_a[None, :, :, None, None, None]
         c = state.coef_c[None, :, :, None, None, None]
         collapsed = (a * state.base.astype(jnp.float32)
-                     + c * gathered.astype(jnp.float32)).astype(state.base.dtype)
+                     + c * gathered).astype(state.base.dtype)
         mask = changed[None, :, :, None, None, None]
-        return replace(
+        state = replace(
             state,
             base=jnp.where(mask, collapsed, state.base),
             coef_a=jnp.where(changed, 1.0, state.coef_a),
             coef_c=jnp.where(changed, 0.0, state.coef_c),
         )
+        if self.mac_strategy == "selected":
+            if new_select is None:
+                raise ValueError("'selected' strategy collapse needs new_select")
+            fresh = self._gather_selection(bank, new_select)
+            state = replace(state, sel_spectra=jnp.where(
+                mask, fresh, state.sel_spectra))
+        return state

@@ -52,7 +52,7 @@ class ConvolutionReverb:
             if engine == "fmajor":
                 self.engine = FMajorPartitionedConvolution(
                     num_voices, block, partitions, max_predelay=max_predelay,
-                    backend=backend)
+                    backend=backend, mac_strategy="auto", num_irs=len(bank))
                 # device bank is a pytree of MAC-ready real layouts
                 self.spectra = self.engine.prepare_bank(spectra)
             else:

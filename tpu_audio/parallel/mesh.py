@@ -180,6 +180,7 @@ def fmajor_shardings(mesh: Mesh, engine):
         coef_a=NamedSharding(mesh, P("voice", None)),
         coef_c=NamedSharding(mesh, P("voice", None)),
         wptr=NamedSharding(mesh, P()),
+        sel_spectra=NamedSharding(mesh, P(None, "voice", None, None, None, None)),
     )
     repl = NamedSharding(mesh, P())
     bank_sh = FMajorBank(mac_rhs=repl, rhs2=repl, spectra=repl,

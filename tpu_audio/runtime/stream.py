@@ -113,6 +113,8 @@ class StreamSession:
             self._step_steady = jax.jit(engine.step_coef_steady,
                                         donate_argnums=donate_args)
             self._collapse = jax.jit(engine.collapse, donate_argnums=donate_args)
+            self._collapse_takes_new_select = (
+                getattr(engine, "mac_strategy", None) == "selected")
             # analytic host mirror of coef_a for the steady-state switch
             self._a_host = np.zeros((engine.num_voices, 2), np.float64)
             self._pending_old: dict[tuple[int, int], int] = {}
@@ -131,13 +133,17 @@ class StreamSession:
     def _maybe_collapse(self, state):
         if not self._pending_old:
             return state
-        old_sel = self.control.select.copy()
+        new_sel = self.control.select.copy()
+        old_sel = new_sel.copy()
         changed = np.zeros_like(old_sel, dtype=bool)
         for (v, ch), old in self._pending_old.items():
             old_sel[v, ch] = old
             changed[v, ch] = True
             self._a_host[v, ch] = 1.0
         self._pending_old.clear()
+        if self._collapse_takes_new_select:
+            return self._collapse(state, self.bank, jnp.asarray(old_sel),
+                                  jnp.asarray(changed), jnp.asarray(new_sel))
         return self._collapse(state, self.bank, jnp.asarray(old_sel),
                               jnp.asarray(changed))
 
