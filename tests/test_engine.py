@@ -376,3 +376,14 @@ def test_bank_prepare_replaces_slot():
     assert len(bank) == 2
     bank.prepare(5, new_ir)  # extend with gap
     assert len(bank) == 6
+
+
+def test_bank_resamples_mismatched_rates(tmp_path):
+    from tpu_audio.io.wav import WavFile
+    rng = np.random.default_rng(30)
+    frames = rng.uniform(-0.3, 0.3, (22050, 2)).astype(np.float32)  # 0.5s @ 44.1k... at 22050 it's 1s
+    wav = WavFile(path="x", sample_rate=22050, frames=frames)
+    bank = IRBank(sample_rate=44100)
+    bank.append(wav)
+    # 1 second at 22050 Hz -> ~44100 frames at bank rate
+    assert abs(bank.ir(0).shape[1] - 44100) <= 2

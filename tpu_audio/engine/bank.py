@@ -33,6 +33,25 @@ from tpu_audio.ops.partition import monolithic_spectrum, num_partitions, partiti
 from tpu_audio.utils.log import Log
 
 
+def _resample(ir: np.ndarray, from_rate: int, to_rate: int) -> np.ndarray:
+    """Polyphase resample [..., L] (the reference assumes 44.1 kHz and
+    would misplay mismatched IRs, src/wav.cu has no rate handling)."""
+    if from_rate == to_rate:
+        return ir
+    try:
+        from math import gcd
+
+        from scipy.signal import resample_poly
+        g = gcd(from_rate, to_rate)
+        return resample_poly(ir, to_rate // g, from_rate // g,
+                             axis=-1).astype(np.float32)
+    except ImportError:  # linear fallback without scipy
+        length = int(round(ir.shape[-1] * to_rate / from_rate))
+        xp = np.linspace(0.0, 1.0, ir.shape[-1])
+        xq = np.linspace(0.0, 1.0, length)
+        return np.stack([np.interp(xq, xp, ch) for ch in ir]).astype(np.float32)
+
+
 class IRBank:
     """Ordered collection of stereo IRs with precomputed spectra."""
 
@@ -72,7 +91,8 @@ class IRBank:
             ir = np.ascontiguousarray(wav.stereo().T, dtype=np.float32)
             path = path or wav.path
             if wav.sample_rate != self.sample_rate:
-                Log.warn("bank", "IR %s is %d Hz, bank is %d Hz (no resample)",
+                ir = _resample(ir, wav.sample_rate, self.sample_rate)
+                Log.info("bank", "resampled IR %s: %d Hz -> %d Hz",
                          path, wav.sample_rate, self.sample_rate)
         else:
             ir = np.asarray(wav, dtype=np.float32)
