@@ -223,3 +223,37 @@ def test_checkpoint_shape_mismatch_rejected(tmp_path):
     with pytest.raises(ValueError):
         load_checkpoint(tmp_path / "c.npz", other.engine.init_state(),
                         other.control)
+
+
+def test_underrun_policy_silence():
+    """Live-source underrun substitutes silence and keeps streaming."""
+
+    class DropoutSource:
+        def __init__(self, n):
+            self.n = n
+            self.i = 0
+
+        def read(self):
+            self.i += 1
+            if self.i > self.n:
+                return None if self.i > self.n + 5 else None
+            if self.i % 3 == 0:
+                return None  # producer hiccup
+            return np.full((1, 2, 64), 0.1, np.float32)
+
+    model = small_model(num_voices=1)
+    src = DropoutSource(9)
+    session = model.session(src, WavSink("/dev/null"), warmup=0,
+                            underrun_policy="silence")
+    session.run(model.init_state(), max_blocks=12)
+    s = session.summary()
+    assert s["blocks_streamed"] == 12
+    assert s["underruns"] >= 3
+
+
+def test_underrun_policy_validation():
+    model = small_model(num_voices=1)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        model.session(SilenceSource(1, 64, 1), WavSink("/dev/null"),
+                      underrun_policy="bogus")

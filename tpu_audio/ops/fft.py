@@ -14,8 +14,9 @@ this module offers two interchangeable backends behind one static-shape API:
                 resource on TPU; the batched matmul is one fused MXU op with
                 perfect layout, no transposes, no strided twiddle passes.
 
-Precision: twiddle matmuls run at HIGHEST precision (f32 on MXU via
-multi-pass) — audio requires better than bf16's 8-bit mantissa.
+Precision: twiddle matmuls run at HIGH precision (3-pass f32 on the MXU,
+~1e-6 relative) — audio requires better than bf16's 8-bit mantissa, and the
+extra passes of HIGHEST buy nothing audible.
 
 ``backend="auto"`` picks matmul for n ≤ MATMUL_MAX_N, fft otherwise.
 """
@@ -29,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 MATMUL_MAX_N = 4096
-_PREC = jax.lax.Precision.HIGHEST
+_PREC = jax.lax.Precision.HIGH
 
 
 @lru_cache(maxsize=16)

@@ -84,7 +84,8 @@ class StreamSession:
                  source: BlockSource, sink: BlockSink,
                  sample_rate: int = 44100, warmup: int = 10,
                  donate: bool = True, realtime: bool = False,
-                 on_missed_deadline=None, pipeline_depth: int = 1):
+                 on_missed_deadline=None, pipeline_depth: int = 1,
+                 underrun_policy: str = "stop"):
         self.engine = engine
         # bank may be a raw (possibly complex) host array or an already-
         # device-resident pytree (e.g. FMajorBank)
@@ -100,6 +101,13 @@ class StreamSession:
         # delivery: 1 = minimum latency (local hardware); raise it on
         # high-latency host links (e.g. tunneled chips) to hide transfer RTT
         self.pipeline_depth = max(1, pipeline_depth)
+        # "stop": end the stream when the source runs dry (file processing);
+        # "silence": substitute silent blocks and keep real time (live rings
+        # whose producer hiccups — the reverb tail keeps flowing)
+        if underrun_policy not in ("stop", "silence"):
+            raise ValueError(f"unknown underrun_policy {underrun_policy!r}")
+        self.underrun_policy = underrun_policy
+        self.underruns = 0
         self.block_period = engine.block / sample_rate
         self.timer = BlockTimer(warmup=warmup, deadline_s=self.block_period)
         self.on_missed_deadline = on_missed_deadline
@@ -171,7 +179,11 @@ class StreamSession:
         while max_blocks is None or block_index < max_blocks:
             x = self.source.read()
             if x is None:
-                break
+                if self.underrun_policy == "stop" or max_blocks is None:
+                    break
+                self.underruns += 1
+                x = np.zeros((self.engine.num_voices, 2, self.engine.block),
+                             np.float32)
 
             if midi is not None:
                 for device, message in midi.pop_due(block_index):
@@ -238,6 +250,7 @@ class StreamSession:
         s["block"] = self.engine.block
         s["num_voices"] = self.engine.num_voices
         s["blocks_streamed"] = getattr(self, "blocks_streamed", 0)
+        s["underruns"] = getattr(self, "underruns", 0)
         return s
 
     def log_summary(self) -> None:
