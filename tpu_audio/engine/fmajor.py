@@ -1,49 +1,56 @@
 """Production TPU engine: f-major planar partitioned overlap-save.
 
 Numerically identical to PartitionedConvolution(variant="coef") —
-equivalence-tested in tests/test_fmajor.py — but with layouts chosen from
-on-chip measurements (the naive complex-array engine spends 15.8 ms/block at
-the 64-voice/4s-IR flagship point; this one ~3.5 ms, Pallas kernel next):
+equivalence-tested in tests/test_fmajor.py — with layouts and strategies
+chosen from on-chip measurements (at the 64-voice/4s-IR flagship point the
+naive complex-array engine costs 15.8 ms/block; this engine ~2.7 ms steady /
+~5.5 ms mid-fade):
 
-  - the frequency-domain delay line is stored f-MAJOR and planar-f32:
-    ``fdl [F, V*I, P*2]`` (re/im interleaved along the partition axis), so
-    the partition MAC is a single batched-per-frequency-bin real matmul
-      [V*I, P*2] x [P*2, K*O*2]   for each of the F bins,
-    with the partition axis on the 128-lane dimension (F=257 no longer
-    causes lane padding; P*2 pads ~2%);
-  - the IR bank enters the MAC as a host-precomputed REAL tensor
-    ``mac_rhs [F, P*2, K*O*2]`` encoding each bank spectrum's complex
-    multiplication as a 2x2 real matrix — complex64 never crosses the host
-    boundary (some TPU transports cannot transfer it, utils/transfer.py),
-    and the per-voice bank gather disappears: the MAC computes ALL K bank
-    entries' contributions (cheap on the MXU for typical live-bank sizes)
-    and a [V,2]-indexed take picks each voice's selection afterwards.
-    For large banks (K > ~16) this trades FLOPs badly — use the
-    PartitionedConvolution gather engine there, or per-voice materialized
-    spectra (see docstring of step_coef);
-  - crossfades use the same affine-coefficient representation as
-    PartitionedConvolution.step_coef (scalar slew recursion, host collapse
-    on re-select, steady-state step that skips the base term).
+  - the frequency-domain delay line is f-MAJOR planar f32:
+    ``fdl [F, V*I, 2, Pp]`` (re/im plane pairs, contiguous view
+    [F, V*I, 2*Pp]), so the partition MAC is one batched-per-frequency-bin
+    real matmul with the partition axis on the 128-lane dimension — F=257
+    causes no lane padding, Pp pads ~2%;
+  - complex64 never crosses the host boundary (some TPU transports cannot
+    transfer it, utils/transfer.py): banks arrive as host-packed REAL
+    tensors encoding complex multiplication as 2x2 blocks;
+  - crossfades use the affine-coefficient representation
+    (active = a*base + c*bank[sel]; the reference's slew recursion,
+    src/conv.cu:15-32, applied to two scalars; host collapse() on
+    re-select; a steady step that skips the base term entirely).
 
-Two delay-line modes, equivalence-tested against each other:
+Two MAC strategies (mac_strategy, equivalence-tested):
 
-  - ``ring=False``: the fdl is shifted one partition per block (a
-    [F, VI, P2] roll) and everything stays naturally aligned.
-  - ``ring=True`` (the production mode): nothing ever shifts. The new block
-    spectrum lands in ring slot w = t mod Pp (a 0.26 MB dynamic write), and
-    slot s is paired with bank partition (w - s) mod Pp by slicing a
-    dynamic window out of a DOUBLED, time-REVERSED rhs
-    (rhs2[j] = H[(-j) mod Pp], tiled twice; window [Pp-w, 2Pp-w)). This
-    removes the delay-line roll — the dominant HBM cost — from the hot
-    loop entirely. The fade ``base`` spectra are stored the same way
-    (doubled+reversed per voice) and in bfloat16: the base term is a
-    transient whose weight coef_a decays to zero by construction, so
-    reduced precision never reaches the steady-state output.
+  - ``allk``: the MAC computes ALL K bank entries' contributions
+    ([F, VI, 2Pp] x [F, 2Pp, K*O*2] batched matmul) and a [V,2]-indexed
+    take picks each voice's selection — no gather, MXU-cheap while
+    K*O*2 <= ~64 columns;
+  - ``selected`` (large banks, e.g. the reference's 152-IR all.index):
+    each voice's selected spectra stay materialized in state (f32, the fade
+    snapshot's layout), refreshed only at collapse; the hot loop contracts
+    the fdl against the stacked [selected, base] per-voice tensors in ONE
+    einsum pass.
 
-(A Pallas fused-MAC kernel for this exists in tpu_audio.ops.pallas_mac and
-is exact, but on the current tunneled chip Mosaic DMA streams at ~125 GB/s
-vs ~210 GB/s for XLA fusions, so the XLA path is faster end-to-end; the
-kernel is kept for hardware where Pallas DMA runs at full bandwidth.)
+Two delay-line modes (ring default, equivalence-tested):
+
+  - ``ring=True``: nothing ever shifts. The new block spectrum lands in
+    ring slot w = t mod Pp (a 0.26 MB dynamic write) and slot s pairs with
+    bank partition (w - s) mod Pp by slicing a dynamic window out of
+    DOUBLED, time-REVERSED tensors (rhs2[j] = H[(-j) mod Pp] tiled twice;
+    window [Pp-w, 2Pp-w)). The delay-line roll — the dominant HBM cost —
+    is gone from the hot loop. The fade ``base`` snapshot is stored the
+    same way in bfloat16: a transient whose weight coef_a decays to zero
+    by construction, so reduced precision never reaches steady output.
+  - ``ring=False``: classic shift-by-one-partition per block, everything
+    naturally aligned, fade snapshot in f32 (bit-exact vs the coef engine).
+
+MAC precision is 3-pass f32 (Precision.HIGH, ~1e-6 relative — far beyond
+audio resolution; measured cost-equal to DEFAULT on this chip).
+
+(Pallas fused-MAC kernels for this live in tpu_audio.ops.pallas_mac and are
+exact, but on the current tunneled chip Mosaic DMA streams at ~125 GB/s vs
+~210 GB/s for XLA fusions, so the XLA path is faster end-to-end; the
+kernels are kept for hardware where Pallas DMA runs at full bandwidth.)
 """
 
 from __future__ import annotations
