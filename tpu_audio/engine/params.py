@@ -22,7 +22,7 @@ CC value scalings are the reference's exactly (src/conv.cu:255-276):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, fields
+from dataclasses import dataclass
 
 import jax
 import numpy as np
@@ -81,11 +81,6 @@ class VoiceParams:
     level: jax.Array     # f32 [0, 1]
 
 
-_F32_DEFAULTS = {"dry": 0.5, "wet": 0.5, "pan_dry": 0.0, "pan_wet": 0.0,
-                 "level": 1.0}
-_I32_DEFAULTS = {"select": 0, "predelay": 0, "vsteps": 0}
-
-
 class ControlPlane:
     """Host-side parameter store for V stereo voices.
 
@@ -109,8 +104,8 @@ class ControlPlane:
         self.pan_wet = np.zeros((v, 2), np.float32)
         self.level = np.ones((v, 2), np.float32)
         self.mappings: dict[tuple[int, int], CCMapping] = {}
-        # host mirror of the select a voice last *collapsed* at, for the
-        # coefficient-form engine (see engine/partitioned.py)
+        # coefficient-form engines subscribe here to trigger collapse()
+        # on IR re-select (see runtime/stream.py)
         self.on_select_change = None  # callback (voice, ch, old, new)
 
     # -- wiring ---------------------------------------------------------------

@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
-
 import jax.numpy as jnp
 
 from tpu_audio.engine.bank import IRBank

@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 
 from tpu_audio.engine.params import ControlPlane
-from tpu_audio.engine.partitioned import PartitionedConvolution
 from tpu_audio.runtime.backends import BlockSink, BlockSource
 from tpu_audio.utils.log import Log
 from tpu_audio.utils.transfer import device_put_maybe_complex
