@@ -221,3 +221,38 @@ def test_auto_strategy_selection():
     assert eng_big.mac_strategy == "selected"
     with pytest.raises(ValueError):
         FMajorPartitionedConvolution(1, 32, p, mac_strategy="auto")
+
+
+def test_bf16_mode_snr():
+    """The opt-in bf16 wet path must track the f32 engine with > 40 dB SNR
+    (8-bit-mantissa quantization of input + IR spectra; dry path stays f32)."""
+    rng = np.random.default_rng(33)
+    bank = IRBank()
+    for _ in range(2):
+        ir = rng.standard_normal((2, 400)).astype(np.float32)
+        bank.append(ir * (0.4 / np.abs(ir).max()))
+    p = bank.max_partitions(64)
+    spectra = bank.partitioned_spectra(64)
+    kwargs = dict(max_predelay=64)
+    f32_eng = FMajorPartitionedConvolution(2, 64, p, **kwargs)
+    b16_eng = FMajorPartitionedConvolution(2, 64, p, mac_dtype="bf16", **kwargs)
+    b_f = f32_eng.prepare_bank(spectra)
+    b_h = b16_eng.prepare_bank(spectra)
+    cp = ControlPlane(2, 2, max_predelay=64)
+    cp.wet[:] = 1.0
+    cp.dry[:] = 0.0
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+    s_f = f32_eng.init_converged(b_f, params)
+    s_h = b16_eng.init_converged(b_h, params)
+    outs_f, outs_h = [], []
+    for _ in range(20):
+        x = jnp.asarray(rng.standard_normal((2, 2, 64)).astype(np.float32) * 0.05)
+        s_f, o_f = f32_eng.step_coef_steady(s_f, b_f, params, x)
+        s_h, o_h = b16_eng.step_coef_steady(s_h, b_h, params, x)
+        outs_f.append(np.asarray(o_f))
+        outs_h.append(np.asarray(o_h))
+    ref = np.concatenate(outs_f, -1)
+    got = np.concatenate(outs_h, -1)
+    err = got - ref
+    snr_db = 10 * np.log10((ref ** 2).mean() / max((err ** 2).mean(), 1e-30))
+    assert snr_db > 40.0, snr_db

@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["fmajor", "partitioned", "monolithic"])
     p.add_argument("--variant", default="coef",
                    choices=["coef", "materialized"])
+    p.add_argument("--mac-dtype", default="f32", choices=["f32", "bf16"],
+                   help="bf16 halves wet-path HBM traffic (~-48 dB floor)")
     p.add_argument("--voices", type=int, default=None,
                    help="override voice count (default: conv.count/2)")
     p.add_argument("--blocks", type=int, default=None,
@@ -87,7 +89,7 @@ def main(argv=None) -> int:
         num_voices=args.voices, max_ir_seconds=args.max_ir_seconds,
         variant=args.variant, block=args.block_size,
         sample_rate=args.sample_rate, cache_dir=args.cache_dir,
-        verbose=not args.quiet)
+        mac_dtype=args.mac_dtype, verbose=not args.quiet)
 
     v, b = model.engine.num_voices, model.block
     if args.input:

@@ -34,7 +34,8 @@ class ConvolutionReverb:
                  sample_rate: int = 44100, engine: str = "fmajor",
                  variant: str = "coef", fft_size: int = 131072,
                  max_predelay: int = 8192, max_partitions: int | None = None,
-                 backend: str = "auto", cache_dir: str | None = None):
+                 backend: str = "auto", cache_dir: str | None = None,
+                 mac_dtype: str = "f32"):
         self.bank = bank
         self.block = block
         self.sample_rate = sample_rate
@@ -50,7 +51,8 @@ class ConvolutionReverb:
             if engine == "fmajor":
                 self.engine = FMajorPartitionedConvolution(
                     num_voices, block, partitions, max_predelay=max_predelay,
-                    backend=backend, mac_strategy="auto", num_irs=len(bank))
+                    backend=backend, mac_strategy="auto", num_irs=len(bank),
+                    mac_dtype=mac_dtype)
                 # device bank is a pytree of MAC-ready real layouts
                 self.spectra = self.engine.prepare_bank(spectra)
             else:
