@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax profiler trace to this directory")
     p.add_argument("--pipeline-depth", type=int, default=1,
                    help="blocks in flight (raise on high-latency host links)")
+    p.add_argument("--chunk-blocks", type=int, default=1,
+                   help="blocks per dispatch (throughput mode; MIDI applies "
+                        "at chunk granularity)")
     p.add_argument("--max-ir-seconds", type=float, default=None,
                    help="truncate bank IRs (memory control)")
     p.add_argument("--cache-dir", default=None,
@@ -120,7 +123,8 @@ def main(argv=None) -> int:
         live_midi = MidiByteStream(args.midi_fifo)
 
     session = model.session(source, sink, realtime=args.realtime,
-                            pipeline_depth=args.pipeline_depth)
+                            pipeline_depth=args.pipeline_depth,
+                            chunk_blocks=args.chunk_blocks)
     state = model.init_state()
     if args.profile:
         import jax
@@ -132,9 +136,13 @@ def main(argv=None) -> int:
         session.run(state, max_blocks=args.blocks, midi=midi,
                     live_midi=live_midi)
 
-    # reference exit report (src/main.cu:106) + the latency stats it lacked
-    session.log_summary()
+    # reference exit report (src/main.cu:106) + the latency stats it lacked;
+    # printed unconditionally (the reference always reports at exit)
     s = session.summary()
+    print(f"streamed {s['blocks_streamed']} blocks | avg {s['avg_ms']:.3f} ms "
+          f"| p50 {s['p50_ms']:.3f} | p99 {s['p99_ms']:.3f} "
+          f"| rtf {s.get('rtf', 0):.2f} | missed {s['missed_deadlines']} "
+          f"| underruns {s['underruns']}")
     if args.output:
         Log.info("app", "wrote %s", args.output)
     return 0 if s["blocks_streamed"] > 0 else 1

@@ -423,3 +423,31 @@ class FMajorPartitionedConvolution:
             state = replace(state, sel_spectra=jnp.where(
                 mask, fresh, state.sel_spectra))
         return state
+
+
+def make_chunk_step(engine, steady: bool = False):
+    """Multi-block step: scan `engine.step_coef` over a [T, V, 2, B] chunk.
+
+    One dispatch + one host transfer pair per T blocks instead of per block —
+    the offline/bulk-processing path, and the live path on high-RTT host
+    links. Within a chunk parameters are frozen except the crossfade
+    countdown, which decrements per block in-graph exactly like the host
+    does between blocks (MIDI events still apply at chunk boundaries).
+    Works with any coef-interface engine (fmajor or partitioned-coef).
+    """
+    import jax as _jax
+
+    step = engine.step_coef_steady if steady else engine.step_coef
+
+    def chunk_step(state, bank, params, xs):
+        def body(carry, x):
+            st, i = carry
+            p_i = replace(params,
+                          vsteps=jnp.maximum(params.vsteps - i, 0))
+            st, out = step(st, bank, p_i, x)
+            return (st, i + 1), out
+
+        (state, _), outs = _jax.lax.scan(body, (state, jnp.int32(0)), xs)
+        return state, outs
+
+    return chunk_step

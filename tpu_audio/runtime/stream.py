@@ -84,7 +84,7 @@ class StreamSession:
                  sample_rate: int = 44100, warmup: int = 10,
                  donate: bool = True, realtime: bool = False,
                  on_missed_deadline=None, pipeline_depth: int = 1,
-                 underrun_policy: str = "stop"):
+                 underrun_policy: str = "stop", chunk_blocks: int = 1):
         self.engine = engine
         # bank may be a raw (possibly complex) host array or an already-
         # device-resident pytree (e.g. FMajorBank)
@@ -107,15 +107,37 @@ class StreamSession:
             raise ValueError(f"unknown underrun_policy {underrun_policy!r}")
         self.underrun_policy = underrun_policy
         self.underruns = 0
+        # chunk_blocks > 1: scan N blocks per dispatch (one transfer pair per
+        # chunk) — throughput mode for offline processing / high-RTT links;
+        # MIDI and parameter changes then apply at chunk granularity
+        self.chunk_blocks = max(1, chunk_blocks)
         self.block_period = engine.block / sample_rate
-        self.timer = BlockTimer(warmup=warmup, deadline_s=self.block_period)
+        # warmup is counted in blocks; in chunked mode the first dispatch
+        # (which absorbs compilation) contributes chunk_blocks records, so
+        # discard at least two whole chunks
+        effective_warmup = (max(warmup, 2 * self.chunk_blocks)
+                            if self.chunk_blocks > 1 else warmup)
+        self.timer = BlockTimer(warmup=effective_warmup,
+                                deadline_s=self.block_period)
         self.on_missed_deadline = on_missed_deadline
         self._missed_logged = 0
 
         donate_args = (0,) if donate else ()
         self._is_coef = (getattr(engine, "variant", None) == "coef"
                          and hasattr(engine, "step_coef"))
-        if self._is_coef:
+        if self._is_coef and self.chunk_blocks > 1:
+            from tpu_audio.engine.fmajor import make_chunk_step
+            self._step_full = jax.jit(make_chunk_step(engine, steady=False),
+                                      donate_argnums=donate_args)
+            self._step_steady = jax.jit(make_chunk_step(engine, steady=True),
+                                        donate_argnums=donate_args)
+            self._collapse = jax.jit(engine.collapse, donate_argnums=donate_args)
+            self._collapse_takes_new_select = (
+                getattr(engine, "mac_strategy", None) == "selected")
+            self._a_host = np.zeros((engine.num_voices, 2), np.float64)
+            self._pending_old = {}
+            control.on_select_change = self._note_select_change
+        elif self._is_coef:
             self._step_full = jax.jit(engine.step_coef, donate_argnums=donate_args)
             self._step_steady = jax.jit(engine.step_coef_steady,
                                         donate_argnums=donate_args)
@@ -173,16 +195,39 @@ class StreamSession:
 
         pending = collections.deque()
         block_index = 0
-        next_deadline = time.perf_counter() + self.block_period
+        chunk = self.chunk_blocks
+        next_deadline = time.perf_counter() + chunk * self.block_period
 
         while max_blocks is None or block_index < max_blocks:
-            x = self.source.read()
-            if x is None:
-                if self.underrun_policy == "stop" or max_blocks is None:
+            if chunk == 1:
+                x = self.source.read()
+                if x is None:
+                    if self.underrun_policy == "stop" or max_blocks is None:
+                        break
+                    self.underruns += 1
+                    x = np.zeros((self.engine.num_voices, 2,
+                                  self.engine.block), np.float32)
+                n_valid = 1
+            else:
+                # gather a chunk; zero-pad a partial tail (trimmed on write)
+                xs = []
+                while len(xs) < chunk:
+                    blk = self.source.read()
+                    if blk is None:
+                        if (self.underrun_policy == "silence"
+                                and max_blocks is not None and xs):
+                            self.underruns += 1
+                            blk = np.zeros((self.engine.num_voices, 2,
+                                            self.engine.block), np.float32)
+                        else:
+                            break
+                    xs.append(blk)
+                if not xs:
                     break
-                self.underruns += 1
-                x = np.zeros((self.engine.num_voices, 2, self.engine.block),
-                             np.float32)
+                n_valid = len(xs)
+                while len(xs) < chunk:
+                    xs.append(np.zeros_like(xs[0]))
+                x = np.stack(xs)
 
             if midi is not None:
                 for device, message in midi.pop_due(block_index):
@@ -197,13 +242,16 @@ class StreamSession:
                 vsteps = self.control.vsteps.astype(np.float64)
                 steady = bool((self._a_host < STEADY_THRESHOLD).all())
                 step = self._step_steady if steady else self._step_full
-                self._a_host *= 1.0 - 1.0 / (vsteps + 5.0)
+                for _ in range(chunk):
+                    self._a_host *= 1.0 - 1.0 / (vsteps + 5.0)
+                    vsteps = np.maximum(vsteps - 1.0, 0.0)
             else:
                 step = self._step_full
 
             params = jax.tree.map(jnp.asarray, self.control.snapshot())
             state, out = step(state, self.bank, params, jnp.asarray(x))
-            self.control.end_block()
+            for _ in range(chunk):
+                self.control.end_block()
 
             # pipelined delivery: start this block's device->host copy now,
             # deliver the block from `pipeline_depth` steps ago (depth 1 ==
@@ -212,11 +260,18 @@ class StreamSession:
                 out.copy_to_host_async()
             except Exception:
                 pass
-            pending.append(out)
+            pending.append((out, n_valid))
             if len(pending) >= self.pipeline_depth + 1:
-                self.sink.write(np.asarray(pending.popleft()))
+                self._deliver(*pending.popleft())
 
-            elapsed = self.timer.stop()
+            if chunk == 1:
+                elapsed = self.timer.stop()
+            else:
+                # record per-block equivalents of the chunk's wall time
+                chunk_elapsed = time.perf_counter() - self.timer._t0
+                elapsed = chunk_elapsed / n_valid
+                for _ in range(n_valid):
+                    self.timer.record(elapsed)
             if (self.timer.deadline_s is not None
                     and elapsed > self.timer.deadline_s
                     and self.timer.missed > self._missed_logged):
@@ -231,15 +286,27 @@ class StreamSession:
                 now = time.perf_counter()
                 if now < next_deadline:
                     time.sleep(next_deadline - now)
-                next_deadline += self.block_period
+                next_deadline += chunk * self.block_period
 
-            block_index += 1
+            block_index += n_valid
+            if chunk > 1 and n_valid < chunk:
+                break  # source exhausted mid-chunk
 
         while pending:
-            self.sink.write(np.asarray(pending.popleft()))
+            self._deliver(*pending.popleft())
         self.sink.close()
         self.blocks_streamed = getattr(self, "blocks_streamed", 0) + block_index
         return state
+
+    def _deliver(self, out, n_valid: int) -> None:
+        """Write a step output to the sink: one block, or the valid prefix
+        of a chunked [T, V, 2, B] output."""
+        host = np.asarray(out)
+        if self.chunk_blocks == 1:
+            self.sink.write(host)
+        else:
+            for t in range(n_valid):
+                self.sink.write(host[t])
 
     # -- reporting ------------------------------------------------------------------------
 
