@@ -256,3 +256,34 @@ def test_bf16_mode_snr():
     err = got - ref
     snr_db = 10 * np.log10((ref ** 2).mean() / max((err ** 2).mean(), 1e-30))
     assert snr_db > 40.0, snr_db
+
+
+@pytest.mark.parametrize("ring", [False, True])
+def test_bf16_selected_strategy_state_stable(ring):
+    """bf16 + selected strategy: state dtypes must stay stable through
+    collapse (a dtype flip would retrigger compilation / break donation)."""
+    rng = np.random.default_rng(41)
+    bank = IRBank()
+    for _ in range(2):
+        ir = rng.standard_normal((2, 128)).astype(np.float32)
+        bank.append(ir * (0.4 / np.abs(ir).max()))
+    p = bank.max_partitions(32)
+    eng = FMajorPartitionedConvolution(1, 32, p, max_predelay=64, ring=ring,
+                                       mac_strategy="selected",
+                                       mac_dtype="bf16")
+    bank_d = eng.prepare_bank(bank.partitioned_spectra(32))
+    cp = ControlPlane(1, 2, max_predelay=64)
+    cp.wet[:] = 1.0
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+    state = eng.init_converged(bank_d, params)
+    dtypes0 = jax.tree.map(lambda l: l.dtype, state)
+    old = cp.select.copy()
+    cp.set_select(0, 0, 1)
+    state = eng.collapse(state, bank_d, jnp.asarray(old),
+                         jnp.asarray(cp.select != old),
+                         new_select=jnp.asarray(cp.select))
+    assert jax.tree.map(lambda l: l.dtype, state) == dtypes0
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+    x = jnp.asarray(rng.standard_normal((1, 2, 32)).astype(np.float32) * 0.1)
+    state, out = eng.step_coef(state, bank_d, params, x)
+    assert np.isfinite(np.asarray(out)).all()

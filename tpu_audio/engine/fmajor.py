@@ -266,17 +266,20 @@ class FMajorPartitionedConvolution:
         return state
 
     def _gather_selection(self, bank: FMajorBank, select: jax.Array) -> jax.Array:
-        """Per-voice selected spectra in base layout [F,V,I,O,2,(2)Pp] f32."""
+        """Per-voice selected spectra in base layout [F,V,I,O,2,(2)Pp],
+        in the engine's MAC dtype (the sel_spectra state slot's dtype)."""
         if self.ring_mode:
             gathered = jnp.take(bank.spectra_rev2, select, axis=0)
-            return jnp.transpose(gathered, (2, 0, 1, 3, 4, 5))
-        gathered = jnp.take(bank.spectra, select, axis=0)
-        return jnp.transpose(gathered, (4, 0, 1, 2, 5, 3))
+            out = jnp.transpose(gathered, (2, 0, 1, 3, 4, 5))
+        else:
+            gathered = jnp.take(bank.spectra, select, axis=0)
+            out = jnp.transpose(gathered, (4, 0, 1, 2, 5, 3))
+        return out.astype(self.mac_dtype)
 
     # -- hot step -------------------------------------------------------------------
 
     def _input_spectrum(self, state: FMajorState, x: jax.Array) -> jax.Array:
-        """OLS segment rfft -> plane-major [F, 2, VI, 1]."""
+        """OLS segment rfft -> planar [F, VI, 2, 1] in the MAC dtype."""
         seg = jnp.concatenate([state.prev_in, x], axis=-1)        # [V, 2, 2B]
         spec = self.xf.rfft(seg)                                   # [V, 2, F]
         v = self.num_voices

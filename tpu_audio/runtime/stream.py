@@ -125,22 +125,15 @@ class StreamSession:
         donate_args = (0,) if donate else ()
         self._is_coef = (getattr(engine, "variant", None) == "coef"
                          and hasattr(engine, "step_coef"))
-        if self._is_coef and self.chunk_blocks > 1:
-            from tpu_audio.engine.fmajor import make_chunk_step
-            self._step_full = jax.jit(make_chunk_step(engine, steady=False),
-                                      donate_argnums=donate_args)
-            self._step_steady = jax.jit(make_chunk_step(engine, steady=True),
-                                        donate_argnums=donate_args)
-            self._collapse = jax.jit(engine.collapse, donate_argnums=donate_args)
-            self._collapse_takes_new_select = (
-                getattr(engine, "mac_strategy", None) == "selected")
-            self._a_host = np.zeros((engine.num_voices, 2), np.float64)
-            self._pending_old = {}
-            control.on_select_change = self._note_select_change
-        elif self._is_coef:
-            self._step_full = jax.jit(engine.step_coef, donate_argnums=donate_args)
-            self._step_steady = jax.jit(engine.step_coef_steady,
-                                        donate_argnums=donate_args)
+        if self._is_coef:
+            if self.chunk_blocks > 1:
+                from tpu_audio.engine.fmajor import make_chunk_step
+                full = make_chunk_step(engine, steady=False)
+                steady = make_chunk_step(engine, steady=True)
+            else:
+                full, steady = engine.step_coef, engine.step_coef_steady
+            self._step_full = jax.jit(full, donate_argnums=donate_args)
+            self._step_steady = jax.jit(steady, donate_argnums=donate_args)
             self._collapse = jax.jit(engine.collapse, donate_argnums=donate_args)
             self._collapse_takes_new_select = (
                 getattr(engine, "mac_strategy", None) == "selected")
