@@ -387,3 +387,20 @@ def test_bank_resamples_mismatched_rates(tmp_path):
     bank.append(wav)
     # 1 second at 22050 Hz -> ~44100 frames at bank rate
     assert abs(bank.ir(0).shape[1] - 44100) <= 2
+
+
+def test_bank_normalize():
+    bank = IRBank()
+    rng = np.random.default_rng(50)
+    bank.append(rng.standard_normal((2, 100)).astype(np.float32) * 0.01)
+    bank.append(rng.standard_normal((2, 200)).astype(np.float32) * 0.8)
+    bank.normalize(mode="energy", target=0.1)
+    for i in range(2):
+        rms = np.sqrt(np.mean(bank.ir(i) ** 2))
+        assert abs(rms - 0.1) < 1e-4
+    bank.normalize(mode="peak", target=0.5)
+    for i in range(2):
+        assert abs(np.abs(bank.ir(i)).max() - 0.5) < 1e-4
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bank.normalize(mode="loud")

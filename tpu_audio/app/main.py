@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "at chunk granularity)")
     p.add_argument("--max-ir-seconds", type=float, default=None,
                    help="truncate bank IRs (memory control)")
+    p.add_argument("--normalize-bank", default=None,
+                   choices=["energy", "peak"],
+                   help="equalise IR loudness across the bank before use")
     p.add_argument("--cache-dir", default=None,
                    help="IR spectra disk cache directory")
     p.add_argument("--realtime", action="store_true",
@@ -90,6 +93,7 @@ def main(argv=None) -> int:
     model = ConvolutionReverb.from_settings(
         args.settings, engine=args.engine, root=args.root,
         num_voices=args.voices, max_ir_seconds=args.max_ir_seconds,
+        normalize_bank=args.normalize_bank,
         variant=args.variant, block=args.block_size,
         sample_rate=args.sample_rate, cache_dir=args.cache_dir,
         mac_dtype=args.mac_dtype, verbose=not args.quiet)

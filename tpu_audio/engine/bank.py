@@ -126,6 +126,26 @@ class IRBank:
     def max_partitions(self, block: int) -> int:
         return num_partitions(self.max_length, block)
 
+    # -- conditioning -----------------------------------------------------------
+
+    def normalize(self, mode: str = "energy", target: float = 0.125) -> None:
+        """Equalise IR loudness across the bank so switching IRs does not jump
+        the wet level (the reference plays IRs at raw file scale; the Voxengo
+        and EchoThief sets differ by many dB).
+
+        mode="energy": each IR is scaled so sum(ir^2) == target^2 * length
+        (equal RMS); mode="peak": scaled to peak == target.
+        """
+        for i, ir in enumerate(self._irs):
+            if mode == "energy":
+                rms = float(np.sqrt(np.mean(ir.astype(np.float64) ** 2)))
+                gain = target / max(rms, 1e-12)
+            elif mode == "peak":
+                gain = target / max(float(np.abs(ir).max()), 1e-12)
+            else:
+                raise ValueError(f"unknown normalize mode {mode!r}")
+            self._irs[i] = (ir * np.float32(gain))
+
     # -- spectra -----------------------------------------------------------------
 
     def partitioned_spectra(self, block: int,

@@ -80,6 +80,7 @@ class ConvolutionReverb:
     def from_settings(cls, settings: Settings | str, engine: str = "partitioned",
                       root: str | None = None, num_voices: int | None = None,
                       max_ir_seconds: float | None = None,
+                      normalize_bank: str | None = None,
                       verbose: bool = True, **kwargs) -> "ConvolutionReverb":
         """Build from a reference-format settings file.
 
@@ -109,6 +110,8 @@ class ConvolutionReverb:
                 index = candidate
         bank = IRBank.from_index(index, root=root, verbose=verbose,
                                  max_seconds=max_ir_seconds) if index else IRBank()
+        if normalize_bank:
+            bank.normalize(mode=normalize_bank)
         model = cls(bank, num_voices=v, engine=engine, fft_size=fft_size,
                     max_predelay=max_pd, **kwargs)
         for voice in range(min(v, count // 2)):
