@@ -104,6 +104,9 @@ class ControlPlane:
         self.pan_wet = np.zeros((v, 2), np.float32)
         self.level = np.ones((v, 2), np.float32)
         self.mappings: dict[tuple[int, int], CCMapping] = {}
+        self._device_params = None  # cached device snapshot (see snapshot_device)
+        self._host_cache = None
+        self._dirty = True
         # coefficient-form engines subscribe here to trigger collapse()
         # on IR re-select (see runtime/stream.py)
         self.on_select_change = None  # callback (voice, ch, old, new)
@@ -115,6 +118,7 @@ class ControlPlane:
 
     def load_initial_values(self, settings, voice: int, ch: int, idx: int) -> None:
         """Initial values from settings (reference src/main.cu:63-70)."""
+        self._dirty = True
         self.select[voice, ch] = settings.u32("conv[%d].value.select", idx, default=0)
         self.predelay[voice, ch] = settings.u32("conv[%d].value.predelay", idx, default=0)
         self.dry[voice, ch] = settings.f32("conv[%d].value.dry", idx, default=0.5)
@@ -134,6 +138,7 @@ class ControlPlane:
         if m is None or status != m.message:
             return False
         hit = False
+        self._dirty = True
         if controller == m.select:
             new = value * self.bank_size // 128
             old = int(self.select[voice, ch])
@@ -180,6 +185,7 @@ class ControlPlane:
 
     def set_select(self, voice: int, ch: int, index: int) -> None:
         """Direct (non-MIDI) IR selection with crossfade, like a CC hit."""
+        self._dirty = True
         old = int(self.select[voice, ch])
         self.select[voice, ch] = index
         self.vsteps[voice, ch] = self.speed[voice, ch]
@@ -203,4 +209,29 @@ class ControlPlane:
 
     def end_block(self) -> None:
         """Advance the crossfade countdown (reference src/conv.cu:345,353)."""
+        if self.vsteps.any():
+            self._dirty = True
         np.maximum(self.vsteps - 1, 0, out=self.vsteps)
+
+    def mark_dirty(self) -> None:
+        """Force re-upload on the next snapshot_device() call."""
+        self._dirty = True
+
+    def snapshot_device(self):
+        """Device-resident VoiceParams, re-uploaded only when parameters
+        changed since the last call — the per-block hot path uploads nothing
+        while the control surface is idle. Safe against direct array
+        mutation: change detection compares against the last-uploaded host
+        values (a few hundred scalars, ~microseconds)."""
+        import jax
+        import jax.numpy as jnp
+
+        host = self.snapshot()
+        if (self._device_params is None or self._dirty
+                or any(not np.array_equal(a, b) for a, b in
+                       zip(jax.tree.leaves(host),
+                           jax.tree.leaves(self._host_cache)))):
+            self._device_params = jax.tree.map(jnp.asarray, host)
+            self._host_cache = host
+            self._dirty = False
+        return self._device_params

@@ -241,7 +241,7 @@ class StreamSession:
             else:
                 step = self._step_full
 
-            params = jax.tree.map(jnp.asarray, self.control.snapshot())
+            params = self.control.snapshot_device()
             state, out = step(state, self.bank, params, jnp.asarray(x))
             for _ in range(chunk):
                 self.control.end_block()
