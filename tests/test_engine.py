@@ -404,3 +404,20 @@ def test_bank_normalize():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         bank.normalize(mode="loud")
+
+
+def test_bank_spectral_taper():
+    """Reference f_lowpass semantics (src/conv.cu:76-87): spectrum scaled by
+    cbrt(0.54 - 0.46 cos(2 pi f / N))."""
+    bank = IRBank()
+    rng = np.random.default_rng(60)
+    ir = rng.standard_normal((2, 256)).astype(np.float32) * 0.2
+    bank.append(ir.copy())
+    # fft_size == IR length: circular filtering with no truncation -> exact
+    bank.spectral_taper(fft_size=256)
+    got_spec = np.fft.rfft(bank.ir(0), n=256, axis=-1)
+    want = np.fft.rfft(ir, n=256, axis=-1) * np.cbrt(
+        0.54 - 0.46 * np.cos(2 * np.pi * np.arange(129) / 256))
+    np.testing.assert_allclose(got_spec, want, atol=1e-4)
+    # DC is attenuated toward cbrt(0.08) ~ 0.43
+    assert np.abs(got_spec[:, 0]).sum() < np.abs(np.fft.rfft(ir, n=256, axis=-1)[:, 0]).sum()

@@ -146,6 +146,27 @@ class IRBank:
                 raise ValueError(f"unknown normalize mode {mode!r}")
             self._irs[i] = (ir * np.float32(gain))
 
+    def spectral_taper(self, fft_size: int | None = None) -> None:
+        """Apply the reference's (disabled) cube-root-Hamming spectral taper
+        to every IR (reference f_lowpass, src/conv.cu:76-87, compiled out at
+        src/conv.cu:373-384): H'(f) = H(f) * cbrt(0.54 - 0.46*cos(2*pi*f/N)).
+
+        The reference applied it per-block to the monolithic spectrum; here
+        it is (equivalently, since it is a fixed linear filter) baked into
+        the time-domain IRs once at load time, so every engine gets it for
+        free. `fft_size` controls taper resolution (default: next pow2 of
+        the longest IR). IRs keep their length: the circular wrap tail of
+        the (very short) taper kernel is dropped, an approximation below
+        ~-60 dB; pass fft_size == IR length for exact circular semantics.
+        """
+        n = fft_size or 1 << max(int(np.ceil(np.log2(max(self.max_length, 2)))), 4)
+        freqs = np.arange(n // 2 + 1)
+        taper = np.cbrt(0.54 - 0.46 * np.cos(2.0 * np.pi * freqs / n))
+        for i, ir in enumerate(self._irs):
+            spec = np.fft.rfft(ir, n=n, axis=-1) * taper
+            self._irs[i] = np.fft.irfft(spec, n=n, axis=-1)[
+                ..., : ir.shape[-1]].astype(np.float32)
+
     # -- spectra -----------------------------------------------------------------
 
     def partitioned_spectra(self, block: int,
