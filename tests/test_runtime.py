@@ -295,3 +295,20 @@ def test_chunked_session_matches_blockwise(chunk):
     # and 8%8==0, so trajectories are identical throughout)
     np.testing.assert_allclose(s2.data, s1.data, atol=3e-5)
     assert m2.control.vsteps[0, 0] == m1.control.vsteps[0, 0]
+
+
+def test_monolithic_engine_in_session():
+    """The non-coef session path (engine.step, no collapse machinery) must
+    stream correctly end to end."""
+    model = small_model(num_voices=1, engine="monolithic")
+    model.control.dry[:] = 0.0
+    model.control.wet[:] = 1.0
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((1, 2, 64 * 8)) * 0.05).astype(np.float32)
+    sink = WavSink("/dev/null")
+    model.process(WavSource(x, 1, 64), sink, warmup=0)
+    got = sink.data
+    ir = model.bank.ir(0)
+    want = fftconvolve(x[0, 0], ir[0]) + fftconvolve(x[0, 1], ir[0])
+    np.testing.assert_allclose(got[0, 0], np.clip(want[: 64 * 8], -1, 1),
+                               atol=3e-4)

@@ -63,7 +63,12 @@ class ConvolutionReverb:
             self.engine = MonolithicConvolution(
                 num_voices, fft_size, block, max_predelay=max_predelay,
                 backend=backend)
-            spectra = bank.monolithic_spectra(fft_size)
+            # reserve >= block keeps overlap-add exact; the reference fixes
+            # reserve at 1024 regardless of geometry (conv.h:63), which at
+            # small fftSize would truncate the whole IR away
+            spectra = bank.monolithic_spectra(fft_size,
+                                              reserve=max(block, min(
+                                                  1024, fft_size // 8)))
         else:
             raise ValueError(f"unknown engine {engine!r}")
         if engine != "fmajor":
