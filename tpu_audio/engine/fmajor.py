@@ -88,7 +88,7 @@ class FMajorState:
     fdl: jax.Array       # f32 [F, VI, 2, Pp] planar freq delay line
                          # (contiguous view [F, VI, 2Pp] for the MAC)
     prev_in: jax.Array   # f32 [V, 2, B]
-    wet_ring: jax.Array  # f32 [V, 2, maxPD + B]
+    wet_ring: jax.Array  # f32 [V, 2, NB, B] block-slot output accumulator
     base: jax.Array      # fade snapshot: ring: bf16 [F,V,I,O,2,2Pp]
                          #                roll: f32  [F,V,I,O,2,Pp]
     coef_a: jax.Array    # f32 [V, 2]
@@ -194,6 +194,9 @@ class FMajorPartitionedConvolution:
         self.xf = SpectralTransform(2 * block, backend=backend)
         self.num_bins = self.xf.num_bins
         self.ring = max_predelay + block
+        # block-slot accumulator: slots 0..maxPD//B (+1 for the sub-block
+        # tail spill of the deepest predelay)
+        self.ring_slots = max_predelay // block + 2
 
     # -- bank ---------------------------------------------------------------------
 
@@ -247,7 +250,7 @@ class FMajorPartitionedConvolution:
         return jax.jit(lambda: FMajorState(
             fdl=jnp.zeros((f, v * 2, 2, pp), self.mac_dtype),
             prev_in=jnp.zeros((v, 2, b), jnp.float32),
-            wet_ring=jnp.zeros((v, 2, self.ring), jnp.float32),
+            wet_ring=jnp.zeros((v, 2, self.ring_slots, b), jnp.float32),
             base=jnp.zeros(base_shape, base_dtype),
             coef_a=jnp.zeros((v, 2), jnp.float32),
             coef_c=jnp.zeros((v, 2), jnp.float32),
@@ -292,23 +295,48 @@ class FMajorPartitionedConvolution:
         return jnp.stack([gl, gr], axis=-1) * params.level[..., None]  # [V,I,O]
 
     def _finish(self, state, params, x, y, **updates):
-        """y [F, V, O, 2] planar spectra -> irfft -> predelay ring -> mix."""
-        b = self.block
-        spec = jax.lax.complex(y[..., 0], y[..., 1])              # [F, V, O]
+        """y [F, V, O, 2] planar spectra -> predelayed wet -> ring -> mix.
+
+        Per-voice predelay pd = q*B + r is applied with no per-voice dynamic
+        memory ops: the sub-block part r rides the existing inverse
+        transform as a spectral phase ramp (a circular shift of the length-2B
+        segment, whose wrap region conveniently carries the split-off tail),
+        and the block part q becomes a one-hot scatter-add into a
+        [V, O, NB, B] block-slot accumulator ring.
+        """
+        b, v = self.block, self.num_voices
+        n2 = 2 * b
+        pd = params.predelay[:, 0]                                # [V]
+        q = pd // b
+        r = pd % b
+
+        # phase ramp e^{-i 2 pi f r / N}: planar rotation of y
+        ang = (2.0 * jnp.pi / n2) * (jnp.arange(self.num_bins,
+                                                dtype=jnp.float32)[:, None]
+                                     * r.astype(jnp.float32)[None, :])  # [F,V]
+        c, s = jnp.cos(ang)[..., None], jnp.sin(ang)[..., None]   # [F,V,1]
+        yre, yim = y[..., 0], y[..., 1]
+        spec = jax.lax.complex(yre * c + yim * s, yim * c - yre * s)
         spec = jnp.transpose(spec, (1, 2, 0))                     # [V, O, F]
-        wet = self.xf.irfft(spec)[..., b:]                        # [V, O, B]
+        ys = self.xf.irfft(spec)                                  # [V, O, 2B]
 
+        # circular shift semantics: ys[:, :, B:] offset j holds wet[j - r]
+        # for j >= r; ys[:, :, :B] offset j < r holds the tail wet[B-r+j]
+        offs = jnp.arange(b)[None, None, :]
+        part_main = jnp.where(offs >= r[:, None, None], ys[..., b:], 0.0)
+        part_tail = jnp.where(offs < r[:, None, None], ys[..., :b], 0.0)
+
+        nb = state.wet_ring.shape[2]
         ring = jnp.concatenate(
-            [state.wet_ring[..., b:],
-             jnp.zeros(state.wet_ring.shape[:-1] + (b,), jnp.float32)], axis=-1)
-        pd = params.predelay[:, 0]
+            [state.wet_ring[:, :, 1:],
+             jnp.zeros((v, 2, 1, b), jnp.float32)], axis=2)
+        slots = jnp.arange(nb)[None, :]
+        oh_q = (slots == q[:, None]).astype(jnp.float32)          # [V, NB]
+        oh_q1 = (slots == (q + 1)[:, None]).astype(jnp.float32)
+        ring = (ring + jnp.einsum("vn,vob->vonb", oh_q, part_main)
+                + jnp.einsum("vn,vob->vonb", oh_q1, part_tail))
 
-        def _add_at(r, w_blk, s):
-            cur = jax.lax.dynamic_slice_in_dim(r, s, b, axis=-1)
-            return jax.lax.dynamic_update_slice_in_dim(r, cur + w_blk, s, axis=-1)
-
-        ring = jax.vmap(_add_at)(ring, wet, pd)
-        out = jnp.clip(ring[..., :b], -1.0, 1.0)
+        out = jnp.clip(ring[:, :, 0], -1.0, 1.0)
         dgl, dgr = pan_gains(params.pan_dry)
         dry_gain = (jnp.stack([dgl, dgr], axis=-1)
                     * (params.dry * params.level)[..., None])

@@ -175,7 +175,7 @@ def fmajor_shardings(mesh: Mesh, engine):
     state_sh = FMajorState(
         fdl=NamedSharding(mesh, P(None, "voice", None, None)),
         prev_in=NamedSharding(mesh, P("voice", None, None)),
-        wet_ring=NamedSharding(mesh, P("voice", None, None)),
+        wet_ring=NamedSharding(mesh, P("voice", None, None, None)),
         base=NamedSharding(mesh, P(None, "voice", None, None, None, None)),
         coef_a=NamedSharding(mesh, P("voice", None)),
         coef_c=NamedSharding(mesh, P("voice", None)),
