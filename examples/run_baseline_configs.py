@@ -53,7 +53,7 @@ def _run(model, blocks, midi=None, signal="noise", seed=1):
     v, b = model.engine.num_voices, model.block
     source = (NoiseSource(v, b, blocks, seed=seed) if signal == "noise"
               else ImpulseSource(v, b, blocks))
-    sink = WavSink("/dev/null")
+    sink = WavSink("/dev/null", keep_data=True)
     _, summary = model.process(source, sink, midi=midi, warmup=5)
     data = sink.data
     assert np.isfinite(data).all(), "non-finite output"
@@ -90,7 +90,7 @@ def main(argv=None) -> int:
     x = np.zeros((1, 2, t), np.float32)
     x[:, 0] = rng.standard_normal(t).astype(np.float32) * 0.05  # mono in L
     from tpu_audio.runtime.backends import WavSource, WavSink
-    sink = WavSink("/dev/null")
+    sink = WavSink("/dev/null", keep_data=True)
     model.process(WavSource(x, 1, 256), sink, warmup=5)
     got = sink.data[0]
     ir = bank.ir(0)

@@ -146,7 +146,7 @@ def test_fmajor_in_stream_session():
     n_blocks = 100
     x = (rng.standard_normal((1, 2, 32 * n_blocks)) * 0.05).astype(np.float32)
     source = WavSource(x, num_voices=1, block=32)
-    sink = WavSink("/dev/null")
+    sink = WavSink("/dev/null", keep_data=True)
     session = StreamSession(fm, fm.prepare_bank(spectra), cp, source, sink,
                             warmup=0)
     midi = MidiSchedule([(10, "", bytes([0xB0, 0x15, 64]))])

@@ -209,3 +209,55 @@ def test_engine_is_differentiable_ir_estimation():
         est = optax.apply_updates(est, updates)
     l_final, _ = value_and_grad(est)
     assert float(l_final) < float(l0) * 0.05, (float(l0), float(l_final))
+
+
+@requires_8
+def test_fmajor_sharded_collapse_selected_strategy():
+    """shard_fmajor_collapse must pass the 5th (new_select) sharding for the
+    'selected' MAC strategy (large banks) and match the unsharded collapse +
+    crossfade trajectory."""
+    from tpu_audio.engine.fmajor import FMajorPartitionedConvolution
+    from tpu_audio.parallel.mesh import (
+        fmajor_shardings, shard_fmajor_collapse, shard_fmajor_step)
+
+    rng = np.random.default_rng(8)
+    bank = IRBank()
+    for _ in range(3):
+        ir = rng.standard_normal((2, 200)).astype(np.float32)
+        bank.append(ir * (0.4 / np.abs(ir).max()))
+    eng = FMajorPartitionedConvolution(8, 32, bank.max_partitions(32),
+                                       max_predelay=64,
+                                       mac_strategy="selected")
+    bank_d = eng.prepare_bank(bank.partitioned_spectra(32))
+    cp = ControlPlane(8, 3, max_predelay=64)
+    cp.wet[:] = 0.8
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+
+    mesh = make_mesh(8, part=1)
+    state_sh, bank_sh, _, _ = fmajor_shardings(mesh, eng)
+    step_sh = shard_fmajor_step(eng, mesh, donate=False)
+    collapse_sh = shard_fmajor_collapse(eng, mesh, donate=False)
+    step_pl = jax.jit(eng.step_coef, donate_argnums=())
+    collapse_pl = jax.jit(eng.collapse, donate_argnums=())
+
+    state_s = jax.device_put(eng.init_converged(bank_d, params), state_sh)
+    bank_s = jax.device_put(bank_d, bank_sh)
+    state_p = eng.init_converged(bank_d, params)
+
+    old = cp.select.copy()
+    cp.select[:] = 2
+    cp.vsteps[:] = 4
+    changed = jnp.asarray(np.ones_like(old, bool))
+    new = jnp.asarray(cp.select)
+    state_s = collapse_sh(state_s, bank_s, jnp.asarray(old), changed, new)
+    state_p = collapse_pl(state_p, bank_d, jnp.asarray(old), changed, new)
+
+    for t in range(8):
+        params = jax.tree.map(jnp.asarray, cp.snapshot())
+        x = jnp.asarray(rng.standard_normal((8, 2, 32)).astype(np.float32) * 0.05)
+        state_s, out_s = step_sh(state_s, bank_s, params, x)
+        state_p, out_p = step_pl(state_p, bank_d, params, x)
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_p),
+                                   atol=1e-5, err_msg=f"block {t}")
+        cp.end_block()
+    assert np.abs(np.asarray(out_s)).max() > 1e-4

@@ -113,7 +113,7 @@ def test_stream_end_to_end_matches_offline(variant):
     rng = np.random.default_rng(1)
     x = (rng.standard_normal((2, 2, 64 * 10)) * 0.05).astype(np.float32)
     source = WavSource(x, num_voices=2, block=64)
-    sink = WavSink("/dev/null", 44100)
+    sink = WavSink("/dev/null", 44100, keep_data=True)
     state, summary = model.process(source, sink)
     got = sink.data
     assert got.shape == (2, 2, 640)
@@ -143,7 +143,7 @@ def test_stream_midi_select_triggers_collapse_and_steady_switch():
     # value 64 -> select 64*2//128 = 1
     midi = MidiSchedule([(20, "", bytes([0xB0, 0x15, 64]))])
     source = WavSource(x, num_voices=1, block=64)
-    sink = WavSink("/dev/null", 44100)
+    sink = WavSink("/dev/null", 44100, keep_data=True)
     state, summary = model.process(source, sink, midi=midi, warmup=0)
     got = sink.data
 
@@ -160,7 +160,7 @@ def test_stream_deadline_watchdog():
     model = small_model(num_voices=1)
     missed = []
     source = NoiseSource(1, 64, 5)
-    session = model.session(source, WavSink("/dev/null"), warmup=0,
+    session = model.session(source, WavSink("/dev/null", keep_data=True), warmup=0,
                             on_missed_deadline=lambda b, e: missed.append(b))
     # force an absurd deadline so every block misses
     session.timer.deadline_s = 1e-12
@@ -172,7 +172,7 @@ def test_stream_deadline_watchdog():
 def test_stream_realtime_pacing():
     model = small_model(num_voices=1, block=64)
     source = SilenceSource(1, 64, 6)
-    session = model.session(source, WavSink("/dev/null"), realtime=True,
+    session = model.session(source, WavSink("/dev/null", keep_data=True), realtime=True,
                             warmup=0)
     import time
     t0 = time.perf_counter()
@@ -192,14 +192,14 @@ def test_checkpoint_roundtrip_resumes_bit_exact(tmp_path):
 
     # run 4 blocks, checkpoint, run 4 more
     src_a = WavSource(x[..., : 64 * 4], num_voices=2, block=64)
-    sink_a = WavSink("/dev/null")
+    sink_a = WavSink("/dev/null", keep_data=True)
     state = model.init_state()
     session = model.session(src_a, sink_a, donate=False)
     state = session.run(state)
     save_checkpoint(tmp_path / "ckpt.npz", state, model.control,
                     meta={"block_index": 4})
     src_b = WavSource(x[..., 64 * 4:], num_voices=2, block=64)
-    sink_b = WavSink("/dev/null")
+    sink_b = WavSink("/dev/null", keep_data=True)
     state = session2_state = model.session(src_b, sink_b, donate=False).run(state)
     full_tail = sink_b.data
 
@@ -210,7 +210,7 @@ def test_checkpoint_roundtrip_resumes_bit_exact(tmp_path):
     assert meta["block_index"] == 4
     assert model2.control.wet[0, 0] == np.float32(0.9)
     src_c = WavSource(x[..., 64 * 4:], num_voices=2, block=64)
-    sink_c = WavSink("/dev/null")
+    sink_c = WavSink("/dev/null", keep_data=True)
     model2.session(src_c, sink_c, donate=False).run(state2)
     np.testing.assert_array_equal(sink_c.data, full_tail)
 
@@ -243,7 +243,7 @@ def test_underrun_policy_silence():
 
     model = small_model(num_voices=1)
     src = DropoutSource(9)
-    session = model.session(src, WavSink("/dev/null"), warmup=0,
+    session = model.session(src, WavSink("/dev/null", keep_data=True), warmup=0,
                             underrun_policy="silence")
     session.run(model.init_state(), max_blocks=12)
     s = session.summary()
@@ -255,7 +255,7 @@ def test_underrun_policy_validation():
     model = small_model(num_voices=1)
     import pytest as _pytest
     with _pytest.raises(ValueError):
-        model.session(SilenceSource(1, 64, 1), WavSink("/dev/null"),
+        model.session(SilenceSource(1, 64, 1), WavSink("/dev/null", keep_data=True),
                       underrun_policy="bogus")
 
 
@@ -280,11 +280,11 @@ def test_chunked_session_matches_blockwise(chunk):
     midi = lambda: MidiSchedule([(8, "", bytes([0xB0, 0x15, 64]))])
 
     m1 = build()
-    s1 = WavSink("/dev/null")
+    s1 = WavSink("/dev/null", keep_data=True)
     m1.process(WavSource(x, 1, 64), s1, midi=midi(), warmup=0)
 
     m2 = build()
-    s2 = WavSink("/dev/null")
+    s2 = WavSink("/dev/null", keep_data=True)
     m2.process(WavSource(x, 1, 64), s2, midi=midi(), warmup=0,
                chunk_blocks=chunk)
 
@@ -305,10 +305,130 @@ def test_monolithic_engine_in_session():
     model.control.wet[:] = 1.0
     rng = np.random.default_rng(11)
     x = (rng.standard_normal((1, 2, 64 * 8)) * 0.05).astype(np.float32)
-    sink = WavSink("/dev/null")
+    sink = WavSink("/dev/null", keep_data=True)
     model.process(WavSource(x, 1, 64), sink, warmup=0)
     got = sink.data
     ir = model.bank.ir(0)
     want = fftconvolve(x[0, 0], ir[0]) + fftconvolve(x[0, 1], ir[0])
     np.testing.assert_allclose(got[0, 0], np.clip(want[: 64 * 8], -1, 1),
                                atol=3e-4)
+
+
+def test_checkpoint_roundtrip_fmajor_mid_fade(tmp_path):
+    """Production-engine (fmajor, ring mode) checkpoints carry a bfloat16
+    'base' fade-snapshot leaf; it must save/restore bit-exactly and a
+    mid-crossfade resume must keep fading (not jump to the steady step)."""
+    from tpu_audio.engine.params import CCMapping
+
+    def build():
+        m = small_model(num_voices=2, engine="fmajor", num_irs=2, ir_len=128)
+        m.control.set_mapping(0, 0, CCMapping(message=0xB0, select=0x15))
+        m.control.set_mapping(0, 1, CCMapping(message=0xB0, select=0x15))
+        m.control.wet[:] = 0.9
+        m.control.speed[:] = 20
+        return m
+
+    rng = np.random.default_rng(13)
+    x = (rng.standard_normal((2, 2, 64 * 10)) * 0.05).astype(np.float32)
+    select_at_2 = lambda: MidiSchedule([(2, "", bytes([0xB0, 0x15, 64]))])
+
+    # uninterrupted run: select at block 2 starts a 20-block fade
+    m1 = build()
+    s1 = WavSink("/dev/null", keep_data=True)
+    sess1 = m1.session(WavSource(x, 2, 64), s1, warmup=0, donate=False)
+    sess1.run(m1.init_state(), midi=select_at_2())
+
+    # interrupted run: checkpoint at block 5 (fade in flight), restore into
+    # a FRESH model and finish the stream
+    m2 = build()
+    s2a = WavSink("/dev/null", keep_data=True)
+    sess2 = m2.session(WavSource(x[..., : 64 * 5], 2, 64), s2a, warmup=0,
+                       donate=False)
+    state = sess2.run(m2.init_state(), midi=select_at_2())
+    assert (m2.control.vsteps > 0).any(), "fade must be in flight"
+    save_checkpoint(tmp_path / "fade.npz", state, m2.control)
+
+    m3 = build()
+    state3, _ = load_checkpoint(tmp_path / "fade.npz",
+                                m3.engine.init_state(), m3.control)
+    # the restored bf16 base leaf must be bit-identical
+    base2 = np.asarray(state.base).view(np.uint16)
+    base3 = np.asarray(state3.base).view(np.uint16)
+    np.testing.assert_array_equal(base2, base3)
+    s2b = WavSink("/dev/null", keep_data=True)
+    m3.session(WavSource(x[..., 64 * 5:], 2, 64), s2b, warmup=0,
+               donate=False).run(state3)
+
+    resumed = np.concatenate([s2a.data, s2b.data], axis=-1)
+    np.testing.assert_allclose(resumed, s1.data, atol=2e-6)
+
+
+def test_underrun_silence_unbounded_live():
+    """underrun_policy='silence' with max_blocks=None (the live-ring case):
+    the session must substitute silence and keep running, stopping only at
+    the consecutive-underrun cap — not on the first hiccup."""
+
+    class HiccupThenDry:
+        def __init__(self):
+            self.i = 0
+
+        def read(self):
+            self.i += 1
+            if self.i == 3:
+                return None  # one mid-stream hiccup
+            if self.i <= 6:
+                return np.full((1, 2, 64), 0.1, np.float32)
+            return None  # producer gone
+
+    model = small_model(num_voices=1)
+    session = model.session(HiccupThenDry(), WavSink("/dev/null", keep_data=True),
+                            warmup=0, underrun_policy="silence",
+                            max_consecutive_underruns=4)
+    session.run(model.init_state(), max_blocks=None)
+    s = session.summary()
+    # 5 real blocks + 1 substituted hiccup + 4 substituted tail blocks
+    assert s["blocks_streamed"] == 10
+    assert s["underruns"] == 6  # 1 hiccup + 4 tail + the stopping read
+
+
+def test_wavsink_streams_to_disk_incrementally(tmp_path):
+    """WavSink writes blocks to disk as they arrive (bounded memory) and the
+    resulting file matches the streamed audio; .data requires keep_data."""
+    from tpu_audio.io.wav import read_wav
+
+    rng = np.random.default_rng(7)
+    blocks = [(rng.standard_normal((3, 2, 64)) * 0.3).astype(np.float32)
+              for _ in range(5)]
+
+    sink = WavSink(tmp_path / "s.wav", 44100, voice=1, bits=32)
+    for b in blocks:
+        sink.write(b)
+    assert sink._blocks is None  # nothing buffered
+    with pytest.raises(RuntimeError):
+        _ = sink.data
+    sink.close()
+    got = read_wav(tmp_path / "s.wav", scale="full", verbose=False).stereo().T
+    want = np.concatenate(blocks, axis=-1)[1]
+    np.testing.assert_allclose(got, want, atol=1e-7)
+
+    # voice="all" writes one streaming file per voice
+    sink = WavSink(tmp_path / "a.wav", 44100, voice="all", bits=32)
+    for b in blocks:
+        sink.write(b)
+    sink.close()
+    for v in range(3):
+        got = read_wav(tmp_path / f"a_v{v:03d}.wav", scale="full",
+                       verbose=False).stereo().T
+        np.testing.assert_allclose(
+            got, np.concatenate(blocks, axis=-1)[v], atol=1e-7)
+
+
+def test_settings_predelay_clamped_to_max():
+    """Out-of-range settings predelay is clamped (not silently muted by the
+    fmajor block-slot scatter)."""
+    from tpu_audio.io.settings import Settings
+
+    s = Settings().parse("conv[0].value.predelay 9999\n")
+    cp = ControlPlane(1, 1, max_predelay=128)
+    cp.load_initial_values(s, 0, 0, 0)
+    assert cp.predelay[0, 0] == 128

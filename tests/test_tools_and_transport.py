@@ -108,7 +108,7 @@ def test_session_live_midi_and_bank_swap():
             return []
 
     x = (rng.standard_normal((1, 2, 32 * 6)) * 0.05).astype(np.float32)
-    session = model.session(WavSource(x, 1, 32), WavSink("/dev/null"),
+    session = model.session(WavSource(x, 1, 32), WavSink("/dev/null", keep_data=True),
                             warmup=0)
     state = model.init_state()
     state = session.run(state, live_midi=FakeLiveMidi())
@@ -120,7 +120,7 @@ def test_session_live_midi_and_bank_swap():
         silent.append(np.zeros((2, 96), np.float32))
     new_spectra = model.engine.prepare_bank(silent.partitioned_spectra(32, 3))
     session.swap_bank(new_spectra)
-    sink2 = WavSink("/dev/null")
+    sink2 = WavSink("/dev/null", keep_data=True)
     session.sink = sink2
     session.source = WavSource(x, 1, 32)
     session.run(state)

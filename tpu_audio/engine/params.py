@@ -120,7 +120,15 @@ class ControlPlane:
         """Initial values from settings (reference src/main.cu:63-70)."""
         self._dirty = True
         self.select[voice, ch] = settings.u32("conv[%d].value.select", idx, default=0)
-        self.predelay[voice, ch] = settings.u32("conv[%d].value.predelay", idx, default=0)
+        pd = settings.u32("conv[%d].value.predelay", idx, default=0)
+        if pd > self.max_predelay:
+            # out-of-range settings would silently mute the fmajor engine's
+            # one-hot block-slot scatter (no ring slot matches); clamp like
+            # the CC path does by construction (value*max_predelay//128)
+            Log.warn("conv", "predelay %d exceeds maxPredelay %d; clamped",
+                     pd, self.max_predelay)
+            pd = self.max_predelay
+        self.predelay[voice, ch] = pd
         self.dry[voice, ch] = settings.f32("conv[%d].value.dry", idx, default=0.5)
         self.wet[voice, ch] = settings.f32("conv[%d].value.wet", idx, default=0.5)
         self.speed[voice, ch] = settings.u32("conv[%d].value.speed", idx, default=100)

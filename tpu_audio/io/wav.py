@@ -132,6 +132,80 @@ def read_wav(path: str | os.PathLike, scale: str = "reference",
     return WavFile(path=path, sample_rate=sample_rate, frames=frames)
 
 
+def encode_frames(x: np.ndarray, bits: int) -> bytes:
+    """Encode float frames [n, ch] to the PCM16/PCM24/float32 payload."""
+    if bits == 16:
+        return np.clip(np.round(x * 32768.0), -32768, 32767).astype(
+            "<i2").tobytes()
+    if bits == 24:
+        v = np.clip(np.round(x * 8388608.0), -8388608, 8388607).astype(np.int32)
+        u = v.astype(np.uint32).reshape(-1)
+        b = np.empty((u.size, 3), dtype=np.uint8)
+        b[:, 0] = u & 0xFF
+        b[:, 1] = (u >> 8) & 0xFF
+        b[:, 2] = (u >> 16) & 0xFF
+        return b.tobytes()
+    if bits == 32:
+        return x.astype("<f4").tobytes()
+    raise ValueError(f"unsupported bits: {bits}")
+
+
+class WavWriter:
+    """Incremental WAV writer: header first, frames appended as they arrive,
+    RIFF/data sizes patched on close — O(block) memory for arbitrarily long
+    sessions (the reference streams to JACK and never buffers either)."""
+
+    def __init__(self, path: str | os.PathLike, sample_rate: int,
+                 channels: int, bits: int = 16, scale: str = "full"):
+        self.bits = bits
+        self.channels = channels
+        self._gain = 2.0 if scale == "reference" else 1.0
+        self._payload_bytes = 0
+        audio_format = (WAVE_FORMAT_IEEE_FLOAT if bits == 32
+                        else WAVE_FORMAT_PCM)
+        block_align = channels * (bits // 8)
+        self._fh = open(path, "wb")
+        self._fh.write(b"RIFF")
+        self._fh.write(struct.pack("<I", 36))
+        self._fh.write(b"WAVE")
+        self._fh.write(b"fmt ")
+        self._fh.write(struct.pack("<IHHIIHH", 16, audio_format, channels,
+                                   sample_rate, sample_rate * block_align,
+                                   block_align, bits))
+        self._fh.write(b"data")
+        self._fh.write(struct.pack("<I", 0))
+
+    def write(self, frames: np.ndarray) -> None:
+        frames = np.asarray(frames, dtype=np.float32)
+        if frames.ndim == 1:
+            frames = frames[:, None]
+        if frames.shape[1] != self.channels:
+            raise ValueError(f"got {frames.shape[1]} channels, "
+                             f"writer opened with {self.channels}")
+        payload = encode_frames(frames * self._gain, self.bits)
+        self._fh.write(payload)
+        self._payload_bytes += len(payload)
+
+    def close(self) -> None:
+        if self._fh is None:
+            return
+        try:
+            if self._fh.seekable():
+                self._fh.seek(4)
+                self._fh.write(struct.pack("<I", 36 + self._payload_bytes))
+                self._fh.seek(40)
+                self._fh.write(struct.pack("<I", self._payload_bytes))
+        finally:
+            self._fh.close()
+            self._fh = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def write_wav(path: str | os.PathLike, frames: np.ndarray, sample_rate: int,
               bits: int = 16, scale: str = "full") -> None:
     """Write float32 frames [n, ch] as PCM16/PCM24/float32 WAV.
@@ -142,38 +216,5 @@ def write_wav(path: str | os.PathLike, frames: np.ndarray, sample_rate: int,
     frames = np.asarray(frames, dtype=np.float32)
     if frames.ndim == 1:
         frames = frames[:, None]
-    gain = 2.0 if scale == "reference" else 1.0
-    x = frames * gain
-    channels = frames.shape[1]
-
-    if bits == 16:
-        pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
-        payload = pcm.tobytes()
-        audio_format = WAVE_FORMAT_PCM
-    elif bits == 24:
-        v = np.clip(np.round(x * 8388608.0), -8388608, 8388607).astype(np.int32)
-        u = v.astype(np.uint32).reshape(-1)
-        b = np.empty((u.size, 3), dtype=np.uint8)
-        b[:, 0] = u & 0xFF
-        b[:, 1] = (u >> 8) & 0xFF
-        b[:, 2] = (u >> 16) & 0xFF
-        payload = b.tobytes()
-        audio_format = WAVE_FORMAT_PCM
-    elif bits == 32:
-        payload = x.astype("<f4").tobytes()
-        audio_format = WAVE_FORMAT_IEEE_FLOAT
-    else:
-        raise ValueError(f"unsupported bits: {bits}")
-
-    block_align = channels * (bits // 8)
-    byte_rate = sample_rate * block_align
-    with open(path, "wb") as fh:
-        fh.write(b"RIFF")
-        fh.write(struct.pack("<I", 36 + len(payload)))
-        fh.write(b"WAVE")
-        fh.write(b"fmt ")
-        fh.write(struct.pack("<IHHIIHH", 16, audio_format, channels,
-                             sample_rate, byte_rate, block_align, bits))
-        fh.write(b"data")
-        fh.write(struct.pack("<I", len(payload)))
-        fh.write(payload)
+    with WavWriter(path, sample_rate, frames.shape[1], bits, scale) as w:
+        w.write(frames)

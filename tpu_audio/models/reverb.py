@@ -161,9 +161,10 @@ class ConvolutionReverb:
 
 
 class MultiVoiceReverbServer(ConvolutionReverb):
-    """Flagship model: 64+ concurrent stereo voices, partitioned engine."""
+    """Flagship model: 64+ concurrent stereo voices on the production
+    f-major engine (the CLI default and the benchmarked configuration)."""
 
     def __init__(self, bank: IRBank, num_voices: int = 64, block: int = 256,
                  **kwargs):
-        kwargs.setdefault("engine", "partitioned")
+        kwargs.setdefault("engine", "fmajor")
         super().__init__(bank, num_voices=num_voices, block=block, **kwargs)

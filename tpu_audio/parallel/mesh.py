@@ -213,9 +213,15 @@ def shard_fmajor_step(engine, mesh: Mesh, steady: bool = False,
 def shard_fmajor_collapse(engine, mesh: Mesh, donate: bool = True):
     state_sh, bank_sh, _, _ = fmajor_shardings(mesh, engine)
     sel_sh = NamedSharding(mesh, PARAMS_SPEC)
+    # the 'selected' MAC strategy re-gathers per-voice spectra at collapse
+    # and therefore takes the post-change selection as a 5th argument
+    # (mirrors StreamSession._collapse_takes_new_select)
+    in_sh = (state_sh, bank_sh, sel_sh, sel_sh)
+    if getattr(engine, "mac_strategy", None) == "selected":
+        in_sh = in_sh + (sel_sh,)
     return jax.jit(
         engine.collapse,
-        in_shardings=(state_sh, bank_sh, sel_sh, sel_sh),
+        in_shardings=in_sh,
         out_shardings=state_sh,
         donate_argnums=(0,) if donate else (),
     )

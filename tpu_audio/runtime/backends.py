@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from tpu_audio.io.wav import read_wav, write_wav
+from tpu_audio.io.wav import WavWriter, read_wav
 
 
 class BlockSource:
@@ -162,40 +162,60 @@ class NullSink(BlockSink):
 
 
 class WavSink(BlockSink):
-    """Accumulates blocks; writes WAV(s) on close.
+    """Streams blocks to WAV file(s) incrementally — O(block) memory, so a
+    long-running server session never grows the host footprint (the
+    RIFF/data sizes are patched on close, see io.wav.WavWriter).
 
     voice=None writes voice 0 (the mono-server case); voice="all" writes one
     file per voice with a _vNNN suffix; an int selects one voice.
+    ``keep_data=True`` additionally buffers every block in RAM and exposes
+    ``.data`` — for tests and short offline renders only (unbounded).
     """
 
     def __init__(self, path, sample_rate: int = 44100, voice=None,
-                 bits: int = 16, scale: str = "full"):
+                 bits: int = 16, scale: str = "full",
+                 keep_data: bool = False):
         self.path = str(path)
         self.sample_rate = sample_rate
         self.voice = 0 if voice is None else voice
         self.bits = bits
         self.scale = scale
-        self._blocks: list[np.ndarray] = []
+        self._writers: list[tuple[int, WavWriter]] | None = None
+        self._blocks: list[np.ndarray] | None = [] if keep_data else None
+
+    def _open(self, num_voices: int) -> None:
+        if self.voice == "all":
+            self._writers = []
+            for v in range(num_voices):
+                path = self.path.replace(".wav", f"_v{v:03d}.wav")
+                self._writers.append((v, WavWriter(
+                    path, self.sample_rate, 2, self.bits, self.scale)))
+        else:
+            self._writers = [(self.voice, WavWriter(
+                self.path, self.sample_rate, 2, self.bits, self.scale))]
 
     def write(self, block):
-        self._blocks.append(np.asarray(block))
+        block = np.asarray(block)
+        if self._writers is None:
+            self._open(block.shape[0])
+        for v, writer in self._writers:
+            writer.write(block[v].T)
+        if self._blocks is not None:
+            self._blocks.append(block)
 
     @property
     def data(self) -> np.ndarray:
-        """[V, 2, T] accumulated output."""
+        """[V, 2, T] accumulated output (requires keep_data=True)."""
+        if self._blocks is None:
+            raise RuntimeError("WavSink streams to disk; pass keep_data=True "
+                               "to also buffer blocks in memory")
         if not self._blocks:
             return np.zeros((1, 2, 0), np.float32)
         return np.concatenate(self._blocks, axis=-1)
 
     def close(self):
-        data = self.data
-        if self.voice == "all":
-            for v in range(data.shape[0]):
-                path = self.path.replace(".wav", f"_v{v:03d}.wav")
-                write_wav(path, data[v].T, self.sample_rate, self.bits, self.scale)
-        else:
-            write_wav(self.path, data[self.voice].T, self.sample_rate,
-                      self.bits, self.scale)
+        for _, writer in self._writers or ():
+            writer.close()
 
 
 class LoopbackBuffer(BlockSink):

@@ -26,17 +26,32 @@ _CP_FIELDS = ("select", "predelay", "vsteps", "speed", "dry", "wet",
               "pan_dry", "pan_wet", "level")
 
 
+def _npz_safe(arr: np.ndarray) -> np.ndarray:
+    """np.savez silently degrades extended dtypes (e.g. ml_dtypes.bfloat16)
+    to raw void records that cannot be .astype()d back on load. Store such
+    leaves as same-width unsigned-integer views; the recorded dtype name in
+    the header restores them bit-exactly."""
+    if arr.dtype.kind in "fiubc":
+        return arr
+    width = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
+    return arr.view(width[arr.dtype.itemsize])
+
+
 def save_checkpoint(path: str | os.PathLike, state, control: ControlPlane,
                     meta: dict | None = None) -> None:
     """Serialise engine state + control plane to one .npz file."""
     arrays: dict[str, np.ndarray] = {}
     leaves, treedef = jax.tree.flatten(state)
+    dtypes = []
     for i, leaf in enumerate(leaves):
-        arrays[f"state_{i}"] = to_host_maybe_complex(leaf)
+        host = to_host_maybe_complex(leaf)
+        dtypes.append(str(host.dtype))
+        arrays[f"state_{i}"] = _npz_safe(host)
     for name in _CP_FIELDS:
         arrays[f"cp_{name}"] = getattr(control, name)
     header = {
         "num_state_leaves": len(leaves),
+        "state_dtypes": dtypes,
         "state_class": type(state).__name__,
         "num_voices": control.num_voices,
         "bank_size": control.bank_size,
@@ -66,9 +81,15 @@ def load_checkpoint(path: str | os.PathLike, state_template,
             raise ValueError(
                 f"checkpoint is for {header['num_voices']} voices, "
                 f"control plane has {control.num_voices}")
+        dtypes = header.get("state_dtypes")
         new_leaves = []
         for i, leaf in enumerate(leaves):
             arr = data[f"state_{i}"]
+            saved_dtype = np.dtype(dtypes[i]) if dtypes else np.dtype(leaf.dtype)
+            if arr.dtype != saved_dtype:
+                # stored as a same-width integer view (or, from older
+                # checkpoints, degraded to void) — restore bit-exactly
+                arr = arr.view(saved_dtype)
             if arr.shape != leaf.shape:
                 raise ValueError(
                     f"state leaf {i}: checkpoint shape {arr.shape} != "

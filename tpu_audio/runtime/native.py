@@ -21,6 +21,7 @@ toolchain exists and callers fall back to the pure-Python implementations.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -33,23 +34,32 @@ from tpu_audio.utils.log import Log
 _CSRC = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "csrc")
 _LIB_PATH = os.path.join(_CSRC, "libtpuaudio.so")
+_STAMP_PATH = _LIB_PATH + ".src.sha256"
 _lib = None
 _lib_lock = threading.Lock()
 
 
-def _build() -> bool:
+def _src_hash() -> str | None:
     src = os.path.join(_CSRC, "blockio.cpp")
     if not os.path.exists(src):
-        return False
+        return None
+    with open(src, "rb") as fh:
+        return hashlib.sha256(fh.read()).hexdigest()
+
+
+def _build(src_hash: str) -> bool:
+    src = os.path.join(_CSRC, "blockio.cpp")
     try:
         subprocess.run(
             ["g++", "-O2", "-fPIC", "-std=c++17", "-shared", src,
              "-o", _LIB_PATH, "-lrt"],
             check=True, capture_output=True, timeout=120)
-        return True
     except (subprocess.SubprocessError, FileNotFoundError) as exc:
         Log.warn("native", "native build failed: %s", exc)
         return False
+    with open(_STAMP_PATH, "w") as fh:
+        fh.write(src_hash)
+    return True
 
 
 def _load():
@@ -57,11 +67,18 @@ def _load():
     with _lib_lock:
         if _lib is not None:
             return _lib
-        src = os.path.join(_CSRC, "blockio.cpp")
-        stale = (not os.path.exists(_LIB_PATH)
-                 or (os.path.exists(src)
-                     and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
-        if stale and not _build():
+        # the library is only ever loaded when it was built locally from the
+        # current blockio.cpp: the build stamps the source's content hash,
+        # and any mismatch (or missing stamp — e.g. a binary that arrived by
+        # other means) forces a rebuild. Binaries are never version-controlled.
+        src_hash = _src_hash()
+        if src_hash is None:
+            return None
+        stamp = None
+        if os.path.exists(_STAMP_PATH) and os.path.exists(_LIB_PATH):
+            with open(_STAMP_PATH) as fh:
+                stamp = fh.read().strip()
+        if stamp != src_hash and not _build(src_hash):
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)

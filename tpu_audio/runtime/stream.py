@@ -84,7 +84,8 @@ class StreamSession:
                  sample_rate: int = 44100, warmup: int = 10,
                  donate: bool = True, realtime: bool = False,
                  on_missed_deadline=None, pipeline_depth: int = 1,
-                 underrun_policy: str = "stop", chunk_blocks: int = 1):
+                 underrun_policy: str = "stop", chunk_blocks: int = 1,
+                 max_consecutive_underruns: int | None = None):
         self.engine = engine
         # bank may be a raw (possibly complex) host array or an already-
         # device-resident pytree (e.g. FMajorBank)
@@ -102,11 +103,16 @@ class StreamSession:
         self.pipeline_depth = max(1, pipeline_depth)
         # "stop": end the stream when the source runs dry (file processing);
         # "silence": substitute silent blocks and keep real time (live rings
-        # whose producer hiccups — the reverb tail keeps flowing)
+        # whose producer hiccups — the reverb tail keeps flowing), bounded
+        # only by max_consecutive_underruns (None = ride out any outage;
+        # a blocking RingSource already converts each None into a timeout,
+        # so the session survives producer restarts indefinitely)
         if underrun_policy not in ("stop", "silence"):
             raise ValueError(f"unknown underrun_policy {underrun_policy!r}")
         self.underrun_policy = underrun_policy
+        self.max_consecutive_underruns = max_consecutive_underruns
         self.underruns = 0
+        self._consecutive_underruns = 0
         # chunk_blocks > 1: scan N blocks per dispatch (one transfer pair per
         # chunk) — throughput mode for offline processing / high-RTT links;
         # MIDI and parameter changes then apply at chunk granularity
@@ -169,6 +175,18 @@ class StreamSession:
         return self._collapse(state, self.bank, jnp.asarray(old_sel),
                               jnp.asarray(changed))
 
+    def _underrun_stop(self) -> bool:
+        """Account one silence-substituted underrun; True when the
+        consecutive-underrun cap says the session should end instead."""
+        self.underruns += 1
+        self._consecutive_underruns += 1
+        if (self.max_consecutive_underruns is not None
+                and self._consecutive_underruns > self.max_consecutive_underruns):
+            Log.warn("stream", "source dry for %d consecutive blocks; stopping",
+                     self._consecutive_underruns - 1)
+            return True
+        return False
+
     # -- main loop ---------------------------------------------------------------------
 
     def swap_bank(self, bank) -> None:
@@ -186,6 +204,12 @@ class StreamSession:
         import collections
         import time
 
+        if self._is_coef:
+            # resync the analytic coef_a mirror from the (possibly restored-
+            # from-checkpoint) state so a mid-crossfade resume keeps using
+            # the full step until the fade actually decays
+            self._a_host = np.asarray(state.coef_a, np.float64)
+
         pending = collections.deque()
         block_index = 0
         chunk = self.chunk_blocks
@@ -195,25 +219,28 @@ class StreamSession:
             if chunk == 1:
                 x = self.source.read()
                 if x is None:
-                    if self.underrun_policy == "stop" or max_blocks is None:
+                    if self.underrun_policy == "stop" or self._underrun_stop():
                         break
-                    self.underruns += 1
                     x = np.zeros((self.engine.num_voices, 2,
                                   self.engine.block), np.float32)
+                else:
+                    self._consecutive_underruns = 0
                 n_valid = 1
             else:
                 # gather a chunk; zero-pad a partial tail (trimmed on write)
+                stop = False
                 xs = []
                 while len(xs) < chunk:
                     blk = self.source.read()
                     if blk is None:
-                        if (self.underrun_policy == "silence"
-                                and max_blocks is not None and xs):
-                            self.underruns += 1
-                            blk = np.zeros((self.engine.num_voices, 2,
-                                            self.engine.block), np.float32)
-                        else:
+                        if (self.underrun_policy == "stop"
+                                or self._underrun_stop()):
+                            stop = True
                             break
+                        blk = np.zeros((self.engine.num_voices, 2,
+                                        self.engine.block), np.float32)
+                    else:
+                        self._consecutive_underruns = 0
                     xs.append(blk)
                 if not xs:
                     break
