@@ -287,3 +287,145 @@ def test_bf16_selected_strategy_state_stable(ring):
     x = jnp.asarray(rng.standard_normal((1, 2, 32)).astype(np.float32) * 0.1)
     state, out = eng.step_coef(state, bank_d, params, x)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("ring", [False, True])
+def test_indexed_fade_matches_general_fade(ring):
+    """step_coef_indexed (base term taken from the all-K MAC) must match
+    step_coef (per-voice base contraction) whenever the fade snapshot is a
+    scaled pure bank entry — which is what collapse() produces when the
+    previous fade had converged (coef_a ~ 0, base := coef_c * bank[old])."""
+    _, fm, spectra, _ = build(num_voices=4, ring=ring)
+    bank_fm = fm.prepare_bank(spectra)
+    cp = ControlPlane(4, 3, max_predelay=64)
+    cp.wet[:] = 0.8
+    cp.dry[:] = 0.1
+    cp.predelay[:] = 9
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+    state = fm.init_converged(bank_fm, params)  # coef_c == wet, coef_a == 0
+
+    # converged re-select: base becomes coef_c * bank[old]
+    old = cp.select.copy()
+    cp.select[:] = [[2, 1], [0, 2], [1, 1], [2, 0]]
+    cp.vsteps[:] = 6
+    base_gain = np.full((4, 2), 0.8, np.float32)  # == coef_c at collapse
+    state = jax.jit(fm.collapse)(state, bank_fm, jnp.asarray(old),
+                                 jnp.asarray(np.ones_like(old, bool)))
+
+    s_gen, s_idx = state, state
+    idx_d = jnp.asarray(old)
+    gain_d = jnp.asarray(base_gain)
+    atol = 2e-3 if ring else 3e-6  # ring-mode base snapshot is bf16
+    rng = np.random.default_rng(4)
+    step_gen = jax.jit(fm.step_coef, donate_argnums=())
+    step_idx = jax.jit(fm.step_coef_indexed, donate_argnums=())
+    for t in range(10):
+        params = jax.tree.map(jnp.asarray, cp.snapshot())
+        x = jnp.asarray(rng.standard_normal((4, 2, 32)).astype(np.float32) * 0.05)
+        s_gen, o_gen = step_gen(s_gen, bank_fm, params, x)
+        s_idx, o_idx = step_idx(s_idx, bank_fm, params, idx_d, gain_d, x)
+        np.testing.assert_allclose(np.asarray(o_idx), np.asarray(o_gen),
+                                   atol=atol, err_msg=f"block {t}")
+        cp.end_block()
+
+
+def test_indexed_fade_requires_allk():
+    _, fm, spectra, _ = build(num_voices=2)
+    fm.mac_strategy = "selected"
+    with pytest.raises(ValueError):
+        fm.step_coef_indexed(None, None, None, None, None, None)
+
+
+def test_session_uses_indexed_fade_and_matches_general():
+    """A live session whose fades always start from converged state must
+    route crossfading blocks through the indexed step (same cost as steady)
+    and produce the same audio as the general fade path."""
+    from tpu_audio.engine.params import CCMapping
+    from tpu_audio.models.reverb import ConvolutionReverb
+    from tpu_audio.runtime.backends import WavSink, WavSource
+    from tpu_audio.runtime.stream import MidiSchedule
+
+    def build_model():
+        rng = np.random.default_rng(7)
+        bank = IRBank()
+        for _ in range(3):
+            ir = rng.standard_normal((2, 220)).astype(np.float32)
+            bank.append(ir * (0.4 / np.abs(ir).max()))
+        m = ConvolutionReverb(bank, num_voices=2, block=64, engine="fmajor",
+                              max_predelay=128)
+        m.control.set_mapping(0, 0, CCMapping(message=0xB0, select=0x15))
+        m.control.set_mapping(0, 1, CCMapping(message=0xB0, select=0x15))
+        m.control.wet[:] = 0.9
+        m.control.dry[:] = 0.1
+        m.control.speed[:] = 8
+        return m
+
+    rng = np.random.default_rng(8)
+    x = (rng.standard_normal((2, 2, 64 * 30)) * 0.05).astype(np.float32)
+    # two re-selects, each starting well after the previous fade converged
+    midi = lambda: MidiSchedule([(4, "", bytes([0xB0, 0x15, 64])),
+                                 (20, "", bytes([0xB0, 0x15, 127]))])
+
+    m1 = build_model()
+    s1 = WavSink("/dev/null", keep_data=True)
+    sess1 = m1.session(WavSource(x, 2, 64), s1, warmup=0)
+    assert sess1._step_indexed is not None
+    sess1.run(m1.init_state(), midi=midi())
+    assert getattr(sess1, "indexed_blocks", 0) >= 10  # fades rode the fast path
+
+    m2 = build_model()
+    s2 = WavSink("/dev/null", keep_data=True)
+    sess2 = m2.session(WavSource(x, 2, 64), s2)
+    sess2._step_indexed = None  # force the general fade path
+    sess2.run(m2.init_state(), midi=midi())
+    assert getattr(sess2, "indexed_blocks", 0) == 0
+
+    # ring mode stores the general path's fade snapshot in bf16; the indexed
+    # path reads the exact f32 bank instead, so mid-fade blocks agree only
+    # to bf16 scale (the indexed path is the MORE exact of the two)
+    np.testing.assert_allclose(s1.data, s2.data, atol=4e-3)
+
+
+def test_session_interrupted_fade_falls_back_to_general():
+    """A re-select landing mid-fade makes the snapshot a mixture; the
+    session must fall back to step_coef for that fade (and still match the
+    pure-general session bit-for-bit, since both run the same step then)."""
+    from tpu_audio.engine.params import CCMapping
+    from tpu_audio.models.reverb import ConvolutionReverb
+    from tpu_audio.runtime.backends import WavSink, WavSource
+    from tpu_audio.runtime.stream import MidiSchedule
+
+    def build_model():
+        rng = np.random.default_rng(9)
+        bank = IRBank()
+        for _ in range(3):
+            ir = rng.standard_normal((2, 180)).astype(np.float32)
+            bank.append(ir * (0.4 / np.abs(ir).max()))
+        m = ConvolutionReverb(bank, num_voices=1, block=64, engine="fmajor",
+                              max_predelay=128)
+        m.control.set_mapping(0, 0, CCMapping(message=0xB0, select=0x15))
+        m.control.set_mapping(0, 1, CCMapping(message=0xB0, select=0x15))
+        m.control.wet[:] = 0.8
+        m.control.speed[:] = 50  # slow fade, interrupted below
+        return m
+
+    rng = np.random.default_rng(10)
+    x = (rng.standard_normal((1, 2, 64 * 20)) * 0.05).astype(np.float32)
+    midi = lambda: MidiSchedule([(2, "", bytes([0xB0, 0x15, 64])),
+                                 (6, "", bytes([0xB0, 0x15, 127]))])
+
+    m1 = build_model()
+    s1 = WavSink("/dev/null", keep_data=True)
+    sess1 = m1.session(WavSource(x, 1, 64), s1)
+    sess1.run(m1.init_state(), midi=midi())
+    # first fade (blocks 2..5) indexed; after the interrupt at 6, mixture
+    assert 1 <= getattr(sess1, "indexed_blocks", 0) <= 6
+
+    m2 = build_model()
+    s2 = WavSink("/dev/null", keep_data=True)
+    sess2 = m2.session(WavSource(x, 1, 64), s2)
+    sess2._step_indexed = None
+    sess2.run(m2.init_state(), midi=midi())
+    # fade 1 rode the indexed path (exact f32 bank) vs bf16 snapshot: see
+    # test_session_uses_indexed_fade_and_matches_general
+    np.testing.assert_allclose(s1.data, s2.data, atol=4e-3)

@@ -332,10 +332,14 @@ def test_checkpoint_roundtrip_fmajor_mid_fade(tmp_path):
     x = (rng.standard_normal((2, 2, 64 * 10)) * 0.05).astype(np.float32)
     select_at_2 = lambda: MidiSchedule([(2, "", bytes([0xB0, 0x15, 64]))])
 
-    # uninterrupted run: select at block 2 starts a 20-block fade
+    # uninterrupted run: select at block 2 starts a 20-block fade.
+    # (pin all sessions to the general fade path: a restored session is
+    # required to fall back to it, and this test is about state carry —
+    # indexed-vs-general equivalence is covered in test_fmajor.py)
     m1 = build()
     s1 = WavSink("/dev/null", keep_data=True)
     sess1 = m1.session(WavSource(x, 2, 64), s1, warmup=0, donate=False)
+    sess1._step_indexed = None
     sess1.run(m1.init_state(), midi=select_at_2())
 
     # interrupted run: checkpoint at block 5 (fade in flight), restore into
@@ -344,6 +348,7 @@ def test_checkpoint_roundtrip_fmajor_mid_fade(tmp_path):
     s2a = WavSink("/dev/null", keep_data=True)
     sess2 = m2.session(WavSource(x[..., : 64 * 5], 2, 64), s2a, warmup=0,
                        donate=False)
+    sess2._step_indexed = None
     state = sess2.run(m2.init_state(), midi=select_at_2())
     assert (m2.control.vsteps > 0).any(), "fade must be in flight"
     save_checkpoint(tmp_path / "fade.npz", state, m2.control)
@@ -356,8 +361,10 @@ def test_checkpoint_roundtrip_fmajor_mid_fade(tmp_path):
     base3 = np.asarray(state3.base).view(np.uint16)
     np.testing.assert_array_equal(base2, base3)
     s2b = WavSink("/dev/null", keep_data=True)
-    m3.session(WavSource(x[..., 64 * 5:], 2, 64), s2b, warmup=0,
-               donate=False).run(state3)
+    sess3 = m3.session(WavSource(x[..., 64 * 5:], 2, 64), s2b, warmup=0,
+                       donate=False)
+    sess3.run(state3)
+    assert getattr(sess3, "indexed_blocks", 0) == 0  # restored base: general
 
     resumed = np.concatenate([s2a.data, s2b.data], axis=-1)
     np.testing.assert_allclose(resumed, s1.data, atol=2e-6)

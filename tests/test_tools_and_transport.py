@@ -132,3 +132,64 @@ def test_session_live_midi_and_bank_swap():
     for o in range(2):
         np.testing.assert_allclose(got[0, o, start:], want_dry[start:],
                                    atol=2e-3)
+
+
+def test_multi_midi_fifo_routes_by_device(tmp_path):
+    """Two FIFO devices drive DIFFERENT voices of one session, routed by
+    CCMapping.device (the reference's one-reader-per-ALSA-device model,
+    src/main.cu:47-48) — here through MultiMidiStream in a live session."""
+    from tpu_audio.engine import IRBank
+    from tpu_audio.engine.params import CCMapping
+    from tpu_audio.models.reverb import ConvolutionReverb
+    from tpu_audio.runtime.backends import WavSink, WavSource
+    from tpu_audio.runtime.midi_transport import MidiByteStream, MultiMidiStream
+
+    fifos, wfds, streams = [], [], []
+    for i, dev in enumerate(["hw:1,0", "hw:2,0"]):
+        path = tmp_path / f"midi{i}.fifo"
+        os.mkfifo(path)
+        wfds.append(os.open(path, os.O_RDWR | os.O_NONBLOCK))
+        streams.append(MidiByteStream(path, device=dev))
+        fifos.append(path)
+    multi = MultiMidiStream(streams)
+
+    rng = np.random.default_rng(3)
+    bank = IRBank()
+    for _ in range(2):
+        ir = rng.standard_normal((2, 96)).astype(np.float32)
+        bank.append(ir * (0.4 / np.abs(ir).max()))
+    model = ConvolutionReverb(bank, num_voices=2, block=32, max_predelay=64)
+    # voice 0 listens on device hw:1,0, voice 1 on hw:2,0 — same CC number
+    for ch in range(2):
+        model.control.set_mapping(0, ch, CCMapping(device="hw:1,0",
+                                                   message=0xB0, dry=0x17))
+        model.control.set_mapping(1, ch, CCMapping(device="hw:2,0",
+                                                   message=0xB0, dry=0x17))
+    model.control.dry[:] = 0.0
+
+    os.write(wfds[0], bytes([0xB0, 0x17, 64]))    # hw:1,0 -> dry 0.5
+    os.write(wfds[1], bytes([0xB0, 0x17, 127]))   # hw:2,0 -> dry ~0.99
+
+    x = (rng.standard_normal((2, 2, 32 * 4)) * 0.05).astype(np.float32)
+    session = model.session(WavSource(x, 2, 32),
+                            WavSink("/dev/null", keep_data=True), warmup=0)
+    session.run(model.init_state(), live_midi=multi)
+
+    assert model.control.dry[0, 0] == np.float32(64 / 128.0)
+    assert model.control.dry[1, 0] == np.float32(127 / 128.0)
+    multi.close()
+    for fd in wfds:
+        os.close(fd)
+
+
+def test_cli_midi_fifo_device_spec_parsing():
+    """--midi-fifo accepts repeatable [DEVICE=]PATH specs."""
+    from tpu_audio.app.main import build_parser
+
+    args = build_parser().parse_args(
+        ["--midi-fifo", "hw:2,0=/tmp/a.fifo", "--midi-fifo", "/tmp/b.fifo"])
+    specs = []
+    for spec in args.midi_fifo:
+        device, _, path = spec.rpartition("=")
+        specs.append((device, path))
+    assert specs == [("hw:2,0", "/tmp/a.fifo"), ("", "/tmp/b.fifo")]

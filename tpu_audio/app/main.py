@@ -52,8 +52,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample-rate", type=int, default=44100)
     p.add_argument("--midi", default=None,
                    help="scripted MIDI schedule file (block hexbytes per line)")
-    p.add_argument("--midi-fifo", default=None,
-                   help="FIFO/device path to read live MIDI bytes from")
+    p.add_argument("--midi-fifo", action="append", default=None,
+                   metavar="[DEVICE=]PATH",
+                   help="FIFO/device path to read live MIDI bytes from; "
+                        "repeatable, with an optional device id matched "
+                        "against conv[i].cc.device mappings (the reference "
+                        "runs one reader per ALSA device, src/main.cu:47-48)")
+    p.add_argument("--input-ring", default=None, metavar="NAME",
+                   help="read input blocks from this shared-memory ring "
+                        "(created here; another process writes into it — "
+                        "the live path, reference src/jackclient.cu:24-44)")
+    p.add_argument("--output-ring", default=None, metavar="NAME",
+                   help="write output blocks to this shared-memory ring "
+                        "(created here; another process consumes it)")
+    p.add_argument("--ring-blocks", type=int, default=64,
+                   help="shm ring capacity in blocks")
+    p.add_argument("--underrun", default=None, choices=["stop", "silence"],
+                   help="source-dry policy (default: silence when "
+                        "--input-ring is used, else stop)")
+    p.add_argument("--max-dry-blocks", type=int, default=None,
+                   help="end an unbounded live session after this many "
+                        "consecutive silence-substituted blocks")
+    p.add_argument("--clock", default="sleep", choices=["sleep", "native"],
+                   help="realtime pacing source (native = drift-free C++ "
+                        "absolute-deadline clock)")
     p.add_argument("--profile", default=None,
                    help="write a jax profiler trace to this directory")
     p.add_argument("--pipeline-depth", type=int, default=1,
@@ -84,6 +106,14 @@ def main(argv=None) -> int:
     if args.quiet:
         Log.level = 2
 
+    # honor an explicit JAX_PLATFORMS request (e.g. cpu in tests/CI): some
+    # TPU plugins clobber the env var during import, but the config API
+    # applied before backend init takes precedence
+    requested = os.environ.get("JAX_PLATFORMS", "")
+    if requested and requested != "axon":
+        import jax
+        jax.config.update("jax_platforms", requested)
+
     select_tpu(verbose=not args.quiet)
 
     if not os.path.exists(args.settings):
@@ -99,7 +129,23 @@ def main(argv=None) -> int:
         mac_dtype=args.mac_dtype, verbose=not args.quiet)
 
     v, b = model.engine.num_voices, model.block
-    if args.input:
+    rings = []
+    if args.input_ring or args.output_ring:
+        from tpu_audio.runtime.native import (
+            NativeRing, RingSink, RingSource, native_available)
+        if not native_available():
+            Log.error("app", "shm rings need the native runtime (g++)")
+            return 2
+
+    if args.input_ring:
+        ring_in = NativeRing(args.ring_blocks * v * 2 * b,
+                             shm_name=args.input_ring)
+        rings.append(ring_in)
+        source = RingSource(ring_in, v, b, blocking=True)
+        sample_rate = args.sample_rate
+        Log.info("app", "input ring /dev/shm/%s (%d blocks)",
+                 args.input_ring, args.ring_blocks)
+    elif args.input:
         source = WavSource(args.input, v, b, max_blocks=args.blocks)
         sample_rate = source.sample_rate or args.sample_rate
     else:
@@ -109,7 +155,14 @@ def main(argv=None) -> int:
                   "silence": SilenceSource(v, b, n)}[args.signal]
         sample_rate = args.sample_rate
 
-    if args.output:
+    if args.output_ring:
+        ring_out = NativeRing(args.ring_blocks * v * 2 * b,
+                              shm_name=args.output_ring)
+        rings.append(ring_out)
+        sink = RingSink(ring_out)
+        Log.info("app", "output ring /dev/shm/%s (%d blocks)",
+                 args.output_ring, args.ring_blocks)
+    elif args.output:
         voice = args.out_voice
         if voice is not None and voice != "all":
             voice = int(voice)
@@ -117,18 +170,28 @@ def main(argv=None) -> int:
     else:
         sink = NullSink()
 
+    underrun = args.underrun or ("silence" if args.input_ring else "stop")
+
     midi = None
     if args.midi:
         with open(args.midi) as fh:
             midi = MidiSchedule.parse(fh.read())
     live_midi = None
     if args.midi_fifo:
-        from tpu_audio.runtime.midi_transport import MidiByteStream
-        live_midi = MidiByteStream(args.midi_fifo)
+        from tpu_audio.runtime.midi_transport import (
+            MidiByteStream, MultiMidiStream)
+        streams = []
+        for spec in args.midi_fifo:
+            device, _, path = spec.rpartition("=")
+            streams.append(MidiByteStream(path, device=device))
+        live_midi = streams[0] if len(streams) == 1 else MultiMidiStream(streams)
 
     session = model.session(source, sink, realtime=args.realtime,
                             pipeline_depth=args.pipeline_depth,
-                            chunk_blocks=args.chunk_blocks)
+                            chunk_blocks=args.chunk_blocks,
+                            underrun_policy=underrun,
+                            max_consecutive_underruns=args.max_dry_blocks,
+                            clock=args.clock)
     state = model.init_state()
     if args.profile:
         import jax
@@ -146,7 +209,12 @@ def main(argv=None) -> int:
     print(f"streamed {s['blocks_streamed']} blocks | avg {s['avg_ms']:.3f} ms "
           f"| p50 {s['p50_ms']:.3f} | p99 {s['p99_ms']:.3f} "
           f"| rtf {s.get('rtf', 0):.2f} | missed {s['missed_deadlines']} "
-          f"| underruns {s['underruns']}")
+          f"| underruns {s['underruns']}"
+          + (f" | dropped {sink.dropped}" if hasattr(sink, "dropped") else ""))
+    if live_midi is not None:
+        live_midi.close()
+    for ring in rings:
+        ring.close(unlink=True)
     if args.output:
         Log.info("app", "wrote %s", args.output)
     return 0 if s["blocks_streamed"] > 0 else 1

@@ -344,9 +344,16 @@ class FMajorPartitionedConvolution:
         return replace(state, prev_in=x, wet_ring=ring, **updates), out
 
     def step_coef(self, state: FMajorState, bank: FMajorBank,
-                  params: VoiceParams, x: jax.Array, with_base: bool = True):
+                  params: VoiceParams, x: jax.Array, with_base: bool = True,
+                  indexed_base: tuple[jax.Array, jax.Array] | None = None):
         """Full step (fade-capable). Same semantics contract as
-        PartitionedConvolution.step_coef, in f-major layout."""
+        PartitionedConvolution.step_coef, in f-major layout.
+
+        ``indexed_base=(base_sel, base_gain)`` (both [V, 2]; 'allk' strategy
+        only) asserts that every voice's fade snapshot is a scaled pure bank
+        entry, ``base == base_gain * bank[base_sel]`` — the base term is then
+        a second indexed take from the SAME all-K MAC instead of a separate
+        per-voice contraction (see step_coef_indexed)."""
         v, f, pp = self.num_voices, self.num_bins, self.pp
         k = bank.num_irs
         xn = self._input_spectrum(state, x)
@@ -374,7 +381,19 @@ class FMajorPartitionedConvolution:
 
         def per_voice_mac(tensors):
             """ONE contraction of fdl against N stacked per-voice spectra
-            tensors [F,V,I,O,2,Pp] -> [N, F,V,I,O,2] complex products."""
+            tensors [F,V,I,O,2,Pp] -> [N, F,V,I,O,2] complex products.
+
+            Each voice has its OWN rhs, so this is inherently a batched
+            [2, Pp] x [Pp, 4] matvec — the pathology the reference flags on
+            f_interpolate (src/conv.cu:337). On-chip measurement (probe,
+            2026-08-16): the dot form below is the FASTEST known lowering
+            at 64v/4s (4.8 ms for the base term); pure-VPU mul+reduce
+            variants (stacked, split sums, complex) all measure 6.8-7.6 ms
+            because the dynamic window slice on the minor (lane) axis
+            defeats vectorised loads. The production fade path avoids this
+            contraction entirely via step_coef_indexed; this general form
+            only runs for interrupted fades ('allk') or large banks
+            ('selected')."""
             stacked = jnp.stack(tensors, axis=1)                  # [F,N,V,I,O,e,Pp]
             fb = fdl.reshape(f, v, 2, 2, pp)                      # [F,V,I,c,Pp]
             mb = jnp.einsum("fvicp,fnvioep->fnvicoe", fb, stacked,
@@ -409,7 +428,13 @@ class FMajorPartitionedConvolution:
             sel = params.select[None, :, :, None, None, None]
             y_sel = jnp.take_along_axis(m, sel, axis=3)[:, :, :, 0]
             y = jnp.einsum("fviod,vio->fvod", y_sel, coef_sel)
-            if with_base:
+            if indexed_base is not None:
+                base_sel, base_gain = indexed_base
+                bsel = base_sel[None, :, :, None, None, None]
+                y_base = jnp.take_along_axis(m, bsel, axis=3)[:, :, :, 0]
+                y = y + jnp.einsum("fviod,vio->fvod", y_base,
+                                   (a * base_gain)[..., None] * scale)
+            elif with_base:
                 mb = per_voice_mac([window(state.base, 5).astype(self.mac_dtype)])
                 y = y + jnp.einsum("fviod,vio->fvod", mb[0],
                                    a[..., None] * scale)
@@ -420,6 +445,21 @@ class FMajorPartitionedConvolution:
     def step_coef_steady(self, state, bank, params, x):
         """Steady-state hot path: base term elided (coef_a ~ 0)."""
         return self.step_coef(state, bank, params, x, with_base=False)
+
+    def step_coef_indexed(self, state, bank, params, base_sel, base_gain, x):
+        """Crossfading step for the common case where every voice's fade
+        snapshot is a scaled pure bank entry: base == base_gain *
+        bank[base_sel] (true whenever the previous fade had converged before
+        the re-select; StreamSession tracks this per voice and falls back to
+        step_coef when any fade was interrupted mid-flight). The base
+        contribution is a second indexed take from the SAME all-K MAC the
+        steady path already computes, so a mid-crossfade block costs the
+        same as a steady block — finishing the job the reference started by
+        flagging its fade kernel as the most expensive (src/conv.cu:337)."""
+        if self.mac_strategy != "allk":
+            raise ValueError("indexed fade requires the 'allk' MAC strategy")
+        return self.step_coef(state, bank, params, x, with_base=False,
+                              indexed_base=(base_sel, base_gain))
 
     def step(self, state, bank, params, x):
         return self.step_coef(state, bank, params, x)

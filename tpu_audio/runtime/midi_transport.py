@@ -73,3 +73,24 @@ class MidiByteStream:
         if self._owns and self.fd >= 0:
             os.close(self.fd)
             self.fd = -1
+
+
+class MultiMidiStream:
+    """Aggregates several MidiByteStreams (one per device) into one
+    poll() source — the reference's one-reader-thread-per-ALSA-device
+    fan-in (src/main.cu:47-48, src/midi.cu:61-108): each stream's events
+    carry its device id, and the ControlPlane routes them to the channels
+    whose CCMapping.device matches."""
+
+    def __init__(self, streams: list[MidiByteStream]):
+        self.streams = list(streams)
+
+    def poll(self) -> list[tuple[str, bytes]]:
+        events: list[tuple[str, bytes]] = []
+        for stream in self.streams:
+            events.extend(stream.poll())
+        return events
+
+    def close(self) -> None:
+        for stream in self.streams:
+            stream.close()

@@ -85,7 +85,8 @@ class StreamSession:
                  donate: bool = True, realtime: bool = False,
                  on_missed_deadline=None, pipeline_depth: int = 1,
                  underrun_policy: str = "stop", chunk_blocks: int = 1,
-                 max_consecutive_underruns: int | None = None):
+                 max_consecutive_underruns: int | None = None,
+                 clock: str = "sleep"):
         self.engine = engine
         # bank may be a raw (possibly complex) host array or an already-
         # device-resident pytree (e.g. FMajorBank)
@@ -97,6 +98,13 @@ class StreamSession:
         self.sink = sink
         self.sample_rate = sample_rate
         self.realtime = realtime
+        # realtime pacing source: "sleep" = perf_counter + time.sleep;
+        # "native" = the C++ absolute-deadline clock (clock_nanosleep,
+        # drift-free, re-anchors after late blocks — the TPU equivalent of
+        # the reference riding the JACK server's period clock)
+        if clock not in ("sleep", "native"):
+            raise ValueError(f"unknown clock {clock!r}")
+        self.clock = clock
         # how many blocks may be in flight between dispatch and sink
         # delivery: 1 = minimum latency (local hardware); raise it on
         # high-latency host links (e.g. tunneled chips) to hide transfer RTT
@@ -147,6 +155,22 @@ class StreamSession:
             self._a_host = np.zeros((engine.num_voices, 2), np.float64)
             self._pending_old: dict[tuple[int, int], int] = {}
             control.on_select_change = self._note_select_change
+            # indexed-fade path (allk fmajor): when every voice's fade
+            # snapshot is a scaled pure bank entry, mid-fade blocks reuse
+            # the steady all-K MAC (step_coef_indexed) instead of the
+            # per-voice base contraction. Host tracks per-voice purity
+            # (base == _base_gain * bank[_base_idx]; -1 = mixture) plus an
+            # f32 mirror of coef_c to know the gain at collapse time.
+            self._step_indexed = None
+            if (self.chunk_blocks == 1
+                    and getattr(engine, "mac_strategy", None) == "allk"
+                    and hasattr(engine, "step_coef_indexed")):
+                self._step_indexed = jax.jit(engine.step_coef_indexed,
+                                             donate_argnums=donate_args)
+            self._c_host = np.zeros((engine.num_voices, 2), np.float32)
+            self._base_idx = np.zeros((engine.num_voices, 2), np.int32)
+            self._base_gain = np.zeros((engine.num_voices, 2), np.float32)
+            self._base_dev = None  # cached device (base_idx, base_gain)
         else:
             self._step_full = jax.jit(engine.step, donate_argnums=donate_args)
             self._step_steady = None
@@ -166,8 +190,18 @@ class StreamSession:
         changed = np.zeros_like(old_sel, dtype=bool)
         for (v, ch), old in self._pending_old.items():
             old_sel[v, ch] = old
+            # the collapsed snapshot base := a*base + c*bank[old] is a pure
+            # scaled bank entry iff the previous fade had converged (a ~ 0);
+            # an interrupted fade leaves a mixture (-1 -> general fade path)
+            if self._a_host[v, ch] < STEADY_THRESHOLD:
+                self._base_idx[v, ch] = old
+                self._base_gain[v, ch] = self._c_host[v, ch]
+            else:
+                self._base_idx[v, ch] = -1
             changed[v, ch] = True
             self._a_host[v, ch] = 1.0
+            self._c_host[v, ch] = 0.0  # device collapse zeroes coef_c
+        self._base_dev = None
         self._pending_old.clear()
         if self._collapse_takes_new_select:
             return self._collapse(state, self.bank, jnp.asarray(old_sel),
@@ -205,15 +239,27 @@ class StreamSession:
         import time
 
         if self._is_coef:
-            # resync the analytic coef_a mirror from the (possibly restored-
+            # resync the analytic coef mirrors from the (possibly restored-
             # from-checkpoint) state so a mid-crossfade resume keeps using
-            # the full step until the fade actually decays
+            # the full step until the fade actually decays; restored bases
+            # have unknown provenance, so any still-fading voice is marked
+            # mixed (general fade path) until its next converged re-select
             self._a_host = np.asarray(state.coef_a, np.float64)
+            self._c_host = np.asarray(state.coef_c, np.float32)
+            self._base_idx[self._a_host >= STEADY_THRESHOLD] = -1
+            self._base_dev = None
 
         pending = collections.deque()
         block_index = 0
         chunk = self.chunk_blocks
         next_deadline = time.perf_counter() + chunk * self.block_period
+        native_clock = None
+        if self.realtime and self.clock == "native":
+            from tpu_audio.runtime.native import native_available, NativeBlockClock
+            if native_available():
+                native_clock = NativeBlockClock(chunk * self.block_period)
+            else:
+                Log.warn("stream", "native clock unavailable; using sleep")
 
         while max_blocks is None or block_index < max_blocks:
             if chunk == 1:
@@ -257,19 +303,50 @@ class StreamSession:
                     self.control.apply_midi_message(message, device)
 
             self.timer.start()
+            indexed = False
             if self._is_coef:
                 state = self._maybe_collapse(state)
                 vsteps = self.control.vsteps.astype(np.float64)
                 steady = bool((self._a_host < STEADY_THRESHOLD).all())
-                step = self._step_steady if steady else self._step_full
+                if steady:
+                    step = self._step_steady
+                elif (self._step_indexed is not None
+                        and bool(((self._base_idx >= 0)
+                                  | (self._a_host < STEADY_THRESHOLD)).all())):
+                    # every voice whose fade still matters (a >= threshold)
+                    # has a pure indexed base; converged voices' base terms
+                    # are < -120 dB regardless, so mixtures there don't gate
+                    step = self._step_indexed
+                    indexed = True
+                else:
+                    step = self._step_full
+                # advance the mirrors exactly like the device does: a and c
+                # follow the in-graph f32 recursion (c in f32 so the indexed
+                # path's base_gain equals the device coef_c at collapse)
+                wet = self.control.wet
                 for _ in range(chunk):
+                    r32 = np.float32(1.0) / (
+                        vsteps.astype(np.float32) + np.float32(5.0))
                     self._a_host *= 1.0 - 1.0 / (vsteps + 5.0)
+                    self._c_host = (self._c_host * (np.float32(1.0) - r32)
+                                    + wet * r32)
                     vsteps = np.maximum(vsteps - 1.0, 0.0)
             else:
                 step = self._step_full
 
             params = self.control.snapshot_device()
-            state, out = step(state, self.bank, params, jnp.asarray(x))
+            if indexed:
+                if self._base_dev is None:
+                    idx = np.maximum(self._base_idx, 0)
+                    gain = np.where(self._base_idx >= 0, self._base_gain,
+                                    np.float32(0.0)).astype(np.float32)
+                    self._base_dev = (jnp.asarray(idx), jnp.asarray(gain))
+                self.indexed_blocks = getattr(self, "indexed_blocks", 0) + 1
+                state, out = step(state, self.bank, params,
+                                  self._base_dev[0], self._base_dev[1],
+                                  jnp.asarray(x))
+            else:
+                state, out = step(state, self.bank, params, jnp.asarray(x))
             for _ in range(chunk):
                 self.control.end_block()
 
@@ -303,10 +380,13 @@ class StreamSession:
                               block_index, elapsed * 1e3)
 
             if self.realtime:
-                now = time.perf_counter()
-                if now < next_deadline:
-                    time.sleep(next_deadline - now)
-                next_deadline += chunk * self.block_period
+                if native_clock is not None:
+                    native_clock.wait()
+                else:
+                    now = time.perf_counter()
+                    if now < next_deadline:
+                        time.sleep(next_deadline - now)
+                    next_deadline += chunk * self.block_period
 
             block_index += n_valid
             if chunk > 1 and n_valid < chunk:
@@ -314,6 +394,8 @@ class StreamSession:
 
         while pending:
             self._deliver(*pending.popleft())
+        if native_clock is not None:
+            native_clock.close()
         self.sink.close()
         self.blocks_streamed = getattr(self, "blocks_streamed", 0) + block_index
         return state
