@@ -261,3 +261,75 @@ def test_fmajor_sharded_collapse_selected_strategy():
                                    atol=1e-5, err_msg=f"block {t}")
         cp.end_block()
     assert np.abs(np.asarray(out_s)).max() > 1e-4
+
+
+@requires_8
+@pytest.mark.parametrize("voice,part", [(4, 2), (2, 4)])
+def test_fmajor_roll_part_sharded_matches_single_device(voice, part):
+    """The PRODUCTION engine's sequence (IR-partition) scaling: roll-mode
+    fmajor sharded over ('voice','part') must equal the unsharded engine
+    through collapse + crossfade + steady, with the delay-line roll's
+    shard-boundary column riding ICI (inserted by XLA from the shardings)."""
+    from tpu_audio.engine.fmajor import FMajorPartitionedConvolution
+    from tpu_audio.parallel.mesh import fmajor_shardings, shard_fmajor_step
+
+    rng = np.random.default_rng(11)
+    bank = IRBank()
+    for _ in range(2):
+        ir = rng.standard_normal((2, 512)).astype(np.float32)
+        bank.append(ir * (0.4 / np.abs(ir).max()))
+    eng = FMajorPartitionedConvolution(8, 32, bank.max_partitions(32),
+                                       max_predelay=64, ring=False)
+    assert eng.pp % part == 0
+    bank_d = eng.prepare_bank(bank.partitioned_spectra(32))
+    cp = ControlPlane(8, 2, max_predelay=64)
+    cp.wet[:] = 0.8
+    cp.dry[:] = 0.1
+    cp.predelay[:] = 11
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+
+    mesh = make_mesh(voice * part, part=part)
+    state_sh, bank_sh, _, _ = fmajor_shardings(mesh, eng)
+    step_sh = shard_fmajor_step(eng, mesh, donate=False)
+    step_pl = jax.jit(eng.step_coef, donate_argnums=())
+    collapse_pl = jax.jit(eng.collapse, donate_argnums=())
+    from tpu_audio.parallel.mesh import shard_fmajor_collapse
+    collapse_sh = shard_fmajor_collapse(eng, mesh, donate=False)
+
+    state_s = jax.device_put(eng.init_converged(bank_d, params), state_sh)
+    bank_s = jax.device_put(bank_d, bank_sh)
+    state_p = eng.init_converged(bank_d, params)
+
+    # re-select mid-run: collapse + fade must also hold sharded
+    old = cp.select.copy()
+    cp.select[:4] = 1
+    cp.vsteps[:] = 5
+    changed = jnp.asarray(cp.select != old)
+    state_s = collapse_sh(state_s, bank_s, jnp.asarray(old), changed)
+    state_p = collapse_pl(state_p, bank_d, jnp.asarray(old), changed)
+
+    for t in range(10):
+        params = jax.tree.map(jnp.asarray, cp.snapshot())
+        x = jnp.asarray(rng.standard_normal((8, 2, 32)).astype(np.float32) * 0.05)
+        state_s, out_s = step_sh(state_s, bank_s, params, x)
+        state_p, out_p = step_pl(state_p, bank_d, params, x)
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_p),
+                                   atol=2e-5, err_msg=f"block {t}")
+        cp.end_block()
+    assert np.abs(np.asarray(out_s)).max() > 1e-4
+
+
+def test_fmajor_ring_mode_rejects_part_sharding():
+    from tpu_audio.engine.fmajor import FMajorPartitionedConvolution
+    from tpu_audio.parallel.mesh import shard_fmajor_step
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    rng = np.random.default_rng(0)
+    bank = IRBank()
+    bank.append(rng.standard_normal((2, 256)).astype(np.float32) * 0.3)
+    eng = FMajorPartitionedConvolution(2, 32, bank.max_partitions(32),
+                                       max_predelay=64, ring=True)
+    mesh = make_mesh(2, part=2)
+    with pytest.raises(ValueError, match="ring"):
+        shard_fmajor_step(eng, mesh)

@@ -419,11 +419,22 @@ class FMajorPartitionedConvolution:
             # all-K MAC: [F, VI, 2Pp] x [F, 2Pp, KOD] -> [F, VI, KOD]
             # (3-pass f32 matmul: ~1e-6 relative, far beyond audio
             # resolution, at half the MXU passes of HIGHEST)
-            rhs = window(bank.rhs2, 2) if self.ring_mode else bank.mac_rhs
-            rhs = rhs.reshape(f, 2 * pp, rhs.shape[-1])
-            m = jnp.einsum("fvq,fqk->fvk", fdl.reshape(f, v * 2, 2 * pp), rhs,
-                           precision=self._mac_prec,
-                           preferred_element_type=jnp.float32)
+            if self.ring_mode:
+                rhs = window(bank.rhs2, 2)
+                rhs = rhs.reshape(f, 2 * pp, rhs.shape[-1])
+                m = jnp.einsum("fvq,fqk->fvk",
+                               fdl.reshape(f, v * 2, 2 * pp), rhs,
+                               precision=self._mac_prec,
+                               preferred_element_type=jnp.float32)
+            else:
+                # roll mode keeps the (plane, partition) axes unmerged so
+                # the partition axis can shard over an ICI mesh: per-shard
+                # partial complex sums + an XLA-inserted psum over 'part'
+                # (a merged q=2*Pp axis cannot carry a partition sharding)
+                m = jnp.einsum("fvcp,fcpk->fvk",
+                               fdl.reshape(f, v * 2, 2, pp), bank.mac_rhs,
+                               precision=self._mac_prec,
+                               preferred_element_type=jnp.float32)
             m = m.reshape(f, v, 2, k, 2, 2)                       # [F,V,I,K,O,d]
             sel = params.select[None, :, :, None, None, None]
             y_sel = jnp.take_along_axis(m, sel, axis=3)[:, :, :, 0]

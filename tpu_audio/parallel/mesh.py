@@ -164,27 +164,55 @@ def place_bank(bank, mesh: Mesh):
 def fmajor_shardings(mesh: Mesh, engine):
     """(state, bank, params, x) shardings for FMajorPartitionedConvolution.
 
-    Voice data-parallelism: the delay line's V*I dim, all per-voice state,
-    params, and I/O blocks shard over 'voice'; the bank replicates (it is
-    small and read-only). The 'part' axis is not used by this engine — its
-    doubled-rhs dynamic window would straddle partition shards; use
-    PartitionedConvolution for IR-partition (sequence) sharding.
+    Voice data-parallelism (both delay-line modes): the delay line's V*I
+    dim, all per-voice state, params, and I/O blocks shard over 'voice'.
+
+    IR-partition (sequence) parallelism — mesh 'part' axis > 1 — is served
+    by the engine's ROLL mode (ring=False): the frequency-domain delay line,
+    the MAC rhs bank, and the fade-base spectra all shard over the partition
+    axis; the per-shard MAC produces partial spectra and XLA inserts the
+    psum over 'part' plus the one-slot boundary shift of the delay-line
+    roll (a collective permute) automatically from these shardings. RING
+    mode's doubled-rhs dynamic window would straddle partition shards, so
+    ring engines are voice-DP only: single-chip production uses ring (no
+    roll traffic at all); multi-chip sequence scaling uses roll, where the
+    roll's shard-boundary column IS the ICI exchange.
     """
     from tpu_audio.engine.fmajor import FMajorBank, FMajorState
 
+    part_n = mesh.shape.get("part", 1)
+    if part_n > 1 and engine.ring_mode:
+        raise ValueError(
+            "ring-mode fmajor cannot shard partitions (dynamic window "
+            "straddles shards); build the engine with ring=False for a "
+            "part-sharded mesh, or use part=1")
+    part = "part" if part_n > 1 else None
+
     state_sh = FMajorState(
-        fdl=NamedSharding(mesh, P(None, "voice", None, None)),
+        fdl=NamedSharding(mesh, P(None, "voice", None, part)),
         prev_in=NamedSharding(mesh, P("voice", None, None)),
         wet_ring=NamedSharding(mesh, P("voice", None, None, None)),
-        base=NamedSharding(mesh, P(None, "voice", None, None, None, None)),
+        base=NamedSharding(mesh, P(None, "voice", None, None, None, part)),
         coef_a=NamedSharding(mesh, P("voice", None)),
         coef_c=NamedSharding(mesh, P("voice", None)),
         wptr=NamedSharding(mesh, P()),
-        sel_spectra=NamedSharding(mesh, P(None, "voice", None, None, None, None)),
+        # 'allk' engines carry a [.., 1] placeholder here, unshardable
+        sel_spectra=NamedSharding(mesh, P(
+            None, "voice", None, None, None,
+            part if getattr(engine, "mac_strategy", None) == "selected"
+            else None)),
     )
     repl = NamedSharding(mesh, P())
-    bank_sh = FMajorBank(mac_rhs=repl, rhs2=repl, spectra=repl,
-                         spectra_rev2=repl)
+    if part is None:
+        bank_sh = FMajorBank(mac_rhs=repl, rhs2=repl, spectra=repl,
+                             spectra_rev2=repl)
+    else:
+        bank_sh = FMajorBank(
+            mac_rhs=NamedSharding(mesh, P(None, None, "part", None)),
+            rhs2=repl,            # roll mode: placeholder leaf
+            spectra=NamedSharding(mesh, P(None, None, "part", None, None)),
+            spectra_rev2=repl,    # roll mode: placeholder leaf
+        )
     params_sh = VoiceParams(**{
         f: NamedSharding(mesh, PARAMS_SPEC)
         for f in ("select", "predelay", "vsteps", "dry", "wet", "pan_dry",
@@ -195,11 +223,16 @@ def fmajor_shardings(mesh: Mesh, engine):
 
 def shard_fmajor_step(engine, mesh: Mesh, steady: bool = False,
                       donate: bool = True):
-    """jit the f-major engine step with voice-DP mesh shardings."""
+    """jit the f-major engine step with mesh shardings (voice DP, and
+    partition/sequence sharding in roll mode when mesh part > 1)."""
     voice_n = mesh.shape["voice"]
     if engine.num_voices % voice_n:
         raise ValueError(f"{engine.num_voices} voices not divisible by "
                          f"voice axis {voice_n}")
+    part_n = mesh.shape.get("part", 1)
+    if engine.pp % part_n:
+        raise ValueError(f"padded partition axis {engine.pp} not divisible "
+                         f"by part axis {part_n}")
     state_sh, bank_sh, params_sh, x_sh = fmajor_shardings(mesh, engine)
     fn = engine.step_coef_steady if steady else engine.step_coef
     return jax.jit(
