@@ -439,3 +439,78 @@ def test_settings_predelay_clamped_to_max():
     cp = ControlPlane(1, 1, max_predelay=128)
     cp.load_initial_values(s, 0, 0, 0)
     assert cp.predelay[0, 0] == 128
+
+
+def test_resilient_session_recovers_mid_stream(tmp_path):
+    """Failure recovery (SURVEY §5): a device-session failure mid-stream is
+    detected, the model is REBUILT (fresh device arrays + jits), the last
+    periodic checkpoint is restored, the source is rewound, and the sink
+    receives a gap-free duplicate-free stream identical to an uninterrupted
+    run. The reference's only failure policy is assert() -> abort."""
+    from tpu_audio.runtime.recovery import run_resilient
+
+    rng = np.random.default_rng(21)
+    x = (rng.standard_normal((2, 2, 64 * 16)) * 0.05).astype(np.float32)
+
+    def build():
+        m = small_model(num_voices=2, engine="fmajor", num_irs=2, ir_len=128)
+        m.control.wet[:] = 0.9
+        m.control.dry[:] = 0.1
+        return m
+
+    # uninterrupted baseline
+    m0 = build()
+    s0 = WavSink("/dev/null", keep_data=True)
+    m0.process(WavSource(x, 2, 64), s0, warmup=0)
+
+    class CollectSink:
+        def __init__(self):
+            self.blocks = []
+            self.fail_at = 7
+            self.failed = False
+
+        def write(self, block):
+            if not self.failed and len(self.blocks) == self.fail_at:
+                self.failed = True
+                raise RuntimeError("simulated poisoned readback")
+            self.blocks.append(np.asarray(block))
+
+        def close(self):
+            pass
+
+    builds = []
+
+    def counting_build():
+        builds.append(1)
+        return build()
+
+    sink = CollectSink()
+    _, summary = run_resilient(
+        counting_build, WavSource(x, 2, 64), sink,
+        tmp_path / "resume.npz", checkpoint_every=4,
+        session_kwargs=dict(warmup=0))
+    assert summary["restarts"] == 1
+    assert len(builds) == 2, "recovery must rebuild the model"
+    assert summary["blocks_delivered"] == 16
+    got = np.concatenate(sink.blocks, axis=-1)
+    np.testing.assert_allclose(got, s0.data, atol=2e-6)
+
+
+def test_resilient_session_gives_up_after_max_restarts(tmp_path):
+    from tpu_audio.runtime.recovery import run_resilient
+
+    class AlwaysFailSink:
+        def write(self, block):
+            raise RuntimeError("dead transport")
+
+        def close(self):
+            pass
+
+    def build():
+        return small_model(num_voices=1, engine="fmajor")
+
+    x = np.zeros((1, 2, 64 * 4), np.float32)
+    with pytest.raises(RuntimeError, match="dead transport"):
+        run_resilient(build, WavSource(x, 1, 64), AlwaysFailSink(),
+                      tmp_path / "r.npz", checkpoint_every=2,
+                      max_restarts=2, session_kwargs=dict(warmup=0))

@@ -78,6 +78,15 @@ class IRBank:
         self._insert(idx, wav, path, max_seconds)
         return idx
 
+    def extend(self, other: "IRBank") -> int:
+        """Concatenate another bank's entries after this one's (the merged-K
+        layout behind per-channel banks); returns the offset of the first
+        appended entry."""
+        offset = len(self._irs)
+        self._irs.extend(other._irs)
+        self._paths.extend(other._paths)
+        return offset
+
     def prepare(self, idx: int, wav: WavFile | np.ndarray, path: str = "",
                 max_seconds: float | None = None) -> None:
         """Replace/extend slot `idx` (reference prepare, src/conv.cu:207-253)."""

@@ -94,6 +94,15 @@ class ControlPlane:
         self.bank_size = bank_size
         self.max_predelay = max_predelay
         v = num_voices
+        # per-channel bank windows: each (voice, ch) selects from the slice
+        # [select_base, select_base + select_span) of the merged bank. The
+        # reference LOADS a separate index per channel (src/main.cu:72-81)
+        # but collapses both into one shared map (channel 1 overwrites);
+        # here the capability is implemented correctly: both channels' banks
+        # are concatenated along K and each channel addresses its own window
+        # (see ConvolutionReverb.from_settings / set_channel_banks).
+        self.select_base = np.zeros((v, 2), np.int32)
+        self.select_span = np.full((v, 2), max(bank_size, 1), np.int32)
         self.select = np.zeros((v, 2), np.int32)
         self.predelay = np.zeros((v, 2), np.int32)
         self.vsteps = np.zeros((v, 2), np.int32)
@@ -116,10 +125,25 @@ class ControlPlane:
     def set_mapping(self, voice: int, ch: int, mapping: CCMapping) -> None:
         self.mappings[(voice, ch)] = mapping
 
+    def set_channel_banks(self, windows: list[tuple[int, int]]) -> None:
+        """Give each engine channel its own (offset, size) window into the
+        merged bank, applied to every voice. Pass one window to share a
+        bank (the default), or one per channel for per-channel banks."""
+        self._dirty = True
+        for ch in range(2):
+            off, size = windows[min(ch, len(windows) - 1)]
+            self.select_base[:, ch] = off
+            self.select_span[:, ch] = max(size, 1)
+            self.select[:, ch] = np.clip(self.select[:, ch], off,
+                                         off + max(size, 1) - 1)
+
     def load_initial_values(self, settings, voice: int, ch: int, idx: int) -> None:
         """Initial values from settings (reference src/main.cu:63-70)."""
         self._dirty = True
-        self.select[voice, ch] = settings.u32("conv[%d].value.select", idx, default=0)
+        sel = settings.u32("conv[%d].value.select", idx, default=0)
+        self.select[voice, ch] = (self.select_base[voice, ch]
+                                  + min(sel, max(self.select_span[voice, ch]
+                                                 - 1, 0)))
         pd = settings.u32("conv[%d].value.predelay", idx, default=0)
         if pd > self.max_predelay:
             # out-of-range settings would silently mute the fmajor engine's
@@ -148,7 +172,8 @@ class ControlPlane:
         hit = False
         self._dirty = True
         if controller == m.select:
-            new = value * self.bank_size // 128
+            new = (int(self.select_base[voice, ch])
+                   + value * int(self.select_span[voice, ch]) // 128)
             old = int(self.select[voice, ch])
             self.select[voice, ch] = new
             self.vsteps[voice, ch] = self.speed[voice, ch]

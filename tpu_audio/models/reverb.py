@@ -91,9 +91,13 @@ class ConvolutionReverb:
 
         conv.count / 2 stereo voices (reference asserts count is even,
         src/main.cu:26); per-channel CC mappings + initial values
-        (src/main.cu:54-70); IR bank from channel 0's index file (the
-        reference loads both channels' index files into ONE shared map,
-        src/main.cu:74-81 — one bank per model here, channel 0 wins).
+        (src/main.cu:54-70); IR banks from BOTH channels' index files
+        (src/main.cu:72-81). The reference loads both indexes into one
+        shared map so channel 1's bank silently overwrites channel 0's
+        where they differ; here the capability is implemented correctly:
+        differing index files are concatenated along the bank axis and each
+        engine channel addresses its own window of the merged bank
+        (ControlPlane.set_channel_banks).
         """
         if not isinstance(settings, Settings):
             settings = Settings().open(settings, verbose=verbose)
@@ -108,17 +112,28 @@ class ConvolutionReverb:
                              "(main.cu:36)")
         max_pd = settings.u32("conv[%d].maxPredelay", 0, default=8192)
 
-        index = settings.str("conv[%d].index", 0, default="")
-        if index and root and not os.path.exists(index):
-            candidate = os.path.join(root, index)
-            if os.path.exists(candidate):
-                index = candidate
-        bank = IRBank.from_index(index, root=root, verbose=verbose,
-                                 max_seconds=max_ir_seconds) if index else IRBank()
+        def resolve(idx_ch: int) -> str:
+            index = settings.str("conv[%d].index", idx_ch, default="")
+            if index and root and not os.path.exists(index):
+                candidate = os.path.join(root, index)
+                if os.path.exists(candidate):
+                    index = candidate
+            return index
+
+        index0, index1 = resolve(0), resolve(1)
+        bank = IRBank.from_index(index0, root=root, verbose=verbose,
+                                 max_seconds=max_ir_seconds) if index0 else IRBank()
+        windows = [(0, len(bank))]
+        if index1 and index1 != index0:
+            bank1 = IRBank.from_index(index1, root=root, verbose=verbose,
+                                      max_seconds=max_ir_seconds)
+            offset = bank.extend(bank1)
+            windows = [(0, offset), (offset, len(bank1))]
         if normalize_bank:
             bank.normalize(mode=normalize_bank)
         model = cls(bank, num_voices=v, engine=engine, fft_size=fft_size,
                     max_predelay=max_pd, **kwargs)
+        model.control.set_channel_banks(windows)
         for voice in range(min(v, count // 2)):
             for ch in range(2):
                 idx = voice * 2 + ch

@@ -28,6 +28,16 @@ the rhs passed per block is time-invariant — no per-block bank rotation.
 
 Grid: one dimension over frequency tiles; the partition axis stays whole
 inside the kernel (P up to ~2048 fits VMEM comfortably at small f tiles).
+
+Status (re-measured 2026-08-16 on the current driver stack, TPU v5e via
+tunnel, 64v/4s shapes): NO-GO as the default MAC. Isolated at identical
+layouts, pallas ring_mac = 7.6 ms vs the XLA window+matmul = 6.5 ms
+(Mosaic DMA still trails XLA fusions on this transport), and the production
+engine's merged-axis XLA MAC inside the full steady step runs the whole
+block in 0.82 ms. f_tile=4 additionally crashes the remote tpu_compile
+helper (HTTP 500). The kernels stay exactness-tested (tests/
+test_pallas_mac.py, interpret mode) for hardware where Mosaic DMA reaches
+parity; revisit if the deployment stack changes.
 """
 
 from __future__ import annotations

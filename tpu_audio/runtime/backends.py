@@ -65,6 +65,17 @@ class WavSource(BlockSource):
         self._pos = 0
         self._emitted = 0
 
+    def seek(self, block_index: int) -> None:
+        """Reposition to a block boundary (exact checkpoint resume: the
+        recovery driver replays from the last checkpoint; live sources
+        can't seek and simply continue, accepting the outage gap)."""
+        if self.loop:
+            total = self.data.shape[-1]
+            self._pos = (block_index * self.block) % max(total, 1)
+        else:
+            self._pos = block_index * self.block
+        self._emitted = block_index
+
     def read(self) -> np.ndarray | None:
         if self.max_blocks is not None and self._emitted >= self.max_blocks:
             return None

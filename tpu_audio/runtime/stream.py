@@ -233,8 +233,18 @@ class StreamSession:
             else device_put_maybe_complex(leaf), bank)
 
     def run(self, state, max_blocks: int | None = None,
-            midi: MidiSchedule | None = None, live_midi=None):
-        """Stream until the source ends (or max_blocks). Returns final state."""
+            midi: MidiSchedule | None = None, live_midi=None,
+            checkpoint_path=None, checkpoint_every: int | None = None,
+            start_block: int = 0):
+        """Stream until the source ends (or max_blocks). Returns final state.
+
+        checkpoint_path + checkpoint_every: periodically persist the full
+        engine state + control plane (runtime.checkpoint) so a poisoned
+        device session can be rebuilt and resumed (see runtime.recovery).
+        Each save forces a device->host sync of the state — size the
+        interval accordingly. start_block offsets the reported block
+        indices (resume bookkeeping).
+        """
         import collections
         import time
 
@@ -296,7 +306,7 @@ class StreamSession:
                 x = np.stack(xs)
 
             if midi is not None:
-                for device, message in midi.pop_due(block_index):
+                for device, message in midi.pop_due(start_block + block_index):
                     self.control.apply_midi_message(message, device)
             if live_midi is not None:
                 for device, message in live_midi.poll():
@@ -389,6 +399,17 @@ class StreamSession:
                     next_deadline += chunk * self.block_period
 
             block_index += n_valid
+            if (checkpoint_path is not None and checkpoint_every
+                    and block_index % checkpoint_every == 0):
+                # drain in-flight deliveries FIRST: a checkpoint must never
+                # get ahead of the sink, or a crash between save and
+                # delivery would lose the undelivered blocks on resume
+                while pending:
+                    self._deliver(*pending.popleft())
+                from tpu_audio.runtime.checkpoint import save_checkpoint
+                save_checkpoint(checkpoint_path, state, self.control,
+                                meta={"block_index":
+                                      start_block + block_index})
             if chunk > 1 and n_valid < chunk:
                 break  # source exhausted mid-chunk
 
