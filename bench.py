@@ -209,16 +209,24 @@ def main(argv=None) -> int:
     ms_steady, state = engine_true_ms(
         steady, state, spectra, params, make_block, args.engine_blocks,
         reps=args.reps)
-    base_sel = jnp.zeros((args.voices, 2), jnp.int32)
-    base_gain = jnp.full((args.voices, 2), 0.7, jnp.float32)
     control.vsteps[:] = 1 << 20  # keep the fade in flight during timing
     params_fade = jax.tree.map(jnp.asarray, control.snapshot())
+
+    def fade_state():
+        # a converged re-select, collapsed the deferred way (pure
+        # provenance in state) — the production fade entry path
+        st = engine.init_converged(spectra, params)
+        changed = jnp.asarray(np.ones((args.voices, 2), bool))
+        return jax.jit(engine.collapse_pure)(st, params.select, changed)
+
     ms_fidx, _ = engine_true_ms(
-        fade_idx, engine.init_converged(spectra, params), spectra, params_fade,
-        make_block, args.engine_blocks, extra=(base_sel, base_gain),
-        reps=args.reps)
+        fade_idx, fade_state(), spectra, params_fade,
+        make_block, args.engine_blocks, reps=args.reps)
     ms_fgen, _ = engine_true_ms(
-        fade_gen, engine.init_converged(spectra, params), spectra, params_fade,
+        fade_gen, jax.jit(engine.collapse)(
+            engine.init_converged(spectra, params), spectra, params.select,
+            jnp.asarray(np.ones((args.voices, 2), bool))),
+        spectra, params_fade,
         make_block, max(args.engine_blocks // 2, 20), reps=max(args.reps - 1, 1))
     control.vsteps[:] = 0
     dl_ms = deadline * 1e3
@@ -264,9 +272,8 @@ def main(argv=None) -> int:
     control.vsteps[:] = 1 << 20
     params_fade = jax.tree.map(jnp.asarray, control.snapshot())
     times_f, _, _ = e2e_throughput(
-        fade_idx, engine.init_converged(spectra, params), spectra, params_fade,
-        make_block, enc_i16, dec_i16, max(args.chunks // 2, 3), T, deadline,
-        extra=(base_sel, base_gain))
+        fade_idx, fade_state(), spectra, params_fade,
+        make_block, enc_i16, dec_i16, max(args.chunks // 2, 3), T, deadline)
     fade_rtf = deadline / float(times_f.mean())
     log(f"e2e pcm16 mid-fade: {float(times_f.mean()) * 1e3:.3f} ms/block "
         f"(RTF {fade_rtf:.2f})")

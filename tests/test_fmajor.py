@@ -291,10 +291,10 @@ def test_bf16_selected_strategy_state_stable(ring):
 
 @pytest.mark.parametrize("ring", [False, True])
 def test_indexed_fade_matches_general_fade(ring):
-    """step_coef_indexed (base term taken from the all-K MAC) must match
-    step_coef (per-voice base contraction) whenever the fade snapshot is a
-    scaled pure bank entry — which is what collapse() produces when the
-    previous fade had converged (coef_a ~ 0, base := coef_c * bank[old])."""
+    """step_coef_indexed after collapse_pure (no snapshot rewrite; base term
+    taken from the all-K MAC via state provenance) must match step_coef
+    after the materializing collapse — the two representations of the same
+    converged re-select."""
     _, fm, spectra, _ = build(num_voices=4, ring=ring)
     bank_fm = fm.prepare_bank(spectra)
     cp = ControlPlane(4, 3, max_predelay=64)
@@ -302,19 +302,19 @@ def test_indexed_fade_matches_general_fade(ring):
     cp.dry[:] = 0.1
     cp.predelay[:] = 9
     params = jax.tree.map(jnp.asarray, cp.snapshot())
-    state = fm.init_converged(bank_fm, params)  # coef_c == wet, coef_a == 0
+    state0 = fm.init_converged(bank_fm, params)  # coef_c == wet, coef_a == 0
 
-    # converged re-select: base becomes coef_c * bank[old]
+    # converged re-select: effective snapshot becomes coef_c * bank[old]
     old = cp.select.copy()
     cp.select[:] = [[2, 1], [0, 2], [1, 1], [2, 0]]
     cp.vsteps[:] = 6
-    base_gain = np.full((4, 2), 0.8, np.float32)  # == coef_c at collapse
-    state = jax.jit(fm.collapse)(state, bank_fm, jnp.asarray(old),
-                                 jnp.asarray(np.ones_like(old, bool)))
+    changed = jnp.asarray(np.ones_like(old, bool))
+    s_gen = jax.jit(fm.collapse)(state0, bank_fm, jnp.asarray(old), changed)
+    s_idx = jax.jit(fm.collapse_pure)(state0, jnp.asarray(old), changed)
+    assert bool(np.asarray(s_idx.base_pure).all())
+    np.testing.assert_array_equal(np.asarray(s_idx.base_sel), old)
+    np.testing.assert_allclose(np.asarray(s_idx.base_gain), 0.8)
 
-    s_gen, s_idx = state, state
-    idx_d = jnp.asarray(old)
-    gain_d = jnp.asarray(base_gain)
     atol = 2e-3 if ring else 3e-6  # ring-mode base snapshot is bf16
     rng = np.random.default_rng(4)
     step_gen = jax.jit(fm.step_coef, donate_argnums=())
@@ -323,17 +323,74 @@ def test_indexed_fade_matches_general_fade(ring):
         params = jax.tree.map(jnp.asarray, cp.snapshot())
         x = jnp.asarray(rng.standard_normal((4, 2, 32)).astype(np.float32) * 0.05)
         s_gen, o_gen = step_gen(s_gen, bank_fm, params, x)
-        s_idx, o_idx = step_idx(s_idx, bank_fm, params, idx_d, gain_d, x)
+        s_idx, o_idx = step_idx(s_idx, bank_fm, params, x)
         np.testing.assert_allclose(np.asarray(o_idx), np.asarray(o_gen),
                                    atol=atol, err_msg=f"block {t}")
         cp.end_block()
+
+
+@pytest.mark.parametrize("ring", [False, True])
+def test_materializing_collapse_honors_virtual_snapshot(ring):
+    """An INTERRUPTED fade after a collapse_pure: the materializing
+    collapse must reconstruct the virtual snapshot (gain * bank[sel], whose
+    `base` tensor is stale) before folding it into the mixture — the
+    deferred-collapse trajectory must equal the always-materializing one."""
+    _, fm, spectra, _ = build(num_voices=2, ring=ring)
+    bank_fm = fm.prepare_bank(spectra)
+    cp = ControlPlane(2, 3, max_predelay=64)
+    cp.wet[:] = 0.8
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+    state0 = fm.init_converged(bank_fm, params)
+
+    collapse = jax.jit(fm.collapse, donate_argnums=())
+    collapse_pure = jax.jit(fm.collapse_pure, donate_argnums=())
+    step = jax.jit(fm.step_coef, donate_argnums=())
+    step_idx = jax.jit(fm.step_coef_indexed, donate_argnums=())
+    rng = np.random.default_rng(6)
+
+    def fade_then_interrupt(state, deferred):
+        cpl = ControlPlane(2, 3, max_predelay=64)
+        cpl.wet[:] = 0.8
+        # re-select 0 -> 1 (converged start), fade 3 blocks, interrupt -> 2
+        old = cpl.select.copy()
+        cpl.select[:] = 1
+        cpl.vsteps[:] = 20
+        changed = jnp.asarray(np.ones_like(old, bool))
+        if deferred:
+            state = collapse_pure(state, jnp.asarray(old), changed)
+        else:
+            state = collapse(state, bank_fm, jnp.asarray(old), changed)
+        outs = []
+        rng2 = np.random.default_rng(7)
+        for t in range(3):
+            p = jax.tree.map(jnp.asarray, cpl.snapshot())
+            x = jnp.asarray(rng2.standard_normal((2, 2, 32)).astype(np.float32) * 0.05)
+            state, o = (step_idx if deferred else step)(state, bank_fm, p, x)
+            outs.append(np.asarray(o))
+            cpl.end_block()
+        old = cpl.select.copy()
+        cpl.select[:] = 2  # interrupt mid-fade -> mixture
+        cpl.vsteps[:] = 20
+        state = collapse(state, bank_fm, jnp.asarray(old), changed)
+        for t in range(6):
+            p = jax.tree.map(jnp.asarray, cpl.snapshot())
+            x = jnp.asarray(rng2.standard_normal((2, 2, 32)).astype(np.float32) * 0.05)
+            state, o = step(state, bank_fm, p, x)
+            outs.append(np.asarray(o))
+            cpl.end_block()
+        return np.concatenate(outs, axis=-1)
+
+    got_deferred = fade_then_interrupt(state0, deferred=True)
+    got_material = fade_then_interrupt(state0, deferred=False)
+    atol = 4e-3 if ring else 3e-6  # bf16 snapshot transient in ring mode
+    np.testing.assert_allclose(got_deferred, got_material, atol=atol)
 
 
 def test_indexed_fade_requires_allk():
     _, fm, spectra, _ = build(num_voices=2)
     fm.mac_strategy = "selected"
     with pytest.raises(ValueError):
-        fm.step_coef_indexed(None, None, None, None, None, None)
+        fm.step_coef_indexed(None, None, None, None)
 
 
 def test_session_uses_indexed_fade_and_matches_general():

@@ -96,7 +96,16 @@ class FMajorState:
     wptr: jax.Array      # i32 [] ring write slot of the NEWEST spectrum
     sel_spectra: jax.Array  # 'selected' strategy only: f32, base's layout —
                             # the per-voice selected bank spectra (updated at
-                            # collapse); placeholder [.,.,.,.,.,1] for 'allk' 
+                            # collapse); placeholder [.,.,.,.,.,1] for 'allk'
+    # fade-snapshot provenance: where base_pure, the EFFECTIVE snapshot is
+    # base_gain * bank[base_sel] and the `base` tensor may be stale — a
+    # converged re-select then costs a scalar-sized collapse_pure instead
+    # of a full snapshot rewrite, and crossfading blocks ride the indexed
+    # take from the all-K MAC. Carried in state (not host) so checkpoints
+    # and sharding see it.
+    base_sel: jax.Array   # i32 [V, 2]
+    base_gain: jax.Array  # f32 [V, 2]
+    base_pure: jax.Array  # bool [V, 2]
 
 
 def _pad_p(arr: np.ndarray, axis: int, pp: int) -> np.ndarray:
@@ -256,6 +265,10 @@ class FMajorPartitionedConvolution:
             coef_c=jnp.zeros((v, 2), jnp.float32),
             wptr=jnp.zeros((), jnp.int32),
             sel_spectra=jnp.zeros(sel_shape, sel_dtype),
+            # the zero snapshot is the pure entry 0 with gain 0
+            base_sel=jnp.zeros((v, 2), jnp.int32),
+            base_gain=jnp.zeros((v, 2), jnp.float32),
+            base_pure=jnp.ones((v, 2), jnp.bool_),
         ))()
 
     def init_converged(self, bank: FMajorBank, params: VoiceParams) -> FMajorState:
@@ -345,14 +358,14 @@ class FMajorPartitionedConvolution:
 
     def step_coef(self, state: FMajorState, bank: FMajorBank,
                   params: VoiceParams, x: jax.Array, with_base: bool = True,
-                  indexed_base: tuple[jax.Array, jax.Array] | None = None):
+                  indexed_base: bool = False):
         """Full step (fade-capable). Same semantics contract as
         PartitionedConvolution.step_coef, in f-major layout.
 
-        ``indexed_base=(base_sel, base_gain)`` (both [V, 2]; 'allk' strategy
-        only) asserts that every voice's fade snapshot is a scaled pure bank
-        entry, ``base == base_gain * bank[base_sel]`` — the base term is then
-        a second indexed take from the SAME all-K MAC instead of a separate
+        ``indexed_base=True`` ('allk' strategy only) asserts that every
+        voice whose fade still matters has a pure snapshot, ``base ==
+        state.base_gain * bank[state.base_sel]`` — the base term is then a
+        second indexed take from the SAME all-K MAC instead of a separate
         per-voice contraction (see step_coef_indexed)."""
         v, f, pp = self.num_voices, self.num_bins, self.pp
         k = bank.num_irs
@@ -439,12 +452,11 @@ class FMajorPartitionedConvolution:
             sel = params.select[None, :, :, None, None, None]
             y_sel = jnp.take_along_axis(m, sel, axis=3)[:, :, :, 0]
             y = jnp.einsum("fviod,vio->fvod", y_sel, coef_sel)
-            if indexed_base is not None:
-                base_sel, base_gain = indexed_base
-                bsel = base_sel[None, :, :, None, None, None]
+            if indexed_base:
+                bsel = state.base_sel[None, :, :, None, None, None]
                 y_base = jnp.take_along_axis(m, bsel, axis=3)[:, :, :, 0]
                 y = y + jnp.einsum("fviod,vio->fvod", y_base,
-                                   (a * base_gain)[..., None] * scale)
+                                   (a * state.base_gain)[..., None] * scale)
             elif with_base:
                 mb = per_voice_mac([window(state.base, 5).astype(self.mac_dtype)])
                 y = y + jnp.einsum("fviod,vio->fvod", mb[0],
@@ -457,20 +469,21 @@ class FMajorPartitionedConvolution:
         """Steady-state hot path: base term elided (coef_a ~ 0)."""
         return self.step_coef(state, bank, params, x, with_base=False)
 
-    def step_coef_indexed(self, state, bank, params, base_sel, base_gain, x):
-        """Crossfading step for the common case where every voice's fade
-        snapshot is a scaled pure bank entry: base == base_gain *
-        bank[base_sel] (true whenever the previous fade had converged before
-        the re-select; StreamSession tracks this per voice and falls back to
-        step_coef when any fade was interrupted mid-flight). The base
-        contribution is a second indexed take from the SAME all-K MAC the
-        steady path already computes, so a mid-crossfade block costs the
-        same as a steady block — finishing the job the reference started by
-        flagging its fade kernel as the most expensive (src/conv.cu:337)."""
+    def step_coef_indexed(self, state, bank, params, x):
+        """Crossfading step for the common case where every fading voice's
+        snapshot is a scaled pure bank entry: base == state.base_gain *
+        bank[state.base_sel] (true whenever the previous fade had converged
+        before the re-select — collapse_pure records the provenance in
+        state; StreamSession falls back to step_coef when a fade was
+        interrupted mid-flight). The base contribution is a second indexed
+        take from the SAME all-K MAC the steady path already computes, so a
+        mid-crossfade block costs the same as a steady block — finishing
+        the job the reference started by flagging its fade kernel as the
+        most expensive (src/conv.cu:337)."""
         if self.mac_strategy != "allk":
             raise ValueError("indexed fade requires the 'allk' MAC strategy")
         return self.step_coef(state, bank, params, x, with_base=False,
-                              indexed_base=(base_sel, base_gain))
+                              indexed_base=True)
 
     def step(self, state, bank, params, x):
         return self.step_coef(state, bank, params, x)
@@ -480,21 +493,32 @@ class FMajorPartitionedConvolution:
     def collapse(self, state: FMajorState, bank: FMajorBank,
                  old_select: jax.Array, changed: jax.Array,
                  new_select: jax.Array | None = None) -> FMajorState:
-        """Re-base the affine form after IR re-select (host-triggered).
-        The 'selected' strategy also re-gathers the per-voice selected
-        spectra (pass `new_select`, i.e. the post-change selection)."""
+        """Re-base the affine form after IR re-select (host-triggered),
+        MATERIALIZING the snapshot: base := a*base_eff + c*bank[old] where
+        the effective previous snapshot honours pure provenance (a voice
+        whose base was virtual — base_gain*bank[base_sel], possibly with a
+        stale `base` tensor — is materialized here, including non-changed
+        voices, so the general fade step may read `base` for everyone
+        afterwards). The 'selected' strategy also re-gathers the per-voice
+        selected spectra (pass `new_select`, the post-change selection)."""
         if self.mac_strategy == "selected":
             gathered = state.sel_spectra.astype(jnp.float32)
         else:
             gathered = self._gather_selection(bank, old_select)
+        # materialize virtual snapshots (pure voices' base may be stale)
+        virtual = (self._gather_selection(bank, state.base_sel)
+                   .astype(jnp.float32)
+                   * state.base_gain[None, :, :, None, None, None])
+        pure = state.base_pure[None, :, :, None, None, None]
+        base_eff = jnp.where(pure, virtual, state.base.astype(jnp.float32))
         a = state.coef_a[None, :, :, None, None, None]
         c = state.coef_c[None, :, :, None, None, None]
-        collapsed = (a * state.base.astype(jnp.float32)
-                     + c * gathered).astype(state.base.dtype)
+        collapsed = a * base_eff + c * gathered
         mask = changed[None, :, :, None, None, None]
         state = replace(
             state,
-            base=jnp.where(mask, collapsed, state.base),
+            base=jnp.where(mask, collapsed, base_eff).astype(state.base.dtype),
+            base_pure=jnp.zeros_like(state.base_pure),
             coef_a=jnp.where(changed, 1.0, state.coef_a),
             coef_c=jnp.where(changed, 0.0, state.coef_c),
         )
@@ -505,6 +529,24 @@ class FMajorPartitionedConvolution:
             state = replace(state, sel_spectra=jnp.where(
                 mask, fresh, state.sel_spectra))
         return state
+
+    def collapse_pure(self, state: FMajorState, old_select: jax.Array,
+                      changed: jax.Array) -> FMajorState:
+        """Deferred collapse for converged re-selects ('allk' strategy):
+        when a changed voice's fade had fully decayed (coef_a ~ 0, checked
+        by the host), the collapsed snapshot is EXACTLY coef_c *
+        bank[old_select], so only the [V,2]-sized provenance needs updating
+        — no snapshot rewrite at all. A re-select block then costs the same
+        as a steady block end to end (the reference instead pays its
+        full-spectrum f_interpolate for the entire fade, conv.cu:337)."""
+        return replace(
+            state,
+            base_sel=jnp.where(changed, old_select, state.base_sel),
+            base_gain=jnp.where(changed, state.coef_c, state.base_gain),
+            base_pure=jnp.where(changed, True, state.base_pure),
+            coef_a=jnp.where(changed, 1.0, state.coef_a),
+            coef_c=jnp.where(changed, 0.0, state.coef_c),
+        )
 
 
 def make_chunk_step(engine, steady: bool = False):

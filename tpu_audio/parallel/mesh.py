@@ -201,6 +201,9 @@ def fmajor_shardings(mesh: Mesh, engine):
             None, "voice", None, None, None,
             part if getattr(engine, "mac_strategy", None) == "selected"
             else None)),
+        base_sel=NamedSharding(mesh, P("voice", None)),
+        base_gain=NamedSharding(mesh, P("voice", None)),
+        base_pure=NamedSharding(mesh, P("voice", None)),
     )
     repl = NamedSharding(mesh, P())
     if part is None:

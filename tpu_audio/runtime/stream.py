@@ -155,22 +155,24 @@ class StreamSession:
             self._a_host = np.zeros((engine.num_voices, 2), np.float64)
             self._pending_old: dict[tuple[int, int], int] = {}
             control.on_select_change = self._note_select_change
-            # indexed-fade path (allk fmajor): when every voice's fade
-            # snapshot is a scaled pure bank entry, mid-fade blocks reuse
-            # the steady all-K MAC (step_coef_indexed) instead of the
-            # per-voice base contraction. Host tracks per-voice purity
-            # (base == _base_gain * bank[_base_idx]; -1 = mixture) plus an
-            # f32 mirror of coef_c to know the gain at collapse time.
+            # indexed-fade path (allk fmajor): when every fading voice's
+            # snapshot is a scaled pure bank entry (provenance carried in
+            # FMajorState.base_sel/base_gain/base_pure), mid-fade blocks
+            # reuse the steady all-K MAC (step_coef_indexed) and converged
+            # re-selects collapse with a scalar-sized collapse_pure — no
+            # snapshot rewrite. The host keeps a purity mirror (_base_idx,
+            # -1 = mixture) for step selection only; the truth is in state.
             self._step_indexed = None
+            self._collapse_pure = None
             if (self.chunk_blocks == 1
                     and getattr(engine, "mac_strategy", None) == "allk"
                     and hasattr(engine, "step_coef_indexed")):
                 self._step_indexed = jax.jit(engine.step_coef_indexed,
                                              donate_argnums=donate_args)
+                self._collapse_pure = jax.jit(engine.collapse_pure,
+                                              donate_argnums=donate_args)
             self._c_host = np.zeros((engine.num_voices, 2), np.float32)
             self._base_idx = np.zeros((engine.num_voices, 2), np.int32)
-            self._base_gain = np.zeros((engine.num_voices, 2), np.float32)
-            self._base_dev = None  # cached device (base_idx, base_gain)
         else:
             self._step_full = jax.jit(engine.step, donate_argnums=donate_args)
             self._step_steady = None
@@ -182,27 +184,47 @@ class StreamSession:
         # between two steps)
         self._pending_old.setdefault((voice, ch), old)
 
+    def _indexed_valid(self) -> bool:
+        """True when every voice whose fade still matters (a >= threshold)
+        has pure provenance in state — the indexed step / collapse_pure
+        precondition. Converged voices' base terms are < -120 dB, so stale
+        provenance there never gates."""
+        return bool(((self._base_idx >= 0)
+                     | (self._a_host < STEADY_THRESHOLD)).all())
+
     def _maybe_collapse(self, state):
         if not self._pending_old:
             return state
+        # collapse_pure (a [V,2]-sized provenance update — the re-select
+        # block then costs the same as a steady block) is valid iff every
+        # CHANGED voice's fade had converged (its collapsed snapshot is
+        # exactly coef_c * bank[old]) AND the pre-state was indexed-valid
+        # (otherwise a material fading voice would coexist with the new
+        # pure one and neither fade step could serve them both).
+        # (gated on _step_indexed too: deferred collapse leaves `base`
+        # stale, which only the indexed step may then serve)
+        use_pure = (self._collapse_pure is not None
+                    and self._step_indexed is not None
+                    and self._indexed_valid()
+                    and all(self._a_host[vc] < STEADY_THRESHOLD
+                            for vc in self._pending_old))
         new_sel = self.control.select.copy()
         old_sel = new_sel.copy()
         changed = np.zeros_like(old_sel, dtype=bool)
         for (v, ch), old in self._pending_old.items():
             old_sel[v, ch] = old
-            # the collapsed snapshot base := a*base + c*bank[old] is a pure
-            # scaled bank entry iff the previous fade had converged (a ~ 0);
-            # an interrupted fade leaves a mixture (-1 -> general fade path)
-            if self._a_host[v, ch] < STEADY_THRESHOLD:
-                self._base_idx[v, ch] = old
-                self._base_gain[v, ch] = self._c_host[v, ch]
-            else:
-                self._base_idx[v, ch] = -1
             changed[v, ch] = True
             self._a_host[v, ch] = 1.0
             self._c_host[v, ch] = 0.0  # device collapse zeroes coef_c
-        self._base_dev = None
+            self._base_idx[v, ch] = old if use_pure else -1
         self._pending_old.clear()
+        if use_pure:
+            return self._collapse_pure(state, jnp.asarray(old_sel),
+                                       jnp.asarray(changed))
+        # materializing collapse: every voice's base becomes a valid tensor
+        # (virtual snapshots are materialized in-graph), so the general
+        # fade step may read state.base for anyone afterwards
+        self._base_idx[:] = -1
         if self._collapse_takes_new_select:
             return self._collapse(state, self.bank, jnp.asarray(old_sel),
                                   jnp.asarray(changed), jnp.asarray(new_sel))
@@ -251,13 +273,16 @@ class StreamSession:
         if self._is_coef:
             # resync the analytic coef mirrors from the (possibly restored-
             # from-checkpoint) state so a mid-crossfade resume keeps using
-            # the full step until the fade actually decays; restored bases
-            # have unknown provenance, so any still-fading voice is marked
-            # mixed (general fade path) until its next converged re-select
+            # the full step until the fade actually decays; snapshot
+            # provenance is state-carried, so purity survives restores
             self._a_host = np.asarray(state.coef_a, np.float64)
             self._c_host = np.asarray(state.coef_c, np.float32)
-            self._base_idx[self._a_host >= STEADY_THRESHOLD] = -1
-            self._base_dev = None
+            if hasattr(state, "base_pure"):
+                pure = np.asarray(state.base_pure)
+                sel = np.asarray(state.base_sel)
+                self._base_idx = np.where(pure, sel, -1).astype(np.int32)
+            else:
+                self._base_idx = np.full_like(self._base_idx, -1)
 
         pending = collections.deque()
         block_index = 0
@@ -320,12 +345,7 @@ class StreamSession:
                 steady = bool((self._a_host < STEADY_THRESHOLD).all())
                 if steady:
                     step = self._step_steady
-                elif (self._step_indexed is not None
-                        and bool(((self._base_idx >= 0)
-                                  | (self._a_host < STEADY_THRESHOLD)).all())):
-                    # every voice whose fade still matters (a >= threshold)
-                    # has a pure indexed base; converged voices' base terms
-                    # are < -120 dB regardless, so mixtures there don't gate
+                elif self._step_indexed is not None and self._indexed_valid():
                     step = self._step_indexed
                     indexed = True
                 else:
@@ -346,17 +366,8 @@ class StreamSession:
 
             params = self.control.snapshot_device()
             if indexed:
-                if self._base_dev is None:
-                    idx = np.maximum(self._base_idx, 0)
-                    gain = np.where(self._base_idx >= 0, self._base_gain,
-                                    np.float32(0.0)).astype(np.float32)
-                    self._base_dev = (jnp.asarray(idx), jnp.asarray(gain))
                 self.indexed_blocks = getattr(self, "indexed_blocks", 0) + 1
-                state, out = step(state, self.bank, params,
-                                  self._base_dev[0], self._base_dev[1],
-                                  jnp.asarray(x))
-            else:
-                state, out = step(state, self.bank, params, jnp.asarray(x))
+            state, out = step(state, self.bank, params, jnp.asarray(x))
             for _ in range(chunk):
                 self.control.end_block()
 
