@@ -133,7 +133,7 @@ def e2e_throughput(step, state, bank, params, make_block, encode, decode,
     batch = encode(*outs)
     _ = np.asarray(batch)
 
-    tprev = time.perf_counter()
+    tprev = None
     for c in range(n_chunks):
         outs = []
         for t in range(chunk):
@@ -148,6 +148,11 @@ def e2e_throughput(step, state, bank, params, make_block, encode, decode,
         if len(pending) > 2:
             last_host = np.asarray(pending.popleft())
             tnow = time.perf_counter()
+            if tprev is None:
+                # the first pop spans the 3-chunk pipeline fill — start the
+                # steady-state clock here instead of recording it
+                tprev = tnow
+                continue
             per_block = (tnow - tprev) / chunk
             tprev = tnow
             times.append(per_block)
@@ -156,7 +161,8 @@ def e2e_throughput(step, state, bank, params, make_block, encode, decode,
     while pending:
         last_host = np.asarray(pending.popleft())
         tnow = time.perf_counter()
-        times.append((tnow - tprev) / chunk)
+        if tprev is not None:
+            times.append((tnow - tprev) / chunk)
         tprev = tnow
 
     # honesty check: the delivered wire data must be real, finite audio

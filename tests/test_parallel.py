@@ -333,3 +333,52 @@ def test_fmajor_ring_mode_rejects_part_sharding():
     mesh = make_mesh(2, part=2)
     with pytest.raises(ValueError, match="ring"):
         shard_fmajor_step(eng, mesh)
+
+
+@requires_8
+def test_fmajor_roll_part_sharded_selected_strategy():
+    """Part-sharded roll mode with the 'selected' MAC strategy (large
+    banks): placeholder mac_rhs/rhs2 leaves must replicate (they cannot
+    shard) while the real spectra tensors shard over 'part'."""
+    from tpu_audio.engine.fmajor import FMajorPartitionedConvolution
+    from tpu_audio.parallel.mesh import (
+        fmajor_shardings, shard_fmajor_collapse, shard_fmajor_step)
+
+    rng = np.random.default_rng(13)
+    bank = IRBank()
+    for _ in range(3):
+        ir = rng.standard_normal((2, 512)).astype(np.float32)
+        bank.append(ir * (0.4 / np.abs(ir).max()))
+    eng = FMajorPartitionedConvolution(8, 32, bank.max_partitions(32),
+                                       max_predelay=64, ring=False,
+                                       mac_strategy="selected")
+    bank_d = eng.prepare_bank(bank.partitioned_spectra(32))
+    cp = ControlPlane(8, 3, max_predelay=64)
+    cp.wet[:] = 0.8
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+
+    mesh = make_mesh(8, part=2)
+    state_sh, bank_sh, _, _ = fmajor_shardings(mesh, eng)
+    state_s = jax.device_put(eng.init_converged(bank_d, params), state_sh)
+    bank_s = jax.device_put(bank_d, bank_sh)
+    step_sh = shard_fmajor_step(eng, mesh, donate=False)
+    collapse_sh = shard_fmajor_collapse(eng, mesh, donate=False)
+    step_pl = jax.jit(eng.step_coef, donate_argnums=())
+    state_p = eng.init_converged(bank_d, params)
+
+    old = cp.select.copy()
+    cp.select[:] = 2
+    cp.vsteps[:] = 4
+    changed = jnp.asarray(np.ones_like(old, bool))
+    new = jnp.asarray(cp.select)
+    state_s = collapse_sh(state_s, bank_s, jnp.asarray(old), changed, new)
+    state_p = jax.jit(eng.collapse, donate_argnums=())(
+        state_p, bank_d, jnp.asarray(old), changed, new)
+    for t in range(8):
+        params = jax.tree.map(jnp.asarray, cp.snapshot())
+        x = jnp.asarray(rng.standard_normal((8, 2, 32)).astype(np.float32) * 0.05)
+        state_s, out_s = step_sh(state_s, bank_s, params, x)
+        state_p, out_p = step_pl(state_p, bank_d, params, x)
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_p),
+                                   atol=1e-5, err_msg=f"block {t}")
+        cp.end_block()

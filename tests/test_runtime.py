@@ -444,16 +444,23 @@ def test_settings_predelay_clamped_to_max():
 def test_resilient_session_recovers_mid_stream(tmp_path):
     """Failure recovery (SURVEY §5): a device-session failure mid-stream is
     detected, the model is REBUILT (fresh device arrays + jits), the last
-    periodic checkpoint is restored, the source is rewound, and the sink
-    receives a gap-free duplicate-free stream identical to an uninterrupted
-    run. The reference's only failure policy is assert() -> abort."""
+    periodic checkpoint is restored, the source is rewound, MIDI events
+    after the checkpoint REPLAY, and the sink receives a gap-free
+    duplicate-free stream identical to an uninterrupted run. The
+    reference's only failure policy is assert() -> abort. (The checkpoint
+    path deliberately lacks the .npz suffix numpy likes to append.)"""
+    from tpu_audio.engine.params import CCMapping
     from tpu_audio.runtime.recovery import run_resilient
 
     rng = np.random.default_rng(21)
     x = (rng.standard_normal((2, 2, 64 * 16)) * 0.05).astype(np.float32)
+    # a wet-change CC between the last checkpoint (block 4) and the crash
+    # (~block 7): it must fire again on replay
+    midi = lambda: MidiSchedule([(6, "", bytes([0xB0, 0x18, 32]))])
 
     def build():
         m = small_model(num_voices=2, engine="fmajor", num_irs=2, ir_len=128)
+        m.control.set_mapping(0, 0, CCMapping(message=0xB0, wet=0x18))
         m.control.wet[:] = 0.9
         m.control.dry[:] = 0.1
         return m
@@ -461,7 +468,7 @@ def test_resilient_session_recovers_mid_stream(tmp_path):
     # uninterrupted baseline
     m0 = build()
     s0 = WavSink("/dev/null", keep_data=True)
-    m0.process(WavSource(x, 2, 64), s0, warmup=0)
+    m0.process(WavSource(x, 2, 64), s0, warmup=0, midi=midi())
 
     class CollectSink:
         def __init__(self):
@@ -487,8 +494,9 @@ def test_resilient_session_recovers_mid_stream(tmp_path):
     sink = CollectSink()
     _, summary = run_resilient(
         counting_build, WavSource(x, 2, 64), sink,
-        tmp_path / "resume.npz", checkpoint_every=4,
+        tmp_path / "resume.ckpt", checkpoint_every=4, midi=midi(),
         session_kwargs=dict(warmup=0))
+    assert (tmp_path / "resume.ckpt").exists()  # no silent .npz rename
     assert summary["restarts"] == 1
     assert len(builds) == 2, "recovery must rebuild the model"
     assert summary["blocks_delivered"] == 16
@@ -514,3 +522,36 @@ def test_resilient_session_gives_up_after_max_restarts(tmp_path):
         run_resilient(build, WavSource(x, 1, 64), AlwaysFailSink(),
                       tmp_path / "r.npz", checkpoint_every=2,
                       max_restarts=2, session_kwargs=dict(warmup=0))
+
+
+def test_chunked_checkpoint_interval_alignment(tmp_path):
+    """Checkpoints must fire every ~N blocks even when chunk_blocks does
+    not divide checkpoint_every (crossing detection, not == 0)."""
+    model = small_model(num_voices=1, engine="fmajor", num_irs=2, ir_len=96)
+    x = np.zeros((1, 2, 64 * 12), np.float32)
+    saves = []
+    import tpu_audio.runtime.checkpoint as ckpt
+    orig = ckpt.save_checkpoint
+
+    def spy(path, state, control, meta=None):
+        saves.append(meta["block_index"])
+        orig(path, state, control, meta=meta)
+
+    import tpu_audio.runtime.stream as stream_mod
+    session = model.session(WavSource(x, 1, 64), WavSink("/dev/null", keep_data=True),
+                            warmup=0, chunk_blocks=3)
+    import unittest.mock as mock
+    with mock.patch.object(ckpt, "save_checkpoint", spy):
+        session.run(model.init_state(), checkpoint_path=tmp_path / "c.npz",
+                    checkpoint_every=4)
+    # chunks land at 3,6,9,12: crossings of 4 at 6 (covers 4), 9 (8), 12
+    assert saves == [6, 9, 12], saves
+
+
+def test_wavsink_zero_blocks_still_writes_valid_wav(tmp_path):
+    from tpu_audio.io.wav import read_wav
+
+    sink = WavSink(tmp_path / "empty.wav", 44100)
+    sink.close()
+    w = read_wav(tmp_path / "empty.wav", verbose=False)
+    assert w.num_frames == 0

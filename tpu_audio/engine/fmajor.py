@@ -218,9 +218,15 @@ class FMajorPartitionedConvolution:
                              f"(P={self.partitions}, F={self.num_bins})")
         if self.mac_strategy == "allk":
             mac_rhs = pack_mac_rhs(spectra, self.pp)
-            mac_rhs_d = jnp.asarray(mac_rhs, self.mac_dtype)
-            rhs2_d = jnp.asarray(double_reversed(mac_rhs, axis=2),
-                                 self.mac_dtype)
+            # only the mode's own MAC tensor goes to the device: ring reads
+            # the doubled+reversed rhs2 window, roll reads mac_rhs directly
+            if self.ring_mode:
+                mac_rhs_d = jnp.zeros((1, 1, 1, 1), self.mac_dtype)
+                rhs2_d = jnp.asarray(double_reversed(mac_rhs, axis=2),
+                                     self.mac_dtype)
+            else:
+                mac_rhs_d = jnp.asarray(mac_rhs, self.mac_dtype)
+                rhs2_d = jnp.zeros((1, 1, 1, 1), self.mac_dtype)
         else:
             # selected strategy never MACs against the whole bank
             mac_rhs_d = jnp.zeros((1, 1, 1, 1), self.mac_dtype)

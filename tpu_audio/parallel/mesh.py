@@ -210,8 +210,12 @@ def fmajor_shardings(mesh: Mesh, engine):
         bank_sh = FMajorBank(mac_rhs=repl, rhs2=repl, spectra=repl,
                              spectra_rev2=repl)
     else:
+        # the 'selected' strategy carries placeholder mac_rhs/rhs2 leaves
+        # (shape [1,1,1,1]) that cannot shard; spectra is real either way
+        allk = getattr(engine, "mac_strategy", None) == "allk"
         bank_sh = FMajorBank(
-            mac_rhs=NamedSharding(mesh, P(None, None, "part", None)),
+            mac_rhs=(NamedSharding(mesh, P(None, None, "part", None))
+                     if allk else repl),
             rhs2=repl,            # roll mode: placeholder leaf
             spectra=NamedSharding(mesh, P(None, None, "part", None, None)),
             spectra_rev2=repl,    # roll mode: placeholder leaf

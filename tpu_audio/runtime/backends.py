@@ -225,6 +225,10 @@ class WavSink(BlockSink):
         return np.concatenate(self._blocks, axis=-1)
 
     def close(self):
+        if self._writers is None and self.voice != "all":
+            # zero blocks streamed: still produce a valid (empty) WAV, as
+            # the pre-streaming implementation did
+            self._open(1)
         for _, writer in self._writers or ():
             writer.close()
 

@@ -60,7 +60,10 @@ def save_checkpoint(path: str | os.PathLike, state, control: ControlPlane,
     }
     arrays["header"] = np.frombuffer(
         json.dumps(header).encode(), dtype=np.uint8)
-    np.savez(path, **arrays)
+    # write through a file object: np.savez(path) silently appends '.npz'
+    # to bare paths, which would make save/exists/load disagree
+    with open(path, "wb") as fh:
+        np.savez(fh, **arrays)
 
 
 def load_checkpoint(path: str | os.PathLike, state_template,

@@ -101,6 +101,10 @@ def run_resilient(build_model, source, sink: BlockSink, checkpoint_path,
             else:
                 state = model.init_state()
                 resume_block = 0
+            # events at blocks >= the checkpoint must replay: the restored
+            # control plane only carries state up to the checkpoint block
+            if midi is not None and hasattr(midi, "rewind_to"):
+                midi.rewind_to(resume_block)
             if hasattr(source, "seek"):
                 source.seek(resume_block)
                 deduped.rewind_to(resume_block)

@@ -75,6 +75,15 @@ class MidiSchedule:
             self._next += 1
         return due
 
+    def rewind_to(self, block_index: int) -> None:
+        """Reposition so events at blocks >= block_index replay (crash
+        recovery: events before the checkpoint are baked into the restored
+        control plane; events after it must fire again)."""
+        self._next = 0
+        while (self._next < len(self._events)
+               and self._events[self._next][0] < block_index):
+            self._next += 1
+
 
 class StreamSession:
     """Drives (source -> jitted engine step -> sink) to completion."""
@@ -171,7 +180,6 @@ class StreamSession:
                                              donate_argnums=donate_args)
                 self._collapse_pure = jax.jit(engine.collapse_pure,
                                               donate_argnums=donate_args)
-            self._c_host = np.zeros((engine.num_voices, 2), np.float32)
             self._base_idx = np.zeros((engine.num_voices, 2), np.int32)
         else:
             self._step_full = jax.jit(engine.step, donate_argnums=donate_args)
@@ -215,7 +223,6 @@ class StreamSession:
             old_sel[v, ch] = old
             changed[v, ch] = True
             self._a_host[v, ch] = 1.0
-            self._c_host[v, ch] = 0.0  # device collapse zeroes coef_c
             self._base_idx[v, ch] = old if use_pure else -1
         self._pending_old.clear()
         if use_pure:
@@ -276,11 +283,27 @@ class StreamSession:
             # the full step until the fade actually decays; snapshot
             # provenance is state-carried, so purity survives restores
             self._a_host = np.asarray(state.coef_a, np.float64)
-            self._c_host = np.asarray(state.coef_c, np.float32)
             if hasattr(state, "base_pure"):
                 pure = np.asarray(state.base_pure)
                 sel = np.asarray(state.base_sel)
                 self._base_idx = np.where(pure, sel, -1).astype(np.int32)
+                if (self._step_indexed is None
+                        and bool((pure
+                                  & (self._a_host >= STEADY_THRESHOLD)).any())):
+                    # a deferred-collapse fade is in flight but this session
+                    # cannot run the indexed step (chunked mode, or pinned):
+                    # materialize the virtual snapshots once so the general
+                    # fade reads a valid base tensor
+                    no_change = jnp.zeros((self.engine.num_voices, 2),
+                                          jnp.bool_)
+                    sel_now = jnp.asarray(self.control.select)
+                    if self._collapse_takes_new_select:
+                        state = self._collapse(state, self.bank, sel_now,
+                                               no_change, sel_now)
+                    else:
+                        state = self._collapse(state, self.bank, sel_now,
+                                               no_change)
+                    self._base_idx[:] = -1
             else:
                 self._base_idx = np.full_like(self._base_idx, -1)
 
@@ -350,16 +373,11 @@ class StreamSession:
                     indexed = True
                 else:
                     step = self._step_full
-                # advance the mirrors exactly like the device does: a and c
-                # follow the in-graph f32 recursion (c in f32 so the indexed
-                # path's base_gain equals the device coef_c at collapse)
-                wet = self.control.wet
+                # advance the analytic coef_a mirror exactly like the
+                # device recursion does (collapse_pure reads the TRUE gain
+                # from device state.coef_c, so no c mirror is needed)
                 for _ in range(chunk):
-                    r32 = np.float32(1.0) / (
-                        vsteps.astype(np.float32) + np.float32(5.0))
                     self._a_host *= 1.0 - 1.0 / (vsteps + 5.0)
-                    self._c_host = (self._c_host * (np.float32(1.0) - r32)
-                                    + wet * r32)
                     vsteps = np.maximum(vsteps - 1.0, 0.0)
             else:
                 step = self._step_full
@@ -411,7 +429,7 @@ class StreamSession:
 
             block_index += n_valid
             if (checkpoint_path is not None and checkpoint_every
-                    and block_index % checkpoint_every == 0):
+                    and block_index % checkpoint_every < n_valid):
                 # drain in-flight deliveries FIRST: a checkpoint must never
                 # get ahead of the sink, or a crash between save and
                 # delivery would lose the undelivered blocks on resume
@@ -421,8 +439,8 @@ class StreamSession:
                 save_checkpoint(checkpoint_path, state, self.control,
                                 meta={"block_index":
                                       start_block + block_index})
-            if chunk > 1 and n_valid < chunk:
-                break  # source exhausted mid-chunk
+            if chunk > 1 and stop:
+                break  # source ended (exhausted, or underrun cap) mid-chunk
 
         while pending:
             self._deliver(*pending.popleft())
