@@ -78,3 +78,60 @@ def test_fuzz_param_trajectories(seed, strategy):
                                    atol=atol,
                                    err_msg=f"seed {seed} block {t} "
                                            f"(fading={t <= fading_until})")
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fuzz_session_production_vs_reference_engine(seed):
+    """SESSION-level fuzz: the full production runtime (fmajor + indexed
+    fades + deferred collapse_pure + steady switching, driven by scripted
+    MIDI through StreamSession) must track a partitioned-coef reference
+    session through random re-selects — including interrupts — and match
+    it exactly once fades decay."""
+    from tpu_audio.engine.params import CCMapping
+    from tpu_audio.models.reverb import ConvolutionReverb
+    from tpu_audio.runtime.backends import WavSink, WavSource
+    from tpu_audio.runtime.stream import MidiSchedule
+
+    rng = np.random.default_rng(200 + seed)
+    n_irs, block, n_blocks = 3, 32, 140
+    irs = []
+    for _ in range(n_irs):
+        ir = rng.standard_normal((2, int(rng.integers(60, 200)))).astype(np.float32)
+        irs.append(ir * (0.4 / np.abs(ir).max()))
+
+    # random CC events: selects (possibly interrupting), wet/dry/speed
+    events = []
+    for _ in range(10):
+        b = int(rng.integers(2, n_blocks - 30))
+        cc, vmax = [(0x15, 127), (0x17, 127), (0x18, 127)][rng.integers(3)]
+        events.append((b, "", bytes([0xB0, cc, int(rng.integers(vmax + 1))])))
+
+    def run(engine_name):
+        bank = IRBank()
+        for ir in irs:
+            bank.append(ir)
+        m = ConvolutionReverb(bank, num_voices=2, block=block,
+                              engine=engine_name, max_predelay=64)
+        for ch in range(2):
+            m.control.set_mapping(0, ch, CCMapping(
+                message=0xB0, select=0x15, dry=0x17, wet=0x18))
+        m.control.speed[:] = 6
+        m.control.wet[:] = 0.8
+        m.control.dry[:] = 0.2
+        x = np.random.default_rng(300 + seed).standard_normal(
+            (2, 2, block * n_blocks)).astype(np.float32) * 0.05
+        sink = WavSink("/dev/null", keep_data=True)
+        sess = m.session(WavSource(x, 2, block), sink, warmup=0)
+        sess.run(m.init_state(), midi=MidiSchedule(list(events)))
+        return sink.data, sess
+
+    got_fm, sess_fm = run("fmajor")
+    got_ref, _ = run("partitioned")
+    assert got_fm.shape == got_ref.shape
+    # bf16 fade-snapshot scale during fades; the last 30 blocks are
+    # event-free so fades have decayed to ~(5/6)^30 of bf16 noise
+    np.testing.assert_allclose(got_fm, got_ref, atol=4e-3,
+                               err_msg=f"seed {seed}")
+    tail = slice(-block * 8, None)
+    np.testing.assert_allclose(got_fm[..., tail], got_ref[..., tail],
+                               atol=1e-4, err_msg=f"seed {seed} (tail)")

@@ -555,3 +555,54 @@ def test_wavsink_zero_blocks_still_writes_valid_wav(tmp_path):
     sink.close()
     w = read_wav(tmp_path / "empty.wav", verbose=False)
     assert w.num_frames == 0
+
+
+def test_resilient_session_live_source_continues_with_gap(tmp_path):
+    """Recovery with an UNSEEKABLE (live) source: the session restarts from
+    the last checkpoint state, input during the outage is dropped (honest
+    live semantics), and streaming continues to the end of the feed."""
+    from tpu_audio.runtime.recovery import run_resilient
+
+    class LiveishSource:  # no seek() method
+        def __init__(self, n):
+            self.n = n
+            self.i = 0
+            self.rng = np.random.default_rng(31)
+
+        def read(self):
+            if self.i >= self.n:
+                return None
+            self.i += 1
+            return (self.rng.standard_normal((1, 2, 64)) * 0.05
+                    ).astype(np.float32)
+
+    class FlakySink:
+        def __init__(self):
+            self.blocks = []
+            self.failed = False
+
+        def write(self, block):
+            if not self.failed and len(self.blocks) == 6:
+                self.failed = True
+                raise RuntimeError("transport blip")
+            self.blocks.append(np.asarray(block))
+
+        def close(self):
+            pass
+
+    def build():
+        return small_model(num_voices=1, engine="fmajor", num_irs=2,
+                           ir_len=96)
+
+    sink = FlakySink()
+    src = LiveishSource(20)
+    _, summary = run_resilient(build, src, sink, tmp_path / "live.ckpt",
+                               checkpoint_every=4,
+                               session_kwargs=dict(warmup=0))
+    assert summary["restarts"] == 1
+    # input consumed but undelivered at the crash is gone (live gap);
+    # everything the producer sent after the restart still flows
+    assert src.i == 20
+    assert 10 <= summary["blocks_delivered"] <= 20
+    audio = np.concatenate(sink.blocks, axis=-1)
+    assert np.isfinite(audio).all()
