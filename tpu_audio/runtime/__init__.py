@@ -4,11 +4,12 @@ from tpu_audio.runtime.backends import (
 )
 from tpu_audio.runtime.stream import StreamSession, MidiSchedule
 from tpu_audio.runtime.checkpoint import save_checkpoint, load_checkpoint
+from tpu_audio.runtime.recovery import run_resilient
 
 __all__ = [
     "BlockSource", "BlockSink", "WavSource", "WavSink", "NoiseSource",
     "SilenceSource", "ImpulseSource", "CallbackSource", "CallbackSink",
     "NullSink", "LoopbackBuffer",
     "StreamSession", "MidiSchedule",
-    "save_checkpoint", "load_checkpoint",
+    "save_checkpoint", "load_checkpoint", "run_resilient",
 ]
