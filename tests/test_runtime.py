@@ -606,3 +606,63 @@ def test_resilient_session_live_source_continues_with_gap(tmp_path):
     assert 10 <= summary["blocks_delivered"] <= 20
     audio = np.concatenate(sink.blocks, axis=-1)
     assert np.isfinite(audio).all()
+
+
+@pytest.mark.parametrize("fetch", [4, 5])
+def test_fetch_batched_delivery_matches_blockwise(fetch):
+    """fetch_batch > 1 (batched output transfers, per-block dispatch) must
+    deliver byte-identical audio to the plain session — including a partial
+    final batch — with per-block control granularity intact."""
+    from tpu_audio.engine.params import CCMapping
+
+    def build():
+        m = small_model(num_voices=1, engine="fmajor", num_irs=2, ir_len=128)
+        m.control.set_mapping(0, 0, CCMapping(message=0xB0, select=0x15))
+        m.control.set_mapping(0, 1, CCMapping(message=0xB0, select=0x15))
+        m.control.wet[:] = 0.9
+        m.control.speed[:] = 6
+        return m
+
+    rng = np.random.default_rng(41)
+    n_blocks = 14  # not a multiple of fetch: partial final batch
+    x = (rng.standard_normal((1, 2, 64 * n_blocks)) * 0.05).astype(np.float32)
+    midi = lambda: MidiSchedule([(5, "", bytes([0xB0, 0x15, 64]))])
+
+    m1 = build()
+    s1 = WavSink("/dev/null", keep_data=True)
+    m1.process(WavSource(x, 1, 64), s1, midi=midi(), warmup=0)
+
+    m2 = build()
+    s2 = WavSink("/dev/null", keep_data=True)
+    sess = m2.session(WavSource(x, 1, 64), s2, warmup=0, fetch_batch=fetch)
+    sess.run(m2.init_state(), midi=midi())
+
+    np.testing.assert_array_equal(s2.data, s1.data)
+    assert sess.summary()["blocks_streamed"] == n_blocks
+
+
+def test_fetch_batch_excludes_chunk_mode():
+    model = small_model(num_voices=1)
+    with pytest.raises(ValueError):
+        model.session(SilenceSource(1, 64, 1), WavSink("/dev/null", keep_data=True),
+                      chunk_blocks=2, fetch_batch=2)
+
+
+def test_fetch_batched_pcm16_wire_matches_within_quantization():
+    """wire='pcm16' (on-device 16-bit encode before the host transfer) must
+    match the f32 path within one PCM16 LSB."""
+    model = small_model(num_voices=1, engine="fmajor", num_irs=2, ir_len=96)
+    model.control.wet[:] = 0.9
+    rng = np.random.default_rng(43)
+    x = (rng.standard_normal((1, 2, 64 * 10)) * 0.05).astype(np.float32)
+
+    s1 = WavSink("/dev/null", keep_data=True)
+    model.process(WavSource(x, 1, 64), s1, warmup=0)
+
+    model2 = small_model(num_voices=1, engine="fmajor", num_irs=2, ir_len=96)
+    model2.control.wet[:] = 0.9
+    s2 = WavSink("/dev/null", keep_data=True)
+    sess = model2.session(WavSource(x, 1, 64), s2, warmup=0,
+                          fetch_batch=4, wire="pcm16")
+    sess.run(model2.init_state())
+    np.testing.assert_allclose(s2.data, s1.data, atol=1.01 / 32767.0)

@@ -83,6 +83,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-blocks", type=int, default=1,
                    help="blocks per dispatch (throughput mode; MIDI applies "
                         "at chunk granularity)")
+    p.add_argument("--fetch-batch", type=int, default=1,
+                   help="outputs per device->host transfer (keeps per-block "
+                        "dispatch + control; amortises transfer round trips "
+                        "on high-RTT links at N blocks of delivery latency)")
+    p.add_argument("--wire", default="f32", choices=["f32", "pcm16"],
+                   help="device->host output format in fetch-batch mode "
+                        "(pcm16 halves transfer bytes; engine stays f32)")
     p.add_argument("--max-ir-seconds", type=float, default=None,
                    help="truncate bank IRs (memory control)")
     p.add_argument("--normalize-bank", default=None,
@@ -189,6 +196,7 @@ def main(argv=None) -> int:
     session = model.session(source, sink, realtime=args.realtime,
                             pipeline_depth=args.pipeline_depth,
                             chunk_blocks=args.chunk_blocks,
+                            fetch_batch=args.fetch_batch, wire=args.wire,
                             underrun_policy=underrun,
                             max_consecutive_underruns=args.max_dry_blocks,
                             clock=args.clock)

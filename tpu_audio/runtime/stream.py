@@ -95,7 +95,8 @@ class StreamSession:
                  on_missed_deadline=None, pipeline_depth: int = 1,
                  underrun_policy: str = "stop", chunk_blocks: int = 1,
                  max_consecutive_underruns: int | None = None,
-                 clock: str = "sleep"):
+                 clock: str = "sleep", fetch_batch: int = 1,
+                 wire: str = "f32"):
         self.engine = engine
         # bank may be a raw (possibly complex) host array or an already-
         # device-resident pytree (e.g. FMajorBank)
@@ -134,6 +135,25 @@ class StreamSession:
         # chunk) — throughput mode for offline processing / high-RTT links;
         # MIDI and parameter changes then apply at chunk granularity
         self.chunk_blocks = max(1, chunk_blocks)
+        # fetch_batch > 1: keep PER-BLOCK dispatch (on-chip the scan-based
+        # chunk mode is ~4x slower — carries are copied, not aliased) but
+        # batch the device->host output fetches: every N outputs are
+        # stacked in one dispatch and transferred together, amortising the
+        # per-request round trip on high-RTT links. Adds N blocks of
+        # delivery latency; per-block MIDI/params/steady-switching all keep
+        # single-block granularity. pipeline_depth then counts batches.
+        self.fetch_batch = max(1, fetch_batch)
+        if self.fetch_batch > 1 and self.chunk_blocks > 1:
+            raise ValueError("fetch_batch and chunk_blocks are exclusive")
+        # wire="pcm16" (fetch_batch mode): encode batched outputs to 16-bit
+        # PCM on-device before the transfer — half the bytes on the host
+        # link, and zero net loss when the sink is 16-bit anyway (the
+        # engine computes f32 throughout; this is the DAC wire format)
+        if wire not in ("f32", "pcm16"):
+            raise ValueError(f"unknown wire format {wire!r}")
+        self.wire = wire
+        self._stack = None
+        self._batch_tprev = None
         self.block_period = engine.block / sample_rate
         # warmup is counted in blocks; in chunked mode the first dispatch
         # (which absorbs compilation) contributes chunk_blocks records, so
@@ -308,6 +328,8 @@ class StreamSession:
                 self._base_idx = np.full_like(self._base_idx, -1)
 
         pending = collections.deque()
+        batch_acc = []
+        self._batch_tprev = None
         block_index = 0
         chunk = self.chunk_blocks
         next_deadline = time.perf_counter() + chunk * self.block_period
@@ -391,16 +413,25 @@ class StreamSession:
 
             # pipelined delivery: start this block's device->host copy now,
             # deliver the block from `pipeline_depth` steps ago (depth 1 ==
-            # classic double buffering)
-            try:
-                out.copy_to_host_async()
-            except Exception:
-                pass
-            pending.append((out, n_valid))
+            # classic double buffering). With fetch_batch > 1, outputs are
+            # first stacked on-device in batches and fetched together.
+            if self.fetch_batch > 1:
+                batch_acc.append(out)
+                if len(batch_acc) == self.fetch_batch:
+                    self._enqueue_batch(batch_acc, pending)
+                    batch_acc = []
+            else:
+                try:
+                    out.copy_to_host_async()
+                except Exception:
+                    pass
+                pending.append((out, n_valid))
             if len(pending) >= self.pipeline_depth + 1:
                 self._deliver(*pending.popleft())
 
-            if chunk == 1:
+            if self.fetch_batch > 1:
+                elapsed = 0.0  # recorded per batch at delivery time
+            elif chunk == 1:
                 elapsed = self.timer.stop()
             else:
                 # record per-block equivalents of the chunk's wall time
@@ -433,6 +464,9 @@ class StreamSession:
                 # drain in-flight deliveries FIRST: a checkpoint must never
                 # get ahead of the sink, or a crash between save and
                 # delivery would lose the undelivered blocks on resume
+                if batch_acc:
+                    self._enqueue_batch(batch_acc, pending)
+                    batch_acc = []
                 while pending:
                     self._deliver(*pending.popleft())
                 from tpu_audio.runtime.checkpoint import save_checkpoint
@@ -442,6 +476,8 @@ class StreamSession:
             if chunk > 1 and stop:
                 break  # source ended (exhausted, or underrun cap) mid-chunk
 
+        if batch_acc:
+            self._enqueue_batch(batch_acc, pending)
         while pending:
             self._deliver(*pending.popleft())
         if native_clock is not None:
@@ -450,15 +486,46 @@ class StreamSession:
         self.blocks_streamed = getattr(self, "blocks_streamed", 0) + block_index
         return state
 
+    def _enqueue_batch(self, outs: list, pending) -> None:
+        """Stack N per-block outputs in one device dispatch and start their
+        combined device->host transfer (fetch_batch mode)."""
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        if self._stack is None:
+            if self.wire == "pcm16":
+                self._stack = _jax.jit(lambda *o: (
+                    _jnp.clip(_jnp.stack(o), -1.0, 1.0) * 32767.0
+                ).astype(_jnp.int16))
+            else:
+                self._stack = _jax.jit(lambda *o: _jnp.stack(o))
+        stacked = self._stack(*outs)
+        try:
+            stacked.copy_to_host_async()
+        except Exception:
+            pass
+        pending.append((stacked, len(outs)))
+
     def _deliver(self, out, n_valid: int) -> None:
         """Write a step output to the sink: one block, or the valid prefix
-        of a chunked [T, V, 2, B] output."""
+        of a chunked/batched [T, V, 2, B] output."""
         host = np.asarray(out)
-        if self.chunk_blocks == 1:
+        if host.dtype == np.int16:  # pcm16 wire: decode after the transfer
+            host = host.astype(np.float32) / 32767.0
+        if self.chunk_blocks == 1 and self.fetch_batch == 1:
             self.sink.write(host)
-        else:
-            for t in range(n_valid):
-                self.sink.write(host[t])
+            return
+        for t in range(n_valid):
+            self.sink.write(host[t])
+        if self.fetch_batch > 1:
+            # sustained pace accounting: inter-batch wall time / blocks
+            import time as _time
+            now = _time.perf_counter()
+            if self._batch_tprev is not None:
+                per_block = (now - self._batch_tprev) / n_valid
+                for _ in range(n_valid):
+                    self.timer.record(per_block)
+            self._batch_tprev = now
 
     # -- reporting ------------------------------------------------------------------------
 
