@@ -666,3 +666,50 @@ def test_fetch_batched_pcm16_wire_matches_within_quantization():
                           fetch_batch=4, wire="pcm16")
     sess.run(model2.init_state())
     np.testing.assert_allclose(s2.data, s1.data, atol=1.01 / 32767.0)
+
+
+def test_stale_pure_checkpoint_into_chunked_session_materializes(tmp_path):
+    """A deferred-collapse (collapse_pure) mid-fade state has a STALE base
+    tensor by design. Restoring such a checkpoint into a session that
+    cannot run the indexed step (chunk_blocks > 1) must materialize the
+    virtual snapshot at run start — output must match the same resume into
+    a plain indexed-capable session."""
+    from tpu_audio.engine.params import CCMapping
+
+    def build():
+        m = small_model(num_voices=1, engine="fmajor", num_irs=2, ir_len=128)
+        m.control.set_mapping(0, 0, CCMapping(message=0xB0, select=0x15))
+        m.control.set_mapping(0, 1, CCMapping(message=0xB0, select=0x15))
+        m.control.wet[:] = 0.9
+        m.control.speed[:] = 30  # long fade: still in flight at checkpoint
+        return m
+
+    rng = np.random.default_rng(51)
+    x = (rng.standard_normal((1, 2, 64 * 20)) * 0.05).astype(np.float32)
+    midi = lambda: MidiSchedule([(2, "", bytes([0xB0, 0x15, 64]))])
+
+    # produce a mid-fade checkpoint whose collapse went the deferred way
+    m1 = build()
+    sess1 = m1.session(WavSource(x[..., : 64 * 6], 1, 64),
+                       WavSink("/dev/null", keep_data=True), warmup=0,
+                       donate=False)
+    state = sess1.run(m1.init_state(), midi=midi())
+    assert getattr(sess1, "indexed_blocks", 0) >= 1
+    assert bool(np.asarray(state.base_pure).all())
+    assert (np.asarray(state.coef_a) > 1e-3).all(), "fade must be in flight"
+    save_checkpoint(tmp_path / "pure.ckpt", state, m1.control)
+
+    def resume(chunk):
+        m = build()
+        st, _ = load_checkpoint(tmp_path / "pure.ckpt",
+                                m.engine.init_state(), m.control)
+        sink = WavSink("/dev/null", keep_data=True)
+        sess = m.session(WavSource(x[..., 64 * 6:], 1, 64), sink, warmup=0,
+                         donate=False, chunk_blocks=chunk)
+        sess.run(st)
+        return sink.data
+
+    got_chunked = resume(chunk=2)   # cannot run indexed -> must materialize
+    got_plain = resume(chunk=1)     # indexed-capable reference resume
+    # materialized-vs-virtual snapshots agree to the bf16 snapshot scale
+    np.testing.assert_allclose(got_chunked, got_plain, atol=4e-3)
