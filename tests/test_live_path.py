@@ -185,3 +185,83 @@ def test_live_session_survives_producer_outage(tmp_path):
     assert audio is not None and np.isfinite(audio).all()
     ring_in.close()
     ring_out.close()
+
+
+def test_soak_long_session_with_churn(tmp_path):
+    """Stability soak: a long session under constant control churn —
+    random CC spam (selects incl. interrupts, every parameter), producer
+    hiccups with silence substitution, a mid-run bank hot-swap, and
+    periodic checkpoints — must stream to completion with sane accounting
+    and finite audio, and the streaming sink must not grow host memory."""
+    import numpy as np
+
+    from tpu_audio.engine import IRBank
+    from tpu_audio.engine.params import CCMapping
+    from tpu_audio.models.reverb import ConvolutionReverb
+    from tpu_audio.runtime.backends import BlockSource, WavSink
+    from tpu_audio.runtime.stream import MidiSchedule
+
+    rng = np.random.default_rng(71)
+    bank = IRBank()
+    for _ in range(4):
+        ir = rng.standard_normal((2, 200)).astype(np.float32)
+        bank.append(ir * (0.4 / np.abs(ir).max()))
+    model = ConvolutionReverb(bank, num_voices=2, block=64, max_predelay=128)
+    for v in range(2):
+        for ch in range(2):
+            model.control.set_mapping(v, ch, CCMapping(
+                message=0xB0, select=0x15, predelay=0x16, dry=0x17,
+                wet=0x18, speed=0x19, pan_dry=0x1A, pan_wet=0x1B,
+                level=0x1C))
+    model.control.speed[:] = 12
+
+    n_blocks = 600
+    events = []
+    for _ in range(120):
+        b = int(rng.integers(0, n_blocks))
+        cc = int(rng.integers(0x15, 0x1D))
+        events.append((b, "", bytes([0xB0, cc, int(rng.integers(128))])))
+
+    class FlakyNoise(BlockSource):
+        def __init__(self):
+            self.i = 0
+            self.rng = np.random.default_rng(72)
+
+        def read(self):
+            self.i += 1
+            if self.i > n_blocks:
+                return None
+            if self.i % 97 == 0:
+                return None  # periodic producer hiccup
+            return (self.rng.standard_normal((2, 2, 64)) * 0.05
+                    ).astype(np.float32)
+
+    sink = WavSink(tmp_path / "soak.wav", 44100)  # streaming, no buffering
+    session = model.session(FlakyNoise(), sink, warmup=0,
+                            underrun_policy="silence",
+                            max_consecutive_underruns=8)
+    state = session.run(model.init_state(),
+                        midi=MidiSchedule(events),
+                        checkpoint_path=tmp_path / "soak.ckpt",
+                        checkpoint_every=128)
+
+    # swap the bank live and keep going with the same state
+    bank2 = IRBank()
+    for _ in range(4):
+        ir = rng.standard_normal((2, 200)).astype(np.float32)
+        bank2.append(ir * (0.4 / np.abs(ir).max()))
+    session.swap_bank(model.engine.prepare_bank(bank2.partitioned_spectra(64)))
+    session.source = FlakyNoise()
+    session.sink = WavSink(tmp_path / "soak2.wav", 44100)  # first one closed
+    session.run(state)
+
+    s = session.summary()
+    assert s["blocks_streamed"] >= 2 * (n_blocks - n_blocks // 97) - 4
+    assert s["underruns"] >= 2
+    assert sink._blocks is None  # nothing accumulated host-side
+    assert (tmp_path / "soak.ckpt").exists()
+    from tpu_audio.io.wav import read_wav
+    for name in ("soak.wav", "soak2.wav"):
+        audio = read_wav(tmp_path / name, verbose=False).stereo()
+        assert np.isfinite(audio).all(), name
+        assert np.abs(audio).max() > 1e-4, name

@@ -201,15 +201,23 @@ def main(argv=None) -> int:
                             max_consecutive_underruns=args.max_dry_blocks,
                             clock=args.clock)
     state = model.init_state()
-    if args.profile:
-        import jax
-        with jax.profiler.trace(args.profile):
+    try:
+        if args.profile:
+            import jax
+            with jax.profiler.trace(args.profile):
+                session.run(state, max_blocks=args.blocks, midi=midi,
+                            live_midi=live_midi)
+            Log.info("app", "profiler trace written to %s", args.profile)
+        else:
             session.run(state, max_blocks=args.blocks, midi=midi,
                         live_midi=live_midi)
-        Log.info("app", "profiler trace written to %s", args.profile)
-    else:
-        session.run(state, max_blocks=args.blocks, midi=midi,
-                    live_midi=live_midi)
+    finally:
+        # unlink shm rings / close transports even on failure — a crashed
+        # server must not strand /dev/shm segments
+        if live_midi is not None:
+            live_midi.close()
+        for ring in rings:
+            ring.close(unlink=True)
 
     # reference exit report (src/main.cu:106) + the latency stats it lacked;
     # printed unconditionally (the reference always reports at exit)
@@ -219,10 +227,6 @@ def main(argv=None) -> int:
           f"| rtf {s.get('rtf', 0):.2f} | missed {s['missed_deadlines']} "
           f"| underruns {s['underruns']}"
           + (f" | dropped {sink.dropped}" if hasattr(sink, "dropped") else ""))
-    if live_midi is not None:
-        live_midi.close()
-    for ring in rings:
-        ring.close(unlink=True)
     if args.output:
         Log.info("app", "wrote %s", args.output)
     return 0 if s["blocks_streamed"] > 0 else 1
