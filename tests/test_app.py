@@ -213,3 +213,24 @@ def test_per_channel_select_cc_stays_in_window():
     assert cp.select[0, 1] == 4
     cp.apply_cc(0, 1, 0xB0, 0x15, 0)     # ch1 floor = its own offset
     assert cp.select[0, 1] == 2
+
+
+def test_app_cleans_rings_on_setup_failure(tmp_path, settings_env):
+    """A setup error AFTER ring creation (here: invalid session options)
+    must still unlink the shm segments."""
+    import pytest as _pytest
+
+    from tpu_audio.app.main import main
+    from tpu_audio.runtime import native
+
+    if not native.native_available():
+        _pytest.skip("native toolchain unavailable")
+    sfile, root = settings_env
+    name = f"/tpua_cleanup_{os.getpid()}"
+    with _pytest.raises(ValueError):
+        main(["--settings", str(sfile), "--root", str(root),
+              "--input-ring", name, "--blocks", "2", "--block-size", "32",
+              "--fetch-batch", "2", "--chunk-blocks", "2", "--quiet"])
+    # the segment must be gone: opening it again must fail
+    with _pytest.raises(RuntimeError):
+        native.NativeRing.open(name)

@@ -486,3 +486,50 @@ def test_session_interrupted_fade_falls_back_to_general():
     # fade 1 rode the indexed path (exact f32 bank) vs bf16 snapshot: see
     # test_session_uses_indexed_fade_and_matches_general
     np.testing.assert_allclose(s1.data, s2.data, atol=4e-3)
+
+
+def test_swap_bank_mid_pure_fade_keeps_old_tail():
+    """swap_bank during a deferred-collapse (virtual snapshot) fade must
+    materialize the snapshot against the OLD bank first: the fade-out tail
+    keeps the old sound even though the new bank replaces the select term.
+    (Swapping to a silent bank makes the bug binary: without
+    materialization the wet output goes instantly silent.)"""
+    from tpu_audio.engine.params import CCMapping
+    from tpu_audio.models.reverb import ConvolutionReverb
+    from tpu_audio.runtime.backends import WavSink, WavSource
+
+    rng = np.random.default_rng(61)
+    bank = IRBank()
+    for _ in range(2):
+        ir = rng.standard_normal((2, 200)).astype(np.float32)
+        bank.append(ir * (0.4 / np.abs(ir).max()))
+    model = ConvolutionReverb(bank, num_voices=1, block=64, max_predelay=64)
+    model.control.set_mapping(0, 0, CCMapping(message=0xB0, select=0x15))
+    model.control.set_mapping(0, 1, CCMapping(message=0xB0, select=0x15))
+    model.control.wet[:] = 1.0
+    model.control.dry[:] = 0.0
+    model.control.speed[:] = 200  # very slow fade: a stays ~1 for a while
+
+    x = (rng.standard_normal((1, 2, 64 * 16)) * 0.1).astype(np.float32)
+    from tpu_audio.runtime.stream import MidiSchedule
+    sess = model.session(WavSource(x[..., : 64 * 6], 1, 64),
+                         WavSink("/dev/null", keep_data=True), warmup=0,
+                         donate=False)
+    state = sess.run(model.init_state(),
+                     midi=MidiSchedule([(2, "", bytes([0xB0, 0x15, 64]))]))
+    assert getattr(sess, "indexed_blocks", 0) >= 1  # deferred collapse ran
+    assert bool(np.asarray(state.base_pure).all())
+
+    silent = IRBank()
+    for _ in range(2):
+        silent.append(np.zeros((2, 200), np.float32))
+    sess.swap_bank(model.engine.prepare_bank(silent.partitioned_spectra(64)))
+    sink2 = WavSink("/dev/null", keep_data=True)
+    sess.sink = sink2
+    sess.source = WavSource(x[..., 64 * 6:], 1, 64)
+    sess.run(state)
+    # the old bank's fade-out tail must still be audible right after the
+    # swap (a ~ 0.97 here); a stale-virtual read of the silent bank yields
+    # near-silence instead
+    first = sink2.data[..., : 64 * 2]
+    assert np.abs(first).max() > 1e-2, "fade tail vanished on bank swap"

@@ -713,3 +713,51 @@ def test_stale_pure_checkpoint_into_chunked_session_materializes(tmp_path):
     got_plain = resume(chunk=1)     # indexed-capable reference resume
     # materialized-vs-virtual snapshots agree to the bf16 snapshot scale
     np.testing.assert_allclose(got_chunked, got_plain, atol=4e-3)
+
+
+def test_resilient_chunked_session_replays_chunk_local_midi(tmp_path):
+    """Chunked-mode recovery: a CC event due INSIDE the checkpointed chunk
+    (applied at the NEXT chunk start, hence not baked into the checkpoint)
+    must replay after a crash — output equals the uncrashed chunked run."""
+    from tpu_audio.engine.params import CCMapping
+    from tpu_audio.runtime.recovery import run_resilient
+
+    rng = np.random.default_rng(73)
+    x = (rng.standard_normal((1, 2, 64 * 16)) * 0.05).astype(np.float32)
+    # checkpoint_every=4, chunk=2: event at block 3 is applied at the
+    # chunk start pop_due(4) — after the checkpoint at block 4 was saved
+    midi = lambda: MidiSchedule([(3, "", bytes([0xB0, 0x18, 16]))])
+
+    def build():
+        m = small_model(num_voices=1, engine="fmajor", num_irs=2, ir_len=96)
+        m.control.set_mapping(0, 0, CCMapping(message=0xB0, wet=0x18))
+        m.control.wet[:] = 0.9
+        return m
+
+    m0 = build()
+    s0 = WavSink("/dev/null", keep_data=True)
+    m0.process(WavSource(x, 1, 64), s0, warmup=0, midi=midi(),
+               chunk_blocks=2)
+
+    class CrashOnce:
+        def __init__(self):
+            self.blocks = []
+            self.failed = False
+
+        def write(self, block):
+            if not self.failed and len(self.blocks) == 5:
+                self.failed = True
+                raise RuntimeError("boom")
+            self.blocks.append(np.asarray(block))
+
+        def close(self):
+            pass
+
+    sink = CrashOnce()
+    _, summary = run_resilient(
+        build, WavSource(x, 1, 64), sink, tmp_path / "ck.ckpt",
+        checkpoint_every=4, midi=midi(),
+        session_kwargs=dict(warmup=0, chunk_blocks=2))
+    assert summary["restarts"] == 1
+    got = np.concatenate(sink.blocks, axis=-1)
+    np.testing.assert_allclose(got, s0.data, atol=2e-6)

@@ -138,11 +138,22 @@ def main(argv=None) -> int:
     v, b = model.engine.num_voices, model.block
     rings = []
     if args.input_ring or args.output_ring:
-        from tpu_audio.runtime.native import (
-            NativeRing, RingSink, RingSource, native_available)
+        from tpu_audio.runtime.native import native_available
         if not native_available():
             Log.error("app", "shm rings need the native runtime (g++)")
             return 2
+
+    try:
+        return _stream(args, model, rings, v, b)
+    finally:
+        # unlink shm rings even if setup or streaming fails partway — a
+        # crashed server must not strand /dev/shm segments
+        for ring in rings:
+            ring.close(unlink=True)
+
+
+def _stream(args, model, rings, v, b) -> int:
+    from tpu_audio.runtime.native import NativeRing, RingSink, RingSource
 
     if args.input_ring:
         ring_in = NativeRing(args.ring_blocks * v * 2 * b,
@@ -184,24 +195,25 @@ def main(argv=None) -> int:
         with open(args.midi) as fh:
             midi = MidiSchedule.parse(fh.read())
     live_midi = None
-    if args.midi_fifo:
-        from tpu_audio.runtime.midi_transport import (
-            MidiByteStream, MultiMidiStream)
-        streams = []
-        for spec in args.midi_fifo:
-            device, _, path = spec.rpartition("=")
-            streams.append(MidiByteStream(path, device=device))
-        live_midi = streams[0] if len(streams) == 1 else MultiMidiStream(streams)
-
-    session = model.session(source, sink, realtime=args.realtime,
-                            pipeline_depth=args.pipeline_depth,
-                            chunk_blocks=args.chunk_blocks,
-                            fetch_batch=args.fetch_batch, wire=args.wire,
-                            underrun_policy=underrun,
-                            max_consecutive_underruns=args.max_dry_blocks,
-                            clock=args.clock)
-    state = model.init_state()
     try:
+        if args.midi_fifo:
+            from tpu_audio.runtime.midi_transport import (
+                MidiByteStream, MultiMidiStream)
+            streams = []
+            for spec in args.midi_fifo:
+                device, _, path = spec.rpartition("=")
+                streams.append(MidiByteStream(path, device=device))
+            live_midi = (streams[0] if len(streams) == 1
+                         else MultiMidiStream(streams))
+
+        session = model.session(source, sink, realtime=args.realtime,
+                                pipeline_depth=args.pipeline_depth,
+                                chunk_blocks=args.chunk_blocks,
+                                fetch_batch=args.fetch_batch, wire=args.wire,
+                                underrun_policy=underrun,
+                                max_consecutive_underruns=args.max_dry_blocks,
+                                clock=args.clock)
+        state = model.init_state()
         if args.profile:
             import jax
             with jax.profiler.trace(args.profile):
@@ -212,12 +224,8 @@ def main(argv=None) -> int:
             session.run(state, max_blocks=args.blocks, midi=midi,
                         live_midi=live_midi)
     finally:
-        # unlink shm rings / close transports even on failure — a crashed
-        # server must not strand /dev/shm segments
         if live_midi is not None:
             live_midi.close()
-        for ring in rings:
-            ring.close(unlink=True)
 
     # reference exit report (src/main.cu:106) + the latency stats it lacked;
     # printed unconditionally (the reference always reports at exit)

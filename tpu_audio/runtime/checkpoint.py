@@ -60,10 +60,14 @@ def save_checkpoint(path: str | os.PathLike, state, control: ControlPlane,
     }
     arrays["header"] = np.frombuffer(
         json.dumps(header).encode(), dtype=np.uint8)
-    # write through a file object: np.savez(path) silently appends '.npz'
-    # to bare paths, which would make save/exists/load disagree
-    with open(path, "wb") as fh:
+    # atomic replace: a crash mid-save (the exact event checkpoints exist
+    # for) must never truncate the previous good checkpoint. Writing
+    # through a file object also stops np.savez silently appending '.npz'
+    # to bare paths, which would make save/exists/load disagree.
+    tmp = f"{os.fspath(path)}.tmp"
+    with open(tmp, "wb") as fh:
         np.savez(fh, **arrays)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str | os.PathLike, state_template,

@@ -102,9 +102,14 @@ def run_resilient(build_model, source, sink: BlockSink, checkpoint_path,
                 state = model.init_state()
                 resume_block = 0
             # events at blocks >= the checkpoint must replay: the restored
-            # control plane only carries state up to the checkpoint block
+            # control plane only carries state up to the checkpoint block.
+            # In chunked mode pop_due runs at chunk STARTS, so a checkpoint
+            # at block C has only events <= C - chunk baked in — rewind a
+            # chunk further back (replays land at the same chunk boundary
+            # the uncrashed run would have applied them at).
             if midi is not None and hasattr(midi, "rewind_to"):
-                midi.rewind_to(resume_block)
+                chunk = int(session_kwargs.get("chunk_blocks") or 1)
+                midi.rewind_to(resume_block - max(chunk - 1, 0))
             if hasattr(source, "seek"):
                 source.seek(resume_block)
                 deduped.rewind_to(resume_block)

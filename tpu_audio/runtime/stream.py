@@ -148,10 +148,16 @@ class StreamSession:
         # wire="pcm16" (fetch_batch mode): encode batched outputs to 16-bit
         # PCM on-device before the transfer — half the bytes on the host
         # link, and zero net loss when the sink is 16-bit anyway (the
-        # engine computes f32 throughout; this is the DAC wire format)
+        # engine computes f32 throughout; this is the DAC wire format,
+        # single-sourced in tpu_audio.utils.wire)
         if wire not in ("f32", "pcm16"):
             raise ValueError(f"unknown wire format {wire!r}")
+        if wire != "f32" and self.fetch_batch == 1:
+            raise ValueError("wire='pcm16' requires fetch_batch > 1 "
+                             "(per-block delivery always transfers f32)")
         self.wire = wire
+        self._pending_bank = None
+        self._regather = None
         self._stack = None
         self._batch_tprev = None
         self.block_period = engine.block / sample_rate
@@ -273,13 +279,49 @@ class StreamSession:
     # -- main loop ---------------------------------------------------------------------
 
     def swap_bank(self, bank) -> None:
-        """Live IR-bank replacement between blocks (the reference's
-        `prepare` reload path, src/conv.cu:206-253, made actually safe:
-        the old bank array stays valid for in-flight blocks; the next step
-        reads the new one; no recompile while geometry [K, P, F] matches)."""
-        self.bank = jax.tree.map(
+        """Live IR-bank replacement (the reference's `prepare` reload path,
+        src/conv.cu:206-253, made actually safe): the swap is applied
+        between blocks (or at the next run start). Before switching, any
+        VIRTUAL fade snapshot (deferred collapse: base == gain *
+        old_bank[sel]) is materialized against the OLD bank, and the
+        'selected' strategy's per-voice spectra are re-gathered from the
+        new bank — so fade tails keep the old sound and the steady path
+        plays the new bank from the swap block on. No recompile while the
+        geometry [K, P, F] matches."""
+        self._pending_bank = jax.tree.map(
             lambda leaf: leaf if isinstance(leaf, jax.Array)
             else device_put_maybe_complex(leaf), bank)
+
+    def _apply_pending_bank(self, state):
+        if self._pending_bank is None:
+            return state
+        new_bank = self._pending_bank
+        self._pending_bank = None
+        if self._is_coef and hasattr(state, "base_pure"):
+            if bool(np.asarray(state.base_pure).any()):
+                # materialize virtual snapshots against the OLD bank: the
+                # fade-out tail must keep playing the old bank's sound
+                no_change = jnp.zeros((self.engine.num_voices, 2), jnp.bool_)
+                sel_now = jnp.asarray(self.control.select)
+                if self._collapse_takes_new_select:
+                    state = self._collapse(state, self.bank, sel_now,
+                                           no_change, sel_now)
+                else:
+                    state = self._collapse(state, self.bank, sel_now,
+                                           no_change)
+                self._base_idx[:] = -1
+            if self._collapse_takes_new_select:
+                # 'selected' strategy: the steady MAC reads materialized
+                # per-voice spectra — re-gather them from the NEW bank
+                if self._regather is None:
+                    from dataclasses import replace as _replace
+                    eng = self.engine
+                    self._regather = jax.jit(lambda st, b, sel: _replace(
+                        st, sel_spectra=eng._gather_selection(b, sel)))
+                state = self._regather(state, new_bank,
+                                       jnp.asarray(self.control.select))
+        self.bank = new_bank
+        return state
 
     def run(self, state, max_blocks: int | None = None,
             midi: MidiSchedule | None = None, live_midi=None,
@@ -384,6 +426,7 @@ class StreamSession:
 
             self.timer.start()
             indexed = False
+            state = self._apply_pending_bank(state)
             if self._is_coef:
                 state = self._maybe_collapse(state)
                 vsteps = self.control.vsteps.astype(np.float64)
@@ -494,9 +537,9 @@ class StreamSession:
 
         if self._stack is None:
             if self.wire == "pcm16":
-                self._stack = _jax.jit(lambda *o: (
-                    _jnp.clip(_jnp.stack(o), -1.0, 1.0) * 32767.0
-                ).astype(_jnp.int16))
+                from tpu_audio.utils.wire import encode_pcm16
+                self._stack = _jax.jit(
+                    lambda *o: encode_pcm16(_jnp.stack(o)))
             else:
                 self._stack = _jax.jit(lambda *o: _jnp.stack(o))
         stacked = self._stack(*outs)
@@ -511,7 +554,8 @@ class StreamSession:
         of a chunked/batched [T, V, 2, B] output."""
         host = np.asarray(out)
         if host.dtype == np.int16:  # pcm16 wire: decode after the transfer
-            host = host.astype(np.float32) / 32767.0
+            from tpu_audio.utils.wire import decode_pcm16
+            host = decode_pcm16(host)
         if self.chunk_blocks == 1 and self.fetch_batch == 1:
             self.sink.write(host)
             return
@@ -525,6 +569,18 @@ class StreamSession:
                 per_block = (now - self._batch_tprev) / n_valid
                 for _ in range(n_valid):
                     self.timer.record(per_block)
+                # the per-iteration watchdog never sees batch times, so
+                # fire the missed-deadline hook from here
+                if (self.timer.deadline_s is not None
+                        and per_block > self.timer.deadline_s
+                        and self.timer.missed > self._missed_logged):
+                    self._missed_logged = self.timer.missed
+                    if self.on_missed_deadline is not None:
+                        self.on_missed_deadline(self.timer.count, per_block)
+                    else:
+                        Log.debug("stream",
+                                  "missed deadline near block %d: %.2f ms",
+                                  self.timer.count, per_block * 1e3)
             self._batch_tprev = now
 
     # -- reporting ------------------------------------------------------------------------
