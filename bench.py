@@ -242,11 +242,12 @@ def main(argv=None) -> int:
         f"fade-general {ms_fgen:.3f} (RTF {dl_ms / ms_fgen:.2f})")
 
     # ---- end-to-end serving throughput -------------------------------------
+    from tpu_audio.utils.wire import decode_pcm16, encode_pcm16
+
     T = args.chunk
-    enc_i16 = jax.jit(lambda *outs: (jnp.clip(jnp.stack(outs), -1.0, 1.0)
-                                     * 32767.0).astype(jnp.int16))
+    enc_i16 = jax.jit(lambda *outs: encode_pcm16(jnp.stack(outs)))
     enc_f32 = jax.jit(lambda *outs: jnp.stack(outs))
-    dec_i16 = lambda h: h.astype(np.float32) / 32767.0
+    dec_i16 = decode_pcm16
     dec_f32 = lambda h: h
 
     results = {}
