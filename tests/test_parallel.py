@@ -382,3 +382,54 @@ def test_fmajor_roll_part_sharded_selected_strategy():
         np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_p),
                                    atol=1e-5, err_msg=f"block {t}")
         cp.end_block()
+
+
+@requires_8
+def test_fmajor_sharded_indexed_fade_and_collapse_pure():
+    """The PRODUCTION fade pipeline over a mesh: deferred collapse_pure +
+    indexed crossfade steps, sharded, must equal the unsharded trajectory
+    exactly (provenance rides the voice-sharded state leaves)."""
+    from tpu_audio.engine.fmajor import FMajorPartitionedConvolution
+    from tpu_audio.parallel.mesh import (
+        fmajor_shardings, shard_fmajor_collapse_pure, shard_fmajor_step)
+
+    rng = np.random.default_rng(17)
+    bank = IRBank()
+    for _ in range(2):
+        ir = rng.standard_normal((2, 256)).astype(np.float32)
+        bank.append(ir * (0.4 / np.abs(ir).max()))
+    eng = FMajorPartitionedConvolution(8, 32, bank.max_partitions(32),
+                                       max_predelay=64)
+    bank_d = eng.prepare_bank(bank.partitioned_spectra(32))
+    cp = ControlPlane(8, 2, max_predelay=64)
+    cp.wet[:] = 0.8
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+
+    mesh = make_mesh(8, part=1)
+    state_sh, bank_sh, _, _ = fmajor_shardings(mesh, eng)
+    step_sh = shard_fmajor_step(eng, mesh, mode="indexed", donate=False)
+    cpure_sh = shard_fmajor_collapse_pure(eng, mesh, donate=False)
+    step_pl = jax.jit(eng.step_coef_indexed, donate_argnums=())
+    cpure_pl = jax.jit(eng.collapse_pure, donate_argnums=())
+
+    state_s = jax.device_put(eng.init_converged(bank_d, params), state_sh)
+    bank_s = jax.device_put(bank_d, bank_sh)
+    state_p = eng.init_converged(bank_d, params)
+
+    old = cp.select.copy()
+    cp.select[:] = 1
+    cp.vsteps[:] = 5
+    changed = jnp.asarray(np.ones_like(old, bool))
+    state_s = cpure_sh(state_s, jnp.asarray(old), changed)
+    state_p = cpure_pl(state_p, jnp.asarray(old), changed)
+    np.testing.assert_array_equal(np.asarray(state_s.base_sel), old)
+
+    for t in range(8):
+        params = jax.tree.map(jnp.asarray, cp.snapshot())
+        x = jnp.asarray(rng.standard_normal((8, 2, 32)).astype(np.float32) * 0.05)
+        state_s, out_s = step_sh(state_s, bank_s, params, x)
+        state_p, out_p = step_pl(state_p, bank_d, params, x)
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_p),
+                                   atol=1e-6, err_msg=f"block {t}")
+        cp.end_block()
+    assert np.abs(np.asarray(out_s)).max() > 1e-4

@@ -229,9 +229,13 @@ def fmajor_shardings(mesh: Mesh, engine):
 
 
 def shard_fmajor_step(engine, mesh: Mesh, steady: bool = False,
-                      donate: bool = True):
+                      donate: bool = True, mode: str | None = None):
     """jit the f-major engine step with mesh shardings (voice DP, and
-    partition/sequence sharding in roll mode when mesh part > 1)."""
+    partition/sequence sharding in roll mode when mesh part > 1).
+
+    mode: "steady" | "full" | "indexed" (default: "steady" if `steady`
+    else "full"). "indexed" is the production crossfade step ('allk'
+    strategy; snapshot provenance rides the voice-sharded state leaves)."""
     voice_n = mesh.shape["voice"]
     if engine.num_voices % voice_n:
         raise ValueError(f"{engine.num_voices} voices not divisible by "
@@ -241,11 +245,26 @@ def shard_fmajor_step(engine, mesh: Mesh, steady: bool = False,
         raise ValueError(f"padded partition axis {engine.pp} not divisible "
                          f"by part axis {part_n}")
     state_sh, bank_sh, params_sh, x_sh = fmajor_shardings(mesh, engine)
-    fn = engine.step_coef_steady if steady else engine.step_coef
+    mode = mode or ("steady" if steady else "full")
+    fn = {"steady": engine.step_coef_steady,
+          "full": engine.step_coef,
+          "indexed": engine.step_coef_indexed}[mode]
     return jax.jit(
         fn,
         in_shardings=(state_sh, bank_sh, params_sh, x_sh),
         out_shardings=(state_sh, x_sh),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def shard_fmajor_collapse_pure(engine, mesh: Mesh, donate: bool = True):
+    """jit the deferred ([V,2]-sized) collapse with mesh shardings."""
+    state_sh, _, _, _ = fmajor_shardings(mesh, engine)
+    sel_sh = NamedSharding(mesh, PARAMS_SPEC)
+    return jax.jit(
+        engine.collapse_pure,
+        in_shardings=(state_sh, sel_sh, sel_sh),
+        out_shardings=state_sh,
         donate_argnums=(0,) if donate else (),
     )
 
