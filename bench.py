@@ -78,7 +78,8 @@ def build(args):
 
     engine = FMajorPartitionedConvolution(
         args.voices, args.block, bank.max_partitions(args.block),
-        max_predelay=8192, backend=args.fft_backend)
+        max_predelay=8192, backend=args.fft_backend,
+        mac_dtype=args.mac_dtype)
     spectra = engine.prepare_bank(bank.partitioned_spectra(args.block))
     control = ControlPlane(args.voices, args.num_irs)
     control.wet[:] = 0.7
@@ -187,6 +188,10 @@ def main(argv=None) -> int:
                     help="blocks per wire batch (transfer amortisation)")
     ap.add_argument("--engine-blocks", type=int, default=100)
     ap.add_argument("--fft-backend", default="auto")
+    ap.add_argument("--mac-dtype", default="f32", choices=["f32", "bf16"],
+                    help="delay-line/MAC precision (bf16 halves HBM traffic "
+                         "and carries 1024 voices x 4 s real-time; see "
+                         "README scaling table)")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args(argv)
 
@@ -296,7 +301,8 @@ def main(argv=None) -> int:
 
     print(json.dumps({
         "metric": f"rtf_{args.voices}voices_{args.ir_seconds:g}sIR_"
-                  f"{args.sample_rate // 1000}k{args.block}",
+                  f"{args.sample_rate // 1000}k{args.block}"
+                  + ("" if args.mac_dtype == "f32" else f"_{args.mac_dtype}"),
         "value": round(head["rtf"], 3),
         "unit": "x_realtime",
         "vs_baseline": round(head["rtf"], 3),
