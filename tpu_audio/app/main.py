@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
 
 from tpu_audio.models.reverb import ConvolutionReverb
 from tpu_audio.runtime.backends import (

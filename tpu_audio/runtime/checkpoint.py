@@ -11,7 +11,6 @@ content-addressed derived data (see IRBank.cached_partitioned_spectra).
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 
