@@ -229,11 +229,16 @@ def _stream(args, model, rings, v, b) -> int:
     # reference exit report (src/main.cu:106) + the latency stats it lacked;
     # printed unconditionally (the reference always reports at exit)
     s = session.summary()
-    print(f"streamed {s['blocks_streamed']} blocks | avg {s['avg_ms']:.3f} ms "
-          f"| p50 {s['p50_ms']:.3f} | p99 {s['p99_ms']:.3f} "
-          f"| rtf {s.get('rtf', 0):.2f} | missed {s['missed_deadlines']} "
-          f"| underruns {s['underruns']}"
-          + (f" | dropped {sink.dropped}" if hasattr(sink, "dropped") else ""))
+    if s.get("blocks", 0) == 0:
+        print(f"streamed {s['blocks_streamed']} blocks "
+              f"(all within the warmup discard window; no timing recorded) "
+              f"| underruns {s['underruns']}")
+    else:
+        print(f"streamed {s['blocks_streamed']} blocks | avg {s['avg_ms']:.3f} ms "
+              f"| p50 {s['p50_ms']:.3f} | p99 {s['p99_ms']:.3f} "
+              f"| rtf {s.get('rtf', 0):.2f} | missed {s['missed_deadlines']} "
+              f"| underruns {s['underruns']}"
+              + (f" | dropped {sink.dropped}" if hasattr(sink, "dropped") else ""))
     if args.output:
         Log.info("app", "wrote %s", args.output)
     return 0 if s["blocks_streamed"] > 0 else 1
