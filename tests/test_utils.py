@@ -59,3 +59,23 @@ def test_block_timer_start_stop():
     elapsed = t.stop()
     assert elapsed >= 0
     assert t.count == 1
+
+
+def test_wire_pcm16_roundtrip_within_one_lsb():
+    """The shared host-link wire codec (used by StreamSession and bench)
+    round-trips within one PCM16 LSB and clips out-of-range samples."""
+    import jax
+    import numpy as np
+
+    from tpu_audio.utils.wire import decode_pcm16, encode_pcm16
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1.2, 1.2, (3, 2, 64)).astype(np.float32)
+    enc = np.asarray(jax.jit(encode_pcm16)(x))
+    assert enc.dtype == np.int16
+    got = decode_pcm16(enc)
+    np.testing.assert_allclose(got, np.clip(x, -1, 1), atol=1.01 / 32767.0)
+
+
+def test_engine_package_exports_flagship():
+    from tpu_audio.engine import FMajorPartitionedConvolution  # noqa: F401
