@@ -761,3 +761,35 @@ def test_resilient_chunked_session_replays_chunk_local_midi(tmp_path):
     assert summary["restarts"] == 1
     got = np.concatenate(sink.blocks, axis=-1)
     np.testing.assert_allclose(got, s0.data, atol=2e-6)
+
+
+def test_session_stop_requests_clean_end():
+    """session.stop() (callable from another thread, the reference's
+    cin.get() park) ends an unbounded run at a block boundary."""
+    import threading
+
+    model = small_model(num_voices=1, engine="fmajor", num_irs=2, ir_len=96)
+
+    class Endless:
+        def __init__(self):
+            self.i = 0
+
+        def read(self):
+            self.i += 1
+            return np.zeros((1, 2, 64), np.float32)
+
+    src = Endless()
+    sink = WavSink("/dev/null", keep_data=True)
+    session = model.session(src, sink, warmup=0)
+
+    def stopper():
+        while src.i < 12:
+            pass
+        session.stop()
+
+    t = threading.Thread(target=stopper)
+    t.start()
+    session.run(model.init_state(), max_blocks=None)
+    t.join()
+    s = session.summary()
+    assert 12 <= s["blocks_streamed"] <= 40  # ended promptly, not never

@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override voice count (default: conv.count/2)")
     p.add_argument("--blocks", type=int, default=None,
                    help="stop after N blocks")
+    p.add_argument("--until-enter", action="store_true",
+                   help="run until Enter/EOF on stdin (the reference parks "
+                        "its main thread the same way, src/main.cu:95)")
     p.add_argument("--block-size", type=int, default=256)
     p.add_argument("--sample-rate", type=int, default=44100)
     p.add_argument("--midi", default=None,
@@ -212,6 +215,19 @@ def _stream(args, model, rings, v, b) -> int:
                                 underrun_policy=underrun,
                                 max_consecutive_underruns=args.max_dry_blocks,
                                 clock=args.clock)
+        if args.until_enter:
+            import sys as _sys
+            import threading
+
+            def _watch_stdin():
+                try:
+                    _sys.stdin.readline()
+                except Exception:
+                    pass
+                Log.info("app", "stdin: stopping session")
+                session.stop()
+
+            threading.Thread(target=_watch_stdin, daemon=True).start()
         state = model.init_state()
         if args.profile:
             import jax

@@ -158,6 +158,10 @@ class StreamSession:
         self.wire = wire
         self._pending_bank = None
         self._regather = None
+        # cooperative stop for unbounded live sessions (the reference parks
+        # its main thread on stdin and quits on Enter, src/main.cu:95);
+        # set from any thread, honoured at the next block boundary
+        self._stop_requested = False
         self._stack = None
         self._batch_tprev = None
         self.block_period = engine.block / sample_rate
@@ -263,6 +267,12 @@ class StreamSession:
                                   jnp.asarray(changed), jnp.asarray(new_sel))
         return self._collapse(state, self.bank, jnp.asarray(old_sel),
                               jnp.asarray(changed))
+
+    def stop(self) -> None:
+        """Request a clean end of run() at the next block boundary —
+        callable from another thread (e.g. a stdin watcher, the
+        reference's cin.get() park at src/main.cu:95)."""
+        self._stop_requested = True
 
     def _underrun_stop(self) -> bool:
         """Account one silence-substituted underrun; True when the
@@ -384,6 +394,11 @@ class StreamSession:
                 Log.warn("stream", "native clock unavailable; using sleep")
 
         while max_blocks is None or block_index < max_blocks:
+            if self._stop_requested:
+                # consume the request (a stop may arrive before the loop
+                # even starts, e.g. Enter pressed during jit compile)
+                self._stop_requested = False
+                break
             if chunk == 1:
                 x = self.source.read()
                 if x is None:
