@@ -28,8 +28,10 @@ deployment has; a host-attached v5e moves blocks over PCIe at GB/s:
   e2e_f32_rtf  the same end-to-end loop with raw f32 on the wire (2x bytes).
 
 Both steady-state and mid-crossfade paths are measured; fades ride
-step_coef_indexed (the production fade path — cost ~= steady) with the
-general interrupted-fade step reported separately.
+step_coef_indexed (the production fade path — span provenance serves
+converged AND interrupted re-selects at ~steady cost) with the general
+materialized-snapshot step (the bank-swap-mid-fade edge path) reported
+separately.
 """
 
 from __future__ import annotations
@@ -224,8 +226,9 @@ def main(argv=None) -> int:
     params_fade = jax.tree.map(jnp.asarray, control.snapshot())
 
     def fade_state():
-        # a converged re-select, collapsed the deferred way (pure
-        # provenance in state) — the production fade entry path
+        # a re-select collapsed in the bank's span (provenance in state) —
+        # the production fade entry path for converged and interrupted
+        # re-selects alike
         st = engine.init_converged(spectra, params)
         changed = jnp.asarray(np.ones((args.voices, 2), bool))
         return jax.jit(engine.collapse_pure)(st, params.select, changed)

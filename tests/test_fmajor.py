@@ -312,8 +312,9 @@ def test_indexed_fade_matches_general_fade(ring):
     s_gen = jax.jit(fm.collapse)(state0, bank_fm, jnp.asarray(old), changed)
     s_idx = jax.jit(fm.collapse_pure)(state0, jnp.asarray(old), changed)
     assert bool(np.asarray(s_idx.base_pure).all())
-    np.testing.assert_array_equal(np.asarray(s_idx.base_sel), old)
-    np.testing.assert_allclose(np.asarray(s_idx.base_gain), 0.8)
+    # span provenance: g == coef_c * onehot(old) for a converged re-select
+    np.testing.assert_allclose(np.asarray(s_idx.base_g),
+                               0.8 * np.eye(3, dtype=np.float32)[old])
 
     atol = 2e-3 if ring else 3e-6  # ring-mode base snapshot is bf16
     rng = np.random.default_rng(4)
@@ -386,6 +387,64 @@ def test_materializing_collapse_honors_virtual_snapshot(ring):
     np.testing.assert_allclose(got_deferred, got_material, atol=atol)
 
 
+@pytest.mark.parametrize("ring", [False, True])
+def test_span_collapse_carries_interrupted_fades(ring):
+    """An INTERRUPTED fade stays in the bank's span: collapse_pure applies
+    the affine re-base to the span coefficients mid-fade (g := a*g +
+    c*onehot(old)) and the indexed step keeps serving every block at steady
+    cost — the trajectory must match the materializing collapse + general
+    step through repeated interruptions (growing the span to full rank)."""
+    _, fm, spectra, _ = build(num_voices=2, ring=ring)
+    bank_fm = fm.prepare_bank(spectra)
+    cp0 = ControlPlane(2, 3, max_predelay=64)
+    cp0.wet[:] = 0.8
+    params = jax.tree.map(jnp.asarray, cp0.snapshot())
+    state0 = fm.init_converged(bank_fm, params)
+
+    collapse = jax.jit(fm.collapse, donate_argnums=())
+    collapse_pure = jax.jit(fm.collapse_pure, donate_argnums=())
+    step = jax.jit(fm.step_coef, donate_argnums=())
+    step_idx = jax.jit(fm.step_coef_indexed, donate_argnums=())
+
+    def run(state, span):
+        cpl = ControlPlane(2, 3, max_predelay=64)
+        cpl.wet[:] = 0.8
+        outs = []
+        rng2 = np.random.default_rng(9)
+        changed = jnp.asarray(np.ones((2, 2), bool))
+
+        def reselect(state, new):
+            old = cpl.select.copy()
+            cpl.select[:] = new
+            cpl.vsteps[:] = 20
+            if span:
+                return collapse_pure(state, jnp.asarray(old), changed)
+            return collapse(state, bank_fm, jnp.asarray(old), changed)
+
+        def blocks(state, n):
+            for _ in range(n):
+                p = jax.tree.map(jnp.asarray, cpl.snapshot())
+                x = jnp.asarray(rng2.standard_normal((2, 2, 32))
+                                .astype(np.float32) * 0.05)
+                state, o = (step_idx if span else step)(state, bank_fm, p, x)
+                outs.append(np.asarray(o))
+                cpl.end_block()
+            return state
+
+        state = reselect(state, 1)   # converged start
+        state = blocks(state, 3)
+        state = reselect(state, 2)   # interrupt #1: 2-entry mixture
+        state = blocks(state, 3)
+        state = reselect(state, 0)   # interrupt #2: full-rank span
+        state = blocks(state, 8)
+        return np.concatenate(outs, axis=-1)
+
+    got_span = run(state0, span=True)
+    got_material = run(state0, span=False)
+    atol = 4e-3 if ring else 3e-6  # the MATERIALIZED path is bf16 in ring
+    np.testing.assert_allclose(got_span, got_material, atol=atol)
+
+
 def test_indexed_fade_requires_allk():
     _, fm, spectra, _ = build(num_voices=2)
     fm.mac_strategy = "selected"
@@ -443,10 +502,13 @@ def test_session_uses_indexed_fade_and_matches_general():
     np.testing.assert_allclose(s1.data, s2.data, atol=4e-3)
 
 
-def test_session_interrupted_fade_falls_back_to_general():
-    """A re-select landing mid-fade makes the snapshot a mixture; the
-    session must fall back to step_coef for that fade (and still match the
-    pure-general session bit-for-bit, since both run the same step then)."""
+def test_session_interrupted_fade_stays_indexed():
+    """A re-select landing mid-fade keeps span provenance (the affine
+    re-base stays in the bank's span), so the session keeps routing every
+    crossfading block through the indexed step — no fallback — and still
+    matches the general-path session within the bf16-snapshot tolerance
+    (the general path's ring-mode base is bf16; the span path reads the
+    exact f32 bank)."""
     from tpu_audio.engine.params import CCMapping
     from tpu_audio.models.reverb import ConvolutionReverb
     from tpu_audio.runtime.backends import WavSink, WavSource
@@ -475,8 +537,8 @@ def test_session_interrupted_fade_falls_back_to_general():
     s1 = WavSink("/dev/null", keep_data=True)
     sess1 = m1.session(WavSource(x, 1, 64), s1)
     sess1.run(m1.init_state(), midi=midi())
-    # first fade (blocks 2..5) indexed; after the interrupt at 6, mixture
-    assert 1 <= getattr(sess1, "indexed_blocks", 0) <= 6
+    # BOTH fades ride the indexed step, through the interrupt at block 6
+    assert getattr(sess1, "indexed_blocks", 0) >= 12
 
     m2 = build_model()
     s2 = WavSink("/dev/null", keep_data=True)

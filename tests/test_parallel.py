@@ -422,7 +422,8 @@ def test_fmajor_sharded_indexed_fade_and_collapse_pure():
     changed = jnp.asarray(np.ones_like(old, bool))
     state_s = cpure_sh(state_s, jnp.asarray(old), changed)
     state_p = cpure_pl(state_p, jnp.asarray(old), changed)
-    np.testing.assert_array_equal(np.asarray(state_s.base_sel), old)
+    np.testing.assert_allclose(np.asarray(state_s.base_g),
+                               0.8 * np.eye(2, dtype=np.float32)[old])
 
     for t in range(8):
         params = jax.tree.map(jnp.asarray, cp.snapshot())

@@ -98,13 +98,18 @@ class FMajorState:
                             # the per-voice selected bank spectra (updated at
                             # collapse); placeholder [.,.,.,.,.,1] for 'allk'
     # fade-snapshot provenance: where base_pure, the EFFECTIVE snapshot is
-    # base_gain * bank[base_sel] and the `base` tensor may be stale — a
-    # converged re-select then costs a scalar-sized collapse_pure instead
-    # of a full snapshot rewrite, and crossfading blocks ride the indexed
-    # take from the all-K MAC. Carried in state (not host) so checkpoints
-    # and sharding see it.
-    base_sel: jax.Array   # i32 [V, 2]
-    base_gain: jax.Array  # f32 [V, 2]
+    # sum_k base_g[v,i,k] * bank[k] and the `base` tensor may be stale.
+    # Because collapse is affine (base := a*base + c*bank[sel]) and the
+    # snapshot starts at zero, it stays in the bank's span through ANY
+    # sequence of re-selects — interrupted fades included — so 'allk'
+    # crossfades ride the all-K MAC the steady path already computes
+    # (step_coef_indexed) and collapses cost a [V,2,K]-sized update
+    # (collapse_pure). The span only breaks on a live bank swap mid-fade
+    # (the tail must keep the OLD bank's sound), which materializes `base`
+    # and clears base_pure. Carried in state (not host) so checkpoints and
+    # sharding see it.
+    base_g: jax.Array     # f32 [V, 2, K] ('allk'; [V, 2, 1] placeholder
+                          # for 'selected', which never re-enters the span)
     base_pure: jax.Array  # bool [V, 2]
 
 
@@ -197,6 +202,10 @@ class FMajorPartitionedConvolution:
         # exact to ~1e-6.
         if mac_dtype not in ("f32", "bf16"):
             raise ValueError(f"unknown mac_dtype {mac_dtype!r}")
+        # bank size, needed to shape the span provenance base_g; recorded
+        # here when given, else at prepare_bank (always called before
+        # init_state in practice)
+        self.num_irs = num_irs
         self.mac_dtype = jnp.float32 if mac_dtype == "f32" else jnp.bfloat16
         self._mac_prec = (jax.lax.Precision.HIGH if mac_dtype == "f32"
                           else jax.lax.Precision.DEFAULT)
@@ -216,6 +225,11 @@ class FMajorPartitionedConvolution:
         if spectra.shape[2] != self.partitions or spectra.shape[3] != self.num_bins:
             raise ValueError(f"bank geometry {spectra.shape} != engine "
                              f"(P={self.partitions}, F={self.num_bins})")
+        if self.num_irs is not None and spectra.shape[0] != self.num_irs:
+            raise ValueError(f"bank has {spectra.shape[0]} IRs, engine was "
+                             f"built for num_irs={self.num_irs} (base_g "
+                             f"state is K-shaped)")
+        self.num_irs = spectra.shape[0]
         if self.mac_strategy == "allk":
             mac_rhs = pack_mac_rhs(spectra, self.pp)
             # only the mode's own MAC tensor goes to the device: ring reads
@@ -258,10 +272,21 @@ class FMajorPartitionedConvolution:
         last = 2 * pp if self.ring_mode else pp
         return (f, v, 2, 2, 2, last), self.mac_dtype
 
+    def _base_g_width(self) -> int:
+        if self.mac_strategy != "allk":
+            return 1  # 'selected' never re-enters the span; placeholder
+        if self.num_irs is None:
+            raise ValueError(
+                "the 'allk' strategy's base_g provenance is bank-sized; "
+                "pass num_irs= to the constructor or call prepare_bank "
+                "before init_state")
+        return self.num_irs
+
     def init_state(self) -> FMajorState:
         v, b, pp, f = self.num_voices, self.block, self.pp, self.num_bins
         base_shape, base_dtype = self._base_shape()
         sel_shape, sel_dtype = self._sel_shape()
+        kg = self._base_g_width()
         return jax.jit(lambda: FMajorState(
             fdl=jnp.zeros((f, v * 2, 2, pp), self.mac_dtype),
             prev_in=jnp.zeros((v, 2, b), jnp.float32),
@@ -271,9 +296,8 @@ class FMajorPartitionedConvolution:
             coef_c=jnp.zeros((v, 2), jnp.float32),
             wptr=jnp.zeros((), jnp.int32),
             sel_spectra=jnp.zeros(sel_shape, sel_dtype),
-            # the zero snapshot is the pure entry 0 with gain 0
-            base_sel=jnp.zeros((v, 2), jnp.int32),
-            base_gain=jnp.zeros((v, 2), jnp.float32),
+            # the zero snapshot is the zero span vector
+            base_g=jnp.zeros((v, 2, kg), jnp.float32),
             base_pure=jnp.ones((v, 2), jnp.bool_),
         ))()
 
@@ -297,6 +321,16 @@ class FMajorPartitionedConvolution:
             gathered = jnp.take(bank.spectra, select, axis=0)
             out = jnp.transpose(gathered, (4, 0, 1, 2, 5, 3))
         return out.astype(self.mac_dtype)
+
+    def _span_expand(self, bank: FMajorBank, g: jax.Array) -> jax.Array:
+        """Materialize span-represented snapshots, sum_k g[v,i,k] * bank[k],
+        into the base layout [F,V,I,O,2,(2)Pp], f32 (rare path: collapse
+        and bank swaps only)."""
+        if self.ring_mode:
+            return jnp.einsum("kfoep,vik->fvioep",
+                              bank.spectra_rev2.astype(jnp.float32), g)
+        return jnp.einsum("kopfd,vik->fviodp",
+                          bank.spectra.astype(jnp.float32), g)
 
     # -- hot step -------------------------------------------------------------------
 
@@ -369,9 +403,9 @@ class FMajorPartitionedConvolution:
         PartitionedConvolution.step_coef, in f-major layout.
 
         ``indexed_base=True`` ('allk' strategy only) asserts that every
-        voice whose fade still matters has a pure snapshot, ``base ==
-        state.base_gain * bank[state.base_sel]`` — the base term is then a
-        second indexed take from the SAME all-K MAC instead of a separate
+        voice whose fade still matters has a span snapshot, ``base ==
+        sum_k base_g[k] * bank[k]`` — the base term is then a tiny
+        K-contraction of the SAME all-K MAC instead of a separate
         per-voice contraction (see step_coef_indexed)."""
         v, f, pp = self.num_voices, self.num_bins, self.pp
         k = bank.num_irs
@@ -459,10 +493,12 @@ class FMajorPartitionedConvolution:
             y_sel = jnp.take_along_axis(m, sel, axis=3)[:, :, :, 0]
             y = jnp.einsum("fviod,vio->fvod", y_sel, coef_sel)
             if indexed_base:
-                bsel = state.base_sel[None, :, :, None, None, None]
-                y_base = jnp.take_along_axis(m, bsel, axis=3)[:, :, :, 0]
+                # span snapshot: base == sum_k base_g[k] * bank[k], so the
+                # base term is linear in the SAME all-K products m — one
+                # K-sized contraction, no extra HBM traffic
+                y_base = jnp.einsum("fvikod,vik->fviod", m, state.base_g)
                 y = y + jnp.einsum("fviod,vio->fvod", y_base,
-                                   (a * state.base_gain)[..., None] * scale)
+                                   a[..., None] * scale)
             elif with_base:
                 mb = per_voice_mac([window(state.base, 5).astype(self.mac_dtype)])
                 y = y + jnp.einsum("fviod,vio->fvod", mb[0],
@@ -476,16 +512,18 @@ class FMajorPartitionedConvolution:
         return self.step_coef(state, bank, params, x, with_base=False)
 
     def step_coef_indexed(self, state, bank, params, x):
-        """Crossfading step for the common case where every fading voice's
-        snapshot is a scaled pure bank entry: base == state.base_gain *
-        bank[state.base_sel] (true whenever the previous fade had converged
-        before the re-select — collapse_pure records the provenance in
-        state; StreamSession falls back to step_coef when a fade was
-        interrupted mid-flight). The base contribution is a second indexed
-        take from the SAME all-K MAC the steady path already computes, so a
-        mid-crossfade block costs the same as a steady block — finishing
-        the job the reference started by flagging its fade kernel as the
-        most expensive (src/conv.cu:337)."""
+        """The production crossfading step: every fading voice's snapshot
+        is span-represented, base == sum_k state.base_g[k] * bank[k].
+        Because collapse is affine and the snapshot starts at zero, the
+        span holds through ANY re-select sequence — converged AND
+        interrupted fades alike (collapse_pure maintains the provenance in
+        state); it only breaks on a live bank swap mid-fade, where
+        StreamSession materializes `base` and falls back to step_coef. The
+        base contribution is a K-sized contraction of the SAME all-K MAC
+        the steady path already computes, so a mid-crossfade block costs
+        the same as a steady block — finishing the job the reference
+        started by flagging its fade kernel as the most expensive
+        (src/conv.cu:337)."""
         if self.mac_strategy != "allk":
             raise ValueError("indexed fade requires the 'allk' MAC strategy")
         return self.step_coef(state, bank, params, x, with_base=False,
@@ -501,20 +539,23 @@ class FMajorPartitionedConvolution:
                  new_select: jax.Array | None = None) -> FMajorState:
         """Re-base the affine form after IR re-select (host-triggered),
         MATERIALIZING the snapshot: base := a*base_eff + c*bank[old] where
-        the effective previous snapshot honours pure provenance (a voice
-        whose base was virtual — base_gain*bank[base_sel], possibly with a
+        the effective previous snapshot honours span provenance (a voice
+        whose base was virtual — sum_k base_g[k]*bank[k], possibly with a
         stale `base` tensor — is materialized here, including non-changed
         voices, so the general fade step may read `base` for everyone
-        afterwards). The 'selected' strategy also re-gathers the per-voice
-        selected spectra (pass `new_select`, the post-change selection)."""
+        afterwards). The 'allk' production path never needs this (its
+        collapses stay in the span, collapse_pure); it exists for the
+        'selected' strategy and for bank swaps mid-fade. The 'selected'
+        strategy also re-gathers the per-voice selected spectra (pass
+        `new_select`, the post-change selection)."""
         if self.mac_strategy == "selected":
             gathered = state.sel_spectra.astype(jnp.float32)
+            # 'selected' span provenance only ever holds the zero snapshot
+            # (base_g is a placeholder; pure is the init state)
+            virtual = jnp.zeros(state.base.shape, jnp.float32)
         else:
             gathered = self._gather_selection(bank, old_select)
-        # materialize virtual snapshots (pure voices' base may be stale)
-        virtual = (self._gather_selection(bank, state.base_sel)
-                   .astype(jnp.float32)
-                   * state.base_gain[None, :, :, None, None, None])
+            virtual = self._span_expand(bank, state.base_g)
         pure = state.base_pure[None, :, :, None, None, None]
         base_eff = jnp.where(pure, virtual, state.base.astype(jnp.float32))
         a = state.coef_a[None, :, :, None, None, None]
@@ -538,17 +579,26 @@ class FMajorPartitionedConvolution:
 
     def collapse_pure(self, state: FMajorState, old_select: jax.Array,
                       changed: jax.Array) -> FMajorState:
-        """Deferred collapse for converged re-selects ('allk' strategy):
-        when a changed voice's fade had fully decayed (coef_a ~ 0, checked
-        by the host), the collapsed snapshot is EXACTLY coef_c *
-        bank[old_select], so only the [V,2]-sized provenance needs updating
-        — no snapshot rewrite at all. A re-select block then costs the same
-        as a steady block end to end (the reference instead pays its
-        full-spectrum f_interpolate for the entire fade, conv.cu:337)."""
+        """Span collapse ('allk' strategy): the affine re-base base :=
+        a*base + c*bank[old] applied to the span coefficients, base_g :=
+        a*base_g + c*onehot(old) — EXACT for any changed voice whose
+        snapshot was span-represented (pure), converged or mid-fade alike,
+        and a [V,2,K]-sized update instead of a full snapshot rewrite. A
+        changed voice that was NOT pure must have converged (a ~ 0,
+        host-checked): its stale base_g is dropped and the span restarts at
+        c*onehot(old). Re-select blocks therefore cost the same as steady
+        blocks end to end (the reference instead pays its full-spectrum
+        f_interpolate for the entire fade, conv.cu:337)."""
+        if self.mac_strategy != "allk":
+            raise ValueError("span collapse requires the 'allk' MAC strategy")
+        k = state.base_g.shape[-1]
+        oh = jax.nn.one_hot(old_select, k, dtype=jnp.float32)   # [V, 2, K]
+        prev = jnp.where(state.base_pure[..., None], state.base_g, 0.0)
+        g = (state.coef_a[..., None] * prev
+             + state.coef_c[..., None] * oh)
         return replace(
             state,
-            base_sel=jnp.where(changed, old_select, state.base_sel),
-            base_gain=jnp.where(changed, state.coef_c, state.base_gain),
+            base_g=jnp.where(changed[..., None], g, state.base_g),
             base_pure=jnp.where(changed, True, state.base_pure),
             coef_a=jnp.where(changed, 1.0, state.coef_a),
             coef_c=jnp.where(changed, 0.0, state.coef_c),

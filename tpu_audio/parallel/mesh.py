@@ -201,8 +201,7 @@ def fmajor_shardings(mesh: Mesh, engine):
             None, "voice", None, None, None,
             part if getattr(engine, "mac_strategy", None) == "selected"
             else None)),
-        base_sel=NamedSharding(mesh, P("voice", None)),
-        base_gain=NamedSharding(mesh, P("voice", None)),
+        base_g=NamedSharding(mesh, P("voice", None, None)),
         base_pure=NamedSharding(mesh, P("voice", None)),
     )
     repl = NamedSharding(mesh, P())
@@ -258,7 +257,7 @@ def shard_fmajor_step(engine, mesh: Mesh, steady: bool = False,
 
 
 def shard_fmajor_collapse_pure(engine, mesh: Mesh, donate: bool = True):
-    """jit the deferred ([V,2]-sized) collapse with mesh shardings."""
+    """jit the span ([V,2,K]-sized) collapse with mesh shardings."""
     state_sh, _, _, _ = fmajor_shardings(mesh, engine)
     sel_sh = NamedSharding(mesh, PARAMS_SPEC)
     return jax.jit(

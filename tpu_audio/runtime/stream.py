@@ -195,12 +195,15 @@ class StreamSession:
             self._pending_old: dict[tuple[int, int], int] = {}
             control.on_select_change = self._note_select_change
             # indexed-fade path (allk fmajor): when every fading voice's
-            # snapshot is a scaled pure bank entry (provenance carried in
-            # FMajorState.base_sel/base_gain/base_pure), mid-fade blocks
-            # reuse the steady all-K MAC (step_coef_indexed) and converged
-            # re-selects collapse with a scalar-sized collapse_pure — no
-            # snapshot rewrite. The host keeps a purity mirror (_base_idx,
-            # -1 = mixture) for step selection only; the truth is in state.
+            # snapshot is span-represented (provenance carried in
+            # FMajorState.base_g/base_pure), mid-fade blocks reuse the
+            # steady all-K MAC (step_coef_indexed) and re-selects —
+            # converged AND interrupted — collapse with a [V,2,K]-sized
+            # collapse_pure instead of a snapshot rewrite. The span only
+            # breaks on a bank swap mid-fade, which materializes `base` and
+            # routes those fades through the general step. The host keeps a
+            # purity mirror (_pure_host) for step selection only; the truth
+            # is in state.
             self._step_indexed = None
             self._collapse_pure = None
             if (self.chunk_blocks == 1
@@ -210,7 +213,7 @@ class StreamSession:
                                              donate_argnums=donate_args)
                 self._collapse_pure = jax.jit(engine.collapse_pure,
                                               donate_argnums=donate_args)
-            self._base_idx = np.zeros((engine.num_voices, 2), np.int32)
+            self._pure_host = np.zeros((engine.num_voices, 2), bool)
         else:
             self._step_full = jax.jit(engine.step, donate_argnums=donate_args)
             self._step_steady = None
@@ -224,28 +227,25 @@ class StreamSession:
 
     def _indexed_valid(self) -> bool:
         """True when every voice whose fade still matters (a >= threshold)
-        has pure provenance in state — the indexed step / collapse_pure
+        has span provenance in state — the indexed step / collapse_pure
         precondition. Converged voices' base terms are < -120 dB, so stale
         provenance there never gates."""
-        return bool(((self._base_idx >= 0)
+        return bool((self._pure_host
                      | (self._a_host < STEADY_THRESHOLD)).all())
 
     def _maybe_collapse(self, state):
         if not self._pending_old:
             return state
-        # collapse_pure (a [V,2]-sized provenance update — the re-select
-        # block then costs the same as a steady block) is valid iff every
-        # CHANGED voice's fade had converged (its collapsed snapshot is
-        # exactly coef_c * bank[old]) AND the pre-state was indexed-valid
-        # (otherwise a material fading voice would coexist with the new
-        # pure one and neither fade step could serve them both).
-        # (gated on _step_indexed too: deferred collapse leaves `base`
-        # stale, which only the indexed step may then serve)
+        # collapse_pure (a [V,2,K]-sized span update — the re-select block
+        # then costs the same as a steady block) is valid iff the pre-state
+        # was indexed-valid: every changed voice is then either pure (the
+        # affine re-base stays in the span EXACTLY, interrupted fades
+        # included) or converged (its stale span restarts at c*onehot).
+        # Only a bank swap mid-fade breaks purity and routes re-selects
+        # through the materializing collapse below.
         use_pure = (self._collapse_pure is not None
                     and self._step_indexed is not None
-                    and self._indexed_valid()
-                    and all(self._a_host[vc] < STEADY_THRESHOLD
-                            for vc in self._pending_old))
+                    and self._indexed_valid())
         new_sel = self.control.select.copy()
         old_sel = new_sel.copy()
         changed = np.zeros_like(old_sel, dtype=bool)
@@ -253,7 +253,7 @@ class StreamSession:
             old_sel[v, ch] = old
             changed[v, ch] = True
             self._a_host[v, ch] = 1.0
-            self._base_idx[v, ch] = old if use_pure else -1
+            self._pure_host[v, ch] = use_pure
         self._pending_old.clear()
         if use_pure:
             return self._collapse_pure(state, jnp.asarray(old_sel),
@@ -261,7 +261,7 @@ class StreamSession:
         # materializing collapse: every voice's base becomes a valid tensor
         # (virtual snapshots are materialized in-graph), so the general
         # fade step may read state.base for anyone afterwards
-        self._base_idx[:] = -1
+        self._pure_host[:] = False
         if self._collapse_takes_new_select:
             return self._collapse(state, self.bank, jnp.asarray(old_sel),
                                   jnp.asarray(changed), jnp.asarray(new_sel))
@@ -319,7 +319,7 @@ class StreamSession:
                 else:
                     state = self._collapse(state, self.bank, sel_now,
                                            no_change)
-                self._base_idx[:] = -1
+                self._pure_host[:] = False
             if self._collapse_takes_new_select:
                 # 'selected' strategy: the steady MAC reads materialized
                 # per-voice spectra — re-gather them from the NEW bank
@@ -356,13 +356,11 @@ class StreamSession:
             # provenance is state-carried, so purity survives restores
             self._a_host = np.asarray(state.coef_a, np.float64)
             if hasattr(state, "base_pure"):
-                pure = np.asarray(state.base_pure)
-                sel = np.asarray(state.base_sel)
-                self._base_idx = np.where(pure, sel, -1).astype(np.int32)
+                self._pure_host = np.asarray(state.base_pure).copy()
                 if (self._step_indexed is None
-                        and bool((pure
+                        and bool((self._pure_host
                                   & (self._a_host >= STEADY_THRESHOLD)).any())):
-                    # a deferred-collapse fade is in flight but this session
+                    # a span-collapsed fade is in flight but this session
                     # cannot run the indexed step (chunked mode, or pinned):
                     # materialize the virtual snapshots once so the general
                     # fade reads a valid base tensor
@@ -375,9 +373,9 @@ class StreamSession:
                     else:
                         state = self._collapse(state, self.bank, sel_now,
                                                no_change)
-                    self._base_idx[:] = -1
+                    self._pure_host[:] = False
             else:
-                self._base_idx = np.full_like(self._base_idx, -1)
+                self._pure_host = np.zeros_like(self._pure_host)
 
         pending = collections.deque()
         batch_acc = []
