@@ -81,7 +81,7 @@ def build(args):
     engine = FMajorPartitionedConvolution(
         args.voices, args.block, bank.max_partitions(args.block),
         max_predelay=8192, backend=args.fft_backend,
-        mac_dtype=args.mac_dtype)
+        mac_dtype=args.mac_dtype, swap_snapshot=not args.no_swap_snapshot)
     spectra = engine.prepare_bank(bank.partitioned_spectra(args.block))
     control = ControlPlane(args.voices, args.num_irs)
     control.wet[:] = 0.7
@@ -194,6 +194,10 @@ def main(argv=None) -> int:
                     help="delay-line/MAC precision (bf16 halves HBM traffic "
                          "and carries 1024 voices x 4 s real-time; see "
                          "README scaling table)")
+    ap.add_argument("--no-swap-snapshot", action="store_true",
+                    help="drop the materialized fade snapshot (the largest "
+                         "state tensor; span provenance serves every fade) "
+                         "— frees ~11 MB/voice at 4 s IRs for more voices")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args(argv)
 
@@ -236,12 +240,16 @@ def main(argv=None) -> int:
     ms_fidx, _ = engine_true_ms(
         fade_idx, fade_state(), spectra, params_fade,
         make_block, args.engine_blocks, reps=args.reps)
-    ms_fgen, _ = engine_true_ms(
-        fade_gen, jax.jit(engine.collapse)(
-            engine.init_converged(spectra, params), spectra, params.select,
-            jnp.asarray(np.ones((args.voices, 2), bool))),
-        spectra, params_fade,
-        make_block, max(args.engine_blocks // 2, 20), reps=max(args.reps - 1, 1))
+    if engine.swap_snapshot:
+        ms_fgen, _ = engine_true_ms(
+            fade_gen, jax.jit(engine.collapse)(
+                engine.init_converged(spectra, params), spectra, params.select,
+                jnp.asarray(np.ones((args.voices, 2), bool))),
+            spectra, params_fade,
+            make_block, max(args.engine_blocks // 2, 20),
+            reps=max(args.reps - 1, 1))
+    else:
+        ms_fgen = float("nan")  # span-only engine: no materialized path
     control.vsteps[:] = 0
     dl_ms = deadline * 1e3
     log(f"engine-true ms/block (chained dispatch, best of {args.reps}): "
@@ -314,7 +322,8 @@ def main(argv=None) -> int:
         "e2e_fade_rtf": round(fade_rtf, 3),
         "engine_steady_ms": round(ms_steady, 3),
         "engine_fade_indexed_ms": round(ms_fidx, 3),
-        "engine_fade_general_ms": round(ms_fgen, 3),
+        "engine_fade_general_ms": (None if np.isnan(ms_fgen)
+                                   else round(ms_fgen, 3)),
         "engine_steady_rtf": round(dl_ms / ms_steady, 3),
         "p99_ms": round(head["p99_ms"], 3),
         "transport_bound": transport_bound,

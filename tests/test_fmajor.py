@@ -595,3 +595,162 @@ def test_swap_bank_mid_pure_fade_keeps_old_tail():
     # near-silence instead
     first = sink2.data[..., : 64 * 2]
     assert np.abs(first).max() > 1e-2, "fade tail vanished on bank swap"
+
+
+def test_swap_bank_mid_interrupted_fade_keeps_old_mixture():
+    """swap_bank after an INTERRUPTED fade: the span snapshot is a genuine
+    mixture (g spans two bank entries); the swap must materialize
+    sum_k g[k] * old_bank[k] before switching, so the mixed fade-out tail
+    keeps the old sound. Swapping to a silent bank makes it binary."""
+    from tpu_audio.engine.params import CCMapping
+    from tpu_audio.models.reverb import ConvolutionReverb
+    from tpu_audio.runtime.backends import WavSink, WavSource
+    from tpu_audio.runtime.stream import MidiSchedule
+
+    rng = np.random.default_rng(62)
+    bank = IRBank()
+    for _ in range(3):
+        ir = rng.standard_normal((2, 200)).astype(np.float32)
+        bank.append(ir * (0.4 / np.abs(ir).max()))
+    model = ConvolutionReverb(bank, num_voices=1, block=64, max_predelay=64)
+    model.control.set_mapping(0, 0, CCMapping(message=0xB0, select=0x15))
+    model.control.set_mapping(0, 1, CCMapping(message=0xB0, select=0x15))
+    model.control.wet[:] = 1.0
+    model.control.dry[:] = 0.0
+    model.control.speed[:] = 200  # very slow fades: both stay in flight
+
+    x = (rng.standard_normal((1, 2, 64 * 16)) * 0.1).astype(np.float32)
+    sess = model.session(WavSource(x[..., : 64 * 6], 1, 64),
+                         WavSink("/dev/null", keep_data=True), warmup=0,
+                         donate=False)
+    # re-select at 2, interrupt at 4 -> span mixture of entries 0 and 1
+    state = sess.run(model.init_state(),
+                     midi=MidiSchedule([(2, "", bytes([0xB0, 0x15, 64])),
+                                        (4, "", bytes([0xB0, 0x15, 127]))]))
+    assert bool(np.asarray(state.base_pure).all())
+    g = np.asarray(state.base_g)
+    assert (np.abs(g) > 1e-4).sum() >= 2, f"expected a mixture, got {g}"
+
+    silent = IRBank()
+    for _ in range(3):
+        silent.append(np.zeros((2, 200), np.float32))
+    sess.swap_bank(model.engine.prepare_bank(silent.partitioned_spectra(64)))
+    sink2 = WavSink("/dev/null", keep_data=True)
+    sess.sink = sink2
+    sess.source = WavSource(x[..., 64 * 6:], 1, 64)
+    state = sess.run(state)
+    assert not bool(np.asarray(state.base_pure).any())  # materialized
+    first = sink2.data[..., : 64 * 2]
+    assert np.abs(first).max() > 1e-2, "mixed fade tail vanished on swap"
+
+
+def _snapshot_flag_model(swap_snapshot, num_irs=3, seed=63):
+    from tpu_audio.engine.params import CCMapping
+    from tpu_audio.models.reverb import ConvolutionReverb
+
+    rng = np.random.default_rng(seed)
+    bank = IRBank()
+    for _ in range(num_irs):
+        ir = rng.standard_normal((2, 200)).astype(np.float32)
+        bank.append(ir * (0.4 / np.abs(ir).max()))
+    m = ConvolutionReverb(bank, num_voices=2, block=64, max_predelay=64,
+                          swap_snapshot=swap_snapshot)
+    m.control.set_mapping(0, 0, CCMapping(message=0xB0, select=0x15))
+    m.control.set_mapping(0, 1, CCMapping(message=0xB0, select=0x15))
+    m.control.wet[:] = 0.9
+    m.control.dry[:] = 0.1
+    m.control.speed[:] = 30
+    return m
+
+
+def test_snapshotless_engine_matches_snapshot_engine():
+    """swap_snapshot=False drops the materialized base tensor (the largest
+    state array); every fade rides the span path, so a session with
+    interrupted re-selects must produce BIT-IDENTICAL output to the
+    snapshot-carrying engine (whose base is dead weight on this path)."""
+    from tpu_audio.runtime.backends import WavSink, WavSource
+    from tpu_audio.runtime.stream import MidiSchedule
+
+    rng = np.random.default_rng(64)
+    x = (rng.standard_normal((2, 2, 64 * 24)) * 0.05).astype(np.float32)
+    # second select lands mid-fade (speed 30): an interrupted fade
+    midi = lambda: MidiSchedule([(2, "", bytes([0xB0, 0x15, 64])),
+                                 (6, "", bytes([0xB0, 0x15, 127]))])
+
+    outs = {}
+    for flag in (True, False):
+        m = _snapshot_flag_model(flag)
+        assert m.engine.swap_snapshot is flag
+        sink = WavSink("/dev/null", keep_data=True)
+        sess = m.session(WavSource(x, 2, 64), sink, warmup=0)
+        sess.run(m.init_state(), midi=midi())
+        assert getattr(sess, "indexed_blocks", 0) >= 12
+        outs[flag] = sink.data
+    base_elems = int(np.prod(_snapshot_flag_model(False)
+                             .engine._base_shape()[0]))
+    assert base_elems == 1  # the snapshot really is gone
+    np.testing.assert_array_equal(outs[True], outs[False])
+
+
+def test_snapshotless_swap_defers_until_fades_decay():
+    """A span-only engine cannot materialize old-bank tails, so swap_bank
+    waits for in-flight crossfades to decay: the old bank keeps sounding
+    through the fade, then the (silent) new bank applies and the output
+    dies out."""
+    from tpu_audio.runtime.backends import WavSink, WavSource
+    from tpu_audio.runtime.stream import MidiSchedule
+
+    m = _snapshot_flag_model(False, seed=65)
+    m.control.dry[:] = 0.0
+    m.control.speed[:] = 8  # fade decays below threshold in ~70 blocks
+    rng = np.random.default_rng(66)
+    x = (rng.standard_normal((2, 2, 64 * 110)) * 0.1).astype(np.float32)
+    # end input early so the tail region is engine output only
+    x[..., 64 * 100:] = 0.0
+
+    silent = IRBank()
+    for _ in range(3):
+        silent.append(np.zeros((2, 200), np.float32))
+    sink = WavSink("/dev/null", keep_data=True)
+    sess = m.session(WavSource(x[..., : 64 * 6], 2, 64), sink, warmup=0,
+                     donate=False)
+    # start the fade first (select at block 2), THEN request the swap
+    state = sess.run(m.init_state(),
+                     midi=MidiSchedule([(2, "", bytes([0xB0, 0x15, 64]))]))
+    assert (np.asarray(state.coef_a)[0] > 1e-3).all(), "fade must be in flight"
+    sess.swap_bank(m.engine.prepare_bank(silent.partitioned_spectra(64)))
+    sink2 = WavSink("/dev/null", keep_data=True)
+    sess.sink = sink2
+    sess.source = WavSource(x[..., 64 * 6:], 2, 64)
+    sess.run(state)
+    assert sess._pending_bank is None, "swap never applied"
+    mid = sink2.data[..., : 64 * 30]
+    assert np.abs(mid).max() > 1e-3, "old bank fell silent during the fade"
+    tail = sink2.data[..., -64 * 2:]
+    assert np.abs(tail).max() < 1e-4, "silent bank did not take over"
+
+
+def test_snapshotless_guards():
+    from tpu_audio.engine.fmajor import FMajorPartitionedConvolution
+
+    with pytest.raises(ValueError, match="allk"):
+        FMajorPartitionedConvolution(1, 32, 4, mac_strategy="selected",
+                                     swap_snapshot=False)
+    _, fm, spectra, _ = build(num_voices=1)
+    fm2 = FMajorPartitionedConvolution(1, 32, fm.partitions,
+                                       max_predelay=64, swap_snapshot=False)
+    bank_d = fm2.prepare_bank(spectra)
+    cp = ControlPlane(1, 3, max_predelay=64)
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+    state = fm2.init_converged(bank_d, params)
+    with pytest.raises(ValueError, match="swap_snapshot"):
+        fm2.step_coef(state, bank_d, params, jnp.zeros((1, 2, 32)))
+    with pytest.raises(ValueError, match="swap_snapshot"):
+        fm2.collapse(state, bank_d, jnp.asarray(cp.select),
+                     jnp.zeros((1, 2), bool))
+    # steady and span-fade steps work without the snapshot
+    state, out = jax.jit(fm2.step_coef_steady)(state, bank_d, params,
+                                               jnp.zeros((1, 2, 32)))
+    state, out = jax.jit(fm2.step_coef_indexed)(state, bank_d, params,
+                                                jnp.zeros((1, 2, 32)))
+    assert np.isfinite(np.asarray(out)).all()

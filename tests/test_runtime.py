@@ -668,12 +668,12 @@ def test_fetch_batched_pcm16_wire_matches_within_quantization():
     np.testing.assert_allclose(s2.data, s1.data, atol=1.01 / 32767.0)
 
 
-def test_stale_pure_checkpoint_into_chunked_session_materializes(tmp_path):
-    """A deferred-collapse (collapse_pure) mid-fade state has a STALE base
-    tensor by design. Restoring such a checkpoint into a session that
-    cannot run the indexed step (chunk_blocks > 1) must materialize the
-    virtual snapshot at run start — output must match the same resume into
-    a plain indexed-capable session."""
+def test_stale_pure_checkpoint_resume_paths_agree(tmp_path):
+    """A span-collapsed mid-fade state has a STALE base tensor by design.
+    Resuming such a checkpoint must work in every session mode: chunked
+    sessions scan the indexed (span) step; a session with the indexed step
+    disabled entirely must materialize the virtual snapshot at run start
+    and serve the fade with the general step. All resumes must agree."""
     from tpu_audio.engine.params import CCMapping
 
     def build():
@@ -699,20 +699,24 @@ def test_stale_pure_checkpoint_into_chunked_session_materializes(tmp_path):
     assert (np.asarray(state.coef_a) > 1e-3).all(), "fade must be in flight"
     save_checkpoint(tmp_path / "pure.ckpt", state, m1.control)
 
-    def resume(chunk):
+    def resume(chunk, force_general=False):
         m = build()
         st, _ = load_checkpoint(tmp_path / "pure.ckpt",
                                 m.engine.init_state(), m.control)
         sink = WavSink("/dev/null", keep_data=True)
         sess = m.session(WavSource(x[..., 64 * 6:], 1, 64), sink, warmup=0,
                          donate=False, chunk_blocks=chunk)
+        if force_general:
+            sess._step_indexed = None  # e.g. a pinned/custom step session
         sess.run(st)
         return sink.data
 
-    got_chunked = resume(chunk=2)   # cannot run indexed -> must materialize
-    got_plain = resume(chunk=1)     # indexed-capable reference resume
+    got_chunked = resume(chunk=2)   # chunked span fade (scanned indexed)
+    got_plain = resume(chunk=1)     # per-block span fade
+    got_general = resume(chunk=1, force_general=True)  # must materialize
+    np.testing.assert_allclose(got_chunked, got_plain, atol=2e-6)
     # materialized-vs-virtual snapshots agree to the bf16 snapshot scale
-    np.testing.assert_allclose(got_chunked, got_plain, atol=4e-3)
+    np.testing.assert_allclose(got_general, got_plain, atol=4e-3)
 
 
 def test_resilient_chunked_session_replays_chunk_local_midi(tmp_path):

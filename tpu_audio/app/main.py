@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["coef", "materialized"])
     p.add_argument("--mac-dtype", default="f32", choices=["f32", "bf16"],
                    help="bf16 halves wet-path HBM traffic (~-48 dB floor)")
+    p.add_argument("--no-swap-snapshot", action="store_true",
+                   help="span-only fades (fmajor 'allk'): drop the "
+                        "materialized fade snapshot, the largest state "
+                        "tensor (~11 MB/voice at 4 s IRs); bank hot-swaps "
+                        "then wait for in-flight crossfades to decay")
     p.add_argument("--voices", type=int, default=None,
                    help="override voice count (default: conv.count/2)")
     p.add_argument("--blocks", type=int, default=None,
@@ -135,7 +140,8 @@ def main(argv=None) -> int:
         normalize_bank=args.normalize_bank,
         variant=args.variant, block=args.block_size,
         sample_rate=args.sample_rate, cache_dir=args.cache_dir,
-        mac_dtype=args.mac_dtype, verbose=not args.quiet)
+        mac_dtype=args.mac_dtype, verbose=not args.quiet,
+        swap_snapshot=not args.no_swap_snapshot)
 
     v, b = model.engine.num_voices, model.block
     rings = []

@@ -176,7 +176,8 @@ class FMajorPartitionedConvolution:
     def __init__(self, num_voices: int, block: int, partitions: int,
                  max_predelay: int = 8192, backend: str = "auto",
                  ring: bool = True, mac_strategy: str = "allk",
-                 num_irs: int | None = None, mac_dtype: str = "f32"):
+                 num_irs: int | None = None, mac_dtype: str = "f32",
+                 swap_snapshot: bool = True):
         self.num_voices = num_voices
         self.block = block
         self.partitions = partitions
@@ -206,6 +207,17 @@ class FMajorPartitionedConvolution:
         # here when given, else at prepare_bank (always called before
         # init_state in practice)
         self.num_irs = num_irs
+        # swap_snapshot=False ('allk' only) drops the materialized fade
+        # snapshot `base` — the largest state tensor (e.g. 732 MB at
+        # 64v/4s) — because the span provenance serves every fade. The one
+        # capability it costs: swap_bank mid-fade cannot materialize the
+        # old bank's tail, so StreamSession defers the swap until in-flight
+        # fades decay (bounded by the fade time itself).
+        if not swap_snapshot and mac_strategy != "allk":
+            raise ValueError("swap_snapshot=False requires the 'allk' MAC "
+                             "strategy (the 'selected' MAC reads the "
+                             "materialized snapshot during fades)")
+        self.swap_snapshot = swap_snapshot
         self.mac_dtype = jnp.float32 if mac_dtype == "f32" else jnp.bfloat16
         self._mac_prec = (jax.lax.Precision.HIGH if mac_dtype == "f32"
                           else jax.lax.Precision.DEFAULT)
@@ -261,6 +273,8 @@ class FMajorPartitionedConvolution:
 
     def _base_shape(self):
         v, f, pp = self.num_voices, self.num_bins, self.pp
+        if not self.swap_snapshot:
+            return (1, 1, 1, 1, 1, 1), jnp.float32  # span-only: no snapshot
         if self.ring_mode:
             return (f, v, 2, 2, 2, 2 * pp), jnp.bfloat16
         return (f, v, 2, 2, 2, pp), jnp.float32
@@ -409,6 +423,11 @@ class FMajorPartitionedConvolution:
         per-voice contraction (see step_coef_indexed)."""
         v, f, pp = self.num_voices, self.num_bins, self.pp
         k = bank.num_irs
+        if (with_base and not indexed_base and not self.swap_snapshot):
+            raise ValueError(
+                "engine was built with swap_snapshot=False: there is no "
+                "materialized fade snapshot to read — fades ride "
+                "step_coef_indexed (span provenance)")
         xn = self._input_spectrum(state, x)
 
         if self.ring_mode:
@@ -548,6 +567,11 @@ class FMajorPartitionedConvolution:
         'selected' strategy and for bank swaps mid-fade. The 'selected'
         strategy also re-gathers the per-voice selected spectra (pass
         `new_select`, the post-change selection)."""
+        if not self.swap_snapshot:
+            raise ValueError(
+                "engine was built with swap_snapshot=False: snapshots "
+                "cannot materialize — collapse in the span (collapse_pure) "
+                "and defer bank swaps until fades decay")
         if self.mac_strategy == "selected":
             gathered = state.sel_spectra.astype(jnp.float32)
             # 'selected' span provenance only ever holds the zero snapshot
@@ -605,7 +629,7 @@ class FMajorPartitionedConvolution:
         )
 
 
-def make_chunk_step(engine, steady: bool = False):
+def make_chunk_step(engine, steady: bool = False, indexed: bool = False):
     """Multi-block step: scan `engine.step_coef` over a [T, V, 2, B] chunk.
 
     One dispatch + one host transfer pair per T blocks instead of per block —
@@ -613,11 +637,15 @@ def make_chunk_step(engine, steady: bool = False):
     links. Within a chunk parameters are frozen except the crossfade
     countdown, which decrements per block in-graph exactly like the host
     does between blocks (MIDI events still apply at chunk boundaries).
-    Works with any coef-interface engine (fmajor or partitioned-coef).
+    Works with any coef-interface engine (fmajor or partitioned-coef);
+    ``indexed=True`` scans the span fade step (fmajor 'allk').
     """
     import jax as _jax
 
-    step = engine.step_coef_steady if steady else engine.step_coef
+    if indexed:
+        step = engine.step_coef_indexed
+    else:
+        step = engine.step_coef_steady if steady else engine.step_coef
 
     def chunk_step(state, bank, params, xs):
         def body(carry, x):

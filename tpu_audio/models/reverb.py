@@ -35,7 +35,7 @@ class ConvolutionReverb:
                  variant: str = "coef", fft_size: int = 131072,
                  max_predelay: int = 8192, max_partitions: int | None = None,
                  backend: str = "auto", cache_dir: str | None = None,
-                 mac_dtype: str = "f32"):
+                 mac_dtype: str = "f32", swap_snapshot: bool = True):
         self.bank = bank
         self.block = block
         self.sample_rate = sample_rate
@@ -49,10 +49,15 @@ class ConvolutionReverb:
                 spectra = bank.partitioned_spectra(
                     block, max_partitions=partitions)
             if engine == "fmajor":
+                # swap_snapshot=False only composes with the allk strategy;
+                # the auto rule would silently pick 'selected' on big banks
+                strategy = "auto"
+                if not swap_snapshot:
+                    strategy = "allk"
                 self.engine = FMajorPartitionedConvolution(
                     num_voices, block, partitions, max_predelay=max_predelay,
-                    backend=backend, mac_strategy="auto", num_irs=len(bank),
-                    mac_dtype=mac_dtype)
+                    backend=backend, mac_strategy=strategy, num_irs=len(bank),
+                    mac_dtype=mac_dtype, swap_snapshot=swap_snapshot)
                 # device bank is a pytree of MAC-ready real layouts
                 self.spectra = self.engine.prepare_bank(spectra)
             else:

@@ -192,7 +192,10 @@ def fmajor_shardings(mesh: Mesh, engine):
         fdl=NamedSharding(mesh, P(None, "voice", None, part)),
         prev_in=NamedSharding(mesh, P("voice", None, None)),
         wet_ring=NamedSharding(mesh, P("voice", None, None, None)),
-        base=NamedSharding(mesh, P(None, "voice", None, None, None, part)),
+        # swap_snapshot=False engines carry a [1]*6 placeholder, unshardable
+        base=NamedSharding(mesh, P(None, "voice", None, None, None, part)
+                           if getattr(engine, "swap_snapshot", True)
+                           else P(None, None, None, None, None, None)),
         coef_a=NamedSharding(mesh, P("voice", None)),
         coef_c=NamedSharding(mesh, P("voice", None)),
         wptr=NamedSharding(mesh, P()),

@@ -158,6 +158,7 @@ class StreamSession:
         self.wire = wire
         self._pending_bank = None
         self._regather = None
+        self._swap_wait_logged = False
         # cooperative stop for unbounded live sessions (the reference parks
         # its main thread on stdin and quits on Enter, src/main.cu:95);
         # set from any thread, honoured at the next block boundary
@@ -206,10 +207,14 @@ class StreamSession:
             # is in state.
             self._step_indexed = None
             self._collapse_pure = None
-            if (self.chunk_blocks == 1
-                    and getattr(engine, "mac_strategy", None) == "allk"
+            if (getattr(engine, "mac_strategy", None) == "allk"
                     and hasattr(engine, "step_coef_indexed")):
-                self._step_indexed = jax.jit(engine.step_coef_indexed,
+                if self.chunk_blocks > 1:
+                    from tpu_audio.engine.fmajor import make_chunk_step
+                    idx_fn = make_chunk_step(engine, indexed=True)
+                else:
+                    idx_fn = engine.step_coef_indexed
+                self._step_indexed = jax.jit(idx_fn,
                                              donate_argnums=donate_args)
                 self._collapse_pure = jax.jit(engine.collapse_pure,
                                               donate_argnums=donate_args)
@@ -305,10 +310,32 @@ class StreamSession:
     def _apply_pending_bank(self, state):
         if self._pending_bank is None:
             return state
+        if (self._is_coef
+                and not getattr(self.engine, "swap_snapshot", True)
+                and bool((self._a_host >= STEADY_THRESHOLD).any())):
+            # span-only engine (swap_snapshot=False): there is nothing to
+            # materialize the old bank's fade tails into, so the swap
+            # waits for in-flight crossfades to decay (bounded by the fade
+            # time itself) — tails keep the old sound, then the new bank
+            # applies atomically between blocks
+            if not self._swap_wait_logged:
+                self._swap_wait_logged = True
+                Log.info("stream", "bank swap deferred until in-flight "
+                         "crossfades decay (span-only engine)")
+            return state
+        self._swap_wait_logged = False
         new_bank = self._pending_bank
         self._pending_bank = None
         if self._is_coef and hasattr(state, "base_pure"):
-            if bool(np.asarray(state.base_pure).any()):
+            if not getattr(self.engine, "swap_snapshot", True):
+                # span-only engine: the deferral above guarantees every
+                # fade has decayed, so the old-bank span coefficients are
+                # inert (a < threshold) — zero them so no stale provenance
+                # is reinterpreted against the new bank
+                from dataclasses import replace as _replace
+                state = _replace(state,
+                                 base_g=jnp.zeros_like(state.base_g))
+            elif bool(np.asarray(state.base_pure).any()):
                 # materialize virtual snapshots against the OLD bank: the
                 # fade-out tail must keep playing the old bank's sound
                 no_change = jnp.zeros((self.engine.num_voices, 2), jnp.bool_)
