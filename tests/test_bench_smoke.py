@@ -1,0 +1,43 @@
+"""bench.py must never crash: the driver runs it unattended on the real
+chip and records its single JSON line as the round's headline. These smoke
+tests run the full benchmark path on tiny shapes (CPU via conftest)."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+
+def run_bench(capsys, extra=()):
+    sys.path.insert(0, "/root/repo")
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+    argv = ["--voices", "2", "--num-irs", "2", "--ir-seconds", "0.05",
+            "--block", "256", "--engine-blocks", "4", "--chunks", "4",
+            "--chunk", "3", "--reps", "1", *extra]
+    assert bench.main(argv) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_bench_json_line(capsys):
+    rec = run_bench(capsys)
+    assert rec["unit"] == "x_realtime"
+    assert rec["value"] > 0 and np.isfinite(rec["value"])
+    assert rec["vs_baseline"] == rec["value"]
+    assert rec["engine_steady_ms"] > 0
+    assert rec["engine_fade_indexed_ms"] > 0
+    assert rec["engine_fade_general_ms"] > 0
+    assert rec["p99_ms"] > 0
+
+
+def test_bench_snapshotless_and_bf16(capsys):
+    rec = run_bench(capsys, extra=["--no-swap-snapshot",
+                                   "--mac-dtype", "bf16"])
+    assert rec["value"] > 0 and np.isfinite(rec["value"])
+    # span-only engines have no materialized fade path to measure
+    assert rec["engine_fade_general_ms"] is None
+    assert "bf16" in rec["metric"]
