@@ -81,7 +81,9 @@ def build(args):
     engine = FMajorPartitionedConvolution(
         args.voices, args.block, bank.max_partitions(args.block),
         max_predelay=8192, backend=args.fft_backend,
-        mac_dtype=args.mac_dtype, swap_snapshot=not args.no_swap_snapshot)
+        mac_dtype=args.mac_dtype, swap_snapshot=not args.no_swap_snapshot,
+        mac_strategy=args.mac_strategy, num_irs=args.num_irs,
+        pv_mac=args.pv_mac)
     spectra = engine.prepare_bank(bank.partitioned_spectra(args.block))
     control = ControlPlane(args.voices, args.num_irs)
     control.wet[:] = 0.7
@@ -194,6 +196,13 @@ def main(argv=None) -> int:
                     help="delay-line/MAC precision (bf16 halves HBM traffic "
                          "and carries 1024 voices x 4 s real-time; see "
                          "README scaling table)")
+    ap.add_argument("--mac-strategy", default="allk",
+                    choices=["allk", "selected", "auto"],
+                    help="fmajor MAC strategy (the CLI's 'auto' picks "
+                         "'selected' for banks > 16 IRs)")
+    ap.add_argument("--pv-mac", default="dot", choices=["dot", "merged"],
+                    help="per-voice MAC lowering for the 'selected' "
+                         "strategy / general fade (see fmajor.py)")
     ap.add_argument("--no-swap-snapshot", action="store_true",
                     help="drop the materialized fade snapshot (the largest "
                          "state tensor; span provenance serves every fade) "
@@ -218,8 +227,10 @@ def main(argv=None) -> int:
         # output delivery below IS fully measured and verified
         return pool[t % len(pool)]
 
+    has_indexed = engine.mac_strategy == "allk"
     steady = jax.jit(engine.step_coef_steady, donate_argnums=(0,))
-    fade_idx = jax.jit(engine.step_coef_indexed, donate_argnums=(0,))
+    fade_idx = (jax.jit(engine.step_coef_indexed, donate_argnums=(0,))
+                if has_indexed else None)
     fade_gen = jax.jit(engine.step_coef, donate_argnums=(0,))
 
     # ---- engine-true (chained dispatch, chip-side cost) --------------------
@@ -237,15 +248,23 @@ def main(argv=None) -> int:
         changed = jnp.asarray(np.ones((args.voices, 2), bool))
         return jax.jit(engine.collapse_pure)(st, params.select, changed)
 
-    ms_fidx, _ = engine_true_ms(
-        fade_idx, fade_state(), spectra, params_fade,
-        make_block, args.engine_blocks, reps=args.reps)
+    def general_fade_state():
+        st = engine.init_converged(spectra, params)
+        changed = jnp.asarray(np.ones((args.voices, 2), bool))
+        kw = (dict(new_select=params.select)
+              if engine.mac_strategy == "selected" else {})
+        return jax.jit(lambda s: engine.collapse(
+            s, spectra, params.select, changed, **kw))(st)
+
+    if has_indexed:
+        ms_fidx, _ = engine_true_ms(
+            fade_idx, fade_state(), spectra, params_fade,
+            make_block, args.engine_blocks, reps=args.reps)
+    else:
+        ms_fidx = float("nan")  # 'selected': fades run the general step
     if engine.swap_snapshot:
         ms_fgen, _ = engine_true_ms(
-            fade_gen, jax.jit(engine.collapse)(
-                engine.init_converged(spectra, params), spectra, params.select,
-                jnp.asarray(np.ones((args.voices, 2), bool))),
-            spectra, params_fade,
+            fade_gen, general_fade_state(), spectra, params_fade,
             make_block, max(args.engine_blocks // 2, 20),
             reps=max(args.reps - 1, 1))
     else:
@@ -291,15 +310,19 @@ def main(argv=None) -> int:
         )
         log(f"e2e {wire}: {results[wire]}")
 
-    # mid-crossfade end-to-end (indexed fade = the production fade path)
-    control.vsteps[:] = 1 << 20
-    params_fade = jax.tree.map(jnp.asarray, control.snapshot())
-    times_f, _, _ = e2e_throughput(
-        fade_idx, fade_state(), spectra, params_fade,
-        make_block, enc_i16, dec_i16, max(args.chunks // 2, 3), T, deadline)
-    fade_rtf = deadline / float(times_f.mean())
-    log(f"e2e pcm16 mid-fade: {float(times_f.mean()) * 1e3:.3f} ms/block "
-        f"(RTF {fade_rtf:.2f})")
+    # mid-crossfade end-to-end (span fade = the production fade path)
+    if has_indexed:
+        control.vsteps[:] = 1 << 20
+        params_fade = jax.tree.map(jnp.asarray, control.snapshot())
+        times_f, _, _ = e2e_throughput(
+            fade_idx, fade_state(), spectra, params_fade,
+            make_block, enc_i16, dec_i16, max(args.chunks // 2, 3), T,
+            deadline)
+        fade_rtf = deadline / float(times_f.mean())
+        log(f"e2e pcm16 mid-fade: {float(times_f.mean()) * 1e3:.3f} ms/block "
+            f"(RTF {fade_rtf:.2f})")
+    else:
+        fade_rtf = float("nan")
 
     head = results["pcm16"]
     transport_bound = head["p99_ms"] > dl_ms and ms_steady < dl_ms
@@ -319,9 +342,10 @@ def main(argv=None) -> int:
         "vs_baseline": round(head["rtf"], 3),
         "wire": "pcm16",
         "e2e_f32_rtf": round(results["f32"]["rtf"], 3),
-        "e2e_fade_rtf": round(fade_rtf, 3),
+        "e2e_fade_rtf": (None if np.isnan(fade_rtf) else round(fade_rtf, 3)),
         "engine_steady_ms": round(ms_steady, 3),
-        "engine_fade_indexed_ms": round(ms_fidx, 3),
+        "engine_fade_indexed_ms": (None if np.isnan(ms_fidx)
+                                   else round(ms_fidx, 3)),
         "engine_fade_general_ms": (None if np.isnan(ms_fgen)
                                    else round(ms_fgen, 3)),
         "engine_steady_rtf": round(dl_ms / ms_steady, 3),

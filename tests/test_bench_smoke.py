@@ -34,6 +34,16 @@ def test_bench_json_line(capsys):
     assert rec["p99_ms"] > 0
 
 
+def test_bench_selected_strategy(capsys):
+    rec = run_bench(capsys, extra=["--mac-strategy", "selected",
+                                   "--pv-mac", "merged"])
+    # 'selected' has no span/indexed fade path; fades run the general step
+    assert rec["engine_fade_indexed_ms"] is None
+    assert rec["e2e_fade_rtf"] is None
+    assert rec["engine_fade_general_ms"] > 0
+    assert rec["value"] > 0 and np.isfinite(rec["value"])
+
+
 def test_bench_snapshotless_and_bf16(capsys):
     rec = run_bench(capsys, extra=["--no-swap-snapshot",
                                    "--mac-dtype", "bf16"])

@@ -730,6 +730,56 @@ def test_snapshotless_swap_defers_until_fades_decay():
     assert np.abs(tail).max() < 1e-4, "silent bank did not take over"
 
 
+@pytest.mark.parametrize("strategy", ["selected", "allk"])
+@pytest.mark.parametrize("ring", [False, True])
+def test_pv_mac_merged_matches_dot(ring, strategy):
+    """pv_mac='merged' (channel axis folded into the matmul dims, i-cross
+    terms discarded) must match the default dot lowering bit-for-bit-ish
+    through steady + fading blocks on both MAC strategies."""
+    from tpu_audio.engine.fmajor import FMajorPartitionedConvolution
+
+    _, fm_ref, spectra, _ = build(num_voices=2, ring=ring)
+    engines = {}
+    for pv in ("dot", "merged"):
+        engines[pv] = FMajorPartitionedConvolution(
+            2, 32, fm_ref.partitions, max_predelay=64, ring=ring,
+            mac_strategy=strategy, pv_mac=pv)
+    cp = ControlPlane(2, 3, max_predelay=64)
+    cp.wet[:] = 0.8
+    cp.dry[:] = 0.1
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+    rng = np.random.default_rng(71)
+    outs = {}
+    for pv, eng in engines.items():
+        bank_d = eng.prepare_bank(spectra)
+        state = eng.init_converged(bank_d, params)
+        # enter a fade through the materializing collapse so the general
+        # (per-voice) path runs with a real base snapshot
+        old = cp.select.copy()
+        cpl = ControlPlane(2, 3, max_predelay=64)
+        cpl.wet[:] = 0.8
+        cpl.dry[:] = 0.1
+        cpl.select[:] = 1
+        cpl.vsteps[:] = 12
+        changed = jnp.asarray(np.ones_like(old, bool))
+        kw = (dict(new_select=jnp.asarray(cpl.select))
+              if strategy == "selected" else {})
+        state = jax.jit(eng.collapse, donate_argnums=())(
+            state, bank_d, jnp.asarray(old), changed, **kw)
+        step = jax.jit(eng.step_coef, donate_argnums=())
+        rng2 = np.random.default_rng(72)
+        chunks = []
+        for _ in range(6):
+            p = jax.tree.map(jnp.asarray, cpl.snapshot())
+            x = jnp.asarray(rng2.standard_normal((2, 2, 32))
+                            .astype(np.float32) * 0.05)
+            state, o = step(state, bank_d, p, x)
+            chunks.append(np.asarray(o))
+            cpl.end_block()
+        outs[pv] = np.concatenate(chunks, axis=-1)
+    np.testing.assert_allclose(outs["merged"], outs["dot"], atol=2e-6)
+
+
 def test_snapshotless_guards():
     from tpu_audio.engine.fmajor import FMajorPartitionedConvolution
 

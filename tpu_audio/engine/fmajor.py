@@ -177,7 +177,7 @@ class FMajorPartitionedConvolution:
                  max_predelay: int = 8192, backend: str = "auto",
                  ring: bool = True, mac_strategy: str = "allk",
                  num_irs: int | None = None, mac_dtype: str = "f32",
-                 swap_snapshot: bool = True):
+                 swap_snapshot: bool = True, pv_mac: str = "dot"):
         self.num_voices = num_voices
         self.block = block
         self.partitions = partitions
@@ -218,6 +218,16 @@ class FMajorPartitionedConvolution:
                              "strategy (the 'selected' MAC reads the "
                              "materialized snapshot during fades)")
         self.swap_snapshot = swap_snapshot
+        # per-voice MAC lowering ('selected' steady/fade + the general fade
+        # path): "dot" = batched per-(f,v,i) matvec (the measured-fastest
+        # form, see per_voice_mac); "merged" = batch (f,v) with the channel
+        # axis folded into BOTH matmul dims and the i-cross terms discarded
+        # — 2x the FLOPs but half the (M,N)-tiles per pass, a candidate win
+        # where the dot form is MXU-pass-bound. Exactness-tested; flip the
+        # default only on on-chip measurement.
+        if pv_mac not in ("dot", "merged"):
+            raise ValueError(f"unknown pv_mac {pv_mac!r}")
+        self.pv_mac = pv_mac
         self.mac_dtype = jnp.float32 if mac_dtype == "f32" else jnp.bfloat16
         self._mac_prec = (jax.lax.Precision.HIGH if mac_dtype == "f32"
                           else jax.lax.Precision.DEFAULT)
@@ -466,6 +476,8 @@ class FMajorPartitionedConvolution:
             contraction entirely via step_coef_indexed; this general form
             only runs for interrupted fades ('allk') or large banks
             ('selected')."""
+            if self.pv_mac == "merged":
+                return per_voice_mac_merged(tensors)
             stacked = jnp.stack(tensors, axis=1)                  # [F,N,V,I,O,e,Pp]
             fb = fdl.reshape(f, v, 2, 2, pp)                      # [F,V,I,c,Pp]
             mb = jnp.einsum("fvicp,fnvioep->fnvicoe", fb, stacked,
@@ -475,6 +487,26 @@ class FMajorPartitionedConvolution:
             yim = mb[..., 0, :, 1] + mb[..., 1, :, 0]
             out = jnp.stack([yre, yim], axis=-1)                  # [F,N,V,I,O,d]
             return [out[:, n] for n in range(len(tensors))]
+
+        def per_voice_mac_merged(tensors):
+            """pv_mac='merged': batch (f, v) only, folding (i, c) into the
+            matmul M axis and (n, i', o, e) into N, then keeping the i==i'
+            diagonal — [4, Pp] x [Pp, 8N] per (f, v). Twice the FLOPs of
+            the dot form but half its (M, N) tile count per K-pass."""
+            n = len(tensors)
+            stacked = jnp.stack(tensors, axis=2)                  # [F,V,N,I,O,e,Pp]
+            lhs = fdl.reshape(f, v, 4, pp)                        # [F,V,ic,Pp]
+            rhs = jnp.transpose(stacked, (0, 1, 6, 2, 3, 4, 5)).reshape(
+                f, v, pp, n * 8)                                  # [F,V,Pp,nioe]
+            prod = jnp.einsum("fvmp,fvpn->fvmn", lhs, rhs,
+                              precision=self._mac_prec,
+                              preferred_element_type=jnp.float32)
+            prod = prod.reshape(f, v, 2, 2, n, 2, 2, 2)           # [F,V,i,c,n,i',o,e]
+            diag = jnp.einsum("fvicnioe->fvnicoe", prod)          # i' == i
+            yre = diag[..., 0, :, 0] - diag[..., 1, :, 1]
+            yim = diag[..., 0, :, 1] + diag[..., 1, :, 0]
+            out = jnp.stack([yre, yim], axis=-1)                  # [F,V,N,I,O,d]
+            return [out[:, :, k2] for k2 in range(n)]
 
         coef_sel = (c[..., None] * scale)                         # [V, I, O]
 
