@@ -1,0 +1,234 @@
+"""Cascade (two-stage non-uniform partitioned) engine tests.
+
+Steady state must be EXACT vs the uniform fmajor engine (which is itself
+golden-tested against scipy.fftconvolve); fades converge to the uniform
+trajectory with the documented tail quantization bound.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_audio.engine import ControlPlane, IRBank
+from tpu_audio.engine.cascade import CascadeConvolution
+from tpu_audio.engine.fmajor import FMajorPartitionedConvolution
+
+B = 32       # block
+M = 4        # stagger ratio -> B2 = 128, head = 256 samples
+V = 4        # voices (divisible by M)
+K = 3
+IR_LEN = 1200
+MAXPD = 64
+
+
+def build(seed=0, ir_len=IR_LEN, num_voices=V):
+    rng = np.random.default_rng(seed)
+    bank = IRBank()
+    for _ in range(K):
+        ir = rng.standard_normal((2, ir_len)).astype(np.float32)
+        bank.append(ir * (0.4 / np.abs(ir).max()))
+    p = bank.max_partitions(B)
+    cas = CascadeConvolution(num_voices, B, p, ratio=M, max_predelay=MAXPD)
+    fm = FMajorPartitionedConvolution(num_voices, B, p, max_predelay=MAXPD)
+    return bank, cas, cas.prepare_bank(bank), fm, fm.prepare_bank(
+        bank.partitioned_spectra(B))
+
+
+def control(num_voices=V):
+    cp = ControlPlane(num_voices, K, max_predelay=MAXPD)
+    cp.wet[:] = 0.8
+    cp.dry[:] = 0.15
+    cp.level[:] = 0.9
+    cp.pan_wet[:] = [[-0.5, 0.25]] * (num_voices // 2) + \
+                    [[0.0, 0.75]] * (num_voices - num_voices // 2)
+    cp.predelay[:, 0] = [0, 9, 37, 63][:num_voices] * (num_voices // V or 1)
+    cp.select[:, 0] = np.arange(num_voices) % K
+    cp.select[:, 1] = (np.arange(num_voices) + 1) % K
+    return cp
+
+
+def run_steps(engine, bank_d, cp, x_blocks, step=None):
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+    state = engine.init_converged(bank_d, params)
+    fn = jax.jit(step or engine.step_coef_steady, donate_argnums=())
+    outs = []
+    for x in x_blocks:
+        params = jax.tree.map(jnp.asarray, cp.snapshot())
+        state, o = fn(state, bank_d, params, jnp.asarray(x))
+        outs.append(np.asarray(o))
+        cp.end_block()
+    return np.concatenate(outs, axis=-1), state
+
+
+def test_geometry_guards():
+    bank, cas, *_ = build()
+    assert cas.head_parts == 2 * M
+    assert cas.b2 == M * B
+    with pytest.raises(ValueError, match="divisible"):
+        CascadeConvolution(3, B, 40, ratio=M)
+    with pytest.raises(ValueError, match="fmajor"):
+        CascadeConvolution(V, B, 2 * M, ratio=M)
+
+
+def test_steady_matches_fmajor_exactly():
+    """With constant parameters (mixed predelays incl. sub-block parts,
+    pans, levels, per-channel selects) the cascade must reproduce the
+    uniform engine sample-for-sample once both are warm."""
+    bank, cas, cas_bank, fm, fm_bank = build()
+    rng = np.random.default_rng(1)
+    n_blocks = 64
+    xs = [rng.standard_normal((V, 2, B)).astype(np.float32) * 0.05
+          for _ in range(n_blocks)]
+    got, _ = run_steps(cas, cas_bank, control(), xs)
+    want, _ = run_steps(fm, fm_bank, control(), xs)
+    np.testing.assert_allclose(got, want, atol=3e-5)
+    assert np.abs(want).max() > 1e-3  # the tail actually sounded
+
+
+def test_steady_impulse_tail_content():
+    """An impulse through the cascade must reproduce the full IR including
+    the tail-stage region (samples >= 2*B2), verifying the tail scheduling
+    offsets directly against the IR samples."""
+    bank, cas, cas_bank, _, _ = build()
+    cp = control()
+    cp.dry[:] = 0.0
+    cp.wet[:] = 1.0
+    cp.level[:] = 1.0
+    cp.pan_wet[:] = 0.0
+    cp.predelay[:] = 0
+    cp.select[:] = 1
+    n_blocks = IR_LEN // B + 3 * M
+    xs = [np.zeros((V, 2, B), np.float32) for _ in range(n_blocks)]
+    xs[0][:, :, 0] = 1.0
+    got, _ = run_steps(cas, cas_bank, cp, xs)
+    ir = bank.ir(1)
+    from tpu_audio.ops.mix import pan_gains as _pg
+    # both input channels convolve with IR channel o at center pan (gain
+    # sqrt(1/2) each per the engines' pan law)
+    gl, _ = _pg(jnp.zeros(()))
+    expect = float(gl) * (ir + ir)  # impulse on both channels
+    for v in range(V):
+        np.testing.assert_allclose(got[v, :, : IR_LEN], expect[:, :IR_LEN],
+                                   atol=3e-5, err_msg=f"voice {v}")
+    # beyond the IR: silence
+    assert np.abs(got[..., IR_LEN + B:]).max() < 3e-5
+
+
+@pytest.mark.parametrize("vsteps,bound,check_settle", [
+    # worst case: a 6-block full-bank fade over flat-noise IRs whose tails
+    # carry most of the energy — the new selection's tail fades in up to
+    # one tail window late (documented); bounded, no blowup
+    (6, 0.35, True),
+    # realistic fade speeds: the deviation shrinks with the fade rate
+    (120, 0.04, False),
+])
+def test_fade_converges_to_uniform(vsteps, bound, check_settle):
+    """A span collapse + crossfade: the cascade's head responds per block
+    and its tail within one tail window; after the fade decays the two
+    engines agree at steady tolerance again. During the fade the deviation
+    is bounded (no clicks) and scales down with the fade length."""
+    bank, cas, cas_bank, fm, fm_bank = build()
+    rng = np.random.default_rng(2)
+    n_blocks = 140
+    xs = [rng.standard_normal((V, 2, B)).astype(np.float32) * 0.05
+          for _ in range(n_blocks)]
+
+    def run(engine, bank_d):
+        cp = control()
+        params = jax.tree.map(jnp.asarray, cp.snapshot())
+        state = engine.init_converged(bank_d, params)
+        step = jax.jit(engine.step_coef_indexed, donate_argnums=())
+        cpure = jax.jit(engine.collapse_pure, donate_argnums=())
+        takes_params = getattr(engine, "collapse_pure_takes_params", False)
+        outs = []
+        for t, x in enumerate(xs):
+            if t == 8:  # re-select everything
+                old = cp.select.copy()
+                cp.select[:] = (cp.select + 1) % K
+                cp.vsteps[:] = vsteps
+                args = (state, jnp.asarray(old),
+                        jnp.asarray(np.ones_like(old, bool)))
+                if takes_params:
+                    args += (jax.tree.map(jnp.asarray, cp.snapshot()),)
+                state = cpure(*args)
+            params = jax.tree.map(jnp.asarray, cp.snapshot())
+            state, o = step(state, bank_d, params, jnp.asarray(x))
+            outs.append(np.asarray(o))
+            cp.end_block()
+        return np.concatenate(outs, axis=-1)
+
+    got = run(cas, cas_bank)
+    want = run(fm, fm_bank)
+    # before the fade: exact
+    np.testing.assert_allclose(got[..., : 8 * B], want[..., : 8 * B],
+                               atol=3e-5)
+    # during/after the fade: bounded deviation (tail quantization), no blowup
+    assert np.abs(got - want).max() < bound
+    if check_settle:
+        # well after convergence (fade + tail window + predelay): exact again
+        settle = (8 + 70 + 3 * M + MAXPD // B) * B
+        np.testing.assert_allclose(got[..., settle:], want[..., settle:],
+                                   atol=3e-5)
+
+
+def test_session_and_checkpoint_resume():
+    """StreamSession drives the cascade (span fades via MIDI) and an
+    in-stream checkpoint resumes bit-exactly (the t counter in state keeps
+    the group stagger phase)."""
+    from tpu_audio.engine.params import CCMapping
+    from tpu_audio.runtime.backends import WavSink, WavSource
+    from tpu_audio.runtime.checkpoint import load_checkpoint, save_checkpoint
+    from tpu_audio.runtime.stream import MidiSchedule, StreamSession
+
+    bank, cas, cas_bank, _, _ = build()
+
+    def make_session(sink):
+        cp = control()
+        cp.set_mapping(0, 0, CCMapping(message=0xB0, select=0x15))
+        cp.set_mapping(0, 1, CCMapping(message=0xB0, select=0x15))
+        return cp, lambda src: StreamSession(cas, cas_bank, cp, src, sink,
+                                             warmup=0, donate=False)
+
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((V, 2, B * 40)) * 0.05).astype(np.float32)
+    midi = lambda: MidiSchedule([(5, "", bytes([0xB0, 0x15, 64]))])
+
+    sink1 = WavSink("/dev/null", keep_data=True)
+    cp1, mk1 = make_session(sink1)
+    sess1 = mk1(WavSource(x, V, B))
+    sess1.run(cas.init_state(), midi=midi())
+    assert getattr(sess1, "indexed_blocks", 0) >= 1
+    ref = sink1.data
+
+    # split run with a checkpoint in the middle
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        ck = f"{td}/c.npz"
+        sink2 = WavSink("/dev/null", keep_data=True)
+        cp2, mk2 = make_session(sink2)
+        sess2 = mk2(WavSource(x[..., : B * 22], V, B))
+        state = sess2.run(cas.init_state(), midi=midi())
+        save_checkpoint(ck, state, cp2)
+
+        sink3 = WavSink("/dev/null", keep_data=True)
+        cp3, mk3 = make_session(sink3)
+        state3, _ = load_checkpoint(ck, cas.init_state(), cp3)
+        sess3 = mk3(WavSource(x[..., B * 22:], V, B))
+        sess3.run(state3, midi=None)
+        got = np.concatenate([sink2.data, sink3.data], axis=-1)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_span_only_guards():
+    bank, cas, cas_bank, _, _ = build()
+    cp = control()
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+    state = cas.init_converged(cas_bank, params)
+    with pytest.raises(ValueError, match="span-only"):
+        cas.step_coef(state, cas_bank, params,
+                      jnp.zeros((V, 2, B)))
+    with pytest.raises(ValueError, match="span-only"):
+        cas.collapse(state, cas_bank, params.select, None)

@@ -180,17 +180,21 @@ class IRBank:
 
     def partitioned_spectra(self, block: int,
                             max_partitions: int | None = None,
-                            backend: str = "numpy") -> np.ndarray:
+                            backend: str = "numpy",
+                            offset: int = 0) -> np.ndarray:
         """[K, 2, P, F] complex64 uniform partition spectra (F = block + 1).
 
         Every IR is padded to the bank-wide partition count so selection is
         a plain gather; zero partitions cost only the bank's HBM footprint,
-        never per-block compute beyond the uniform MAC.
-        """
-        p = max_partitions or self.max_partitions(block)
+        never per-block compute beyond the uniform MAC. ``offset`` skips the
+        IRs' first samples (the cascade engine's tail stage partitions
+        ir[offset:] at a larger block size)."""
+        p = max_partitions or num_partitions(
+            max(self.max_length - offset, 1), block)
         out = np.zeros((len(self._irs), 2, p, block + 1), np.complex64)
         for k, ir in enumerate(self._irs):
-            spec = partition_spectra(ir, block, max_partitions=p, backend=backend)
+            spec = partition_spectra(ir[..., offset:], block,
+                                     max_partitions=p, backend=backend)
             out[k, :, : spec.shape[1]] = spec
         return out
 

@@ -1,0 +1,466 @@
+"""Two-stage non-uniform partitioned convolution (Gardner-style cascade).
+
+The uniform f-major engine's voice ceiling is a measured HBM roofline: the
+steady MAC streams the whole frequency-domain delay line (2.86 MB/voice at
+4 s f32) every block (README scaling table). Classic real-time convolvers
+(Gardner 1995) break that wall with NON-UNIFORM partitions: small blocks
+for the IR head (low latency), large blocks for the tail (amortized cost).
+This engine is the TPU-native form of that idea:
+
+  - **head stage**: the IR's first ``2*ratio`` block-sized partitions run
+    the exact f-major allk ring MAC every block (same math as
+    engine/fmajor.py, span-provenance crossfades included);
+  - **tail stage**: the rest of the IR is partitioned at ``B2 = ratio *
+    block`` samples. A tail chunk is one rfft(2*B2) + partition MAC +
+    irfft, needed only once per ``ratio`` blocks per voice;
+  - **voice staggering**: voices are split into ``ratio`` groups and group
+    ``t mod ratio`` processes its tail chunk at block ``t`` — every block
+    does the SAME work (head MAC for all voices + one group's tail), so
+    p99 equals the mean; there is no spike block to miss a deadline on.
+
+Per-block HBM traffic drops from O(P) to O(2*ratio + P/ratio) delay-line
+partitions — ~8x fewer bytes at 4 s IRs with ratio 16 — which is what
+lifts the real-time voice ceiling (see README).
+
+Tail scheduling: a chunk completing at input sample E covers output
+samples [E - B2 + H, E + H) where H = 2*B2 is the head length, i.e. its
+earliest contribution lands ratio+1 output blocks after the chunk's final
+input block — the tail result is scattered into the SAME predelay
+block-slot wet ring the head uses (slots ratio+1 ... 2*ratio+1 plus the
+predelay offset) and every output block emits head+tail together before
+the clamp, exactly like the reference's single overlap-add accumulator
+(src/conv.cu:411-415).
+
+Crossfades ride the span representation exclusively (the snapshot is
+always sum_k base_g[k]*bank[k]; see fmajor.py) — there is no materialized
+snapshot, so ``swap_snapshot`` is effectively False: StreamSession defers
+live bank swaps until fades decay. Because a tail chunk's output spans the
+next ``ratio`` blocks, its crossfade weights are PROJECTED at compute time
+(the coefficient recursion is deterministic given vsteps): fades remain
+per-block smooth on the whole output, but a parameter event (re-select,
+wet/pan/level/predelay change) reaches the tail portion of the sound up to
+``2*ratio+1`` blocks (~one tail window) later than the head portion — the
+head (early reflections) responds per-block as always. The reference
+itself phases parameter changes in gradually through its spectral slew
+(src/conv.cu:15-32); here the tail's extra quantization is bounded and
+equivalence-tested (tests/test_cascade.py).
+
+Steady-state output is EXACT vs the uniform engines (golden-tested against
+fmajor and scipy.fftconvolve).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpu_audio.engine.fmajor import double_reversed, pack_mac_rhs
+from tpu_audio.engine.params import VoiceParams
+from tpu_audio.ops.fft import SpectralTransform
+from tpu_audio.ops.mix import pan_gains
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class CascadeBank:
+    """Device bank: doubled+time-reversed MAC tensors for both stages."""
+
+    head_rhs2: jax.Array  # [F1, 2, 2*P1p, K*O*2]
+    tail_rhs2: jax.Array  # [F2, 2, 2*P2p, K*O*2]
+
+    @property
+    def num_irs(self) -> int:
+        return self.head_rhs2.shape[-1] // 4
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class CascadeState:
+    t: jax.Array          # i32 [] block counter (drives ring slots + groups)
+    fdl1: jax.Array       # [F1, VI, 2, P1p] head freq delay line
+    prev_in: jax.Array    # f32 [V, 2, B]
+    inbuf2: jax.Array     # f32 [V, 2, 4*ratio, B] doubled input ring (tail)
+    fdl2: jax.Array       # [F2, VI, 2, P2p] tail freq delay line
+    wet_ring: jax.Array   # f32 [V, 2, NB, B] head block-slot accumulator
+    tail_ring: jax.Array  # f32 [V, I, O, NB, B] tail accumulator, input-
+                          # channel-resolved so collapse_pure can rescale
+                          # in-flight fade-out content per (voice, channel)
+    coef_a: jax.Array     # f32 [V, 2]
+    coef_c: jax.Array     # f32 [V, 2]
+    base_g: jax.Array     # f32 [V, 2, K] span fade provenance (fmajor.py)
+    base_pure: jax.Array  # bool [V, 2] (always True: span-only engine)
+
+
+class CascadeConvolution:
+    """V stereo voices, two-stage non-uniform partitioned OLS."""
+
+    variant = "coef"          # StreamSession coef-engine interface
+    mac_strategy = "allk"     # span fades ride the all-K MAC
+    ring_mode = True
+    swap_snapshot = False     # span-only: no materialized fade snapshot
+
+    def __init__(self, num_voices: int, block: int, partitions: int,
+                 ratio: int = 16, max_predelay: int = 8192,
+                 backend: str = "auto", num_irs: int | None = None,
+                 mac_dtype: str = "f32"):
+        if num_voices % ratio:
+            raise ValueError(f"{num_voices} voices not divisible by the "
+                             f"stagger ratio {ratio} (one voice group's "
+                             f"tail chunk runs per block)")
+        if partitions <= 2 * ratio:
+            raise ValueError(f"IR has {partitions} block partitions <= head "
+                             f"length 2*ratio={2 * ratio}; use the uniform "
+                             f"fmajor engine for short IRs")
+        self.num_voices = num_voices
+        self.block = block
+        self.partitions = partitions            # total, at block granularity
+        self.ratio = ratio
+        self.b2 = ratio * block                 # tail partition size
+        self.head_parts = 2 * ratio             # head covers [0, 2*B2)
+        self.tail_parts = -(-(partitions - self.head_parts) // ratio)
+        self.pp1 = -(-self.head_parts // 8) * 8
+        self.pp2 = -(-self.tail_parts // 8) * 8
+        self.max_predelay = max_predelay
+        self.num_irs = num_irs
+        if mac_dtype not in ("f32", "bf16"):
+            raise ValueError(f"unknown mac_dtype {mac_dtype!r}")
+        self.mac_dtype = jnp.float32 if mac_dtype == "f32" else jnp.bfloat16
+        self._mac_prec = (jax.lax.Precision.HIGH if mac_dtype == "f32"
+                          else jax.lax.Precision.DEFAULT)
+        self.xf1 = SpectralTransform(2 * block, backend=backend)
+        self.xf2 = SpectralTransform(2 * self.b2, backend=backend)
+        self.f1 = self.xf1.num_bins
+        self.f2 = self.xf2.num_bins
+        # tail chunk k's earliest output lands ratio+1 blocks after its
+        # final input block; pieces span ratio+1 slots; + predelay offset
+        self.tail_slot0 = ratio + 1
+        self.ring_slots = max_predelay // block + 2 * ratio + 3
+
+    # -- bank ---------------------------------------------------------------------
+
+    def prepare_bank(self, bank) -> CascadeBank:
+        """IRBank (time-domain) -> device CascadeBank: the head takes the
+        IRs' first 2*B2 samples at block granularity, the tail the rest at
+        B2 granularity (reference `prepare` builds one monolithic spectrum,
+        src/conv.cu:207-253; here two partition resolutions)."""
+        head_spec = bank.partitioned_spectra(self.block,
+                                             max_partitions=self.head_parts)
+        tail_spec = bank.partitioned_spectra(self.b2, offset=2 * self.b2)
+        if tail_spec.shape[2] < self.tail_parts:
+            pad = self.tail_parts - tail_spec.shape[2]
+            tail_spec = np.pad(tail_spec, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        tail_spec = tail_spec[:, :, : self.tail_parts]
+        if self.num_irs is not None and head_spec.shape[0] != self.num_irs:
+            raise ValueError(f"bank has {head_spec.shape[0]} IRs, engine "
+                             f"was built for num_irs={self.num_irs}")
+        self.num_irs = head_spec.shape[0]
+        return CascadeBank(
+            head_rhs2=jnp.asarray(
+                double_reversed(pack_mac_rhs(head_spec, self.pp1), axis=2),
+                self.mac_dtype),
+            tail_rhs2=jnp.asarray(
+                double_reversed(pack_mac_rhs(tail_spec, self.pp2), axis=2),
+                self.mac_dtype),
+        )
+
+    # -- state ---------------------------------------------------------------------
+
+    def init_state(self) -> CascadeState:
+        if self.num_irs is None:
+            raise ValueError("pass num_irs= or call prepare_bank before "
+                             "init_state (base_g is bank-sized)")
+        v, b, m = self.num_voices, self.block, self.ratio
+        return jax.jit(lambda: CascadeState(
+            t=jnp.zeros((), jnp.int32),
+            fdl1=jnp.zeros((self.f1, v * 2, 2, self.pp1), self.mac_dtype),
+            prev_in=jnp.zeros((v, 2, b), jnp.float32),
+            inbuf2=jnp.zeros((v, 2, 4 * m, b), jnp.float32),
+            fdl2=jnp.zeros((self.f2, v * 2, 2, self.pp2), self.mac_dtype),
+            wet_ring=jnp.zeros((v, 2, self.ring_slots, b), jnp.float32),
+            tail_ring=jnp.zeros((v, 2, 2, self.ring_slots, b), jnp.float32),
+            coef_a=jnp.zeros((v, 2), jnp.float32),
+            coef_c=jnp.zeros((v, 2), jnp.float32),
+            base_g=jnp.zeros((v, 2, self.num_irs), jnp.float32),
+            base_pure=jnp.ones((v, 2), jnp.bool_),
+        ))()
+
+    def init_converged(self, bank: CascadeBank, params: VoiceParams
+                       ) -> CascadeState:
+        state = self.init_state()
+        return replace(state, coef_c=jax.jit(
+            lambda w: w.astype(jnp.float32) + 0.0)(params.wet))
+
+    # -- shared pieces ---------------------------------------------------------------
+
+    def _wet_scale(self, params: VoiceParams) -> jax.Array:
+        gl, gr = pan_gains(params.pan_wet)
+        return jnp.stack([gl, gr], axis=-1) * params.level[..., None]
+
+    def _allk_mac(self, fdl, rhs2, w, f, pp, nrows):
+        """Windowed doubled-reversed ring MAC (fmajor.py allk):
+        [F, rows, 2Pp] x [F, 2Pp, KOD] -> [F, rows/2, I, K, O, d]."""
+        rhs = jax.lax.dynamic_slice_in_dim(rhs2, pp - w, pp, axis=2)
+        rhs = rhs.reshape(f, 2 * pp, rhs.shape[-1])
+        m = jnp.einsum("fvq,fqk->fvk", fdl.reshape(f, nrows, 2 * pp), rhs,
+                       precision=self._mac_prec,
+                       preferred_element_type=jnp.float32)
+        k = rhs2.shape[-1] // 4
+        return m.reshape(f, nrows // 2, 2, k, 2, 2)      # [F,V,I,K,O,d]
+
+    def _project_coefs(self, a, c, params, steps):
+        """Trajectories a_n, c_n for n = 0..steps-1 future blocks, from the
+        CURRENT (already-updated) coefficients — the slew recursion
+        (reference src/conv.cu:15-32, two scalars) is deterministic given
+        vsteps, so a tail chunk can carry per-output-block fade weights."""
+        wet = params.wet.astype(jnp.float32)
+
+        def body(carry, n):
+            av, cv = carry
+            r = 1.0 / (jnp.maximum(
+                params.vsteps.astype(jnp.float32) - n, 0.0) + 5.0)
+            av2 = av * (1.0 - r)
+            cv2 = cv * (1.0 - r) + wet * r
+            return (av2, cv2), (av, cv)
+
+        (_, _), (a_traj, c_traj) = jax.lax.scan(
+            body, (a, c), jnp.arange(1, steps + 1, dtype=jnp.float32))
+        return (jnp.moveaxis(a_traj, 0, -1),            # [V, 2, steps]
+                jnp.moveaxis(c_traj, 0, -1))
+
+    # -- the step -------------------------------------------------------------------
+
+    def _step(self, state: CascadeState, bank: CascadeBank,
+              params: VoiceParams, x: jax.Array, with_base: bool):
+        b, v, m = self.block, self.num_voices, self.ratio
+        vg = v // m
+        t = state.t
+        pd = params.predelay[:, 0]          # channel-0 quirk (conv.cu:411)
+        q = pd // b
+        r_pd = pd % b
+
+        # coefficient slew (this block)
+        r = 1.0 / (params.vsteps.astype(jnp.float32) + 5.0)
+        a = state.coef_a * (1.0 - r)
+        c = state.coef_c * (1.0 - r) + params.wet * r
+        scale = self._wet_scale(params)                   # [V, I, O]
+
+        # ---- head stage: exact fmajor allk ring block ----
+        seg = jnp.concatenate([state.prev_in, x], axis=-1)
+        spec1 = self.xf1.rfft(seg)                        # [V, 2, F1]
+        xn1 = jnp.stack([jnp.real(spec1), jnp.imag(spec1)], axis=-1)
+        xn1 = jnp.transpose(xn1.reshape(v * 2, self.f1, 2),
+                            (1, 0, 2))[..., None].astype(self.mac_dtype)
+        w1 = jax.lax.rem(t, jnp.int32(self.pp1))
+        fdl1 = jax.lax.dynamic_update_slice(state.fdl1, xn1, (0, 0, 0, w1))
+        m1 = self._allk_mac(fdl1, bank.head_rhs2, w1, self.f1, self.pp1,
+                            v * 2)                        # [F1,V,I,K,O,d]
+        sel = params.select[None, :, :, None, None, None]
+        y = jnp.einsum("fviod,vio->fvod",
+                       jnp.take_along_axis(m1, sel, axis=3)[:, :, :, 0],
+                       c[..., None] * scale)
+        if with_base:
+            y = y + jnp.einsum("fvikod,vik,vio->fvod", m1, state.base_g,
+                               a[..., None] * scale)
+
+        # head predelay: sub-block part as a spectral phase ramp, block
+        # part as a one-hot slot scatter (fmajor.py _finish)
+        n1 = 2 * b
+        ang = (2.0 * jnp.pi / n1) * (
+            jnp.arange(self.f1, dtype=jnp.float32)[:, None]
+            * r_pd.astype(jnp.float32)[None, :])          # [F1, V]
+        cs, sn = jnp.cos(ang)[..., None], jnp.sin(ang)[..., None]
+        spec = jax.lax.complex(y[..., 0] * cs + y[..., 1] * sn,
+                               y[..., 1] * cs - y[..., 0] * sn)
+        ys1 = self.xf1.irfft(jnp.transpose(spec, (1, 2, 0)))  # [V, O, 2B]
+        offs = jnp.arange(b)[None, None, :]
+        head_main = jnp.where(offs >= r_pd[:, None, None], ys1[..., b:], 0.0)
+        head_tail = jnp.where(offs < r_pd[:, None, None], ys1[..., :b], 0.0)
+
+        nb = self.ring_slots
+        ring = jnp.concatenate(
+            [state.wet_ring[:, :, 1:], jnp.zeros((v, 2, 1, b), jnp.float32)],
+            axis=2)
+        slots = jnp.arange(nb)[None, :]
+        oh_q = (slots == q[:, None]).astype(jnp.float32)
+        oh_q1 = (slots == (q + 1)[:, None]).astype(jnp.float32)
+        ring = (ring + jnp.einsum("vn,vob->vonb", oh_q, head_main)
+                + jnp.einsum("vn,vob->vonb", oh_q1, head_tail))
+
+        # ---- tail stage: one voice group's chunk ----
+        g = jax.lax.rem(t, jnp.int32(m))
+        s2 = jax.lax.rem(t, jnp.int32(2 * m))
+        inbuf2 = jax.lax.dynamic_update_slice(
+            state.inbuf2, x[:, :, None, :], (0, 0, s2, 0))
+        inbuf2 = jax.lax.dynamic_update_slice(
+            inbuf2, x[:, :, None, :],
+            (0, 0, s2 + jnp.int32(2 * m), 0))
+        row0 = g * jnp.int32(vg)
+        seg2 = jax.lax.dynamic_slice(
+            inbuf2, (row0, 0, jax.lax.rem(t + 1, jnp.int32(2 * m)), 0),
+            (vg, 2, 2 * m, b)).reshape(vg, 2, 2 * self.b2)
+        spec2 = self.xf2.rfft(seg2)                       # [Vg, 2, F2]
+        xn2 = jnp.stack([jnp.real(spec2), jnp.imag(spec2)], axis=-1)
+        xn2 = jnp.transpose(xn2.reshape(vg * 2, self.f2, 2),
+                            (1, 0, 2))[..., None].astype(self.mac_dtype)
+        w2 = jax.lax.rem(t // jnp.int32(m), jnp.int32(self.pp2))
+        fdl2 = jax.lax.dynamic_update_slice(
+            state.fdl2, xn2, (0, row0 * 2, 0, w2))
+        fdl2g = jax.lax.dynamic_slice(
+            fdl2, (0, row0 * 2, 0, 0), (self.f2, vg * 2, 2, self.pp2))
+        m2 = self._allk_mac(fdl2g, bank.tail_rhs2, w2, self.f2, self.pp2,
+                            vg * 2)                       # [F2,Vg,I,K,O,d]
+
+        sel_g = jax.lax.dynamic_slice(params.select, (row0, 0), (vg, 2))
+        y2s = jnp.take_along_axis(
+            m2, sel_g[None, :, :, None, None, None], axis=3)[:, :, :, 0]
+        scale_g = jax.lax.dynamic_slice(scale, (row0, 0, 0), (vg, 2, 2))
+        tail_specs = [y2s * scale_g[None, :, :, :, None]]
+        if with_base:
+            bg_g = jax.lax.dynamic_slice(
+                state.base_g, (row0, 0, 0), (vg, 2, state.base_g.shape[-1]))
+            tail_specs.append(
+                jnp.einsum("fvikod,vik->fviod", m2, bg_g)
+                * scale_g[None, :, :, :, None])
+
+        # tail predelay sub-block phase ramp (r_pd << B2 guard: safe)
+        n2 = 2 * self.b2
+        rg = jax.lax.dynamic_slice(r_pd, (row0,), (vg,))
+        ang2 = (2.0 * jnp.pi / n2) * (
+            jnp.arange(self.f2, dtype=jnp.float32)[:, None]
+            * rg.astype(jnp.float32)[None, :])            # [F2, Vg]
+        cs2, sn2 = jnp.cos(ang2)[..., None, None], jnp.sin(ang2)[..., None, None]
+
+        def tail_pieces(yt):
+            """[F2,Vg,I,O,d] -> r-shifted pieces [Vg, I, O, ratio+1, B]."""
+            sp = jax.lax.complex(yt[..., 0] * cs2 + yt[..., 1] * sn2,
+                                 yt[..., 1] * cs2 - yt[..., 0] * sn2)
+            ys2 = self.xf2.irfft(jnp.transpose(sp, (1, 2, 3, 0)))
+            # valid (shifted) window: main B2 samples + B-sample spill
+            offs2 = jnp.arange(self.b2)[None, None, None, :]
+            offsb = jnp.arange(b)[None, None, None, :]
+            mainw = jnp.where(offs2 >= rg[:, None, None, None],
+                              ys2[..., self.b2:], 0.0)
+            spill = jnp.where(offsb < rg[:, None, None, None],
+                              ys2[..., :b], 0.0)
+            pieces = jnp.concatenate(
+                [mainw.reshape(vg, 2, 2, m, b),
+                 spill[..., None, :]], axis=3)            # [Vg,I,O,M+1,B]
+            return pieces
+
+        # fade weights at each piece's UNIFORM-ENGINE compute block
+        # t + tail_slot0 + k (predelay-independent, like the head's
+        # scatter, whose values also carry compute-time coefficients)
+        a_proj, c_proj = self._project_coefs(a, c, params,
+                                             self.tail_slot0 + m + 1)
+        a_proj = a_proj[..., self.tail_slot0:]            # [V, 2, M+1]
+        c_proj = c_proj[..., self.tail_slot0:]
+        cg = jax.lax.dynamic_slice(c_proj, (row0, 0, 0), (vg, 2, m + 1))
+        weighted = tail_pieces(tail_specs[0]) * cg[:, :, None, :, None]
+        if with_base:
+            ag = jax.lax.dynamic_slice(a_proj, (row0, 0, 0), (vg, 2, m + 1))
+            weighted = (weighted
+                        + tail_pieces(tail_specs[1]) * ag[:, :, None, :, None])
+
+        # scatter into the group's tail-ring rows at slot
+        # tail_slot0 + q + k, keeping the input-channel axis resolved
+        tring = jnp.concatenate(
+            [state.tail_ring[:, :, :, 1:],
+             jnp.zeros((v, 2, 2, 1, b), jnp.float32)], axis=3)
+        qg = jax.lax.dynamic_slice(q, (row0,), (vg,))
+        ks = jnp.arange(m + 1)[None, :, None]
+        oh_qk = (slots[None] == qg[:, None, None] + jnp.int32(self.tail_slot0)
+                 + ks).astype(jnp.float32)                # [Vg, M+1, NB]
+        tring_g = jax.lax.dynamic_slice(tring, (row0, 0, 0, 0, 0),
+                                        (vg, 2, 2, nb, b))
+        tring_g = tring_g + jnp.einsum("vkn,viokb->vionb", oh_qk, weighted)
+        tring = jax.lax.dynamic_update_slice(tring, tring_g,
+                                             (row0, 0, 0, 0, 0))
+
+        # ---- emit: clamp wet (head + tail), add dry (reference kernel
+        # order, src/conv.cu:411-427) ----
+        out = jnp.clip(ring[:, :, 0] + tring[:, :, :, 0].sum(axis=1),
+                       -1.0, 1.0)
+        dgl, dgr = pan_gains(params.pan_dry)
+        dry_gain = (jnp.stack([dgl, dgr], axis=-1)
+                    * (params.dry * params.level)[..., None])
+        out = out + jnp.einsum("vib,vio->vob", x, dry_gain)
+
+        return replace(state, t=t + 1, fdl1=fdl1, prev_in=x, inbuf2=inbuf2,
+                       fdl2=fdl2, wet_ring=ring, tail_ring=tring,
+                       coef_a=a, coef_c=c), out
+
+    # -- coef-engine interface (StreamSession) ---------------------------------------
+
+    def step_coef(self, state, bank, params, x, with_base: bool = True,
+                  indexed_base: bool = False):
+        if with_base and not indexed_base:
+            raise ValueError(
+                "the cascade engine is span-only (no materialized fade "
+                "snapshot); fades ride step_coef_indexed")
+        return self._step(state, bank, params, x, with_base=with_base)
+
+    def step_coef_steady(self, state, bank, params, x):
+        return self._step(state, bank, params, x, with_base=False)
+
+    def step_coef_indexed(self, state, bank, params, x):
+        return self._step(state, bank, params, x, with_base=True)
+
+    def step(self, state, bank, params, x):
+        return self.step_coef_indexed(state, bank, params, x)
+
+    def collapse(self, *args, **kwargs):
+        raise ValueError("the cascade engine is span-only: collapse in the "
+                         "span (collapse_pure); bank swaps defer until "
+                         "fades decay")
+
+    collapse_pure_takes_params = True
+
+    def collapse_pure(self, state: CascadeState, old_select: jax.Array,
+                      changed: jax.Array, params: VoiceParams
+                      ) -> CascadeState:
+        """Span collapse (fmajor.collapse_pure semantics — the snapshot
+        provably stays in the bank's span) PLUS the in-flight fix: tail
+        contributions already scattered for future blocks were weighted
+        with pre-collapse coefficient projections, so a changed voice's
+        old tail would hold its level for up to one tail window instead of
+        fading. Rescale those in-flight slots by the post-collapse
+        fade-out trajectory a'_d (exact for fades entered from steady
+        state — the common case — and a smooth bounded approximation for
+        re-interrupted mixtures). `params` carries the NEW fade's vsteps
+        and the predelay that maps ring slots to compute blocks."""
+        k = state.base_g.shape[-1]
+        oh = jax.nn.one_hot(old_select, k, dtype=jnp.float32)
+        prev = jnp.where(state.base_pure[..., None], state.base_g, 0.0)
+        g = state.coef_a[..., None] * prev + state.coef_c[..., None] * oh
+
+        # post-collapse fade-out factors: a'_d = prod_{m=0..d} (1 - r_m),
+        # slot n's compute block is d = n - q (entries with d < 0 were
+        # computed before the collapse and keep their weights, factor 1)
+        nb = state.tail_ring.shape[3]
+        msteps = jnp.arange(nb, dtype=jnp.float32)
+        r = 1.0 / (jnp.maximum(
+            params.vsteps.astype(jnp.float32)[..., None] - msteps, 0.0)
+            + 5.0)                                        # [V, 2, NB]
+        traj = jnp.concatenate(
+            [jnp.ones(r.shape[:-1] + (1,), jnp.float32),
+             jnp.cumprod(1.0 - r, axis=-1)], axis=-1)     # [V, 2, NB+1]
+        q = (params.predelay[:, 0] // self.block)         # [V]
+        idx = jnp.clip(jnp.arange(nb)[None, :] - q[:, None] + 1, 0, nb)
+        factor = jnp.take_along_axis(
+            traj, jnp.broadcast_to(idx[:, None, :], traj.shape[:-1] + (nb,)),
+            axis=-1)                                      # [V, 2, NB]
+        factor = jnp.where(changed[..., None], factor, 1.0)
+        tring = state.tail_ring * factor[:, :, None, :, None]
+
+        return replace(
+            state,
+            tail_ring=tring,
+            base_g=jnp.where(changed[..., None], g, state.base_g),
+            base_pure=jnp.where(changed, True, state.base_pure),
+            coef_a=jnp.where(changed, 1.0, state.coef_a),
+            coef_c=jnp.where(changed, 0.0, state.coef_c),
+        )

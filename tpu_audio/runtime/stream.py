@@ -218,6 +218,10 @@ class StreamSession:
                                              donate_argnums=donate_args)
                 self._collapse_pure = jax.jit(engine.collapse_pure,
                                               donate_argnums=donate_args)
+                # the cascade engine rescales in-flight tail slots at
+                # collapse, which needs the new fade's vsteps + predelay
+                self._collapse_pure_params = getattr(
+                    engine, "collapse_pure_takes_params", False)
             self._pure_host = np.zeros((engine.num_voices, 2), bool)
         else:
             self._step_full = jax.jit(engine.step, donate_argnums=donate_args)
@@ -261,6 +265,10 @@ class StreamSession:
             self._pure_host[v, ch] = use_pure
         self._pending_old.clear()
         if use_pure:
+            if getattr(self, "_collapse_pure_params", False):
+                return self._collapse_pure(state, jnp.asarray(old_sel),
+                                           jnp.asarray(changed),
+                                           self.control.snapshot_device())
             return self._collapse_pure(state, jnp.asarray(old_sel),
                                        jnp.asarray(changed))
         # materializing collapse: every voice's base becomes a valid tensor
