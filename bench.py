@@ -78,13 +78,25 @@ def build(args):
             ir = rng.standard_normal((2, ir_len)).astype(np.float32) * env * 0.3
         bank.append(ir)
 
-    engine = FMajorPartitionedConvolution(
-        args.voices, args.block, bank.max_partitions(args.block),
-        max_predelay=8192, backend=args.fft_backend,
-        mac_dtype=args.mac_dtype, swap_snapshot=not args.no_swap_snapshot,
-        mac_strategy=args.mac_strategy, num_irs=args.num_irs,
-        pv_mac=args.pv_mac)
-    spectra = engine.prepare_bank(bank.partitioned_spectra(args.block))
+    partitions = bank.max_partitions(args.block)
+    if args.engine == "cascade":
+        from tpu_audio.engine.cascade import CascadeConvolution
+        from tpu_audio.models.reverb import _fit_cascade_ratio
+
+        ratio = _fit_cascade_ratio(args.cascade_ratio, args.voices, partitions)
+        engine = CascadeConvolution(
+            args.voices, args.block, partitions, ratio=ratio,
+            max_predelay=8192, backend=args.fft_backend,
+            num_irs=args.num_irs, mac_dtype=args.mac_dtype)
+        spectra = engine.prepare_bank(bank)
+    else:
+        engine = FMajorPartitionedConvolution(
+            args.voices, args.block, partitions,
+            max_predelay=8192, backend=args.fft_backend,
+            mac_dtype=args.mac_dtype, swap_snapshot=not args.no_swap_snapshot,
+            mac_strategy=args.mac_strategy, num_irs=args.num_irs,
+            pv_mac=args.pv_mac)
+        spectra = engine.prepare_bank(bank.partitioned_spectra(args.block))
     control = ControlPlane(args.voices, args.num_irs)
     control.wet[:] = 0.7
     control.dry[:] = 0.2
@@ -191,6 +203,14 @@ def main(argv=None) -> int:
     ap.add_argument("--chunk", type=int, default=64,
                     help="blocks per wire batch (transfer amortisation)")
     ap.add_argument("--engine-blocks", type=int, default=100)
+    ap.add_argument("--engine", default="fmajor",
+                    choices=["fmajor", "cascade"],
+                    help="'cascade' = two-stage non-uniform partitioning "
+                         "(engine/cascade.py): ~8x less per-block HBM "
+                         "traffic at 4 s IRs, lifts the voice ceiling")
+    ap.add_argument("--cascade-ratio", type=int, default=16,
+                    help="cascade tail stagger ratio (tail partition size "
+                         "= ratio*block; auto-shrunk to fit geometry)")
     ap.add_argument("--fft-backend", default="auto")
     ap.add_argument("--mac-dtype", default="f32", choices=["f32", "bf16"],
                     help="delay-line/MAC precision (bf16 halves HBM traffic "
@@ -246,7 +266,11 @@ def main(argv=None) -> int:
         # re-selects alike
         st = engine.init_converged(spectra, params)
         changed = jnp.asarray(np.ones((args.voices, 2), bool))
-        return jax.jit(engine.collapse_pure)(st, params.select, changed)
+        extra = ((params_fade,)
+                 if getattr(engine, "collapse_pure_takes_params", False)
+                 else ())
+        return jax.jit(engine.collapse_pure)(st, params.select, changed,
+                                             *extra)
 
     def general_fade_state():
         st = engine.init_converged(spectra, params)
@@ -336,7 +360,8 @@ def main(argv=None) -> int:
     print(json.dumps({
         "metric": f"rtf_{args.voices}voices_{args.ir_seconds:g}sIR_"
                   f"{args.sample_rate // 1000}k{args.block}"
-                  + ("" if args.mac_dtype == "f32" else f"_{args.mac_dtype}"),
+                  + ("" if args.mac_dtype == "f32" else f"_{args.mac_dtype}")
+                  + ("" if args.engine == "fmajor" else f"_{args.engine}"),
         "value": round(head["rtf"], 3),
         "unit": "x_realtime",
         "vs_baseline": round(head["rtf"], 3),

@@ -44,6 +44,15 @@ def test_bench_selected_strategy(capsys):
     assert rec["value"] > 0 and np.isfinite(rec["value"])
 
 
+def test_bench_cascade_engine(capsys):
+    rec = run_bench(capsys, extra=["--engine", "cascade", "--voices", "4"])
+    assert rec["value"] > 0 and np.isfinite(rec["value"])
+    assert "cascade" in rec["metric"]
+    # span-only engine: indexed fades measured, no materialized path
+    assert rec["engine_fade_indexed_ms"] > 0
+    assert rec["engine_fade_general_ms"] is None
+
+
 def test_bench_snapshotless_and_bf16(capsys):
     rec = run_bench(capsys, extra=["--no-swap-snapshot",
                                    "--mac-dtype", "bf16"])

@@ -222,6 +222,52 @@ def test_session_and_checkpoint_resume():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_model_and_cli_cascade(tmp_path):
+    """engine='cascade' through the product surfaces: ConvolutionReverb
+    picks a geometry-fitting stagger ratio, and the CLI streams a WAV
+    through the cascade end-to-end."""
+    from tpu_audio.app.main import main
+    from tpu_audio.io.index import write_index
+    from tpu_audio.io.wav import read_wav, write_wav
+    from tpu_audio.models.reverb import ConvolutionReverb, _fit_cascade_ratio
+
+    assert _fit_cascade_ratio(16, 4, 63) == 4
+    assert _fit_cascade_ratio(16, 64, 700) == 16
+    with pytest.raises(ValueError, match="fmajor"):
+        _fit_cascade_ratio(16, 5, 4)  # IR too short for any ratio >= 2
+
+    rng = np.random.default_rng(4)
+    paths = []
+    for k in range(2):
+        ir = rng.uniform(-0.3, 0.3, (4000, 2)).astype(np.float32)
+        p = tmp_path / f"ir{k}.wav"
+        write_wav(p, ir, 44100)
+        paths.append(str(p))
+    idx = tmp_path / "bank.index"
+    write_index(idx, paths)
+    sfile = tmp_path / "settings.txt"
+    sfile.write_text(f"conv.count 2\nconv[0].index {idx}\n"
+                     f"conv[1].index {idx}\nconv[0].value.wet 0.8\n"
+                     f"conv[1].value.wet 0.8\n")
+
+    model = ConvolutionReverb.from_settings(
+        str(sfile), engine="cascade", block=32, num_voices=4,
+        cascade_ratio=16, verbose=False)
+    from tpu_audio.engine.cascade import CascadeConvolution
+    assert isinstance(model.engine, CascadeConvolution)
+    assert model.engine.ratio == 4  # auto-shrunk from 16 to fit 4 voices
+
+    x = rng.uniform(-0.2, 0.2, (1600, 2)).astype(np.float32)
+    write_wav(tmp_path / "in.wav", x, 44100, scale="full")
+    out = tmp_path / "out.wav"
+    rc = main(["--settings", str(sfile), "--input", str(tmp_path / "in.wav"),
+               "--output", str(out), "--block-size", "32", "--quiet",
+               "--engine", "cascade", "--voices", "4"])
+    assert rc == 0
+    w = read_wav(out, scale="full", verbose=False)
+    assert np.abs(w.frames).max() > 1e-4
+
+
 def test_span_only_guards():
     bank, cas, cas_bank, _, _ = build()
     cp = control()

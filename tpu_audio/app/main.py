@@ -9,7 +9,7 @@ or a live byte FIFO.
 
     python -m tpu_audio.app --settings settings.txt \
         --input in.wav --output out.wav [--midi events.txt] \
-        [--engine partitioned|monolithic] [--voices N] [--blocks N] [--realtime]
+        [--engine fmajor|cascade|partitioned|monolithic] [--voices N] [--blocks N] [--realtime]
 """
 
 from __future__ import annotations
@@ -38,9 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", default=None,
                    help="output WAV (default: discard)")
     p.add_argument("--engine", default="fmajor",
-                   choices=["fmajor", "partitioned", "monolithic"])
+                   choices=["fmajor", "cascade", "partitioned", "monolithic"])
     p.add_argument("--variant", default="coef",
                    choices=["coef", "materialized"])
+    p.add_argument("--cascade-ratio", type=int, default=16,
+                   help="cascade engine tail stagger ratio (tail partition "
+                        "size = ratio*block; auto-shrunk to fit the voice "
+                        "count and IR length)")
     p.add_argument("--mac-dtype", default="f32", choices=["f32", "bf16"],
                    help="bf16 halves wet-path HBM traffic (~-48 dB floor)")
     p.add_argument("--no-swap-snapshot", action="store_true",
@@ -141,7 +145,8 @@ def main(argv=None) -> int:
         variant=args.variant, block=args.block_size,
         sample_rate=args.sample_rate, cache_dir=args.cache_dir,
         mac_dtype=args.mac_dtype, verbose=not args.quiet,
-        swap_snapshot=not args.no_swap_snapshot)
+        swap_snapshot=not args.no_swap_snapshot,
+        cascade_ratio=args.cascade_ratio)
 
     v, b = model.engine.num_voices, model.block
     rings = []

@@ -16,6 +16,7 @@ import os
 import jax.numpy as jnp
 
 from tpu_audio.engine.bank import IRBank
+from tpu_audio.engine.cascade import CascadeConvolution
 from tpu_audio.engine.fmajor import FMajorPartitionedConvolution
 from tpu_audio.engine.monolithic import MonolithicConvolution
 from tpu_audio.engine.params import CCMapping, ControlPlane
@@ -27,6 +28,19 @@ from tpu_audio.utils.log import Log
 from tpu_audio.utils.transfer import device_put_maybe_complex
 
 
+def _fit_cascade_ratio(requested: int, num_voices: int, partitions: int) -> int:
+    """Largest valid stagger ratio <= requested: the cascade engine needs
+    `num_voices % ratio == 0` (one voice group's tail chunk per block) and
+    `partitions > 2*ratio` (the head must not swallow the whole IR)."""
+    for ratio in range(min(requested, num_voices, (partitions - 1) // 2), 1, -1):
+        if num_voices % ratio == 0:
+            return ratio
+    raise ValueError(
+        f"no cascade stagger ratio >= 2 fits voices={num_voices}, "
+        f"IR partitions={partitions}; use engine='fmajor' (short IRs or "
+        f"awkward voice counts don't benefit from the cascade)")
+
+
 class ConvolutionReverb:
     """V stereo voices of convolution reverb over one IR bank."""
 
@@ -35,12 +49,26 @@ class ConvolutionReverb:
                  variant: str = "coef", fft_size: int = 131072,
                  max_predelay: int = 8192, max_partitions: int | None = None,
                  backend: str = "auto", cache_dir: str | None = None,
-                 mac_dtype: str = "f32", swap_snapshot: bool = True):
+                 mac_dtype: str = "f32", swap_snapshot: bool = True,
+                 cascade_ratio: int = 16):
         self.bank = bank
         self.block = block
         self.sample_rate = sample_rate
         self.control = ControlPlane(num_voices, len(bank), max_predelay)
-        if engine in ("fmajor", "partitioned"):
+        if engine == "cascade":
+            partitions = max_partitions or bank.max_partitions(block)
+            ratio = _fit_cascade_ratio(cascade_ratio, num_voices, partitions)
+            if ratio != cascade_ratio:
+                Log.warn("reverb", "cascade ratio %d adjusted to %d "
+                         "(voices=%d must divide, IR partitions=%d must "
+                         "exceed 2*ratio)", cascade_ratio, ratio,
+                         num_voices, partitions)
+            self.engine = CascadeConvolution(
+                num_voices, block, partitions, ratio=ratio,
+                max_predelay=max_predelay, backend=backend,
+                num_irs=len(bank), mac_dtype=mac_dtype)
+            self.spectra = self.engine.prepare_bank(bank)
+        elif engine in ("fmajor", "partitioned"):
             partitions = max_partitions or bank.max_partitions(block)
             if cache_dir:
                 spectra = bank.cached_partitioned_spectra(
@@ -76,7 +104,7 @@ class ConvolutionReverb:
                                                   1024, fft_size // 8)))
         else:
             raise ValueError(f"unknown engine {engine!r}")
-        if engine != "fmajor":
+        if engine not in ("fmajor", "cascade"):
             self.spectra = device_put_maybe_complex(spectra)
         import jax
         nbytes = sum(leaf.size * leaf.dtype.itemsize
