@@ -434,3 +434,82 @@ def test_fmajor_sharded_indexed_fade_and_collapse_pure():
                                    atol=1e-6, err_msg=f"block {t}")
         cp.end_block()
     assert np.abs(np.asarray(out_s)).max() > 1e-4
+
+
+@requires_8
+def test_cascade_sharded_matches_single_device():
+    """Voice-sharded cascade (shard_map; each device staggers its LOCAL
+    voices) equals the unsharded engine exactly — the tail schedule is
+    phase-invariant, so regrouping voices per shard changes WHEN a chunk
+    is computed but not the audio. Covers steady, span collapse (with the
+    in-flight tail rescale), and the indexed crossfade."""
+    from tpu_audio.engine.cascade import CascadeConvolution
+    from tpu_audio.parallel.mesh import (
+        place_cascade, shard_cascade_collapse_pure, shard_cascade_step)
+
+    rng = np.random.default_rng(23)
+    bank = IRBank()
+    for _ in range(2):
+        ir = rng.standard_normal((2, 700)).astype(np.float32)
+        bank.append(ir * (0.4 / np.abs(ir).max()))
+    eng = CascadeConvolution(8, 32, bank.max_partitions(32), ratio=2,
+                             max_predelay=64)
+    bank_d = eng.prepare_bank(bank)
+    cp = ControlPlane(8, 2, max_predelay=64)
+    cp.wet[:] = 0.8
+    cp.dry[:] = 0.1
+    cp.predelay[:, 0] = np.arange(8) * 9 % 64
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+
+    mesh = make_mesh(4, part=1)
+    step_sh = shard_cascade_step(eng, mesh, mode="steady", donate=False)
+    idx_sh = shard_cascade_step(eng, mesh, mode="indexed", donate=False)
+    cpure_sh = shard_cascade_collapse_pure(eng, mesh, donate=False)
+    step_pl = jax.jit(eng.step_coef_steady, donate_argnums=())
+    idx_pl = jax.jit(eng.step_coef_indexed, donate_argnums=())
+    cpure_pl = jax.jit(eng.collapse_pure, donate_argnums=())
+
+    state_s, bank_s = place_cascade(eng.init_converged(bank_d, params),
+                                    bank_d, mesh)
+    state_p = eng.init_converged(bank_d, params)
+
+    def blocks(n):
+        return [jnp.asarray(
+            rng.standard_normal((8, 2, 32)).astype(np.float32) * 0.05)
+            for _ in range(n)]
+
+    for t, x in enumerate(blocks(30)):
+        state_s, out_s = step_sh(state_s, bank_s, params, x)
+        state_p, out_p = step_pl(state_p, bank_d, params, x)
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_p),
+                                   atol=1e-5, err_msg=f"steady block {t}")
+
+    # re-select everything from steady state; fade sharded vs unsharded
+    old = cp.select.copy()
+    cp.select[:] = 1
+    cp.vsteps[:] = 12
+    changed = jnp.asarray(np.ones_like(old, bool))
+    params_f = jax.tree.map(jnp.asarray, cp.snapshot())
+    state_s = cpure_sh(state_s, jnp.asarray(old), changed, params_f)
+    state_p = cpure_pl(state_p, jnp.asarray(old), changed, params_f)
+    for t, x in enumerate(blocks(24)):
+        params_f = jax.tree.map(jnp.asarray, cp.snapshot())
+        state_s, out_s = idx_sh(state_s, bank_s, params_f, x)
+        state_p, out_p = idx_pl(state_p, bank_d, params_f, x)
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_p),
+                                   atol=1e-5, err_msg=f"fade block {t}")
+        cp.end_block()
+    assert np.abs(np.asarray(out_s)).max() > 1e-4
+
+
+@requires_8
+def test_cascade_shard_validation():
+    from tpu_audio.engine.cascade import CascadeConvolution
+    from tpu_audio.parallel.mesh import shard_cascade_step
+
+    eng = CascadeConvolution(8, 32, 22, ratio=2, max_predelay=64, num_irs=2)
+    with pytest.raises(ValueError, match="part"):
+        shard_cascade_step(eng, make_mesh(8, part=2))
+    with pytest.raises(ValueError, match="stagger"):
+        # 8 voices over 8 devices -> 1 voice/shard, not divisible by 2
+        shard_cascade_step(eng, make_mesh(8, part=1))

@@ -13,10 +13,15 @@ This engine is the TPU-native form of that idea:
   - **tail stage**: the rest of the IR is partitioned at ``B2 = ratio *
     block`` samples. A tail chunk is one rfft(2*B2) + partition MAC +
     irfft, needed only once per ``ratio`` blocks per voice;
-  - **voice staggering**: voices are split into ``ratio`` groups and group
-    ``t mod ratio`` processes its tail chunk at block ``t`` — every block
-    does the SAME work (head MAC for all voices + one group's tail), so
-    p99 equals the mean; there is no spike block to miss a deadline on.
+  - **voice staggering**: voice ``i`` belongs to group ``i % ratio`` and
+    group ``t mod ratio`` processes its tail chunk at block ``t`` — every
+    block does the SAME work (head MAC for all voices + one group's tail),
+    so p99 equals the mean; there is no spike block to miss a deadline on.
+    The STRIDED assignment makes the schedule invariant under contiguous
+    voice sharding (each shard's local voices contain every group in the
+    same phase), so the shard_map data-parallel step
+    (parallel/mesh.py:shard_cascade_step) is exactly equal to the
+    single-device engine, fades included.
 
 Per-block HBM traffic drops from O(P) to O(2*ratio + P/ratio) delay-line
 partitions — ~8x fewer bytes at 4 s IRs with ratio 16 — which is what
@@ -291,44 +296,61 @@ class CascadeConvolution:
                 + jnp.einsum("vn,vob->vonb", oh_q1, head_tail))
 
         # ---- tail stage: one voice group's chunk ----
+        # STRIDED groups (voice i -> group i % m): slice group g as axis 1
+        # of a [vg, m, ...] reshape; contiguous voice sharding then keeps
+        # each shard's local schedule identical to the global one
         g = jax.lax.rem(t, jnp.int32(m))
+
+        def group(arr):
+            """[V, ...] -> group g's [vg, ...] via the strided reshape."""
+            r = jax.lax.dynamic_slice(
+                arr.reshape((vg, m) + arr.shape[1:]),
+                (0, g) + (0,) * (arr.ndim - 1),
+                (vg, 1) + arr.shape[1:])
+            return r.reshape((vg,) + arr.shape[1:])
+
         s2 = jax.lax.rem(t, jnp.int32(2 * m))
         inbuf2 = jax.lax.dynamic_update_slice(
             state.inbuf2, x[:, :, None, :], (0, 0, s2, 0))
         inbuf2 = jax.lax.dynamic_update_slice(
             inbuf2, x[:, :, None, :],
             (0, 0, s2 + jnp.int32(2 * m), 0))
-        row0 = g * jnp.int32(vg)
         seg2 = jax.lax.dynamic_slice(
-            inbuf2, (row0, 0, jax.lax.rem(t + 1, jnp.int32(2 * m)), 0),
-            (vg, 2, 2 * m, b)).reshape(vg, 2, 2 * self.b2)
+            inbuf2.reshape(vg, m, 2, 4 * m, b),
+            (0, g, 0, jax.lax.rem(t + 1, jnp.int32(2 * m)), 0),
+            (vg, 1, 2, 2 * m, b)).reshape(vg, 2, 2 * self.b2)
         spec2 = self.xf2.rfft(seg2)                       # [Vg, 2, F2]
         xn2 = jnp.stack([jnp.real(spec2), jnp.imag(spec2)], axis=-1)
         xn2 = jnp.transpose(xn2.reshape(vg * 2, self.f2, 2),
                             (1, 0, 2))[..., None].astype(self.mac_dtype)
         w2 = jax.lax.rem(t // jnp.int32(m), jnp.int32(self.pp2))
+        # fdl2 rows are (voice, in-channel) pairs: [F2, V*2, 2, Pp] viewed
+        # as [F2, vg, m, 2, 2, Pp] exposes the group axis for the update
         fdl2 = jax.lax.dynamic_update_slice(
-            state.fdl2, xn2, (0, row0 * 2, 0, w2))
+            state.fdl2.reshape(self.f2, vg, m, 2, 2, self.pp2),
+            xn2.reshape(self.f2, vg, 1, 2, 2, 1),
+            (0, 0, g, 0, 0, w2))
         fdl2g = jax.lax.dynamic_slice(
-            fdl2, (0, row0 * 2, 0, 0), (self.f2, vg * 2, 2, self.pp2))
+            fdl2, (0, 0, g, 0, 0, 0), (self.f2, vg, 1, 2, 2, self.pp2)
+        ).reshape(self.f2, vg * 2, 2, self.pp2)
+        fdl2 = fdl2.reshape(self.f2, v * 2, 2, self.pp2)
         m2 = self._allk_mac(fdl2g, bank.tail_rhs2, w2, self.f2, self.pp2,
                             vg * 2)                       # [F2,Vg,I,K,O,d]
 
-        sel_g = jax.lax.dynamic_slice(params.select, (row0, 0), (vg, 2))
+        sel_g = group(params.select)
         y2s = jnp.take_along_axis(
             m2, sel_g[None, :, :, None, None, None], axis=3)[:, :, :, 0]
-        scale_g = jax.lax.dynamic_slice(scale, (row0, 0, 0), (vg, 2, 2))
+        scale_g = group(scale)
         tail_specs = [y2s * scale_g[None, :, :, :, None]]
         if with_base:
-            bg_g = jax.lax.dynamic_slice(
-                state.base_g, (row0, 0, 0), (vg, 2, state.base_g.shape[-1]))
+            bg_g = group(state.base_g)
             tail_specs.append(
                 jnp.einsum("fvikod,vik->fviod", m2, bg_g)
                 * scale_g[None, :, :, :, None])
 
         # tail predelay sub-block phase ramp (r_pd << B2 guard: safe)
         n2 = 2 * self.b2
-        rg = jax.lax.dynamic_slice(r_pd, (row0,), (vg,))
+        rg = group(r_pd)
         ang2 = (2.0 * jnp.pi / n2) * (
             jnp.arange(self.f2, dtype=jnp.float32)[:, None]
             * rg.astype(jnp.float32)[None, :])            # [F2, Vg]
@@ -358,10 +380,10 @@ class CascadeConvolution:
                                              self.tail_slot0 + m + 1)
         a_proj = a_proj[..., self.tail_slot0:]            # [V, 2, M+1]
         c_proj = c_proj[..., self.tail_slot0:]
-        cg = jax.lax.dynamic_slice(c_proj, (row0, 0, 0), (vg, 2, m + 1))
+        cg = group(c_proj)
         weighted = tail_pieces(tail_specs[0]) * cg[:, :, None, :, None]
         if with_base:
-            ag = jax.lax.dynamic_slice(a_proj, (row0, 0, 0), (vg, 2, m + 1))
+            ag = group(a_proj)
             weighted = (weighted
                         + tail_pieces(tail_specs[1]) * ag[:, :, None, :, None])
 
@@ -370,15 +392,18 @@ class CascadeConvolution:
         tring = jnp.concatenate(
             [state.tail_ring[:, :, :, 1:],
              jnp.zeros((v, 2, 2, 1, b), jnp.float32)], axis=3)
-        qg = jax.lax.dynamic_slice(q, (row0,), (vg,))
+        qg = group(q)
         ks = jnp.arange(m + 1)[None, :, None]
         oh_qk = (slots[None] == qg[:, None, None] + jnp.int32(self.tail_slot0)
                  + ks).astype(jnp.float32)                # [Vg, M+1, NB]
-        tring_g = jax.lax.dynamic_slice(tring, (row0, 0, 0, 0, 0),
-                                        (vg, 2, 2, nb, b))
+        tring5 = tring.reshape(vg, m, 2, 2, nb, b)
+        tring_g = jax.lax.dynamic_slice(
+            tring5, (0, g, 0, 0, 0, 0), (vg, 1, 2, 2, nb, b)
+        ).reshape(vg, 2, 2, nb, b)
         tring_g = tring_g + jnp.einsum("vkn,viokb->vionb", oh_qk, weighted)
-        tring = jax.lax.dynamic_update_slice(tring, tring_g,
-                                             (row0, 0, 0, 0, 0))
+        tring = jax.lax.dynamic_update_slice(
+            tring5, tring_g.reshape(vg, 1, 2, 2, nb, b),
+            (0, g, 0, 0, 0, 0)).reshape(v, 2, 2, nb, b)
 
         # ---- emit: clamp wet (head + tail), add dry (reference kernel
         # order, src/conv.cu:411-427) ----

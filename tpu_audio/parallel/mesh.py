@@ -259,6 +259,118 @@ def shard_fmajor_step(engine, mesh: Mesh, steady: bool = False,
     )
 
 
+# -- cascade engine sharding ------------------------------------------------------
+
+def _cascade_state_specs():
+    """PartitionSpecs for CascadeState leaves."""
+    from tpu_audio.engine.cascade import CascadeState
+
+    return CascadeState(
+        t=P(),
+        fdl1=P(None, "voice", None, None),
+        prev_in=P("voice", None, None),
+        inbuf2=P("voice", None, None, None),
+        fdl2=P(None, "voice", None, None),
+        wet_ring=P("voice", None, None, None),
+        tail_ring=P("voice", None, None, None, None),
+        coef_a=P("voice", None),
+        coef_c=P("voice", None),
+        base_g=P("voice", None, None),
+        base_pure=P("voice", None),
+    )
+
+
+def _cascade_local_engine(engine, mesh: Mesh):
+    """A per-shard clone of the cascade engine: the voice-staggered tail
+    schedule is voice-local arithmetic, so each device runs an INDEPENDENT
+    cascade over its local voice slice (its own `ratio` stagger groups) —
+    communication-free data parallelism, like running N single-chip
+    engines in lockstep. Group membership is a function of the voice's
+    position within its shard rather than its global index; the schedule
+    is phase-invariant (any group assignment tiles the tail seamlessly —
+    tests/test_parallel.py asserts sharded == unsharded exactly)."""
+    from tpu_audio.engine.cascade import CascadeConvolution
+
+    voice_n = mesh.shape["voice"]
+    if mesh.shape.get("part", 1) > 1:
+        raise ValueError(
+            "the cascade engine shards voices only (both stages use the "
+            "windowed doubled-rhs ring MAC, whose dynamic window straddles "
+            "partition shards — same restriction as fmajor ring mode); "
+            "use part=1, or fmajor roll mode for sequence sharding")
+    local_v = engine.num_voices // voice_n
+    if engine.num_voices % voice_n or local_v % engine.ratio:
+        raise ValueError(
+            f"{engine.num_voices} voices over a voice={voice_n} mesh "
+            f"leaves {local_v} per shard, which must be a positive "
+            f"multiple of the stagger ratio {engine.ratio}")
+    import jax.numpy as jnp
+
+    local = CascadeConvolution(
+        local_v, engine.block, engine.partitions, ratio=engine.ratio,
+        max_predelay=engine.max_predelay, num_irs=engine.num_irs,
+        mac_dtype=("f32" if engine.mac_dtype == jnp.float32 else "bf16"))
+    local.xf1, local.xf2 = engine.xf1, engine.xf2
+    return local
+
+
+def shard_cascade_step(engine, mesh: Mesh, mode: str = "steady",
+                       donate: bool = True):
+    """jit the cascade step as a shard_map over the 'voice' axis.
+
+    mode: "steady" | "indexed" (the cascade is span-only; there is no
+    materialized "full" step). The bank and the scalar block counter are
+    replicated; every other leaf shards over voices."""
+    local = _cascade_local_engine(engine, mesh)
+    fn = {"steady": local.step_coef_steady,
+          "indexed": local.step_coef_indexed}[mode]
+    state_sp = _cascade_state_specs()
+    mapped = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(state_sp, _cascade_bank_specs(), _cascade_params_specs(),
+                  P("voice", None, None)),
+        out_specs=(state_sp, P("voice", None, None)))
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
+def shard_cascade_collapse_pure(engine, mesh: Mesh, donate: bool = True):
+    """jit the cascade span collapse (takes the new fade's params for the
+    in-flight tail rescale) as a voice-axis shard_map."""
+    local = _cascade_local_engine(engine, mesh)
+    state_sp = _cascade_state_specs()
+    sel_sp = P("voice", None)
+    mapped = jax.shard_map(
+        local.collapse_pure, mesh=mesh,
+        in_specs=(state_sp, sel_sp, sel_sp, _cascade_params_specs()),
+        out_specs=state_sp)
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
+def _cascade_bank_specs():
+    from tpu_audio.engine.cascade import CascadeBank
+    return CascadeBank(head_rhs2=P(), tail_rhs2=P())
+
+
+def _cascade_params_specs():
+    return VoiceParams(**{
+        f: P("voice", None)
+        for f in ("select", "predelay", "vsteps", "dry", "wet", "pan_dry",
+                  "pan_wet", "level")})
+
+
+def place_cascade(state, bank, mesh: Mesh):
+    """Device_put cascade state/bank onto the mesh (bank replicated)."""
+    from tpu_audio.engine.cascade import CascadeBank, CascadeState
+
+    def shardings(specs):
+        return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                            is_leaf=lambda x: isinstance(x, P))
+
+    state = jax.device_put(state, shardings(_cascade_state_specs()))
+    bank = jax.device_put(bank, shardings(_cascade_bank_specs()))
+    return state, bank
+
+
 def shard_fmajor_collapse_pure(engine, mesh: Mesh, donate: bool = True):
     """jit the span ([V,2,K]-sized) collapse with mesh shardings."""
     state_sh, _, _, _ = fmajor_shardings(mesh, engine)
