@@ -69,6 +69,30 @@ def test_matmul_backend_matches_fft_backend(n):
     np.testing.assert_allclose(y_mm, x, atol=1e-3)
 
 
+@pytest.mark.parametrize("n", [4096, 8192, 32768])
+def test_split_backend_matches_numpy(n):
+    """Four-step MXU FFT (the mid/large-size backend; XLA's TPU FFT
+    lowering stalls for minutes at first execution on this stack)."""
+    from tpu_audio.ops.fft import _split_factors
+    n1, n2 = _split_factors(n)
+    assert n1 * n2 == n and n1 <= n2 <= 2 * n1
+    x = RNG.standard_normal((2, 3, n)).astype(np.float32)
+    sp = SpectralTransform(n, backend="split")
+    # auto: matmul up to MATMUL_MAX_N, split beyond
+    assert SpectralTransform(n).backend == (
+        "matmul" if n <= 4096 else "split")
+    got = np.asarray(jax.jit(sp.rfft)(jnp.asarray(x)))
+    want = np.fft.rfft(x, axis=-1)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-6)
+    gotr = np.asarray(jax.jit(sp.irfft)(
+        jnp.asarray(want.astype(np.complex64))))
+    wantr = np.fft.irfft(want, n=n, axis=-1)
+    np.testing.assert_allclose(gotr, wantr, atol=1e-5)
+    rt = np.asarray(jax.jit(lambda y: sp.irfft(sp.rfft(y)))(jnp.asarray(x)))
+    np.testing.assert_allclose(rt, x, atol=1e-5)
+
+
 def test_roundtrip_convolution_equivalence():
     """OLS building block: irfft(rfft(x) * rfft(h)) == circular conv."""
     n = 512
