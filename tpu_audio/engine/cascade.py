@@ -72,10 +72,18 @@ from tpu_audio.ops.mix import pan_gains
 @jax.tree_util.register_dataclass
 @dataclass
 class CascadeBank:
-    """Device bank: doubled+time-reversed MAC tensors for both stages."""
+    """Device bank: doubled+time-reversed MAC tensors for both stages.
+
+    The tail tensors are FREQUENCY-MINOR (F2 last): with only ~48 tail
+    partitions, the partition axis cannot fill the TPU's 128-lane vector
+    registers, so the compiler re-lays frequency onto lanes internally —
+    storing the boundary layout frequency-major then costs two full-buffer
+    layout-change copies of the 200 MB fdl2 per block (measured as the
+    entire gap between the cascade and its roofline). The head keeps the
+    f-major layout (its MAC rides the same lowering as fmajor's)."""
 
     head_rhs2: jax.Array  # [F1, 2, 2*P1p, K*O*2]
-    tail_rhs2: jax.Array  # [F2, 2, 2*P2p, K*O*2]
+    tail_rhs2: jax.Array  # [2, 2*P2p, K*O*2, F2]  (frequency-minor)
 
     @property
     def num_irs(self) -> int:
@@ -85,15 +93,23 @@ class CascadeBank:
 @jax.tree_util.register_dataclass
 @dataclass
 class CascadeState:
+    """Tail-stage leaves carry the stagger group as an EXPLICIT axis
+    (voice i lives at [i // ratio, i % ratio]): group g's chunk is then a
+    direct dynamic_slice/update on a leaf axis, which XLA aliases in place
+    for donated buffers. Routing the same update through reshape ->
+    update -> reshape copies the whole leaf every block (~200 MB for fdl2
+    at 64 voices x 4 s — measured as ~1.7 ms/block of pure HBM copy)."""
+
     t: jax.Array          # i32 [] block counter (drives ring slots + groups)
     fdl1: jax.Array       # [F1, VI, 2, P1p] head freq delay line
     prev_in: jax.Array    # f32 [V, 2, B]
-    inbuf2: jax.Array     # f32 [V, 2, 4*ratio, B] doubled input ring (tail)
-    fdl2: jax.Array       # [F2, VI, 2, P2p] tail freq delay line
+    inbuf2: jax.Array     # f32 [Vg, M, 2, 4*ratio, B] doubled input ring
+    fdl2: jax.Array       # [Vg, M, I, d, P2p, F2] tail freq delay line
+                          # (frequency-minor; see CascadeBank)
     wet_ring: jax.Array   # f32 [V, 2, NB, B] head block-slot accumulator
-    tail_ring: jax.Array  # f32 [V, I, O, NB, B] tail accumulator, input-
-                          # channel-resolved so collapse_pure can rescale
-                          # in-flight fade-out content per (voice, channel)
+    tail_ring: jax.Array  # f32 [Vg, M, I, O, NB, B] tail accumulator,
+                          # input-channel-resolved so collapse_pure can
+                          # rescale in-flight fade-out content per (v, ch)
     coef_a: jax.Array     # f32 [V, 2]
     coef_c: jax.Array     # f32 [V, 2]
     base_g: jax.Array     # f32 [V, 2, K] span fade provenance (fmajor.py)
@@ -163,13 +179,14 @@ class CascadeConvolution:
             raise ValueError(f"bank has {head_spec.shape[0]} IRs, engine "
                              f"was built for num_irs={self.num_irs}")
         self.num_irs = head_spec.shape[0]
+        tail_rhs = np.transpose(pack_mac_rhs(tail_spec, self.pp2),
+                                (1, 2, 3, 0))            # [2, Pp2, KO2, F2]
         return CascadeBank(
             head_rhs2=jnp.asarray(
                 double_reversed(pack_mac_rhs(head_spec, self.pp1), axis=2),
                 self.mac_dtype),
-            tail_rhs2=jnp.asarray(
-                double_reversed(pack_mac_rhs(tail_spec, self.pp2), axis=2),
-                self.mac_dtype),
+            tail_rhs2=jnp.asarray(double_reversed(tail_rhs, axis=1),
+                                  self.mac_dtype),
         )
 
     # -- state ---------------------------------------------------------------------
@@ -179,14 +196,16 @@ class CascadeConvolution:
             raise ValueError("pass num_irs= or call prepare_bank before "
                              "init_state (base_g is bank-sized)")
         v, b, m = self.num_voices, self.block, self.ratio
+        vg = v // m
         return jax.jit(lambda: CascadeState(
             t=jnp.zeros((), jnp.int32),
             fdl1=jnp.zeros((self.f1, v * 2, 2, self.pp1), self.mac_dtype),
             prev_in=jnp.zeros((v, 2, b), jnp.float32),
-            inbuf2=jnp.zeros((v, 2, 4 * m, b), jnp.float32),
-            fdl2=jnp.zeros((self.f2, v * 2, 2, self.pp2), self.mac_dtype),
+            inbuf2=jnp.zeros((vg, m, 2, 4 * m, b), jnp.float32),
+            fdl2=jnp.zeros((vg, m, 2, 2, self.pp2, self.f2), self.mac_dtype),
             wet_ring=jnp.zeros((v, 2, self.ring_slots, b), jnp.float32),
-            tail_ring=jnp.zeros((v, 2, 2, self.ring_slots, b), jnp.float32),
+            tail_ring=jnp.zeros((vg, m, 2, 2, self.ring_slots, b),
+                                jnp.float32),
             coef_a=jnp.zeros((v, 2), jnp.float32),
             coef_c=jnp.zeros((v, 2), jnp.float32),
             base_g=jnp.zeros((v, 2, self.num_irs), jnp.float32),
@@ -310,57 +329,64 @@ class CascadeConvolution:
             return r.reshape((vg,) + arr.shape[1:])
 
         s2 = jax.lax.rem(t, jnp.int32(2 * m))
+        xg = x.reshape(vg, m, 2, 1, b)
         inbuf2 = jax.lax.dynamic_update_slice(
-            state.inbuf2, x[:, :, None, :], (0, 0, s2, 0))
+            state.inbuf2, xg, (0, 0, 0, s2, 0))
         inbuf2 = jax.lax.dynamic_update_slice(
-            inbuf2, x[:, :, None, :],
-            (0, 0, s2 + jnp.int32(2 * m), 0))
+            inbuf2, xg, (0, 0, 0, s2 + jnp.int32(2 * m), 0))
         seg2 = jax.lax.dynamic_slice(
-            inbuf2.reshape(vg, m, 2, 4 * m, b),
+            inbuf2,
             (0, g, 0, jax.lax.rem(t + 1, jnp.int32(2 * m)), 0),
             (vg, 1, 2, 2 * m, b)).reshape(vg, 2, 2 * self.b2)
         spec2 = self.xf2.rfft(seg2)                       # [Vg, 2, F2]
-        xn2 = jnp.stack([jnp.real(spec2), jnp.imag(spec2)], axis=-1)
-        xn2 = jnp.transpose(xn2.reshape(vg * 2, self.f2, 2),
-                            (1, 0, 2))[..., None].astype(self.mac_dtype)
+        xn2 = jnp.stack([jnp.real(spec2), jnp.imag(spec2)],
+                        axis=2).astype(self.mac_dtype)    # [Vg, I, d, F2]
         w2 = jax.lax.rem(t // jnp.int32(m), jnp.int32(self.pp2))
-        # fdl2 rows are (voice, in-channel) pairs: [F2, V*2, 2, Pp] viewed
-        # as [F2, vg, m, 2, 2, Pp] exposes the group axis for the update
+        # the group axis is explicit in the state leaf: slice/update land
+        # in place on the donated buffer (see CascadeState docstring)
         fdl2 = jax.lax.dynamic_update_slice(
-            state.fdl2.reshape(self.f2, vg, m, 2, 2, self.pp2),
-            xn2.reshape(self.f2, vg, 1, 2, 2, 1),
-            (0, 0, g, 0, 0, w2))
+            state.fdl2, xn2.reshape(vg, 1, 2, 2, 1, self.f2),
+            (0, g, 0, 0, w2, 0))
         fdl2g = jax.lax.dynamic_slice(
-            fdl2, (0, 0, g, 0, 0, 0), (self.f2, vg, 1, 2, 2, self.pp2)
-        ).reshape(self.f2, vg * 2, 2, self.pp2)
-        fdl2 = fdl2.reshape(self.f2, v * 2, 2, self.pp2)
-        m2 = self._allk_mac(fdl2g, bank.tail_rhs2, w2, self.f2, self.pp2,
-                            vg * 2)                       # [F2,Vg,I,K,O,d]
+            fdl2, (0, g, 0, 0, 0, 0), (vg, 1, 2, 2, self.pp2, self.f2)
+        ).reshape(vg, 2, 2, self.pp2, self.f2)
+        # frequency-minor MAC: contract the small (d, q) axes as a fused
+        # broadcast-multiply + reduce with F2 riding the vector lanes
+        # (a dot_general here would batch 4097 tiny MXU matmuls — pass-
+        # bound; see CascadeBank docstring)
+        rhs = jax.lax.dynamic_slice_in_dim(
+            bank.tail_rhs2, self.pp2 - w2, self.pp2, axis=1)
+        k4 = bank.tail_rhs2.shape[2]
+        m2 = jnp.sum(
+            fdl2g[:, :, :, :, None, :].astype(jnp.float32)      # [Vg,I,d,q,1,F2]
+            * rhs[None, None].astype(jnp.float32),              # [1,1,d,q,K4,F2]
+            axis=(2, 3))                                  # [Vg, I, K4, F2]
+        m2 = m2.reshape(vg, 2, k4 // 4, 2, 2, self.f2)    # [Vg,I,K,O,d,F2]
 
         sel_g = group(params.select)
         y2s = jnp.take_along_axis(
-            m2, sel_g[None, :, :, None, None, None], axis=3)[:, :, :, 0]
+            m2, sel_g[:, :, None, None, None, None], axis=2)[:, :, 0]
         scale_g = group(scale)
-        tail_specs = [y2s * scale_g[None, :, :, :, None]]
+        tail_specs = [y2s * scale_g[..., None, None]]     # [Vg,I,O,d,F2]
         if with_base:
             bg_g = group(state.base_g)
             tail_specs.append(
-                jnp.einsum("fvikod,vik->fviod", m2, bg_g)
-                * scale_g[None, :, :, :, None])
+                jnp.sum(m2 * bg_g[:, :, :, None, None, None], axis=2)
+                * scale_g[..., None, None])
 
         # tail predelay sub-block phase ramp (r_pd << B2 guard: safe)
         n2 = 2 * self.b2
         rg = group(r_pd)
         ang2 = (2.0 * jnp.pi / n2) * (
-            jnp.arange(self.f2, dtype=jnp.float32)[:, None]
-            * rg.astype(jnp.float32)[None, :])            # [F2, Vg]
-        cs2, sn2 = jnp.cos(ang2)[..., None, None], jnp.sin(ang2)[..., None, None]
+            rg.astype(jnp.float32)[:, None]
+            * jnp.arange(self.f2, dtype=jnp.float32)[None, :])  # [Vg, F2]
+        cs2, sn2 = jnp.cos(ang2)[:, None, None], jnp.sin(ang2)[:, None, None]
 
         def tail_pieces(yt):
-            """[F2,Vg,I,O,d] -> r-shifted pieces [Vg, I, O, ratio+1, B]."""
-            sp = jax.lax.complex(yt[..., 0] * cs2 + yt[..., 1] * sn2,
-                                 yt[..., 1] * cs2 - yt[..., 0] * sn2)
-            ys2 = self.xf2.irfft(jnp.transpose(sp, (1, 2, 3, 0)))
+            """[Vg,I,O,d,F2] -> r-shifted pieces [Vg, I, O, ratio+1, B]."""
+            sp = jax.lax.complex(yt[..., 0, :] * cs2 + yt[..., 1, :] * sn2,
+                                 yt[..., 1, :] * cs2 - yt[..., 0, :] * sn2)
+            ys2 = self.xf2.irfft(sp)
             # valid (shifted) window: main B2 samples + B-sample spill
             offs2 = jnp.arange(self.b2)[None, None, None, :]
             offsb = jnp.arange(b)[None, None, None, :]
@@ -390,25 +416,24 @@ class CascadeConvolution:
         # scatter into the group's tail-ring rows at slot
         # tail_slot0 + q + k, keeping the input-channel axis resolved
         tring = jnp.concatenate(
-            [state.tail_ring[:, :, :, 1:],
-             jnp.zeros((v, 2, 2, 1, b), jnp.float32)], axis=3)
+            [state.tail_ring[:, :, :, :, 1:],
+             jnp.zeros((vg, m, 2, 2, 1, b), jnp.float32)], axis=4)
         qg = group(q)
         ks = jnp.arange(m + 1)[None, :, None]
         oh_qk = (slots[None] == qg[:, None, None] + jnp.int32(self.tail_slot0)
                  + ks).astype(jnp.float32)                # [Vg, M+1, NB]
-        tring5 = tring.reshape(vg, m, 2, 2, nb, b)
         tring_g = jax.lax.dynamic_slice(
-            tring5, (0, g, 0, 0, 0, 0), (vg, 1, 2, 2, nb, b)
+            tring, (0, g, 0, 0, 0, 0), (vg, 1, 2, 2, nb, b)
         ).reshape(vg, 2, 2, nb, b)
         tring_g = tring_g + jnp.einsum("vkn,viokb->vionb", oh_qk, weighted)
         tring = jax.lax.dynamic_update_slice(
-            tring5, tring_g.reshape(vg, 1, 2, 2, nb, b),
-            (0, g, 0, 0, 0, 0)).reshape(v, 2, 2, nb, b)
+            tring, tring_g.reshape(vg, 1, 2, 2, nb, b),
+            (0, g, 0, 0, 0, 0))
 
         # ---- emit: clamp wet (head + tail), add dry (reference kernel
         # order, src/conv.cu:411-427) ----
-        out = jnp.clip(ring[:, :, 0] + tring[:, :, :, 0].sum(axis=1),
-                       -1.0, 1.0)
+        tail_now = tring[:, :, :, :, 0].sum(axis=2).reshape(v, 2, b)
+        out = jnp.clip(ring[:, :, 0] + tail_now, -1.0, 1.0)
         dgl, dgr = pan_gains(params.pan_dry)
         dry_gain = (jnp.stack([dgl, dgr], axis=-1)
                     * (params.dry * params.level)[..., None])
@@ -465,7 +490,7 @@ class CascadeConvolution:
         # post-collapse fade-out factors: a'_d = prod_{m=0..d} (1 - r_m),
         # slot n's compute block is d = n - q (entries with d < 0 were
         # computed before the collapse and keep their weights, factor 1)
-        nb = state.tail_ring.shape[3]
+        nb = state.tail_ring.shape[4]
         msteps = jnp.arange(nb, dtype=jnp.float32)
         r = 1.0 / (jnp.maximum(
             params.vsteps.astype(jnp.float32)[..., None] - msteps, 0.0)
@@ -479,7 +504,9 @@ class CascadeConvolution:
             traj, jnp.broadcast_to(idx[:, None, :], traj.shape[:-1] + (nb,)),
             axis=-1)                                      # [V, 2, NB]
         factor = jnp.where(changed[..., None], factor, 1.0)
-        tring = state.tail_ring * factor[:, :, None, :, None]
+        vg = self.num_voices // self.ratio
+        tring = state.tail_ring * factor.reshape(
+            vg, self.ratio, 2, nb)[:, :, :, None, :, None]
 
         return replace(
             state,
