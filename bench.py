@@ -252,6 +252,20 @@ def main(argv=None) -> int:
     fade_idx = (jax.jit(engine.step_coef_indexed, donate_argnums=(0,))
                 if has_indexed else None)
     fade_gen = jax.jit(engine.step_coef, donate_argnums=(0,))
+    pinned_collapse = None
+    if args.engine == "cascade":
+        # the cascade's tail state is layout-sensitive: pin the compiler's
+        # own (AUTO) boundary layouts across all step functions
+        from tpu_audio.utils.layouts import pin_engine_steps
+
+        pinned = pin_engine_steps(
+            engine, spectra, params, state, pool[0],
+            collapse_params=getattr(engine, "collapse_pure_takes_params",
+                                    False))
+        if pinned:
+            steady = pinned["steady"]
+            fade_idx = pinned["indexed"]
+            pinned_collapse = pinned["collapse_pure"]
 
     # ---- engine-true (chained dispatch, chip-side cost) --------------------
     ms_steady, state = engine_true_ms(
@@ -269,8 +283,8 @@ def main(argv=None) -> int:
         extra = ((params_fade,)
                  if getattr(engine, "collapse_pure_takes_params", False)
                  else ())
-        return jax.jit(engine.collapse_pure)(st, params.select, changed,
-                                             *extra)
+        cfn = pinned_collapse or jax.jit(engine.collapse_pure)
+        return cfn(st, params.select, changed, *extra)
 
     def general_fade_state():
         st = engine.init_converged(spectra, params)

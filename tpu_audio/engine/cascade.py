@@ -103,11 +103,17 @@ class CascadeState:
     t: jax.Array          # i32 [] block counter (drives ring slots + groups)
     fdl1: jax.Array       # [F1, VI, 2, P1p] head freq delay line
     prev_in: jax.Array    # f32 [V, 2, B]
-    inbuf2: jax.Array     # f32 [Vg, M, 2, 4*ratio, B] doubled input ring
-    fdl2: jax.Array       # [Vg, M, I, d, P2p, F2] tail freq delay line
-                          # (frequency-minor; see CascadeBank)
-    wet_ring: jax.Array   # f32 [V, 2, NB, B] head block-slot accumulator
-    tail_ring: jax.Array  # f32 [Vg, M, I, O, NB, B] tail accumulator,
+    inbuf2: jax.Array     # f32 [M, Vg, 2, 4*ratio, B] doubled input ring
+    fdl2: jax.Array       # [M, Vg, I, d, P2p, F2] tail freq delay line
+                          # (frequency-minor, see CascadeBank; the stagger
+                          # group is the MAJOR axis so group g's chunk is
+                          # a contiguous region — sliced and updated with
+                          # no copy, which middle-axis slices cost)
+    wet_ring: jax.Array   # f32 [V, NB, 2, B] head block-slot accumulator
+                          # (slot-major-of-channel: matches the layout the
+                          # TPU compiler picks internally, so the boundary
+                          # costs no per-block layout-change copy)
+    tail_ring: jax.Array  # f32 [M, Vg, I, O, NB, B] tail accumulator,
                           # input-channel-resolved so collapse_pure can
                           # rescale in-flight fade-out content per (v, ch)
     coef_a: jax.Array     # f32 [V, 2]
@@ -123,6 +129,7 @@ class CascadeConvolution:
     mac_strategy = "allk"     # span fades ride the all-K MAC
     ring_mode = True
     swap_snapshot = False     # span-only: no materialized fade snapshot
+    layout_sensitive = True   # sessions pin compiler-chosen layouts (utils/layouts.py)
 
     def __init__(self, num_voices: int, block: int, partitions: int,
                  ratio: int = 16, max_predelay: int = 8192,
@@ -201,10 +208,10 @@ class CascadeConvolution:
             t=jnp.zeros((), jnp.int32),
             fdl1=jnp.zeros((self.f1, v * 2, 2, self.pp1), self.mac_dtype),
             prev_in=jnp.zeros((v, 2, b), jnp.float32),
-            inbuf2=jnp.zeros((vg, m, 2, 4 * m, b), jnp.float32),
-            fdl2=jnp.zeros((vg, m, 2, 2, self.pp2, self.f2), self.mac_dtype),
-            wet_ring=jnp.zeros((v, 2, self.ring_slots, b), jnp.float32),
-            tail_ring=jnp.zeros((vg, m, 2, 2, self.ring_slots, b),
+            inbuf2=jnp.zeros((m, vg, 2, 4 * m, b), jnp.float32),
+            fdl2=jnp.zeros((m, vg, 2, 2, self.pp2, self.f2), self.mac_dtype),
+            wet_ring=jnp.zeros((v, self.ring_slots, 2, b), jnp.float32),
+            tail_ring=jnp.zeros((m, vg, 2, 2, self.ring_slots, b),
                                 jnp.float32),
             coef_a=jnp.zeros((v, 2), jnp.float32),
             coef_c=jnp.zeros((v, 2), jnp.float32),
@@ -306,13 +313,13 @@ class CascadeConvolution:
 
         nb = self.ring_slots
         ring = jnp.concatenate(
-            [state.wet_ring[:, :, 1:], jnp.zeros((v, 2, 1, b), jnp.float32)],
-            axis=2)
+            [state.wet_ring[:, 1:], jnp.zeros((v, 1, 2, b), jnp.float32)],
+            axis=1)
         slots = jnp.arange(nb)[None, :]
         oh_q = (slots == q[:, None]).astype(jnp.float32)
         oh_q1 = (slots == (q + 1)[:, None]).astype(jnp.float32)
-        ring = (ring + jnp.einsum("vn,vob->vonb", oh_q, head_main)
-                + jnp.einsum("vn,vob->vonb", oh_q1, head_tail))
+        ring = (ring + jnp.einsum("vn,vob->vnob", oh_q, head_main)
+                + jnp.einsum("vn,vob->vnob", oh_q1, head_tail))
 
         # ---- tail stage: one voice group's chunk ----
         # STRIDED groups (voice i -> group i % m): slice group g as axis 1
@@ -329,27 +336,37 @@ class CascadeConvolution:
             return r.reshape((vg,) + arr.shape[1:])
 
         s2 = jax.lax.rem(t, jnp.int32(2 * m))
-        xg = x.reshape(vg, m, 2, 1, b)
+        # voice i = j*m + g lives at [g, j]: swap the strided reshape
+        xg = jnp.swapaxes(x.reshape(vg, m, 2, 1, b), 0, 1)
         inbuf2 = jax.lax.dynamic_update_slice(
             state.inbuf2, xg, (0, 0, 0, s2, 0))
         inbuf2 = jax.lax.dynamic_update_slice(
             inbuf2, xg, (0, 0, 0, s2 + jnp.int32(2 * m), 0))
         seg2 = jax.lax.dynamic_slice(
             inbuf2,
-            (0, g, 0, jax.lax.rem(t + 1, jnp.int32(2 * m)), 0),
-            (vg, 1, 2, 2 * m, b)).reshape(vg, 2, 2 * self.b2)
+            (g, 0, 0, jax.lax.rem(t + 1, jnp.int32(2 * m)), 0),
+            (1, vg, 2, 2 * m, b)).reshape(vg, 2, 2 * self.b2)
         spec2 = self.xf2.rfft(seg2)                       # [Vg, 2, F2]
         xn2 = jnp.stack([jnp.real(spec2), jnp.imag(spec2)],
                         axis=2).astype(self.mac_dtype)    # [Vg, I, d, F2]
         w2 = jax.lax.rem(t // jnp.int32(m), jnp.int32(self.pp2))
         # the group axis is explicit in the state leaf: slice/update land
         # in place on the donated buffer (see CascadeState docstring)
-        fdl2 = jax.lax.dynamic_update_slice(
-            state.fdl2, xn2.reshape(vg, 1, 2, 2, 1, self.f2),
-            (0, g, 0, 0, w2, 0))
-        fdl2g = jax.lax.dynamic_slice(
-            fdl2, (0, g, 0, 0, 0, 0), (vg, 1, 2, 2, self.pp2, self.f2)
+        xn2c = xn2.reshape(1, vg, 2, 2, 1, self.f2)
+        fdl2 = jax.lax.dynamic_update_slice(state.fdl2, xn2c,
+                                            (g, 0, 0, 0, w2, 0))
+        # MAC from the PRE-update delay line plus an explicit correction
+        # for the fresh column: reading the post-update buffer would put a
+        # read-after-write hazard between the in-place slot write and the
+        # group-wide reduce, which forces XLA to materialize the 200 MB
+        # group slice; as a pure read of the donated parameter the slice
+        # fuses straight into the reduce.
+        old_g = jax.lax.dynamic_slice(
+            state.fdl2, (g, 0, 0, 0, 0, 0), (1, vg, 2, 2, self.pp2, self.f2)
         ).reshape(vg, 2, 2, self.pp2, self.f2)
+        old_col = jax.lax.dynamic_slice(
+            state.fdl2, (g, 0, 0, 0, w2, 0), (1, vg, 2, 2, 1, self.f2)
+        ).reshape(vg, 2, 2, 1, self.f2)
         # frequency-minor MAC: contract the small (d, q) axes as a fused
         # broadcast-multiply + reduce with F2 riding the vector lanes
         # (a dot_general here would batch 4097 tiny MXU matmuls — pass-
@@ -357,10 +374,17 @@ class CascadeConvolution:
         rhs = jax.lax.dynamic_slice_in_dim(
             bank.tail_rhs2, self.pp2 - w2, self.pp2, axis=1)
         k4 = bank.tail_rhs2.shape[2]
+        # window column w2 pairs the fresh slot with partition 0; in the
+        # doubled-reversed tensor that's the STATIC index pp2
+        rhs_col = bank.tail_rhs2[:, self.pp2: self.pp2 + 1]
         m2 = jnp.sum(
-            fdl2g[:, :, :, :, None, :].astype(jnp.float32)      # [Vg,I,d,q,1,F2]
+            old_g[:, :, :, :, None, :].astype(jnp.float32)      # [Vg,I,d,q,1,F2]
             * rhs[None, None].astype(jnp.float32),              # [1,1,d,q,K4,F2]
             axis=(2, 3))                                  # [Vg, I, K4, F2]
+        delta = xn2c.reshape(vg, 2, 2, 1, self.f2) - old_col
+        m2 = m2 + jnp.sum(
+            delta[:, :, :, :, None, :].astype(jnp.float32)
+            * rhs_col[None, None].astype(jnp.float32), axis=(2, 3))
         m2 = m2.reshape(vg, 2, k4 // 4, 2, 2, self.f2)    # [Vg,I,K,O,d,F2]
 
         sel_g = group(params.select)
@@ -417,23 +441,24 @@ class CascadeConvolution:
         # tail_slot0 + q + k, keeping the input-channel axis resolved
         tring = jnp.concatenate(
             [state.tail_ring[:, :, :, :, 1:],
-             jnp.zeros((vg, m, 2, 2, 1, b), jnp.float32)], axis=4)
+             jnp.zeros((m, vg, 2, 2, 1, b), jnp.float32)], axis=4)
         qg = group(q)
         ks = jnp.arange(m + 1)[None, :, None]
         oh_qk = (slots[None] == qg[:, None, None] + jnp.int32(self.tail_slot0)
                  + ks).astype(jnp.float32)                # [Vg, M+1, NB]
         tring_g = jax.lax.dynamic_slice(
-            tring, (0, g, 0, 0, 0, 0), (vg, 1, 2, 2, nb, b)
+            tring, (g, 0, 0, 0, 0, 0), (1, vg, 2, 2, nb, b)
         ).reshape(vg, 2, 2, nb, b)
         tring_g = tring_g + jnp.einsum("vkn,viokb->vionb", oh_qk, weighted)
         tring = jax.lax.dynamic_update_slice(
-            tring, tring_g.reshape(vg, 1, 2, 2, nb, b),
-            (0, g, 0, 0, 0, 0))
+            tring, tring_g.reshape(1, vg, 2, 2, nb, b),
+            (g, 0, 0, 0, 0, 0))
 
         # ---- emit: clamp wet (head + tail), add dry (reference kernel
         # order, src/conv.cu:411-427) ----
-        tail_now = tring[:, :, :, :, 0].sum(axis=2).reshape(v, 2, b)
-        out = jnp.clip(ring[:, :, 0] + tail_now, -1.0, 1.0)
+        tail_now = jnp.swapaxes(tring[:, :, :, :, 0].sum(axis=2), 0, 1
+                                ).reshape(v, 2, b)
+        out = jnp.clip(ring[:, 0] + tail_now, -1.0, 1.0)
         dgl, dgr = pan_gains(params.pan_dry)
         dry_gain = (jnp.stack([dgl, dgr], axis=-1)
                     * (params.dry * params.level)[..., None])
@@ -505,8 +530,8 @@ class CascadeConvolution:
             axis=-1)                                      # [V, 2, NB]
         factor = jnp.where(changed[..., None], factor, 1.0)
         vg = self.num_voices // self.ratio
-        tring = state.tail_ring * factor.reshape(
-            vg, self.ratio, 2, nb)[:, :, :, None, :, None]
+        tring = state.tail_ring * jnp.swapaxes(factor.reshape(
+            vg, self.ratio, 2, nb), 0, 1)[:, :, :, None, :, None]
 
         return replace(
             state,

@@ -269,10 +269,10 @@ def _cascade_state_specs():
         t=P(),
         fdl1=P(None, "voice", None, None),
         prev_in=P("voice", None, None),
-        inbuf2=P("voice"),      # [Vg, M, ...]: Vg is the voice-derived axis
-        fdl2=P("voice"),        # [Vg, M, I, d, Pp2, F2] (frequency-minor)
+        inbuf2=P(None, "voice"),    # [M, Vg, ...]: Vg is the voice axis
+        fdl2=P(None, "voice"),      # [M, Vg, I, d, Pp2, F2] (freq-minor)
         wet_ring=P("voice", None, None, None),
-        tail_ring=P("voice"),   # [Vg, M, I, O, NB, B]
+        tail_ring=P(None, "voice"),  # [M, Vg, I, O, NB, B]
         coef_a=P("voice", None),
         coef_c=P("voice", None),
         base_g=P("voice", None, None),

@@ -177,6 +177,8 @@ class StreamSession:
         self._missed_logged = 0
 
         donate_args = (0,) if donate else ()
+        self._donate = donate
+        self._layouts_pinned = False
         self._is_coef = (getattr(engine, "variant", None) == "coef"
                          and hasattr(engine, "step_coef"))
         if self._is_coef:
@@ -368,6 +370,31 @@ class StreamSession:
         self.bank = new_bank
         return state
 
+    def _maybe_pin_layouts(self, state) -> None:
+        """Layout-sensitive engines (the cascade: engine.layout_sensitive)
+        get their step functions recompiled ONCE with compiler-chosen
+        boundary layouts, pinned consistently so state never relayouts
+        between steady, indexed, and collapse steps (utils/layouts.py).
+        Per-block-dispatch sessions only; chunked steps scan internally."""
+        if (self._layouts_pinned or self.chunk_blocks > 1
+                or not getattr(self.engine, "layout_sensitive", False)
+                or not self._is_coef or self._step_indexed is None):
+            return
+        self._layouts_pinned = True
+        from tpu_audio.utils.layouts import pin_engine_steps
+
+        x = jnp.zeros((self.engine.num_voices, 2, self.engine.block),
+                      jnp.float32)
+        params = self.control.snapshot_device()
+        pinned = pin_engine_steps(
+            self.engine, self.bank, params, state, x,
+            donate=bool(self._donate),
+            collapse_params=getattr(self, "_collapse_pure_params", False))
+        if pinned:
+            self._step_steady = pinned["steady"]
+            self._step_indexed = pinned["indexed"]
+            self._collapse_pure = pinned["collapse_pure"]
+
     def run(self, state, max_blocks: int | None = None,
             midi: MidiSchedule | None = None, live_midi=None,
             checkpoint_path=None, checkpoint_every: int | None = None,
@@ -384,6 +411,7 @@ class StreamSession:
         import collections
         import time
 
+        self._maybe_pin_layouts(state)
         if self._is_coef:
             # resync the analytic coef mirrors from the (possibly restored-
             # from-checkpoint) state so a mid-crossfade resume keeps using

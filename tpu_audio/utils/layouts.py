@@ -1,0 +1,96 @@
+"""Compiler-chosen (AUTO) boundary layouts for state-threading loops.
+
+XLA picks internal layouts per operator; when a jitted step's BOUNDARY
+layout (the default row-major device layout) differs from what the
+compiled program prefers, every call pays full-buffer layout-change
+copies on the big state leaves. For the cascade engine's tail delay line
+that was measured at 2x the entire steady-block budget (~400 MB/block of
+pure relayout at 64 voices; see engine/cascade.py).
+
+The fix is to let the compiler choose the boundary layouts too
+(``Format(Layout.AUTO)``), then PIN every other jitted function that
+threads the same state to those concrete formats — so steady steps,
+crossfade steps, and collapses all agree and state never relayouts as it
+flows between them. The reference has no analogue (cuFFT/CUDA kernels fix
+their own layouts); this is pure XLA-boundary mechanics.
+
+Only the TPU backend supports custom device layouts; on CPU the helpers
+fall back to plain jit (same semantics, no pinning).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from tpu_audio.utils.log import Log
+
+
+def backend_supports_layouts() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # noqa: BLE001 - no devices at all
+        return False
+
+
+def compile_auto_layout(fn, example_args, donate_state: bool = True,
+                        state_fmt=None):
+    """jit ``fn(state, *rest)`` with compiler-chosen boundary layouts.
+
+    Returns (compiled, state_format) where ``state_format`` is the pytree
+    of concrete Formats the compiler picked for the first argument. Pass
+    that as ``state_fmt`` when compiling OTHER functions over the same
+    state so they agree (both their input and their first output are
+    pinned to it, which in-place donation already forces).
+
+    ``compiled`` is an executable: call it with arrays (jax relayouts
+    inputs on first use; steady-state threading is then copy-free).
+    """
+    from jax.experimental.layout import Format, Layout
+
+    auto = Format(Layout.AUTO)
+    state, *rest = example_args
+    in_sh = (state_fmt if state_fmt is not None
+             else jax.tree.map(lambda _: auto, state),
+             *(jax.tree.map(lambda _: auto, r) for r in rest))
+    # outputs: the threaded state leads; any extra outputs (the audio
+    # block) stay AUTO — np.asarray handles arbitrary device layouts
+    out_struct = jax.eval_shape(fn, *example_args)
+    if isinstance(out_struct, tuple):
+        out_sh = (in_sh[0], *(jax.tree.map(lambda _: auto, o)
+                              for o in out_struct[1:]))
+    else:
+        out_sh = in_sh[0]
+    compiled = jax.jit(
+        fn, donate_argnums=(0,) if donate_state else (),
+        in_shardings=in_sh, out_shardings=out_sh,
+    ).lower(*example_args).compile()
+    got_state_fmt = compiled.input_formats[0][0]
+    return compiled, got_state_fmt
+
+
+def pin_engine_steps(engine, bank, params, state, x, donate: bool = True,
+                     collapse_params: bool = False):
+    """Compile the cascade/coef engine's production functions with one
+    consistent compiler-chosen state layout.
+
+    Returns a dict with 'steady', 'indexed', 'collapse_pure' executables
+    (None where unsupported by the backend — caller falls back to jit).
+    """
+    if not backend_supports_layouts():
+        return None
+    steady, state_fmt = compile_auto_layout(
+        engine.step_coef_steady, (state, bank, params, x),
+        donate_state=donate)
+    indexed, _ = compile_auto_layout(
+        engine.step_coef_indexed, (state, bank, params, x),
+        donate_state=donate, state_fmt=state_fmt)
+    cp_args = ((state, params.select, params.select == params.select, params)
+               if collapse_params
+               else (state, params.select, params.select == params.select))
+    collapse, _ = compile_auto_layout(
+        engine.collapse_pure, cp_args, donate_state=donate,
+        state_fmt=state_fmt)
+    Log.info("layouts", "pinned compiler-chosen state layouts across "
+             "steady/indexed/collapse steps")
+    return {"steady": steady, "indexed": indexed, "collapse_pure": collapse,
+            "state_format": state_fmt}
