@@ -311,15 +311,22 @@ class CascadeConvolution:
         head_main = jnp.where(offs >= r_pd[:, None, None], ys1[..., b:], 0.0)
         head_tail = jnp.where(offs < r_pd[:, None, None], ys1[..., :b], 0.0)
 
+        # MODULAR ring: slot for content due at block t+D is (t+D) mod NB.
+        # No per-block shift pass — the emit slot is read then zeroed in
+        # the same fused expression (the concat-shift form lowered to
+        # multiple full-ring pad/slice/copy passes at large voice counts)
         nb = self.ring_slots
-        ring = jnp.concatenate(
-            [state.wet_ring[:, 1:], jnp.zeros((v, 1, 2, b), jnp.float32)],
-            axis=1)
+        emit = jax.lax.rem(t, jnp.int32(nb))
         slots = jnp.arange(nb)[None, :]
-        oh_q = (slots == q[:, None]).astype(jnp.float32)
-        oh_q1 = (slots == (q + 1)[:, None]).astype(jnp.float32)
-        ring = (ring + jnp.einsum("vn,vob->vnob", oh_q, head_main)
+        oh_q = (slots == jax.lax.rem(t + q, jnp.int32(nb))[:, None]
+                ).astype(jnp.float32)
+        oh_q1 = (slots == jax.lax.rem(t + q + 1, jnp.int32(nb))[:, None]
+                 ).astype(jnp.float32)
+        ring = (state.wet_ring + jnp.einsum("vn,vob->vnob", oh_q, head_main)
                 + jnp.einsum("vn,vob->vnob", oh_q1, head_tail))
+        head_now = jax.lax.dynamic_slice_in_dim(ring, emit, 1, axis=1)[:, 0]
+        ring = ring * (jnp.arange(nb) != emit
+                       ).astype(jnp.float32)[None, :, None, None]
 
         # ---- tail stage: one voice group's chunk ----
         # STRIDED groups (voice i -> group i % m): slice group g as axis 1
@@ -437,28 +444,34 @@ class CascadeConvolution:
             weighted = (weighted
                         + tail_pieces(tail_specs[1]) * ag[:, :, None, :, None])
 
-        # scatter into the group's tail-ring rows at slot
-        # tail_slot0 + q + k, keeping the input-channel axis resolved
-        tring = jnp.concatenate(
-            [state.tail_ring[:, :, :, :, 1:],
-             jnp.zeros((m, vg, 2, 2, 1, b), jnp.float32)], axis=4)
+        # scatter into the group's tail-ring rows at MODULAR slot
+        # (t + tail_slot0 + q + k) mod NB, keeping the input-channel axis
+        # resolved; only group g's rows are ever written — the other
+        # ratio-1 row groups are untouched this block
         qg = group(q)
         ks = jnp.arange(m + 1)[None, :, None]
-        oh_qk = (slots[None] == qg[:, None, None] + jnp.int32(self.tail_slot0)
-                 + ks).astype(jnp.float32)                # [Vg, M+1, NB]
+        oh_qk = (slots[None] == jax.lax.rem(
+            t + qg[:, None, None] + jnp.int32(self.tail_slot0) + ks,
+            jnp.int32(nb))).astype(jnp.float32)           # [Vg, M+1, NB]
         tring_g = jax.lax.dynamic_slice(
-            tring, (g, 0, 0, 0, 0, 0), (1, vg, 2, 2, nb, b)
+            state.tail_ring, (g, 0, 0, 0, 0, 0), (1, vg, 2, 2, nb, b)
         ).reshape(vg, 2, 2, nb, b)
         tring_g = tring_g + jnp.einsum("vkn,viokb->vionb", oh_qk, weighted)
         tring = jax.lax.dynamic_update_slice(
-            tring, tring_g.reshape(1, vg, 2, 2, nb, b),
+            state.tail_ring, tring_g.reshape(1, vg, 2, 2, nb, b),
             (g, 0, 0, 0, 0, 0))
 
-        # ---- emit: clamp wet (head + tail), add dry (reference kernel
-        # order, src/conv.cu:411-427) ----
-        tail_now = jnp.swapaxes(tring[:, :, :, :, 0].sum(axis=2), 0, 1
-                                ).reshape(v, 2, b)
-        out = jnp.clip(ring[:, 0] + tail_now, -1.0, 1.0)
+        # ---- emit slot (t mod NB): clamp wet (head + tail), add dry
+        # (reference kernel order, src/conv.cu:411-427); zero the emitted
+        # slot with a small in-place write so it can re-accumulate ----
+        tail_now = jnp.swapaxes(
+            jax.lax.dynamic_slice_in_dim(tring, emit, 1, axis=4
+                                         )[:, :, :, :, 0].sum(axis=2),
+            0, 1).reshape(v, 2, b)
+        tring = jax.lax.dynamic_update_slice(
+            tring, jnp.zeros((m, vg, 2, 2, 1, b), jnp.float32),
+            (0, 0, 0, 0, emit, 0))
+        out = jnp.clip(head_now + tail_now, -1.0, 1.0)
         dgl, dgr = pan_gains(params.pan_dry)
         dry_gain = (jnp.stack([dgl, dgr], axis=-1)
                     * (params.dry * params.level)[..., None])
@@ -529,6 +542,10 @@ class CascadeConvolution:
             traj, jnp.broadcast_to(idx[:, None, :], traj.shape[:-1] + (nb,)),
             axis=-1)                                      # [V, 2, NB]
         factor = jnp.where(changed[..., None], factor, 1.0)
+        # the ring is MODULAR (slot s holds content due at the block u
+        # with u mod NB == s): map the distance-indexed factors onto slots
+        # by rolling by the current block counter
+        factor = jnp.roll(factor, state.t, axis=-1)
         vg = self.num_voices // self.ratio
         tring = state.tail_ring * jnp.swapaxes(factor.reshape(
             vg, self.ratio, 2, nb), 0, 1)[:, :, :, None, :, None]
