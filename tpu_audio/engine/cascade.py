@@ -109,7 +109,8 @@ class CascadeState:
                           # group is the MAJOR axis so group g's chunk is
                           # a contiguous region — sliced and updated with
                           # no copy, which middle-axis slices cost)
-    wet_ring: jax.Array   # f32 [V, NB, 2, B] head block-slot accumulator
+    wet_ring: jax.Array   # f32 [V, NBH, 2, B] head block-slot ring (NBH =
+                          # maxpd/B + 2, half the tail ring's span)
                           # (slot-major-of-channel: matches the layout the
                           # TPU compiler picks internally, so the boundary
                           # costs no per-block layout-change copy)
@@ -167,6 +168,8 @@ class CascadeConvolution:
         # final input block; pieces span ratio+1 slots; + predelay offset
         self.tail_slot0 = ratio + 1
         self.ring_slots = max_predelay // block + 2 * ratio + 3
+        # the head ring only spans the predelay (+1 spill +1 emit)
+        self.head_slots = max_predelay // block + 2
 
     # -- bank ---------------------------------------------------------------------
 
@@ -210,7 +213,7 @@ class CascadeConvolution:
             prev_in=jnp.zeros((v, 2, b), jnp.float32),
             inbuf2=jnp.zeros((m, vg, 2, 4 * m, b), jnp.float32),
             fdl2=jnp.zeros((m, vg, 2, 2, self.pp2, self.f2), self.mac_dtype),
-            wet_ring=jnp.zeros((v, self.ring_slots, 2, b), jnp.float32),
+            wet_ring=jnp.zeros((v, self.head_slots, 2, b), jnp.float32),
             tail_ring=jnp.zeros((m, vg, 2, 2, self.ring_slots, b),
                                 jnp.float32),
             coef_a=jnp.zeros((v, 2), jnp.float32),
@@ -316,16 +319,19 @@ class CascadeConvolution:
         # the same fused expression (the concat-shift form lowered to
         # multiple full-ring pad/slice/copy passes at large voice counts)
         nb = self.ring_slots
+        nh = self.head_slots
         emit = jax.lax.rem(t, jnp.int32(nb))
+        emit_h = jax.lax.rem(t, jnp.int32(nh))
         slots = jnp.arange(nb)[None, :]
-        oh_q = (slots == jax.lax.rem(t + q, jnp.int32(nb))[:, None]
+        slots_h = jnp.arange(nh)[None, :]
+        oh_q = (slots_h == jax.lax.rem(t + q, jnp.int32(nh))[:, None]
                 ).astype(jnp.float32)
-        oh_q1 = (slots == jax.lax.rem(t + q + 1, jnp.int32(nb))[:, None]
+        oh_q1 = (slots_h == jax.lax.rem(t + q + 1, jnp.int32(nh))[:, None]
                  ).astype(jnp.float32)
         ring = (state.wet_ring + jnp.einsum("vn,vob->vnob", oh_q, head_main)
                 + jnp.einsum("vn,vob->vnob", oh_q1, head_tail))
-        head_now = jax.lax.dynamic_slice_in_dim(ring, emit, 1, axis=1)[:, 0]
-        ring = ring * (jnp.arange(nb) != emit
+        head_now = jax.lax.dynamic_slice_in_dim(ring, emit_h, 1, axis=1)[:, 0]
+        ring = ring * (jnp.arange(nh) != emit_h
                        ).astype(jnp.float32)[None, :, None, None]
 
         # ---- tail stage: one voice group's chunk ----
@@ -384,14 +390,17 @@ class CascadeConvolution:
         # window column w2 pairs the fresh slot with partition 0; in the
         # doubled-reversed tensor that's the STATIC index pp2
         rhs_col = bank.tail_rhs2[:, self.pp2: self.pp2 + 1]
+        # products in mac_dtype, accumulation forced to f32 via the reduce
+        # dtype — explicit astype on the 100+ MB operands materializes an
+        # upcast copy of the whole group slice in the bf16 configuration
         m2 = jnp.sum(
-            old_g[:, :, :, :, None, :].astype(jnp.float32)      # [Vg,I,d,q,1,F2]
-            * rhs[None, None].astype(jnp.float32),              # [1,1,d,q,K4,F2]
-            axis=(2, 3))                                  # [Vg, I, K4, F2]
+            old_g[:, :, :, :, None, :]                    # [Vg,I,d,q,1,F2]
+            * rhs[None, None],                            # [1,1,d,q,K4,F2]
+            axis=(2, 3), dtype=jnp.float32)               # [Vg, I, K4, F2]
         delta = xn2c.reshape(vg, 2, 2, 1, self.f2) - old_col
         m2 = m2 + jnp.sum(
-            delta[:, :, :, :, None, :].astype(jnp.float32)
-            * rhs_col[None, None].astype(jnp.float32), axis=(2, 3))
+            delta[:, :, :, :, None, :] * rhs_col[None, None],
+            axis=(2, 3), dtype=jnp.float32)
         m2 = m2.reshape(vg, 2, k4 // 4, 2, 2, self.f2)    # [Vg,I,K,O,d,F2]
 
         sel_g = group(params.select)
