@@ -173,6 +173,50 @@ def test_fade_converges_to_uniform(vsteps, bound, check_settle):
                                    atol=3e-5)
 
 
+def test_predelay_change_transient_bounded_then_exact():
+    """Mid-stream predelay changes: both engines scatter at WRITE time
+    (reference src/conv.cu:411), but the cascade's in-flight tail chunks
+    carry their compute-time predelay, so the tail's delay switches up to
+    one tail window (2*ratio+1 blocks) later than the uniform engine's —
+    the documented parameter-event quantization (engine docstring). The
+    transient must stay bounded (no blowup, head responds immediately)
+    and the engines must re-agree exactly once the window drains."""
+    bank, cas, cas_bank, fm, fm_bank = build()
+    rng = np.random.default_rng(11)
+    n_blocks = 60
+    xs = [rng.standard_normal((V, 2, B)).astype(np.float32) * 0.05
+          for _ in range(n_blocks)]
+
+    def run(engine, bank_d):
+        cp = control()
+        params = jax.tree.map(jnp.asarray, cp.snapshot())
+        state = engine.init_converged(bank_d, params)
+        step = jax.jit(engine.step_coef_steady, donate_argnums=())
+        outs = []
+        for t, x in enumerate(xs):
+            if t == 20:
+                cp.predelay[:, 0] = [63, 0, 17, 40][:V]   # jumps both ways
+            params = jax.tree.map(jnp.asarray, cp.snapshot())
+            state, o = step(state, bank_d, params, jnp.asarray(x))
+            outs.append(np.asarray(o))
+            cp.end_block()
+        return np.concatenate(outs, axis=-1)
+
+    got = run(cas, cas_bank)
+    want = run(fm, fm_bank)
+    # exact before the change
+    np.testing.assert_allclose(got[..., : 20 * B], want[..., : 20 * B],
+                               atol=3e-5)
+    # transient bounded by the wet signal scale itself (delayed-vs-not
+    # content differs pointwise but never blows up)
+    assert np.abs(got - want).max() < 2.0 * np.abs(want).max()
+    # exact again after the tail window + old/new predelay drain
+    settle = (20 + 2 * M + 2 + 2 * (MAXPD // B + 2)) * B
+    np.testing.assert_allclose(got[..., settle:], want[..., settle:],
+                               atol=3e-5)
+    assert np.abs(want[..., settle:]).max() > 1e-3
+
+
 def test_session_and_checkpoint_resume():
     """StreamSession drives the cascade (span fades via MIDI) and an
     in-stream checkpoint resumes bit-exactly (the t counter in state keeps
