@@ -49,7 +49,7 @@ class MonolithicConvolution:
     """V stereo voices of reference-style convolution reverb."""
 
     def __init__(self, num_voices: int, fft_size: int, block: int = 256,
-                 max_predelay: int = 8192, backend: str = "fft"):
+                 max_predelay: int = 8192, backend: str = "auto"):
         if block >= fft_size:
             raise ValueError("block must be < fft_size")
         self.num_voices = num_voices
