@@ -322,3 +322,53 @@ def test_span_only_guards():
                       jnp.zeros((V, 2, B)))
     with pytest.raises(ValueError, match="span-only"):
         cas.collapse(state, cas_bank, params.select, None)
+
+
+def test_simultaneous_predelay_and_reselect():
+    """A single MIDI event that changes predelay AND re-selects: the span
+    collapse maps in-flight tail slots to compute blocks with the NEW
+    predelay while the content was scattered under the OLD one, so the
+    old tail's fade-out is mis-scaled by up to the predelay delta — a
+    bounded transient (factors are products of (1-r) in [0,1]: never
+    amplification, no blowup) that drains within one tail window, after
+    which the engines agree exactly again."""
+    bank, cas, cas_bank, fm, fm_bank = build()
+    rng = np.random.default_rng(13)
+    n_blocks = 120
+    xs = [rng.standard_normal((V, 2, B)).astype(np.float32) * 0.05
+          for _ in range(n_blocks)]
+
+    def run(engine, bank_d):
+        cp = control()
+        params = jax.tree.map(jnp.asarray, cp.snapshot())
+        state = engine.init_converged(bank_d, params)
+        step = jax.jit(engine.step_coef_indexed, donate_argnums=())
+        cpure = jax.jit(engine.collapse_pure, donate_argnums=())
+        takes_params = getattr(engine, "collapse_pure_takes_params", False)
+        outs = []
+        for t, x in enumerate(xs):
+            if t == 16:  # one event: big predelay jumps + re-select + fade
+                old = cp.select.copy()
+                cp.select[:] = (cp.select + 1) % K
+                cp.predelay[:, 0] = [0, 63, 1, 40][:V]
+                cp.vsteps[:] = 30
+                args = (state, jnp.asarray(old),
+                        jnp.asarray(np.ones_like(old, bool)))
+                if takes_params:
+                    args += (jax.tree.map(jnp.asarray, cp.snapshot()),)
+                state = cpure(*args)
+            params = jax.tree.map(jnp.asarray, cp.snapshot())
+            state, o = step(state, bank_d, params, jnp.asarray(x))
+            outs.append(np.asarray(o))
+            cp.end_block()
+        return np.concatenate(outs, axis=-1)
+
+    got = run(cas, cas_bank)
+    want = run(fm, fm_bank)
+    np.testing.assert_allclose(got[..., : 16 * B], want[..., : 16 * B],
+                               atol=3e-5)
+    assert np.isfinite(got).all()
+    assert np.abs(got - want).max() < 2.0 * np.abs(want).max()  # bounded
+    settle = (16 + 3 * (30 + 5) + 3 * M + 2 * (MAXPD // B + 2)) * B
+    np.testing.assert_allclose(got[..., settle:], want[..., settle:],
+                               atol=3e-5)

@@ -218,15 +218,17 @@ class IRBank:
         return h.hexdigest()[:24]
 
     def cached_partitioned_spectra(self, block: int, cache_dir: str | os.PathLike,
-                                   max_partitions: int | None = None) -> np.ndarray:
+                                   max_partitions: int | None = None,
+                                   offset: int = 0) -> np.ndarray:
         """partitioned_spectra with a content-addressed .npz disk cache."""
         os.makedirs(cache_dir, exist_ok=True)
-        key = self._cache_key("part", block, max_partitions)
+        key = self._cache_key("part", block, max_partitions, offset)
         path = os.path.join(os.fspath(cache_dir), f"bank_{key}.npz")
         if os.path.exists(path):
             Log.info("bank", "spectra cache hit: %s", path)
             return np.load(path)["spectra"]
-        spectra = self.partitioned_spectra(block, max_partitions)
+        spectra = self.partitioned_spectra(block, max_partitions,
+                                           offset=offset)
         np.savez(path, spectra=spectra)
         Log.info("bank", "spectra cache write: %s", path)
         return spectra

@@ -66,7 +66,7 @@ import jax.numpy as jnp
 from tpu_audio.engine.fmajor import double_reversed, pack_mac_rhs
 from tpu_audio.engine.params import VoiceParams
 from tpu_audio.ops.fft import SpectralTransform
-from tpu_audio.ops.mix import pan_gains
+from tpu_audio.ops.mix import add_dry, pan_gains, wet_scale
 
 
 @jax.tree_util.register_dataclass
@@ -170,17 +170,39 @@ class CascadeConvolution:
         self.ring_slots = max_predelay // block + 2 * ratio + 3
         # the head ring only spans the predelay (+1 spill +1 emit)
         self.head_slots = max_predelay // block + 2
+        # wrap the block counter at the lcm of every modulus derived from
+        # it, so rem-indices stay continuous across the wrap and an
+        # unbounded live session never sees int32 overflow (rem on a
+        # wrapped-negative counter returns negative slots = silent audio)
+        import math
+
+        self.t_modulus = math.lcm(self.pp1, ratio * self.pp2, 2 * ratio,
+                                  self.ring_slots, self.head_slots)
+        if self.t_modulus >= 2 ** 31:
+            from tpu_audio.utils.log import Log
+            Log.warn("cascade", "block-counter modulus %d overflows int32; "
+                     "sessions longer than ~2^31 blocks will corrupt "
+                     "ring indices", self.t_modulus)
+            self.t_modulus = 0
 
     # -- bank ---------------------------------------------------------------------
 
-    def prepare_bank(self, bank) -> CascadeBank:
+    def prepare_bank(self, bank, cache_dir=None) -> CascadeBank:
         """IRBank (time-domain) -> device CascadeBank: the head takes the
         IRs' first 2*B2 samples at block granularity, the tail the rest at
         B2 granularity (reference `prepare` builds one monolithic spectrum,
-        src/conv.cu:207-253; here two partition resolutions)."""
-        head_spec = bank.partitioned_spectra(self.block,
-                                             max_partitions=self.head_parts)
-        tail_spec = bank.partitioned_spectra(self.b2, offset=2 * self.b2)
+        src/conv.cu:207-253; here two partition resolutions). cache_dir
+        enables the bank's content-addressed spectra disk cache."""
+        if cache_dir:
+            head_spec = bank.cached_partitioned_spectra(
+                self.block, cache_dir, max_partitions=self.head_parts)
+            tail_spec = bank.cached_partitioned_spectra(
+                self.b2, cache_dir, offset=2 * self.b2)
+        else:
+            head_spec = bank.partitioned_spectra(
+                self.block, max_partitions=self.head_parts)
+            tail_spec = bank.partitioned_spectra(self.b2,
+                                                 offset=2 * self.b2)
         if tail_spec.shape[2] < self.tail_parts:
             pad = self.tail_parts - tail_spec.shape[2]
             tail_spec = np.pad(tail_spec, ((0, 0), (0, 0), (0, pad), (0, 0)))
@@ -231,8 +253,7 @@ class CascadeConvolution:
     # -- shared pieces ---------------------------------------------------------------
 
     def _wet_scale(self, params: VoiceParams) -> jax.Array:
-        gl, gr = pan_gains(params.pan_wet)
-        return jnp.stack([gl, gr], axis=-1) * params.level[..., None]
+        return wet_scale(params)                          # [V, I, O]
 
     def _allk_mac(self, fdl, rhs2, w, f, pp, nrows):
         """Windowed doubled-reversed ring MAC (fmajor.py allk):
@@ -481,12 +502,11 @@ class CascadeConvolution:
             tring, jnp.zeros((m, vg, 2, 2, 1, b), jnp.float32),
             (0, 0, 0, 0, emit, 0))
         out = jnp.clip(head_now + tail_now, -1.0, 1.0)
-        dgl, dgr = pan_gains(params.pan_dry)
-        dry_gain = (jnp.stack([dgl, dgr], axis=-1)
-                    * (params.dry * params.level)[..., None])
-        out = out + jnp.einsum("vib,vio->vob", x, dry_gain)
+        out = add_dry(out, x, params)
 
-        return replace(state, t=t + 1, fdl1=fdl1, prev_in=x, inbuf2=inbuf2,
+        t_next = (jax.lax.rem(t + 1, jnp.int32(self.t_modulus))
+                  if self.t_modulus else t + 1)
+        return replace(state, t=t_next, fdl1=fdl1, prev_in=x, inbuf2=inbuf2,
                        fdl2=fdl2, wet_ring=ring, tail_ring=tring,
                        coef_a=a, coef_c=c), out
 
@@ -528,7 +548,12 @@ class CascadeConvolution:
         fade-out trajectory a'_d (exact for fades entered from steady
         state — the common case — and a smooth bounded approximation for
         re-interrupted mixtures). `params` carries the NEW fade's vsteps
-        and the predelay that maps ring slots to compute blocks."""
+        and the predelay that maps ring slots to compute blocks; in-flight
+        content was scattered under the PRE-change predelay, so a single
+        event that changes predelay AND re-selects mis-maps the rescale by
+        the predelay delta — a bounded level transient on the old tail
+        that drains within one tail window (tested:
+        tests/test_cascade.py::test_simultaneous_predelay_and_reselect)."""
         k = state.base_g.shape[-1]
         oh = jax.nn.one_hot(old_select, k, dtype=jnp.float32)
         prev = jnp.where(state.base_pure[..., None], state.base_g, 0.0)

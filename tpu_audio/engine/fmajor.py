@@ -64,7 +64,7 @@ import jax.numpy as jnp
 
 from tpu_audio.engine.params import VoiceParams
 from tpu_audio.ops.fft import SpectralTransform
-from tpu_audio.ops.mix import pan_gains
+from tpu_audio.ops.mix import add_dry, pan_gains, wet_scale
 
 
 @jax.tree_util.register_dataclass
@@ -368,8 +368,7 @@ class FMajorPartitionedConvolution:
                              (1, 0, 2))[..., None].astype(self.mac_dtype)
 
     def _wet_scale(self, params: VoiceParams) -> jax.Array:
-        gl, gr = pan_gains(params.pan_wet)
-        return jnp.stack([gl, gr], axis=-1) * params.level[..., None]  # [V,I,O]
+        return wet_scale(params)                          # [V, I, O]
 
     def _finish(self, state, params, x, y, **updates):
         """y [F, V, O, 2] planar spectra -> predelayed wet -> ring -> mix.
@@ -414,10 +413,7 @@ class FMajorPartitionedConvolution:
                 + jnp.einsum("vn,vob->vonb", oh_q1, part_tail))
 
         out = jnp.clip(ring[:, :, 0], -1.0, 1.0)
-        dgl, dgr = pan_gains(params.pan_dry)
-        dry_gain = (jnp.stack([dgl, dgr], axis=-1)
-                    * (params.dry * params.level)[..., None])
-        out = out + jnp.einsum("vib,vio->vob", x, dry_gain)
+        out = add_dry(out, x, params)
         return replace(state, prev_in=x, wet_ring=ring, **updates), out
 
     def step_coef(self, state: FMajorState, bank: FMajorBank,

@@ -67,7 +67,7 @@ import jax.numpy as jnp
 
 from tpu_audio.engine.params import VoiceParams
 from tpu_audio.ops.fft import SpectralTransform
-from tpu_audio.ops.mix import pan_gains
+from tpu_audio.ops.mix import add_dry, pan_gains, wet_scale
 from tpu_audio.ops.smoother import slew_spectra
 
 
@@ -157,8 +157,7 @@ class PartitionedConvolution:
         return fdl
 
     def _wet_scale(self, params: VoiceParams) -> jax.Array:
-        gl, gr = pan_gains(params.pan_wet)
-        return jnp.stack([gl, gr], axis=-1) * params.level[..., None]  # [V,2,2]
+        return wet_scale(params)                                  # [V,2,2]
 
     def _finish(self, state: PartitionedState, params: VoiceParams,
                 x: jax.Array, spec_out: jax.Array, **updates):
@@ -188,11 +187,7 @@ class PartitionedConvolution:
 
         ring = jax.vmap(_add_at)(ring, wet, pd)
 
-        out = jnp.clip(ring[..., :b], -1.0, 1.0)
-        dgl, dgr = pan_gains(params.pan_dry)
-        dry_gain = (jnp.stack([dgl, dgr], axis=-1)
-                    * (params.dry * params.level)[..., None])    # [V, 2, 2]
-        out = out + jnp.einsum("vib,vio->vob", x, dry_gain)
+        out = add_dry(jnp.clip(ring[..., :b], -1.0, 1.0), x, params)
 
         new_state = replace(state, prev_in=x, wet_ring=ring, **updates)
         return new_state, out

@@ -67,7 +67,8 @@ class ConvolutionReverb:
                 num_voices, block, partitions, ratio=ratio,
                 max_predelay=max_predelay, backend=backend,
                 num_irs=len(bank), mac_dtype=mac_dtype)
-            self.spectra = self.engine.prepare_bank(bank)
+            self.spectra = self.engine.prepare_bank(bank,
+                                                    cache_dir=cache_dir)
         elif engine in ("fmajor", "partitioned"):
             partitions = max_partitions or bank.max_partitions(block)
             if cache_dir:

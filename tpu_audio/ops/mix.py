@@ -70,3 +70,20 @@ def dry_mix_2x2(out_l: jnp.ndarray, out_r: jnp.ndarray,
     out_l = out_l.at[..., :nb].add(dry_l)
     out_r = out_r.at[..., :nb].add(dry_r)
     return out_l, out_r
+
+
+def wet_scale(params) -> "jnp.ndarray":
+    """[V, I, O] wet output gain: constant-power wet pan x level, shared by
+    every engine (reference folds pan*level into the inverse-FFT scale,
+    src/conv.cu:392-401)."""
+    gl, gr = pan_gains(params.pan_wet)
+    return jnp.stack([gl, gr], axis=-1) * params.level[..., None]
+
+
+def add_dry(out, x, params) -> "jnp.ndarray":
+    """Dry 2x2 pan mix added UNCLAMPED after the wet clamp (reference
+    kernel order, src/conv.cu:411-427); shared by every engine."""
+    gl, gr = pan_gains(params.pan_dry)
+    dry_gain = (jnp.stack([gl, gr], axis=-1)
+                * (params.dry * params.level)[..., None])
+    return out + jnp.einsum("vib,vio->vob", x, dry_gain)
