@@ -257,10 +257,14 @@ class CascadeConvolution:
 
     def _allk_mac(self, fdl, rhs2, w, f, pp, nrows):
         """Windowed doubled-reversed ring MAC (fmajor.py allk):
-        [F, rows, 2Pp] x [F, 2Pp, KOD] -> [F, rows/2, I, K, O, d]."""
+        [F, rows, d, Pp] x [F, d, Pp, KOD] -> [F, rows/2, I, K, O, d].
+
+        The (d, q) pair stays two separate contracting dims of ONE
+        dot_general — reshaping fdl to [F, rows, 2Pp] first materializes
+        the whole delay line as a fusion output at large voice counts
+        (134 MB/block extra at 1024v, found via memory_analysis)."""
         rhs = jax.lax.dynamic_slice_in_dim(rhs2, pp - w, pp, axis=2)
-        rhs = rhs.reshape(f, 2 * pp, rhs.shape[-1])
-        m = jnp.einsum("fvq,fqk->fvk", fdl.reshape(f, nrows, 2 * pp), rhs,
+        m = jnp.einsum("fvdq,fdqk->fvk", fdl, rhs,
                        precision=self._mac_prec,
                        preferred_element_type=jnp.float32)
         k = rhs2.shape[-1] // 4
