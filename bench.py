@@ -102,7 +102,10 @@ def build(args):
     control.dry[:] = 0.2
     control.predelay[:] = 1024
     params = jax.tree.map(jnp.asarray, control.snapshot())
-    state = engine.init_converged(spectra, params)
+    # cascade states are created AFTER layout pinning (a default-layout
+    # init would double-hold the state when relayouted — OOM at 1280v)
+    state = (None if args.engine == "cascade"
+             else engine.init_converged(spectra, params))
     nbytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(spectra))
     log(f"bench: {args.voices} voices, block {args.block}, "
         f"{engine.partitions} partitions ({args.ir_seconds}s IR), "
@@ -253,19 +256,27 @@ def main(argv=None) -> int:
                 if has_indexed else None)
     fade_gen = jax.jit(engine.step_coef, donate_argnums=(0,))
     pinned_collapse = None
+    fresh_state = lambda: engine.init_converged(spectra, params)
     if args.engine == "cascade":
         # the cascade's tail state is layout-sensitive: pin the compiler's
-        # own (AUTO) boundary layouts across all step functions
-        from tpu_audio.utils.layouts import pin_engine_steps
+        # own (AUTO) boundary layouts across all step functions, and
+        # create states directly in those layouts (a default-layout init
+        # + relayout transiently double-holds the state — OOM at >1k
+        # voices)
+        from tpu_audio.utils.layouts import pin_engine_steps, pinned_init
 
         pinned = pin_engine_steps(
-            engine, spectra, params, state, pool[0],
+            engine, spectra, params, jax.eval_shape(fresh_state), pool[0],
             collapse_params=getattr(engine, "collapse_pure_takes_params",
                                     False))
         if pinned:
             steady = pinned["steady"]
             fade_idx = pinned["indexed"]
             pinned_collapse = pinned["collapse_pure"]
+            base_fresh = fresh_state
+            fresh_state = lambda: pinned_init(base_fresh,
+                                              pinned["state_format"])
+        state = fresh_state()
 
     # ---- engine-true (chained dispatch, chip-side cost) --------------------
     ms_steady, state = engine_true_ms(
@@ -278,7 +289,7 @@ def main(argv=None) -> int:
         # a re-select collapsed in the bank's span (provenance in state) —
         # the production fade entry path for converged and interrupted
         # re-selects alike
-        st = engine.init_converged(spectra, params)
+        st = fresh_state()
         changed = jnp.asarray(np.ones((args.voices, 2), bool))
         extra = ((params_fade,)
                  if getattr(engine, "collapse_pure_takes_params", False)
@@ -327,7 +338,7 @@ def main(argv=None) -> int:
     for wire, enc, dec in (("pcm16", enc_i16, dec_i16),
                            ("f32", enc_f32, dec_f32)):
         best = None
-        st = engine.init_converged(spectra, params)
+        st = fresh_state()
         for rep in range(args.reps):
             times, missed, st = e2e_throughput(
                 steady, st, spectra, params, make_block, enc, dec,

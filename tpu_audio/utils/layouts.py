@@ -68,13 +68,30 @@ def compile_auto_layout(fn, example_args, donate_state: bool = True,
     return compiled, got_state_fmt
 
 
+def pinned_init(init_fn, state_fmt):
+    """Create engine state DIRECTLY in the pinned layouts.
+
+    `jax.device_put(default_layout_state, fmt)` transiently double-holds
+    the whole state (default + relayouted copy) — at ~5 GB of cascade
+    state (1280 voices x 4 s) that is an HBM OOM. Jitting the init with
+    ``out_shardings=state_fmt`` materializes it once, already laid out.
+    """
+    return jax.jit(init_fn, out_shardings=state_fmt)()
+
+
 def pin_engine_steps(engine, bank, params, state, x, donate: bool = True,
                      collapse_params: bool = False):
     """Compile the cascade/coef engine's production functions with one
     consistent compiler-chosen state layout.
 
+    ``state`` (and ``x``) may be real arrays OR ``ShapeDtypeStruct``
+    trees (e.g. from ``jax.eval_shape`` of the init) — lowering never
+    materializes them, so callers can pin layouts BEFORE allocating any
+    state and then create it with :func:`pinned_init`.
+
     Returns a dict with 'steady', 'indexed', 'collapse_pure' executables
-    (None where unsupported by the backend — caller falls back to jit).
+    and 'state_format' (None where unsupported by the backend — caller
+    falls back to jit).
     """
     if not backend_supports_layouts():
         return None
