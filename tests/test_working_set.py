@@ -1,0 +1,185 @@
+"""Working-set IR residency (runtime/working_set.py).
+
+The whole point: with capacity-C slots the engine output must be
+IDENTICAL to a full-bank engine whenever the working set suffices —
+remapping + slot uploads are invisible to the audio. Eviction must never
+touch a slot that is selected or still fading.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_audio.engine import ControlPlane, IRBank
+from tpu_audio.engine.fmajor import FMajorPartitionedConvolution
+from tpu_audio.engine.params import CCMapping
+from tpu_audio.models.reverb import ConvolutionReverb
+from tpu_audio.runtime.backends import WavSink, WavSource
+from tpu_audio.runtime.stream import MidiSchedule, StreamSession
+from tpu_audio.runtime.working_set import WorkingSetBank
+
+B, V, KFULL, CAP = 32, 2, 9, 4
+IR_LEN = 300
+
+
+def make_bank(seed=0, k=KFULL):
+    rng = np.random.default_rng(seed)
+    bank = IRBank()
+    for i in range(k):
+        ir = rng.standard_normal((2, IR_LEN)).astype(np.float32)
+        bank.append(ir * (0.3 / np.abs(ir).max()))
+    return bank
+
+
+def build_ws(bank, min_age_s=0.0, clock=None):
+    p = bank.max_partitions(B)
+    eng = FMajorPartitionedConvolution(V, B, p, max_predelay=64,
+                                       num_irs=CAP, mac_strategy="allk")
+    full = bank.partitioned_spectra(B, max_partitions=p)
+    cp = ControlPlane(V, KFULL, max_predelay=64)
+    cp.wet[:] = 0.8
+    cp.dry[:] = 0.1
+    dev = eng.prepare_bank(full[list(range(CAP))])
+    ws = WorkingSetBank(eng, cp, lambda k: full[k: k + 1], dev,
+                        list(range(CAP)), min_age_s=min_age_s,
+                        **({"clock": clock} if clock else {}))
+    return eng, cp, ws, full
+
+
+def test_hit_miss_and_eviction_order():
+    bank = make_bank()
+    eng, cp, ws, full = build_ws(bank)
+    cp.set_mapping(0, 0, CCMapping(message=0xB0, select=0x15))
+    # CC value -> full index value*K//128; pick values hitting ids 0 and 7
+    assert cp.apply_cc(0, 0, 0xB0, 0x15, 0)          # full 0: resident hit
+    assert ws.misses == 0 and cp.select[0, 0] == 0
+    assert cp.apply_cc(0, 0, 0xB0, 0x15, 100)        # full 7: miss
+    assert ws.misses == 1
+    slot7 = int(cp.select[0, 0])
+    assert ws.slot_to_full[slot7] == 7
+    # the evicted slot was the least-recently-used non-selected one
+    assert 7 in ws.full_to_slot
+    # re-select 7: hit, no upload
+    assert cp.apply_cc(0, 0, 0xB0, 0x15, 101)        # still full 7
+    assert ws.misses == 1 and ws.hits >= 1
+
+
+def test_exhaustion_raises():
+    bank = make_bank()
+    clock_now = [0.0]
+    eng, cp, ws, full = build_ws(bank, min_age_s=100.0,
+                                 clock=lambda: clock_now[0])
+    cp.set_mapping(0, 0, CCMapping(message=0xB0, select=0x15))
+    cp.set_mapping(0, 1, CCMapping(message=0xB0, select=0x16))
+    cp.set_mapping(1, 0, CCMapping(message=0xB0, select=0x17))
+    cp.set_mapping(1, 1, CCMapping(message=0xB0, select=0x18))
+    # pin all 4 slots via current selections (touch each resident)
+    cp.apply_cc(0, 0, 0xB0, 0x15, 0)    # full 0
+    cp.apply_cc(0, 1, 0xB0, 0x16, 15)   # full 1
+    cp.apply_cc(1, 0, 0xB0, 0x17, 29)   # full 2
+    cp.apply_cc(1, 1, 0xB0, 0x18, 43)   # full 3
+    with pytest.raises(RuntimeError, match="working set exhausted"):
+        cp.apply_cc(0, 0, 0xB0, 0x15, 100)  # a 5th distinct IR
+    # free full-3's slot by converging (1,1) onto full 2, age past the
+    # fade-protection window, and the fault succeeds
+    cp.apply_cc(1, 1, 0xB0, 0x18, 29)       # (1,1) -> full 2 (hit)
+    clock_now[0] = 1000.0
+    assert cp.apply_cc(0, 0, 0xB0, 0x15, 100)
+    assert ws.misses == 1
+    assert ws.slot_to_full[int(cp.select[0, 0])] == 100 * KFULL // 128
+
+
+def test_session_output_equals_full_bank():
+    """A MIDI program that sweeps selections across the FULL bank (with
+    misses and evictions) must produce bit-identical audio to a full-bank
+    engine fed the equivalent (unmapped) selections."""
+    bank = make_bank()
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal((V, 2, B * 90)) * 0.05).astype(np.float32)
+    # select full IRs 5, 8, 2 on voice 0 ch 0 over time, short fades
+    events = [(10, "", bytes([0xB0, 0x15, 75])),    # full 5
+              (35, "", bytes([0xB0, 0x15, 120])),   # full 8
+              (65, "", bytes([0xB0, 0x15, 30]))]    # full 2
+
+    def run_ws():
+        model = ConvolutionReverb(bank, num_voices=V, block=B,
+                                  max_predelay=64, engine="fmajor",
+                                  bank_capacity=CAP)
+        model.working_set.min_age_s = 0.0   # fades are short; allow evict
+        model.control.wet[:] = 0.8
+        model.control.dry[:] = 0.1
+        model.control.speed[:] = 6
+        model.control.set_mapping(0, 0, CCMapping(message=0xB0,
+                                                  select=0x15))
+        sink = WavSink("/dev/null", keep_data=True)
+        sess = model.session(WavSource(x, V, B), sink, warmup=0,
+                             donate=False)
+        sess.run(model.init_state(), midi=MidiSchedule(list(events)))
+        return sink.data
+
+    def run_full():
+        model = ConvolutionReverb(bank, num_voices=V, block=B,
+                                  max_predelay=64, engine="fmajor")
+        model.control.wet[:] = 0.8
+        model.control.dry[:] = 0.1
+        model.control.speed[:] = 6
+        model.control.set_mapping(0, 0, CCMapping(message=0xB0,
+                                                  select=0x15))
+        sink = WavSink("/dev/null", keep_data=True)
+        sess = model.session(WavSource(x, V, B), sink, warmup=0,
+                             donate=False)
+        sess.run(model.init_state(), midi=MidiSchedule(list(events)))
+        return sink.data
+
+    got = run_ws()
+    want = run_full()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert np.abs(want).max() > 1e-3
+
+
+def test_cascade_slot_update_matches_rebuild():
+    """cascade.update_bank_slot == rebuilding the bank with that IR in
+    place (bit-level on the packed tensors)."""
+    from tpu_audio.engine.cascade import CascadeConvolution
+
+    bank = make_bank(k=4)
+    long_bank = IRBank()
+    rng = np.random.default_rng(7)
+    for i in range(4):
+        ir = rng.standard_normal((2, 900)).astype(np.float32) * 0.3
+        long_bank.append(ir)
+    p = long_bank.max_partitions(B)
+    eng = CascadeConvolution(4, B, p, ratio=2, max_predelay=64, num_irs=3)
+    sub = IRBank()
+    for i in (0, 1, 2):
+        sub.append(long_bank.ir(i))
+    dev = eng.prepare_bank(sub)
+    updated = eng.update_bank_slot(dev, 1, long_bank.ir(3))
+    sub2 = IRBank()
+    for i in (0, 3, 2):
+        sub2.append(long_bank.ir(i))
+    eng2 = CascadeConvolution(4, B, p, ratio=2, max_predelay=64, num_irs=3)
+    want = eng2.prepare_bank(sub2)
+    np.testing.assert_allclose(np.asarray(updated.head_rhs2),
+                               np.asarray(want.head_rhs2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(updated.tail_rhs2),
+                               np.asarray(want.tail_rhs2), atol=1e-6)
+
+
+def test_fmajor_slot_update_matches_rebuild():
+    bank = make_bank(k=4)
+    p = bank.max_partitions(B)
+    full = bank.partitioned_spectra(B, max_partitions=p)
+    eng = FMajorPartitionedConvolution(V, B, p, max_predelay=64,
+                                       num_irs=3, mac_strategy="allk")
+    dev = eng.prepare_bank(full[[0, 1, 2]])
+    updated = eng.update_bank_slot(dev, 0, full[3: 4])
+    eng2 = FMajorPartitionedConvolution(V, B, p, max_predelay=64,
+                                        num_irs=3, mac_strategy="allk")
+    want = eng2.prepare_bank(full[[3, 1, 2]])
+    for leaf in ("rhs2", "spectra", "spectra_rev2"):
+        np.testing.assert_allclose(np.asarray(getattr(updated, leaf)),
+                                   np.asarray(getattr(want, leaf)),
+                                   atol=1e-6, err_msg=leaf)

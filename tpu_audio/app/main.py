@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["fmajor", "cascade", "partitioned", "monolithic"])
     p.add_argument("--variant", default="coef",
                    choices=["coef", "materialized"])
+    p.add_argument("--bank-capacity", type=int, default=None,
+                   help="working-set IR residency: keep only N IR slots on "
+                        "the device (fast all-K MAC) and page IRs from the "
+                        "full bank in on demand — large banks at "
+                        "small-bank speed when few IRs sound at once")
     p.add_argument("--cascade-ratio", type=int, default=16,
                    help="cascade engine tail stagger ratio (tail partition "
                         "size = ratio*block; auto-shrunk to fit the voice "
@@ -146,7 +151,7 @@ def main(argv=None) -> int:
         sample_rate=args.sample_rate, cache_dir=args.cache_dir,
         mac_dtype=args.mac_dtype, verbose=not args.quiet,
         swap_snapshot=not args.no_swap_snapshot,
-        cascade_ratio=args.cascade_ratio)
+        cascade_ratio=args.cascade_ratio, bank_capacity=args.bank_capacity)
 
     v, b = model.engine.num_voices, model.block
     rings = []

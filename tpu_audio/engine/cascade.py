@@ -221,6 +221,44 @@ class CascadeConvolution:
                                   self.mac_dtype),
         )
 
+    def update_bank_slot(self, bank: CascadeBank, slot, ir) -> CascadeBank:
+        """Replace ONE IR slot of a device bank (working-set residency,
+        runtime/working_set.py): the time-domain IR [O, L] is partitioned
+        at both stage resolutions exactly like prepare_bank and written
+        into the slot's columns with dynamic-update-slices (one jit, slot
+        index traced)."""
+        from tpu_audio.ops.partition import partition_spectra
+
+        ir = np.asarray(ir, np.float32)
+
+        def spec(offset, block, parts):
+            sp = partition_spectra(ir[..., offset:] if offset else ir,
+                                   block, max_partitions=parts)
+            out = np.zeros((1, ir.shape[0], parts, block + 1), np.complex64)
+            out[0, :, : sp.shape[1]] = sp
+            return out
+
+        head_cols = double_reversed(
+            pack_mac_rhs(spec(0, self.block, self.head_parts), self.pp1),
+            axis=2)                                       # [F1, 2, 2Pp1, 4]
+        tail_cols = double_reversed(np.transpose(
+            pack_mac_rhs(spec(2 * self.b2, self.b2, self.tail_parts),
+                         self.pp2), (1, 2, 3, 0)), axis=1)  # [2, 2Pp2, 4, F2]
+        if getattr(self, "_slot_update", None) is None:
+            def upd(bank, head_p, tail_p, k):
+                return replace(
+                    bank,
+                    head_rhs2=jax.lax.dynamic_update_slice(
+                        bank.head_rhs2, head_p, (0, 0, 0, k * 4)),
+                    tail_rhs2=jax.lax.dynamic_update_slice(
+                        bank.tail_rhs2, tail_p, (0, 0, k * 4, 0)))
+
+            self._slot_update = jax.jit(upd)
+        return self._slot_update(bank,
+                                 jnp.asarray(head_cols, self.mac_dtype),
+                                 jnp.asarray(tail_cols, self.mac_dtype),
+                                 jnp.int32(slot))
+
     # -- state ---------------------------------------------------------------------
 
     def init_state(self) -> CascadeState:

@@ -279,6 +279,54 @@ class FMajorPartitionedConvolution:
             spectra_rev2=rev2_d,
         )
 
+    def update_bank_slot(self, bank: FMajorBank, slot, spectra_k) -> FMajorBank:
+        """Replace ONE IR slot of a device bank (working-set residency,
+        runtime/working_set.py): host [1, O, P, F] complex spectra for the
+        incoming IR are packed exactly like prepare_bank and written into
+        the slot's columns/rows with dynamic-update-slices (one jit, slot
+        index traced — no per-slot recompiles). 'allk' only: the
+        'selected' strategy materializes per-voice spectra in state, which
+        a bank-slot write would silently miss."""
+        if self.mac_strategy != "allk":
+            raise ValueError("working-set slot updates require the 'allk' "
+                             "MAC strategy (mac_strategy='selected' copies "
+                             "spectra into state at collapse)")
+        spectra_k = np.asarray(spectra_k)
+        cols = pack_mac_rhs(spectra_k, self.pp)          # [F, 2, Pp, 4]
+        planar = pack_planar_spectra(spectra_k, self.pp)  # [1, O, Pp, F, 2]
+        if self.ring_mode:
+            mac_payload = double_reversed(cols, axis=2)  # [F, 2, 2Pp, 4]
+            rev2 = pack_spectra_rev2(spectra_k, self.pp)  # [1, F, O, 2, 2Pp]
+        else:
+            mac_payload = cols
+            rev2 = None
+        if getattr(self, "_slot_update", None) is None:
+            ring = self.ring_mode
+
+            def upd(bank, mac_p, planar_p, rev2_p, k):
+                from dataclasses import replace as _replace
+                col0 = k * 4
+                if ring:
+                    rhs2 = jax.lax.dynamic_update_slice(
+                        bank.rhs2, mac_p, (0, 0, 0, col0))
+                    rev = jax.lax.dynamic_update_slice(
+                        bank.spectra_rev2, rev2_p, (k, 0, 0, 0, 0))
+                    out = _replace(bank, rhs2=rhs2, spectra_rev2=rev)
+                else:
+                    mac = jax.lax.dynamic_update_slice(
+                        bank.mac_rhs, mac_p, (0, 0, 0, col0))
+                    out = _replace(bank, mac_rhs=mac)
+                return _replace(out, spectra=jax.lax.dynamic_update_slice(
+                    bank.spectra, planar_p, (k, 0, 0, 0, 0)))
+
+            self._slot_update = jax.jit(upd)
+        return self._slot_update(
+            bank, jnp.asarray(mac_payload, self.mac_dtype),
+            jnp.asarray(planar),
+            (jnp.asarray(rev2, self.mac_dtype) if rev2 is not None
+             else jnp.zeros((1, 1, 1, 1, 1), self.mac_dtype)),
+            jnp.int32(slot))
+
     # -- state ---------------------------------------------------------------------
 
     def _base_shape(self):

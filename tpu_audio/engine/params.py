@@ -119,6 +119,10 @@ class ControlPlane:
         # coefficient-form engines subscribe here to trigger collapse()
         # on IR re-select (see runtime/stream.py)
         self.on_select_change = None  # callback (voice, ch, old, new)
+        # optional full-bank-index -> engine-slot translation installed by
+        # runtime/working_set.py; CC scaling and per-channel bank windows
+        # stay in full-bank coordinates, `select` then holds slot indices
+        self.select_remap = None      # callable (voice, ch, full_idx) -> slot
 
     # -- wiring ---------------------------------------------------------------
 
@@ -141,9 +145,11 @@ class ControlPlane:
         """Initial values from settings (reference src/main.cu:63-70)."""
         self._dirty = True
         sel = settings.u32("conv[%d].value.select", idx, default=0)
-        self.select[voice, ch] = (self.select_base[voice, ch]
-                                  + min(sel, max(self.select_span[voice, ch]
-                                                 - 1, 0)))
+        full = (self.select_base[voice, ch]
+                + min(sel, max(self.select_span[voice, ch] - 1, 0)))
+        if self.select_remap is not None:
+            full = self.select_remap(voice, ch, int(full))
+        self.select[voice, ch] = full
         pd = settings.u32("conv[%d].value.predelay", idx, default=0)
         if pd > self.max_predelay:
             # out-of-range settings would silently mute the fmajor engine's
@@ -174,6 +180,8 @@ class ControlPlane:
         if controller == m.select:
             new = (int(self.select_base[voice, ch])
                    + value * int(self.select_span[voice, ch]) // 128)
+            if self.select_remap is not None:
+                new = int(self.select_remap(voice, ch, new))
             old = int(self.select[voice, ch])
             self.select[voice, ch] = new
             self.vsteps[voice, ch] = self.speed[voice, ch]

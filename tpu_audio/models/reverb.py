@@ -50,11 +50,17 @@ class ConvolutionReverb:
                  max_predelay: int = 8192, max_partitions: int | None = None,
                  backend: str = "auto", cache_dir: str | None = None,
                  mac_dtype: str = "f32", swap_snapshot: bool = True,
-                 cascade_ratio: int = 16):
+                 cascade_ratio: int = 16, bank_capacity: int | None = None):
         self.bank = bank
         self.block = block
         self.sample_rate = sample_rate
         self.control = ControlPlane(num_voices, len(bank), max_predelay)
+        self.working_set = None
+        if bank_capacity is not None:
+            return self._init_working_set(
+                bank, num_voices, block, engine, max_predelay,
+                max_partitions, backend, cache_dir, mac_dtype,
+                cascade_ratio, min(bank_capacity, len(bank)))
         if engine == "cascade":
             partitions = max_partitions or bank.max_partitions(block)
             ratio = _fit_cascade_ratio(cascade_ratio, num_voices, partitions)
@@ -112,6 +118,61 @@ class ConvolutionReverb:
                      for leaf in jax.tree.leaves(self.spectra))
         Log.info("reverb", "%d voice(s), %d IRs, engine=%s, bank %.1f MB",
                  num_voices, len(bank), engine, nbytes / 1e6)
+
+    def _init_working_set(self, bank, num_voices, block, engine,
+                          max_predelay, max_partitions, backend, cache_dir,
+                          mac_dtype, cascade_ratio, capacity):
+        """Large banks at small-bank speed: the engine runs the fast all-K
+        path over `capacity` resident IR slots; the full bank stays on the
+        host and select events page IRs in on demand
+        (runtime/working_set.py). Engine geometry is sized by the FULL
+        bank so any member IR fits its slot."""
+        from tpu_audio.runtime.working_set import WorkingSetBank
+
+        partitions = max_partitions or bank.max_partitions(block)
+        residents = list(range(capacity))
+        if engine == "cascade":
+            ratio = _fit_cascade_ratio(cascade_ratio, num_voices, partitions)
+            self.engine = CascadeConvolution(
+                num_voices, block, partitions, ratio=ratio,
+                max_predelay=max_predelay, backend=backend,
+                num_irs=capacity, mac_dtype=mac_dtype)
+            compact = IRBank(sample_rate=bank.sample_rate)
+            for k in residents:
+                compact.append(bank.ir(k))
+            # prepare_bank pads the compact sub-bank up to the engine's
+            # (full-bank-sized) partition grid
+            self.spectra = self.engine.prepare_bank(compact)
+            payload = bank.ir
+        elif engine == "fmajor":
+            if cache_dir:
+                full_spectra = bank.cached_partitioned_spectra(
+                    block, cache_dir, max_partitions=partitions)
+            else:
+                full_spectra = bank.partitioned_spectra(
+                    block, max_partitions=partitions)
+            self.engine = FMajorPartitionedConvolution(
+                num_voices, block, partitions, max_predelay=max_predelay,
+                backend=backend, mac_strategy="allk", num_irs=capacity,
+                mac_dtype=mac_dtype)
+            self.spectra = self.engine.prepare_bank(full_spectra[residents])
+            payload = lambda k: full_spectra[k: k + 1]
+        else:
+            raise ValueError(f"bank_capacity (working-set residency) needs "
+                             f"engine 'fmajor' or 'cascade', not {engine!r}")
+        self.working_set = WorkingSetBank(
+            self.engine, self.control, payload, self.spectra, residents)
+        self.working_set.on_update = self._publish_bank
+        self._live_session = None
+        Log.info("reverb", "%d voice(s), %d-IR bank with %d resident "
+                 "slots, engine=%s", num_voices, len(bank), capacity, engine)
+
+    def _publish_bank(self, new_bank) -> None:
+        self.spectra = new_bank
+        if getattr(self, "_live_session", None) is not None:
+            # slot updates only touch fade-inert slots (min-age eviction),
+            # so the swap is safe to apply directly between blocks
+            self._live_session.bank = new_bank
 
     # -- reference-settings construction (src/main.cu:18-116) --------------------
 
@@ -193,9 +254,12 @@ class ConvolutionReverb:
 
     def session(self, source: BlockSource, sink: BlockSink,
                 **kwargs) -> StreamSession:
-        return StreamSession(self.engine, self.spectra, self.control,
+        sess = StreamSession(self.engine, self.spectra, self.control,
                              source, sink, sample_rate=self.sample_rate,
                              **kwargs)
+        if self.working_set is not None:
+            self._live_session = sess
+        return sess
 
     def process(self, source: BlockSource, sink: BlockSink,
                 midi: MidiSchedule | None = None,
