@@ -28,6 +28,8 @@ voice counts and IR lengths that is the thing that stops scaling).
 from __future__ import annotations
 
 import time
+
+import numpy as np
 from typing import Callable
 
 from tpu_audio.utils.log import Log
@@ -53,12 +55,16 @@ class WorkingSetBank:
 
     def __init__(self, engine, control, slot_payload: Callable[[int], object],
                  bank, residents: list[int], min_age_s: float = 2.0,
-                 clock: Callable[[], float] = time.monotonic):
+                 clock: Callable[[], float] = time.monotonic,
+                 full_size: int | None = None):
         self.engine = engine
         self.control = control
         self.slot_payload = slot_payload
         self.bank = bank
         self.capacity = len(residents)
+        self.full_size = (full_size if full_size is not None else
+                          int(np.max(control.select_base
+                                     + control.select_span)))
         self.min_age_s = min_age_s
         self.clock = clock
         self.slot_to_full = list(residents)
@@ -72,6 +78,13 @@ class WorkingSetBank:
     # -- the remap hook (runs on the host between blocks) -----------------------
 
     def _remap(self, voice: int, ch: int, full_idx: int) -> int:
+        if not 0 <= full_idx < self.full_size:
+            # out-of-range CC scalings (the reference formula can exceed
+            # the bank for malformed >7-bit values) clamp like the plain
+            # engines' gathers do — never page in garbage
+            Log.warn("workset", "select %d outside the %d-IR bank; clamped",
+                     full_idx, self.full_size)
+            full_idx = min(max(full_idx, 0), self.full_size - 1)
         now = self.clock()
         # the outgoing slot enters its fade-out: refresh its protection
         self.last_used[int(self.control.select[voice, ch])] = now
