@@ -183,3 +183,28 @@ def test_fmajor_slot_update_matches_rebuild():
         np.testing.assert_allclose(np.asarray(getattr(updated, leaf)),
                                    np.asarray(getattr(want, leaf)),
                                    atol=1e-6, err_msg=leaf)
+
+
+def test_per_channel_banks_and_set_select_under_working_set():
+    """The two coordinate spaces must not mix: set_channel_banks operates
+    on full-bank windows without clobbering slot-space selections, and
+    the direct set_select API remaps full indices like the CC path."""
+    bank = make_bank()
+    model = ConvolutionReverb(bank, num_voices=V, block=B, max_predelay=64,
+                              engine="fmajor", bank_capacity=CAP)
+    model.working_set.min_age_s = 0.0
+    # per-channel windows (full-bank coordinates) must not rewrite the
+    # slot-space select array
+    model.control.set_channel_banks([(0, 4), (4, 5)])
+    assert model.control.select.max() < CAP
+    # direct selection of a non-resident full index pages it in
+    model.control.set_select(0, 0, 7)
+    slot = int(model.control.select[0, 0])
+    assert slot < CAP
+    assert model.working_set.slot_to_full[slot] == 7
+    assert model.working_set.misses == 1
+    # CC path through a channel window: value scales within the window
+    model.control.set_mapping(0, 1, CCMapping(message=0xB0, select=0x15))
+    assert model.control.apply_cc(0, 1, 0xB0, 0x15, 127)  # window (4,5) end
+    slot1 = int(model.control.select[0, 1])
+    assert model.working_set.slot_to_full[slot1] == 4 + 127 * 5 // 128

@@ -138,8 +138,13 @@ class ControlPlane:
             off, size = windows[min(ch, len(windows) - 1)]
             self.select_base[:, ch] = off
             self.select_span[:, ch] = max(size, 1)
-            self.select[:, ch] = np.clip(self.select[:, ch], off,
-                                         off + max(size, 1) - 1)
+            if self.select_remap is None:
+                # clamp existing selections into the new window; under
+                # working-set residency `select` holds SLOT indices (a
+                # different coordinate space) and the remap hook applies
+                # the windows at event time instead
+                self.select[:, ch] = np.clip(self.select[:, ch], off,
+                                             off + max(size, 1) - 1)
 
     def load_initial_values(self, settings, voice: int, ch: int, idx: int) -> None:
         """Initial values from settings (reference src/main.cu:63-70)."""
@@ -225,8 +230,12 @@ class ControlPlane:
                 self.apply_cc(voice, ch, status, controller, value)
 
     def set_select(self, voice: int, ch: int, index: int) -> None:
-        """Direct (non-MIDI) IR selection with crossfade, like a CC hit."""
+        """Direct (non-MIDI) IR selection with crossfade, like a CC hit.
+        `index` is a FULL-bank index; working-set residency remaps it to
+        a device slot exactly like the CC path."""
         self._dirty = True
+        if self.select_remap is not None:
+            index = int(self.select_remap(voice, ch, index))
         old = int(self.select[voice, ch])
         self.select[voice, ch] = index
         self.vsteps[voice, ch] = self.speed[voice, ch]

@@ -60,7 +60,8 @@ class ConvolutionReverb:
             return self._init_working_set(
                 bank, num_voices, block, engine, max_predelay,
                 max_partitions, backend, cache_dir, mac_dtype,
-                cascade_ratio, min(bank_capacity, len(bank)))
+                cascade_ratio, min(bank_capacity, len(bank)),
+                swap_snapshot, sample_rate)
         if engine == "cascade":
             partitions = max_partitions or bank.max_partitions(block)
             ratio = _fit_cascade_ratio(cascade_ratio, num_voices, partitions)
@@ -121,7 +122,8 @@ class ConvolutionReverb:
 
     def _init_working_set(self, bank, num_voices, block, engine,
                           max_predelay, max_partitions, backend, cache_dir,
-                          mac_dtype, cascade_ratio, capacity):
+                          mac_dtype, cascade_ratio, capacity,
+                          swap_snapshot, sample_rate):
         """Large banks at small-bank speed: the engine runs the fast all-K
         path over `capacity` resident IR slots; the full bank stays on the
         host and select events page IRs in on demand
@@ -142,7 +144,8 @@ class ConvolutionReverb:
                 compact.append(bank.ir(k))
             # prepare_bank pads the compact sub-bank up to the engine's
             # (full-bank-sized) partition grid
-            self.spectra = self.engine.prepare_bank(compact)
+            self.spectra = self.engine.prepare_bank(compact,
+                                                    cache_dir=cache_dir)
             payload = bank.ir
         elif engine == "fmajor":
             if cache_dir:
@@ -154,14 +157,21 @@ class ConvolutionReverb:
             self.engine = FMajorPartitionedConvolution(
                 num_voices, block, partitions, max_predelay=max_predelay,
                 backend=backend, mac_strategy="allk", num_irs=capacity,
-                mac_dtype=mac_dtype)
+                mac_dtype=mac_dtype, swap_snapshot=swap_snapshot)
             self.spectra = self.engine.prepare_bank(full_spectra[residents])
             payload = lambda k: full_spectra[k: k + 1]
         else:
             raise ValueError(f"bank_capacity (working-set residency) needs "
                              f"engine 'fmajor' or 'cascade', not {engine!r}")
+        # the slowest CC-reachable crossfade (speed 127 -> vsteps 1016)
+        # plus decay margin sets the eviction protection window: a slot
+        # must never be reclaimed while a fade-out still references it
+        from tpu_audio.engine.params import CC_MAX_SPEED
+
+        min_age = 1.5 * (CC_MAX_SPEED + 64) * block / sample_rate
         self.working_set = WorkingSetBank(
-            self.engine, self.control, payload, self.spectra, residents)
+            self.engine, self.control, payload, self.spectra, residents,
+            min_age_s=min_age)
         self.working_set.on_update = self._publish_bank
         self._live_session = None
         Log.info("reverb", "%d voice(s), %d-IR bank with %d resident "
