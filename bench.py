@@ -79,6 +79,9 @@ def build(args):
         bank.append(ir)
 
     partitions = bank.max_partitions(args.block)
+    capacity = args.bank_capacity
+    if capacity is not None:
+        capacity = min(capacity, args.num_irs)
     if args.engine == "cascade":
         from tpu_audio.engine.cascade import CascadeConvolution
         from tpu_audio.models.reverb import _fit_cascade_ratio
@@ -87,16 +90,24 @@ def build(args):
         engine = CascadeConvolution(
             args.voices, args.block, partitions, ratio=ratio,
             max_predelay=8192, backend=args.fft_backend,
-            num_irs=args.num_irs, mac_dtype=args.mac_dtype)
-        spectra = engine.prepare_bank(bank)
+            num_irs=capacity or args.num_irs, mac_dtype=args.mac_dtype)
+        if capacity:
+            compact = IRBank(sample_rate=sr)
+            for k in range(capacity):
+                compact.append(bank.ir(k))
+            spectra = engine.prepare_bank(compact)
+        else:
+            spectra = engine.prepare_bank(bank)
     else:
         engine = FMajorPartitionedConvolution(
             args.voices, args.block, partitions,
             max_predelay=8192, backend=args.fft_backend,
             mac_dtype=args.mac_dtype, swap_snapshot=not args.no_swap_snapshot,
-            mac_strategy=args.mac_strategy, num_irs=args.num_irs,
-            pv_mac=args.pv_mac)
-        spectra = engine.prepare_bank(bank.partitioned_spectra(args.block))
+            mac_strategy="allk" if capacity else args.mac_strategy,
+            num_irs=capacity or args.num_irs, pv_mac=args.pv_mac)
+        full_spectra = bank.partitioned_spectra(args.block)
+        spectra = engine.prepare_bank(full_spectra[: capacity]
+                                      if capacity else full_spectra)
     control = ControlPlane(args.voices, args.num_irs)
     control.wet[:] = 0.7
     control.dry[:] = 0.2
@@ -206,6 +217,11 @@ def main(argv=None) -> int:
     ap.add_argument("--chunk", type=int, default=64,
                     help="blocks per wire batch (transfer amortisation)")
     ap.add_argument("--engine-blocks", type=int, default=100)
+    ap.add_argument("--bank-capacity", type=int, default=None,
+                    help="working-set IR residency: engine runs the fast "
+                         "all-K MAC over N resident slots while the full "
+                         "--num-irs bank stays on the host (the large-bank "
+                         "serving mode; see runtime/working_set.py)")
     ap.add_argument("--engine", default="fmajor",
                     choices=["fmajor", "cascade"],
                     help="'cascade' = two-stage non-uniform partitioning "
@@ -386,7 +402,9 @@ def main(argv=None) -> int:
         "metric": f"rtf_{args.voices}voices_{args.ir_seconds:g}sIR_"
                   f"{args.sample_rate // 1000}k{args.block}"
                   + ("" if args.mac_dtype == "f32" else f"_{args.mac_dtype}")
-                  + ("" if args.engine == "fmajor" else f"_{args.engine}"),
+                  + ("" if args.engine == "fmajor" else f"_{args.engine}")
+                  + ("" if args.bank_capacity is None
+                     else f"_ws{args.bank_capacity}of{args.num_irs}"),
         "value": round(head["rtf"], 3),
         "unit": "x_realtime",
         "vs_baseline": round(head["rtf"], 3),

@@ -60,3 +60,9 @@ def test_bench_snapshotless_and_bf16(capsys):
     # span-only engines have no materialized fade path to measure
     assert rec["engine_fade_general_ms"] is None
     assert "bf16" in rec["metric"]
+
+
+def test_bench_working_set_capacity(capsys):
+    rec = run_bench(capsys, extra=["--num-irs", "6", "--bank-capacity", "3"])
+    assert rec["value"] > 0 and np.isfinite(rec["value"])
+    assert "ws3of6" in rec["metric"]
