@@ -33,7 +33,7 @@ def make_bank(seed=0, k=KFULL):
     return bank
 
 
-def build_ws(bank, min_age_s=0.0, clock=None):
+def build_ws(bank, min_age_blocks=0):
     p = bank.max_partitions(B)
     eng = FMajorPartitionedConvolution(V, B, p, max_predelay=64,
                                        num_irs=CAP, mac_strategy="allk")
@@ -43,8 +43,7 @@ def build_ws(bank, min_age_s=0.0, clock=None):
     cp.dry[:] = 0.1
     dev = eng.prepare_bank(full[list(range(CAP))])
     ws = WorkingSetBank(eng, cp, lambda k: full[k: k + 1], dev,
-                        list(range(CAP)), min_age_s=min_age_s,
-                        **({"clock": clock} if clock else {}))
+                        list(range(CAP)), min_age_blocks=min_age_blocks)
     return eng, cp, ws, full
 
 
@@ -68,9 +67,7 @@ def test_hit_miss_and_eviction_order():
 
 def test_exhaustion_raises():
     bank = make_bank()
-    clock_now = [0.0]
-    eng, cp, ws, full = build_ws(bank, min_age_s=100.0,
-                                 clock=lambda: clock_now[0])
+    eng, cp, ws, full = build_ws(bank, min_age_blocks=100)
     cp.set_mapping(0, 0, CCMapping(message=0xB0, select=0x15))
     cp.set_mapping(0, 1, CCMapping(message=0xB0, select=0x16))
     cp.set_mapping(1, 0, CCMapping(message=0xB0, select=0x17))
@@ -83,9 +80,10 @@ def test_exhaustion_raises():
     with pytest.raises(RuntimeError, match="working set exhausted"):
         cp.apply_cc(0, 0, 0xB0, 0x15, 100)  # a 5th distinct IR
     # free full-3's slot by converging (1,1) onto full 2, age past the
-    # fade-protection window, and the fault succeeds
+    # fade-protection window (process blocks), and the fault succeeds
     cp.apply_cc(1, 1, 0xB0, 0x18, 29)       # (1,1) -> full 2 (hit)
-    clock_now[0] = 1000.0
+    for _ in range(1000):
+        cp.end_block()
     assert cp.apply_cc(0, 0, 0xB0, 0x15, 100)
     assert ws.misses == 1
     assert ws.slot_to_full[int(cp.select[0, 0])] == 100 * KFULL // 128
@@ -107,7 +105,7 @@ def test_session_output_equals_full_bank():
         model = ConvolutionReverb(bank, num_voices=V, block=B,
                                   max_predelay=64, engine="fmajor",
                                   bank_capacity=CAP)
-        model.working_set.min_age_s = 0.0   # fades are short; allow evict
+        model.working_set.min_age_blocks = 20  # > speed-6 fade decay
         model.control.wet[:] = 0.8
         model.control.dry[:] = 0.1
         model.control.speed[:] = 6
@@ -192,7 +190,7 @@ def test_per_channel_banks_and_set_select_under_working_set():
     bank = make_bank()
     model = ConvolutionReverb(bank, num_voices=V, block=B, max_predelay=64,
                               engine="fmajor", bank_capacity=CAP)
-    model.working_set.min_age_s = 0.0
+    model.working_set.min_age_blocks = 0
     # per-channel windows (full-bank coordinates) must not rewrite the
     # slot-space select array
     model.control.set_channel_banks([(0, 4), (4, 5)])
@@ -208,3 +206,45 @@ def test_per_channel_banks_and_set_select_under_working_set():
     assert model.control.apply_cc(0, 1, 0xB0, 0x15, 127)  # window (4,5) end
     slot1 = int(model.control.select[0, 1])
     assert model.working_set.slot_to_full[slot1] == 4 + 127 * 5 // 128
+
+
+def test_fuzz_random_selects_equal_full_bank():
+    """Randomized CC select streams (all voices/channels, random timing)
+    through misses and evictions: still bit-identical to the full bank."""
+    bank = make_bank(seed=3)
+    rng = np.random.default_rng(17)
+    n_blocks = 120
+    x = (rng.standard_normal((V, 2, B * n_blocks)) * 0.05).astype(np.float32)
+    events = []
+    for _ in range(10):
+        blk = int(rng.integers(1, n_blocks - 5))
+        v = int(rng.integers(V))
+        ch = int(rng.integers(2))
+        cc = [0x15, 0x16][ch] + 2 * v
+        events.append((blk, "", bytes([0xB0, cc, int(rng.integers(128))])))
+
+    def run(capacity):
+        model = ConvolutionReverb(
+            bank, num_voices=V, block=B, max_predelay=64, engine="fmajor",
+            **({"bank_capacity": capacity} if capacity else {}))
+        if model.working_set is not None:
+            model.working_set.min_age_blocks = 45  # > speed-5 fade decay
+        model.control.wet[:] = 0.8
+        model.control.dry[:] = 0.1
+        model.control.speed[:] = 5
+        for v in range(V):
+            for ch in range(2):
+                model.control.set_mapping(v, ch, CCMapping(
+                    message=0xB0, select=[0x15, 0x16][ch] + 2 * v))
+        sink = WavSink("/dev/null", keep_data=True)
+        sess = model.session(WavSource(x, V, B), sink, warmup=0,
+                             donate=False)
+        sess.run(model.init_state(), midi=MidiSchedule(list(events)))
+        return sink.data, model
+
+    # capacity must cover pinned selections (4 channels) + slots still
+    # inside the fade-protection window when a fault arrives
+    got, m_ws = run(8)
+    want, _ = run(None)
+    assert m_ws.working_set.misses >= 1  # the stream actually faulted
+    np.testing.assert_allclose(got, want, atol=1e-6)

@@ -107,6 +107,7 @@ class ControlPlane:
         self.predelay = np.zeros((v, 2), np.int32)
         self.vsteps = np.zeros((v, 2), np.int32)
         self.speed = np.full((v, 2), 100, np.int32)  # reference conv.h:40
+        self.blocks = 0  # processed-block counter (the working set's clock)
         self.dry = np.full((v, 2), 0.5, np.float32)
         self.wet = np.full((v, 2), 0.5, np.float32)
         self.pan_dry = np.zeros((v, 2), np.float32)
@@ -259,6 +260,7 @@ class ControlPlane:
 
     def end_block(self) -> None:
         """Advance the crossfade countdown (reference src/conv.cu:345,353)."""
+        self.blocks += 1
         if self.vsteps.any():
             self._dirty = True
         np.maximum(self.vsteps - 1, 0, out=self.vsteps)

@@ -168,10 +168,9 @@ class ConvolutionReverb:
         # must never be reclaimed while a fade-out still references it
         from tpu_audio.engine.params import CC_MAX_SPEED
 
-        min_age = 1.5 * (CC_MAX_SPEED + 64) * block / sample_rate
         self.working_set = WorkingSetBank(
             self.engine, self.control, payload, self.spectra, residents,
-            min_age_s=min_age)
+            min_age_blocks=CC_MAX_SPEED + 64)
         self.working_set.on_update = self._publish_bank
         self._live_session = None
         Log.info("reverb", "%d voice(s), %d-IR bank with %d resident "

@@ -15,11 +15,14 @@ tunneled dev chip).
 Eviction safety: a slot's contents participate in audio as long as any
 voice selects it OR an in-flight crossfade's span (`base_g`) references
 it. Slots are only reclaimed when (a) no voice currently selects them
-and (b) they have not been touched for ``min_age_s`` — longer than any
-crossfade — so replaced slots are provably inert. Slots never selected
-since startup are reclaimable immediately. If every slot is protected,
-the miss raises: capacity must exceed the number of concurrently
-sounding IRs (plus those still fading out), a configuration error.
+and (b) they have not been touched for ``min_age_blocks`` PROCESSED
+blocks — longer than any crossfade — so replaced slots are provably
+inert. The clock is the control plane's block counter, NOT wall time:
+sessions run slower than real time on high-RTT links and faster offline,
+and fades decay in block time either way. Slots never selected since
+startup are reclaimable immediately. If every slot is protected, the
+miss raises: capacity must exceed the number of concurrently sounding
+IRs (plus those still fading out), a configuration error.
 
 The reference has no analogue (its GPU holds the whole bank; at TPU
 voice counts and IR lengths that is the thing that stops scaling).
@@ -27,10 +30,9 @@ voice counts and IR lengths that is the thing that stops scaling).
 
 from __future__ import annotations
 
-import time
+from typing import Callable
 
 import numpy as np
-from typing import Callable
 
 from tpu_audio.utils.log import Log
 
@@ -49,13 +51,13 @@ class WorkingSetBank:
         (fmajor: [1, O, P, F] complex spectra; cascade: [O, L] samples).
     bank: the initial device bank (slots 0..capacity-1 = ``residents``).
     residents: full-bank indices initially resident, in slot order.
-    min_age_s: minimum idle time before an ever-used slot may be
-        reclaimed; must exceed the longest crossfade.
+    min_age_blocks: minimum idle PROCESSED-block count before an
+        ever-used slot may be reclaimed; must exceed the longest
+        crossfade (CC-reachable maximum: speed 127 -> 1016 blocks).
     """
 
     def __init__(self, engine, control, slot_payload: Callable[[int], object],
-                 bank, residents: list[int], min_age_s: float = 2.0,
-                 clock: Callable[[], float] = time.monotonic,
+                 bank, residents: list[int], min_age_blocks: int = 1100,
                  full_size: int | None = None):
         self.engine = engine
         self.control = control
@@ -65,8 +67,7 @@ class WorkingSetBank:
         self.full_size = (full_size if full_size is not None else
                           int(np.max(control.select_base
                                      + control.select_span)))
-        self.min_age_s = min_age_s
-        self.clock = clock
+        self.min_age_blocks = min_age_blocks
         self.slot_to_full = list(residents)
         self.full_to_slot = {f: s for s, f in enumerate(residents)}
         self.last_used = [float("-inf")] * self.capacity  # never selected
@@ -85,7 +86,7 @@ class WorkingSetBank:
             Log.warn("workset", "select %d outside the %d-IR bank; clamped",
                      full_idx, self.full_size)
             full_idx = min(max(full_idx, 0), self.full_size - 1)
-        now = self.clock()
+        now = self.control.blocks
         # the outgoing slot enters its fade-out: refresh its protection
         self.last_used[int(self.control.select[voice, ch])] = now
         slot = self.full_to_slot.get(full_idx)
@@ -100,13 +101,14 @@ class WorkingSetBank:
         selected = {int(s) for s in self.control.select.ravel()}
         victims = [s for s in range(self.capacity)
                    if s not in selected
-                   and now - self.last_used[s] >= self.min_age_s]
+                   and now - self.last_used[s] >= self.min_age_blocks]
         if not victims:
             raise RuntimeError(
                 f"working set exhausted: all {self.capacity} resident IR "
-                f"slots are selected or still inside the {self.min_age_s}s "
-                f"fade-protection window; raise the capacity (concurrently "
-                f"sounding IRs + fading tails must fit)")
+                f"slots are selected or were used within the last "
+                f"{self.min_age_blocks} blocks (fade protection); raise "
+                f"the capacity (concurrently sounding IRs + fading tails "
+                f"must fit)")
         victim = min(victims, key=lambda s: self.last_used[s])
         old_full = self.slot_to_full[victim]
         self.full_to_slot.pop(old_full, None)
