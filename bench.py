@@ -289,7 +289,10 @@ def main(argv=None) -> int:
             steady = pinned["steady"]
             fade_idx = pinned["indexed"]
             pinned_collapse = pinned["collapse_pure"]
-            base_fresh = fresh_state
+            # bank in the compiler-chosen layout ONCE (else every call
+            # relayouts it)
+            spectra = jax.device_put(spectra, pinned["bank_format"])
+            base_fresh = lambda: engine.init_converged(spectra, params)
             fresh_state = lambda: pinned_init(base_fresh,
                                               pinned["state_format"])
         state = fresh_state()

@@ -253,7 +253,14 @@ class CascadeConvolution:
                     tail_rhs2=jax.lax.dynamic_update_slice(
                         bank.tail_rhs2, tail_p, (0, 0, k * 4, 0)))
 
-            self._slot_update = jax.jit(upd)
+            # preserve the bank's (possibly compiler-pinned) layouts:
+            # producing the update in default layouts would make every
+            # subsequent pinned step relayout the whole bank per block
+            # (measured as a 10x session slowdown after the first fault)
+            fmt = jax.tree.map(lambda a: a.format, bank)
+            self._slot_update = jax.jit(
+                upd, in_shardings=(fmt, None, None, None),
+                out_shardings=fmt)
         return self._slot_update(bank,
                                  jnp.asarray(head_cols, self.mac_dtype),
                                  jnp.asarray(tail_cols, self.mac_dtype),

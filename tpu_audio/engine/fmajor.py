@@ -319,7 +319,13 @@ class FMajorPartitionedConvolution:
                 return _replace(out, spectra=jax.lax.dynamic_update_slice(
                     bank.spectra, planar_p, (k, 0, 0, 0, 0)))
 
-            self._slot_update = jax.jit(upd)
+            # preserve the bank's (possibly compiler-pinned) layouts:
+            # producing the update in default layouts would make every
+            # subsequent pinned step relayout the whole bank per block
+            fmt = jax.tree.map(lambda a: a.format, bank)
+            self._slot_update = jax.jit(
+                upd, in_shardings=(fmt, None, None, None, None),
+                out_shardings=fmt)
         return self._slot_update(
             bank, jnp.asarray(mac_payload, self.mac_dtype),
             jnp.asarray(planar),

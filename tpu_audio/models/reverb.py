@@ -268,6 +268,14 @@ class ConvolutionReverb:
                              **kwargs)
         if self.working_set is not None:
             self._live_session = sess
+
+            def adopt(bank):
+                # the session relayouted the bank for its pinned steps:
+                # future slot updates must start from (and preserve) it
+                self.spectra = bank
+                self.working_set.bank = bank
+
+            sess.on_bank_pinned = adopt
         return sess
 
     def process(self, source: BlockSource, sink: BlockSink,

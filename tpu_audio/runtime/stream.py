@@ -394,6 +394,11 @@ class StreamSession:
             self._step_steady = pinned["steady"]
             self._step_indexed = pinned["indexed"]
             self._collapse_pure = pinned["collapse_pure"]
+            # place the bank in the compiler-chosen layout ONCE — passing
+            # the default-layout bank relayouts ~100 MB on every step call
+            self.bank = jax.device_put(self.bank, pinned["bank_format"])
+            if getattr(self, "on_bank_pinned", None) is not None:
+                self.on_bank_pinned(self.bank)
 
     def run(self, state, max_blocks: int | None = None,
             midi: MidiSchedule | None = None, live_midi=None,

@@ -33,14 +33,15 @@ def backend_supports_layouts() -> bool:
 
 
 def compile_auto_layout(fn, example_args, donate_state: bool = True,
-                        state_fmt=None):
+                        state_fmt=None, arg_fmts: dict | None = None):
     """jit ``fn(state, *rest)`` with compiler-chosen boundary layouts.
 
     Returns (compiled, state_format) where ``state_format`` is the pytree
     of concrete Formats the compiler picked for the first argument. Pass
     that as ``state_fmt`` when compiling OTHER functions over the same
     state so they agree (both their input and their first output are
-    pinned to it, which in-place donation already forces).
+    pinned to it, which in-place donation already forces); ``arg_fmts``
+    pins additional positional args (e.g. the shared bank) the same way.
 
     ``compiled`` is an executable: call it with arrays (jax relayouts
     inputs on first use; steady-state threading is then copy-free).
@@ -49,9 +50,11 @@ def compile_auto_layout(fn, example_args, donate_state: bool = True,
 
     auto = Format(Layout.AUTO)
     state, *rest = example_args
+    arg_fmts = arg_fmts or {}
     in_sh = (state_fmt if state_fmt is not None
              else jax.tree.map(lambda _: auto, state),
-             *(jax.tree.map(lambda _: auto, r) for r in rest))
+             *(arg_fmts.get(i + 1, jax.tree.map(lambda _: auto, r))
+               for i, r in enumerate(rest)))
     # outputs: the threaded state leads; any extra outputs (the audio
     # block) stay AUTO — np.asarray handles arbitrary device layouts
     out_struct = jax.eval_shape(fn, *example_args)
@@ -98,9 +101,10 @@ def pin_engine_steps(engine, bank, params, state, x, donate: bool = True,
     steady, state_fmt = compile_auto_layout(
         engine.step_coef_steady, (state, bank, params, x),
         donate_state=donate)
+    bank_fmt = steady.input_formats[0][1]
     indexed, _ = compile_auto_layout(
         engine.step_coef_indexed, (state, bank, params, x),
-        donate_state=donate, state_fmt=state_fmt)
+        donate_state=donate, state_fmt=state_fmt, arg_fmts={1: bank_fmt})
     cp_args = ((state, params.select, params.select == params.select, params)
                if collapse_params
                else (state, params.select, params.select == params.select))
@@ -110,4 +114,4 @@ def pin_engine_steps(engine, bank, params, state, x, donate: bool = True,
     Log.info("layouts", "pinned compiler-chosen state layouts across "
              "steady/indexed/collapse steps")
     return {"steady": steady, "indexed": indexed, "collapse_pure": collapse,
-            "state_format": state_fmt}
+            "state_format": state_fmt, "bank_format": bank_fmt}
