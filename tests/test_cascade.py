@@ -372,3 +372,39 @@ def test_simultaneous_predelay_and_reselect():
     settle = (16 + 3 * (30 + 5) + 3 * M + 2 * (MAXPD // B + 2)) * B
     np.testing.assert_allclose(got[..., settle:], want[..., settle:],
                                atol=3e-5)
+
+
+def test_device_bank_pack_matches_numpy_formula():
+    """prepare_bank's on-device MAC-tensor derivation must equal the
+    reference numpy packing (pack_mac_rhs + double_reversed, with the tail
+    transposed frequency-minor) bit for bit."""
+    from tpu_audio.engine.fmajor import double_reversed, pack_mac_rhs
+
+    bank, cas, dev, _, _ = build()
+    head_spec = bank.partitioned_spectra(B, max_partitions=cas.head_parts)
+    tail_spec = bank.partitioned_spectra(cas.b2, offset=2 * cas.b2)
+    pad = cas.tail_parts - tail_spec.shape[2]
+    if pad > 0:
+        tail_spec = np.pad(tail_spec, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    tail_spec = tail_spec[:, :, : cas.tail_parts]
+    want_head = double_reversed(pack_mac_rhs(head_spec, cas.pp1), axis=2)
+    want_tail = double_reversed(np.transpose(
+        pack_mac_rhs(tail_spec, cas.pp2), (1, 2, 3, 0)), axis=1)
+    np.testing.assert_array_equal(np.asarray(dev.head_rhs2), want_head)
+    np.testing.assert_array_equal(np.asarray(dev.tail_rhs2), want_tail)
+
+
+def test_update_bank_slot_matches_full_prepare():
+    """Device-side single-slot packing == re-preparing the whole bank."""
+    bank, cas, dev, _, _ = build()
+    rng = np.random.default_rng(11)
+    new_ir = rng.standard_normal((2, IR_LEN)).astype(np.float32) * 0.3
+    updated = cas.update_bank_slot(dev, 1, new_ir)
+    bank2 = IRBank()
+    for k in range(K):
+        bank2.append(new_ir if k == 1 else bank.ir(k))
+    ref = cas.prepare_bank(bank2)
+    np.testing.assert_array_equal(np.asarray(updated.head_rhs2),
+                                  np.asarray(ref.head_rhs2))
+    np.testing.assert_array_equal(np.asarray(updated.tail_rhs2),
+                                  np.asarray(ref.tail_rhs2))

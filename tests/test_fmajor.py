@@ -804,3 +804,56 @@ def test_snapshotless_guards():
     state, out = jax.jit(fm2.step_coef_indexed)(state, bank_d, params,
                                                 jnp.zeros((1, 2, 32)))
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("ring", [False, True])
+@pytest.mark.parametrize("strategy", ["allk", "selected"])
+def test_device_bank_pack_matches_numpy(ring, strategy):
+    """prepare_bank derives MAC tensors ON DEVICE; they must equal the
+    numpy reference packing (pack_mac_rhs/double_reversed/
+    pack_spectra_rev2) bit for bit in every mode/strategy combination."""
+    from tpu_audio.engine.fmajor import (double_reversed, pack_mac_rhs,
+                                         pack_planar_spectra,
+                                         pack_spectra_rev2)
+
+    _, _, spectra, _ = build(ring=ring)
+    fm = FMajorPartitionedConvolution(4, 32, spectra.shape[2],
+                                      max_predelay=64, ring=ring,
+                                      mac_strategy=strategy,
+                                      num_irs=spectra.shape[0])
+    dev = fm.prepare_bank(spectra)
+    np.testing.assert_array_equal(np.asarray(dev.spectra),
+                                  pack_planar_spectra(spectra, fm.pp))
+    if strategy == "allk":
+        mac = pack_mac_rhs(spectra, fm.pp)
+        if ring:
+            np.testing.assert_array_equal(np.asarray(dev.rhs2),
+                                          double_reversed(mac, axis=2))
+        else:
+            np.testing.assert_array_equal(np.asarray(dev.mac_rhs), mac)
+    if ring:
+        np.testing.assert_array_equal(np.asarray(dev.spectra_rev2),
+                                      pack_spectra_rev2(spectra, fm.pp))
+
+
+@pytest.mark.parametrize("ring", [False, True])
+def test_update_bank_slot_matches_full_prepare(ring):
+    """Device-side single-slot packing == re-preparing the whole bank."""
+    _, _, spectra, _ = build(ring=ring)
+    fm = FMajorPartitionedConvolution(4, 32, spectra.shape[2],
+                                      max_predelay=64, ring=ring,
+                                      mac_strategy="allk",
+                                      num_irs=spectra.shape[0])
+    dev = fm.prepare_bank(spectra)
+    rng = np.random.default_rng(12)
+    newk = (rng.standard_normal((1,) + spectra.shape[1:])
+            + 1j * rng.standard_normal((1,) + spectra.shape[1:])
+            ).astype(np.complex64)
+    updated = fm.update_bank_slot(dev, 1, newk)
+    spectra2 = spectra.copy()
+    spectra2[1] = newk[0]
+    ref = fm.prepare_bank(spectra2)
+    for leaf in ("mac_rhs", "rhs2", "spectra", "spectra_rev2"):
+        np.testing.assert_array_equal(np.asarray(getattr(updated, leaf)),
+                                      np.asarray(getattr(ref, leaf)),
+                                      err_msg=leaf)

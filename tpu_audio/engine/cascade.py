@@ -63,7 +63,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tpu_audio.engine.fmajor import double_reversed, pack_mac_rhs
 from tpu_audio.engine.params import VoiceParams
 from tpu_audio.ops.fft import SpectralTransform
 from tpu_audio.ops.mix import add_dry, pan_gains, wet_scale
@@ -187,6 +186,49 @@ class CascadeConvolution:
 
     # -- bank ---------------------------------------------------------------------
 
+    def _derive_bank_device(self, head_planar: jax.Array,
+                            tail_planar: jax.Array) -> CascadeBank:
+        """Traced: planar f32 partition spectra (head [K, O, Pp1, F1, 2],
+        tail [K, O, Pp2, F2, 2]) -> device CascadeBank. The plane-major MAC
+        packing and doubled/time-reversed tiling run ON DEVICE (the numpy
+        equivalents measured tens of seconds per bank on a 1-core host;
+        see fmajor._derive_bank_device)."""
+        dt = self.mac_dtype
+
+        def dr2(arr, axis):
+            rev = jnp.roll(jnp.flip(arr, axis=axis), 1, axis=axis)
+            return jnp.concatenate([rev, rev], axis=axis)
+
+        def mac_cols(planar):                       # -> [F, 2, Pp, K*O*2]
+            k, o, pp, f, _ = planar.shape
+            br = jnp.transpose(planar[..., 0], (3, 2, 0, 1))  # [F,Pp,K,O]
+            bi = jnp.transpose(planar[..., 1], (3, 2, 0, 1))
+            mac = jnp.stack(
+                [jnp.stack([br, bi], axis=-1),
+                 jnp.stack([-bi, br], axis=-1)], axis=1)
+            return mac.reshape(f, 2, pp, k * o * 2).astype(dt)
+
+        def mac_cols_fminor(planar):                # -> [2, Pp, K*O*2, F]
+            k, o, pp, f, _ = planar.shape
+            br = jnp.transpose(planar[..., 0], (2, 0, 1, 3))  # [Pp,K,O,F]
+            bi = jnp.transpose(planar[..., 1], (2, 0, 1, 3))
+            mac = jnp.stack(
+                [jnp.stack([br, bi], axis=3),
+                 jnp.stack([-bi, br], axis=3)], axis=0)       # [2,Pp,K,O,2,F]
+            return mac.reshape(2, pp, k * o * 2, f).astype(dt)
+
+        return CascadeBank(
+            head_rhs2=dr2(mac_cols(head_planar), 2),
+            tail_rhs2=dr2(mac_cols_fminor(tail_planar), 1),
+        )
+
+    def _planar_pair(self, head_spec: np.ndarray, tail_spec: np.ndarray):
+        """Host complex spectra -> padded planar f32 device arrays."""
+        from tpu_audio.engine.fmajor import pack_planar_spectra
+
+        return (jnp.asarray(pack_planar_spectra(head_spec, self.pp1)),
+                jnp.asarray(pack_planar_spectra(tail_spec, self.pp2)))
+
     def prepare_bank(self, bank, cache_dir=None) -> CascadeBank:
         """IRBank (time-domain) -> device CascadeBank: the head takes the
         IRs' first 2*B2 samples at block granularity, the tail the rest at
@@ -211,15 +253,9 @@ class CascadeConvolution:
             raise ValueError(f"bank has {head_spec.shape[0]} IRs, engine "
                              f"was built for num_irs={self.num_irs}")
         self.num_irs = head_spec.shape[0]
-        tail_rhs = np.transpose(pack_mac_rhs(tail_spec, self.pp2),
-                                (1, 2, 3, 0))            # [2, Pp2, KO2, F2]
-        return CascadeBank(
-            head_rhs2=jnp.asarray(
-                double_reversed(pack_mac_rhs(head_spec, self.pp1), axis=2),
-                self.mac_dtype),
-            tail_rhs2=jnp.asarray(double_reversed(tail_rhs, axis=1),
-                                  self.mac_dtype),
-        )
+        if getattr(self, "_derive_jit", None) is None:
+            self._derive_jit = jax.jit(self._derive_bank_device)
+        return self._derive_jit(*self._planar_pair(head_spec, tail_spec))
 
     def update_bank_slot(self, bank: CascadeBank, slot, ir) -> CascadeBank:
         """Replace ONE IR slot of a device bank (working-set residency,
@@ -238,32 +274,32 @@ class CascadeConvolution:
             out[0, :, : sp.shape[1]] = sp
             return out
 
-        head_cols = double_reversed(
-            pack_mac_rhs(spec(0, self.block, self.head_parts), self.pp1),
-            axis=2)                                       # [F1, 2, 2Pp1, 4]
-        tail_cols = double_reversed(np.transpose(
-            pack_mac_rhs(spec(2 * self.b2, self.b2, self.tail_parts),
-                         self.pp2), (1, 2, 3, 0)), axis=1)  # [2, 2Pp2, 4, F2]
-        if getattr(self, "_slot_update", None) is None:
+        head_planar, tail_planar = self._planar_pair(
+            spec(0, self.block, self.head_parts),
+            spec(2 * self.b2, self.b2, self.tail_parts))
+        # cached executable is keyed by the bank's layouts: StreamSession
+        # may pin compiler-chosen layouts after the first fault, and a
+        # stale cache would emit a default-layout bank that every pinned
+        # step then relayouts per block (measured 10x session slowdown)
+        fmt = jax.tree.map(lambda a: a.format, bank)
+        cached = getattr(self, "_slot_update", None)
+        if cached is None or self._slot_update_fmt != str(fmt):
+            derive = self._derive_bank_device
+
             def upd(bank, head_p, tail_p, k):
+                payload = derive(head_p, tail_p)     # device-side packing
                 return replace(
                     bank,
                     head_rhs2=jax.lax.dynamic_update_slice(
-                        bank.head_rhs2, head_p, (0, 0, 0, k * 4)),
+                        bank.head_rhs2, payload.head_rhs2, (0, 0, 0, k * 4)),
                     tail_rhs2=jax.lax.dynamic_update_slice(
-                        bank.tail_rhs2, tail_p, (0, 0, k * 4, 0)))
+                        bank.tail_rhs2, payload.tail_rhs2, (0, 0, k * 4, 0)))
 
-            # preserve the bank's (possibly compiler-pinned) layouts:
-            # producing the update in default layouts would make every
-            # subsequent pinned step relayout the whole bank per block
-            # (measured as a 10x session slowdown after the first fault)
-            fmt = jax.tree.map(lambda a: a.format, bank)
             self._slot_update = jax.jit(
                 upd, in_shardings=(fmt, None, None, None),
                 out_shardings=fmt)
-        return self._slot_update(bank,
-                                 jnp.asarray(head_cols, self.mac_dtype),
-                                 jnp.asarray(tail_cols, self.mac_dtype),
+            self._slot_update_fmt = str(fmt)
+        return self._slot_update(bank, head_planar, tail_planar,
                                  jnp.int32(slot))
 
     # -- state ---------------------------------------------------------------------

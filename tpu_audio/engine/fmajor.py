@@ -240,6 +240,48 @@ class FMajorPartitionedConvolution:
 
     # -- bank ---------------------------------------------------------------------
 
+    def _derive_bank_device(self, planar: jax.Array) -> FMajorBank:
+        """Traced: planar f32 spectra [K, O, Pp, F, 2] -> full FMajorBank.
+
+        All MAC-tensor derivation (the plane-major rhs packing of
+        ``pack_mac_rhs`` and the doubled/time-reversed tilings of
+        ``double_reversed``/``pack_spectra_rev2``) happens ON DEVICE: the
+        equivalent host-side numpy transposes/flips/concats measured ~25-50 s
+        for a 16-IR 4 s bank on a 1-core host (the round-2 bench-budget
+        killer), vs milliseconds of HBM traffic here. Only the cheap planar
+        split+pad stays on the host (complex64 cannot cross the transport;
+        see utils/transfer)."""
+        k, o, pp, f, _ = planar.shape
+        dt = self.mac_dtype
+
+        def dr2(arr, axis):
+            # out[j] = arr[(-j) mod P], tiled twice (double_reversed)
+            rev = jnp.roll(jnp.flip(arr, axis=axis), 1, axis=axis)
+            return jnp.concatenate([rev, rev], axis=axis)
+
+        zero4 = jnp.zeros((1, 1, 1, 1), dt)
+        mac_rhs_d, rhs2_d = zero4, zero4
+        if self.mac_strategy == "allk":
+            br = jnp.transpose(planar[..., 0], (3, 2, 0, 1))  # [F,Pp,K,O]
+            bi = jnp.transpose(planar[..., 1], (3, 2, 0, 1))
+            mac = jnp.stack(
+                [jnp.stack([br, bi], axis=-1),
+                 jnp.stack([-bi, br], axis=-1)], axis=1)      # [F,2,Pp,K,O,2]
+            mac = mac.reshape(f, 2, pp, k * o * 2).astype(dt)
+            # only the mode's own MAC tensor is materialized: ring reads
+            # the doubled+reversed rhs2 window, roll reads mac_rhs directly
+            if self.ring_mode:
+                rhs2_d = dr2(mac, 2)
+            else:
+                mac_rhs_d = mac
+        if self.ring_mode:
+            rev2_d = dr2(jnp.transpose(planar, (0, 3, 1, 4, 2)),
+                         4).astype(dt)                        # [K,F,O,2,2Pp]
+        else:
+            rev2_d = jnp.zeros((1, 1, 1, 1, 1), dt)
+        return FMajorBank(mac_rhs=mac_rhs_d, rhs2=rhs2_d, spectra=planar,
+                          spectra_rev2=rev2_d)
+
     def prepare_bank(self, spectra: np.ndarray) -> FMajorBank:
         """Host [K, 2, P, F] complex spectra -> device FMajorBank (f32/bf16
         transfers only; complex64 never crosses the host boundary)."""
@@ -252,86 +294,61 @@ class FMajorPartitionedConvolution:
                              f"built for num_irs={self.num_irs} (base_g "
                              f"state is K-shaped)")
         self.num_irs = spectra.shape[0]
-        if self.mac_strategy == "allk":
-            mac_rhs = pack_mac_rhs(spectra, self.pp)
-            # only the mode's own MAC tensor goes to the device: ring reads
-            # the doubled+reversed rhs2 window, roll reads mac_rhs directly
-            if self.ring_mode:
-                mac_rhs_d = jnp.zeros((1, 1, 1, 1), self.mac_dtype)
-                rhs2_d = jnp.asarray(double_reversed(mac_rhs, axis=2),
-                                     self.mac_dtype)
-            else:
-                mac_rhs_d = jnp.asarray(mac_rhs, self.mac_dtype)
-                rhs2_d = jnp.zeros((1, 1, 1, 1), self.mac_dtype)
-        else:
-            # selected strategy never MACs against the whole bank
-            mac_rhs_d = jnp.zeros((1, 1, 1, 1), self.mac_dtype)
-            rhs2_d = jnp.zeros((1, 1, 1, 1), self.mac_dtype)
-        if self.ring_mode:
-            rev2_d = jnp.asarray(pack_spectra_rev2(spectra, self.pp),
-                                 self.mac_dtype)
-        else:
-            rev2_d = jnp.zeros((1, 1, 1, 1, 1), self.mac_dtype)
-        return FMajorBank(
-            mac_rhs=mac_rhs_d,
-            rhs2=rhs2_d,
-            spectra=jnp.asarray(pack_planar_spectra(spectra, self.pp)),
-            spectra_rev2=rev2_d,
-        )
+        planar = jnp.asarray(pack_planar_spectra(spectra, self.pp))
+        if getattr(self, "_derive_jit", None) is None:
+            self._derive_jit = jax.jit(self._derive_bank_device)
+        return self._derive_jit(planar)
 
     def update_bank_slot(self, bank: FMajorBank, slot, spectra_k) -> FMajorBank:
         """Replace ONE IR slot of a device bank (working-set residency,
         runtime/working_set.py): host [1, O, P, F] complex spectra for the
-        incoming IR are packed exactly like prepare_bank and written into
-        the slot's columns/rows with dynamic-update-slices (one jit, slot
-        index traced — no per-slot recompiles). 'allk' only: the
-        'selected' strategy materializes per-voice spectra in state, which
-        a bank-slot write would silently miss."""
+        incoming IR cross as planar f32 and are packed ON DEVICE exactly
+        like prepare_bank (same derivation graph), then written into the
+        slot's columns/rows with dynamic-update-slices (one jit, slot
+        index traced — no per-slot recompiles, ~zero host pack time: the
+        numpy pack used to be the measured ~310 ms fault hiccup). 'allk'
+        only: the 'selected' strategy materializes per-voice spectra in
+        state, which a bank-slot write would silently miss."""
         if self.mac_strategy != "allk":
             raise ValueError("working-set slot updates require the 'allk' "
                              "MAC strategy (mac_strategy='selected' copies "
                              "spectra into state at collapse)")
-        spectra_k = np.asarray(spectra_k)
-        cols = pack_mac_rhs(spectra_k, self.pp)          # [F, 2, Pp, 4]
-        planar = pack_planar_spectra(spectra_k, self.pp)  # [1, O, Pp, F, 2]
-        if self.ring_mode:
-            mac_payload = double_reversed(cols, axis=2)  # [F, 2, 2Pp, 4]
-            rev2 = pack_spectra_rev2(spectra_k, self.pp)  # [1, F, O, 2, 2Pp]
-        else:
-            mac_payload = cols
-            rev2 = None
-        if getattr(self, "_slot_update", None) is None:
+        planar = pack_planar_spectra(np.asarray(spectra_k), self.pp)
+        # the cached executable bakes in the bank's layouts: re-key it when
+        # they change (e.g. a StreamSession pinned compiler-chosen layouts
+        # after the first fault) — a stale cache would emit a default-layout
+        # bank that every subsequent pinned step relayouts per block
+        fmt = jax.tree.map(lambda a: a.format, bank)
+        cached = getattr(self, "_slot_update", None)
+        if cached is None or self._slot_update_fmt != str(fmt):
             ring = self.ring_mode
+            derive = self._derive_bank_device
 
-            def upd(bank, mac_p, planar_p, rev2_p, k):
+            def upd(bank, planar_p, k):
                 from dataclasses import replace as _replace
+                payload = derive(planar_p)
                 col0 = k * 4
                 if ring:
                     rhs2 = jax.lax.dynamic_update_slice(
-                        bank.rhs2, mac_p, (0, 0, 0, col0))
+                        bank.rhs2, payload.rhs2, (0, 0, 0, col0))
                     rev = jax.lax.dynamic_update_slice(
-                        bank.spectra_rev2, rev2_p, (k, 0, 0, 0, 0))
+                        bank.spectra_rev2, payload.spectra_rev2,
+                        (k, 0, 0, 0, 0))
                     out = _replace(bank, rhs2=rhs2, spectra_rev2=rev)
                 else:
                     mac = jax.lax.dynamic_update_slice(
-                        bank.mac_rhs, mac_p, (0, 0, 0, col0))
+                        bank.mac_rhs, payload.mac_rhs, (0, 0, 0, col0))
                     out = _replace(bank, mac_rhs=mac)
                 return _replace(out, spectra=jax.lax.dynamic_update_slice(
-                    bank.spectra, planar_p, (k, 0, 0, 0, 0)))
+                    bank.spectra, payload.spectra, (k, 0, 0, 0, 0)))
 
             # preserve the bank's (possibly compiler-pinned) layouts:
             # producing the update in default layouts would make every
             # subsequent pinned step relayout the whole bank per block
-            fmt = jax.tree.map(lambda a: a.format, bank)
             self._slot_update = jax.jit(
-                upd, in_shardings=(fmt, None, None, None, None),
-                out_shardings=fmt)
-        return self._slot_update(
-            bank, jnp.asarray(mac_payload, self.mac_dtype),
-            jnp.asarray(planar),
-            (jnp.asarray(rev2, self.mac_dtype) if rev2 is not None
-             else jnp.zeros((1, 1, 1, 1, 1), self.mac_dtype)),
-            jnp.int32(slot))
+                upd, in_shardings=(fmt, None, None), out_shardings=fmt)
+            self._slot_update_fmt = str(fmt)
+        return self._slot_update(bank, jnp.asarray(planar), jnp.int32(slot))
 
     # -- state ---------------------------------------------------------------------
 
