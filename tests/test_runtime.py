@@ -797,3 +797,50 @@ def test_session_stop_requests_clean_end():
     t.join()
     s = session.summary()
     assert 12 <= s["blocks_streamed"] <= 40  # ended promptly, not never
+
+
+def test_fade_blocks_upload_zero_params():
+    """The crossfade countdown is carried ON DEVICE: during a fade (and in
+    steady state) per-block param uploads stay at zero — only real events
+    re-upload. Output must equal a run that force-uploads every block."""
+    from tpu_audio.engine.params import CCMapping
+
+    def run(force_dirty):
+        model = small_model(num_voices=1, num_irs=2, ir_len=128,
+                            engine="fmajor", seed=3)
+        model.control.set_mapping(0, 0, CCMapping(message=0xB0, select=0x15))
+        model.control.set_mapping(0, 1, CCMapping(message=0xB0, select=0x15))
+        model.control.dry[:] = 0.1
+        model.control.wet[:] = 0.9
+        model.control.speed[:] = 40
+        n_blocks = 60
+        rng = np.random.default_rng(5)
+        x = (rng.standard_normal((1, 2, 64 * n_blocks)) * 0.05
+             ).astype(np.float32)
+        midi = MidiSchedule([(10, "", bytes([0xB0, 0x15, 64]))])
+        source = WavSource(x, num_voices=1, block=64)
+        sink = WavSink("/dev/null", 44100, keep_data=True)
+        session = model.session(source, sink)
+        uploads_at = {}
+        orig_end = model.control.end_block
+
+        def end_block():
+            if force_dirty:
+                model.control.mark_dirty()
+            orig_end()
+            uploads_at[model.control.blocks] = model.control.uploads
+
+        model.control.end_block = end_block
+        session.run(model.init_state(), max_blocks=n_blocks, midi=midi)
+        return sink.data, uploads_at
+
+    got, uploads = run(force_dirty=False)
+    want, uploads_forced = run(force_dirty=True)
+    np.testing.assert_array_equal(got, want)
+    # forced run uploads every block; the device-countdown run uploads only
+    # at startup and at the MIDI event — fading blocks add nothing
+    assert uploads_forced[60] >= 59
+    # allow the initial upload + the select event (+ its collapse refresh)
+    assert uploads[60] <= 3, f"fade blocks re-uploaded params: {uploads}"
+    # and the fade really was in flight for tens of blocks
+    assert uploads[60] >= 2
