@@ -88,12 +88,18 @@ class FMajorState:
     fdl: jax.Array       # f32 [F, VI, 2, Pp] planar freq delay line
                          # (contiguous view [F, VI, 2Pp] for the MAC)
     prev_in: jax.Array   # f32 [V, 2, B]
-    wet_ring: jax.Array  # f32 [V, 2, NB, B] block-slot output accumulator
+    wet_ring: jax.Array  # f32 [V, 2, NB, B] MODULAR block-slot output
+                         # accumulator: slot (t + d) mod NB holds wet due
+                         # d blocks from block t; the emit slot is read and
+                         # zeroed in place (a concat-shift ring lowers to
+                         # full-ring pad/slice/copy passes at high V — the
+                         # cascade's lesson 3, ported back here)
     base: jax.Array      # fade snapshot: ring: bf16 [F,V,I,O,2,2Pp]
                          #                roll: f32  [F,V,I,O,2,Pp]
     coef_a: jax.Array    # f32 [V, 2]
     coef_c: jax.Array    # f32 [V, 2]
-    wptr: jax.Array      # i32 [] ring write slot of the NEWEST spectrum
+    wptr: jax.Array      # i32 [] block counter (mod t_modulus): drives the
+                         # fdl ring slot (t mod Pp) and wet-ring slots
     sel_spectra: jax.Array  # 'selected' strategy only: f32, base's layout —
                             # the per-voice selected bank spectra (updated at
                             # collapse); placeholder [.,.,.,.,.,1] for 'allk'
@@ -237,6 +243,12 @@ class FMajorPartitionedConvolution:
         # block-slot accumulator: slots 0..maxPD//B (+1 for the sub-block
         # tail spill of the deepest predelay)
         self.ring_slots = max_predelay // block + 2
+        # the block counter wraps at the lcm of every modulus derived from
+        # it so rem-indices stay continuous across the wrap (see cascade)
+        import math
+
+        self.t_modulus = (math.lcm(self.pp, self.ring_slots)
+                          if ring else self.ring_slots)
 
     # -- bank ---------------------------------------------------------------------
 
@@ -441,7 +453,7 @@ class FMajorPartitionedConvolution:
     def _wet_scale(self, params: VoiceParams) -> jax.Array:
         return wet_scale(params)                          # [V, I, O]
 
-    def _finish(self, state, params, x, y, **updates):
+    def _finish(self, state, params, x, y, t, **updates):
         """y [F, V, O, 2] planar spectra -> predelayed wet -> ring -> mix.
 
         Per-voice predelay pd = q*B + r is applied with no per-voice dynamic
@@ -449,7 +461,12 @@ class FMajorPartitionedConvolution:
         transform as a spectral phase ramp (a circular shift of the length-2B
         segment, whose wrap region conveniently carries the split-off tail),
         and the block part q becomes a one-hot scatter-add into a
-        [V, O, NB, B] block-slot accumulator ring.
+        [V, O, NB, B] MODULAR block-slot accumulator ring: slot (t + d) mod
+        NB holds wet due d blocks after block t; the emit slot (t mod NB)
+        is read then zeroed with a small in-place write. (The previous
+        concat-shift ring rebuilt the whole ring every block, which lowers
+        to multiple full-ring copy passes at high voice counts — part of
+        the measured ~1 ms fixed cost that set the f32 voice ceiling.)
         """
         b, v = self.block, self.num_voices
         n2 = 2 * b
@@ -474,16 +491,19 @@ class FMajorPartitionedConvolution:
         part_tail = jnp.where(offs < r[:, None, None], ys[..., :b], 0.0)
 
         nb = state.wet_ring.shape[2]
-        ring = jnp.concatenate(
-            [state.wet_ring[:, :, 1:],
-             jnp.zeros((v, 2, 1, b), jnp.float32)], axis=2)
         slots = jnp.arange(nb)[None, :]
-        oh_q = (slots == q[:, None]).astype(jnp.float32)          # [V, NB]
-        oh_q1 = (slots == (q + 1)[:, None]).astype(jnp.float32)
-        ring = (ring + jnp.einsum("vn,vob->vonb", oh_q, part_main)
+        oh_q = (slots == jax.lax.rem(t + q[:, None], jnp.int32(nb))
+                ).astype(jnp.float32)                             # [V, NB]
+        oh_q1 = (slots == jax.lax.rem(t + q[:, None] + 1, jnp.int32(nb))
+                 ).astype(jnp.float32)
+        ring = (state.wet_ring + jnp.einsum("vn,vob->vonb", oh_q, part_main)
                 + jnp.einsum("vn,vob->vonb", oh_q1, part_tail))
+        emit = jax.lax.rem(t, jnp.int32(nb))
+        wet_now = jax.lax.dynamic_slice_in_dim(ring, emit, 1, axis=2)[:, :, 0]
+        ring = jax.lax.dynamic_update_slice(
+            ring, jnp.zeros((v, 2, 1, b), jnp.float32), (0, 0, emit, 0))
 
-        out = jnp.clip(ring[:, :, 0], -1.0, 1.0)
+        out = jnp.clip(wet_now, -1.0, 1.0)
         out = add_dry(out, x, params)
         return replace(state, prev_in=x, wet_ring=ring, **updates), out
 
@@ -507,12 +527,13 @@ class FMajorPartitionedConvolution:
                 "step_coef_indexed (span provenance)")
         xn = self._input_spectrum(state, x)
 
+        t = state.wptr  # block counter (mod t_modulus)
         if self.ring_mode:
-            w = jax.lax.rem(state.wptr + 1, jnp.int32(self.pp))
+            w = jax.lax.rem(t, jnp.int32(self.pp))
             fdl = jax.lax.dynamic_update_slice(
                 state.fdl, xn, (0, 0, 0, w))
         else:
-            w = state.wptr  # unused, kept for shape stability
+            w = jnp.zeros((), jnp.int32)  # unused (natural order)
             fdl = jnp.concatenate([xn, state.fdl[..., :-1]], axis=-1)
 
         r = 1.0 / (params.vsteps.astype(jnp.float32) + 5.0)
@@ -622,8 +643,9 @@ class FMajorPartitionedConvolution:
                 y = y + jnp.einsum("fviod,vio->fvod", mb[0],
                                    a[..., None] * scale)
 
-        return self._finish(state, params, x, y,
-                            fdl=fdl, coef_a=a, coef_c=c, wptr=w)
+        return self._finish(state, params, x, y, t,
+                            fdl=fdl, coef_a=a, coef_c=c,
+                            wptr=jax.lax.rem(t + 1, jnp.int32(self.t_modulus)))
 
     def step_coef_steady(self, state, bank, params, x):
         """Steady-state hot path: base term elided (coef_a ~ 0)."""
