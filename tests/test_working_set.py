@@ -248,3 +248,148 @@ def test_fuzz_random_selects_equal_full_bank():
     want, _ = run(None)
     assert m_ws.working_set.misses >= 1  # the stream actually faulted
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_slow_fade_reselect_chain_protects_span_slots():
+    """ADVICE r2: with a SLOW fade (speed 127 -> vsteps 1016) a chain of
+    re-selects leaves twice-removed IRs at audible span weight long past
+    their last_used refresh. Every slot the voice's span references must
+    stay protected until the analytic decay bound passes — eviction
+    pressure then raises instead of rewriting columns still in the mix."""
+    bank = make_bank()
+    eng, cp, ws, full = build_ws(bank, min_age_blocks=10)
+    cp.speed[:] = 1016  # CC speed 127 (the slowest reachable fade)
+
+    cp.set_select(0, 0, 4)           # fault; old slot 0 enters the span
+    assert ws.misses == 1
+    cp.blocks = 500
+    cp.set_select(0, 0, 5)           # interrupt mid-fade: chain grows
+    cp.blocks = 700
+    cp.set_select(0, 0, 6)
+    cp.blocks = 900
+    # all 4 slots are now selected-or-span-referenced; a further fault
+    # must refuse (the old idle-age-only rule would evict the slot whose
+    # span weight is still ~0.2 here — an audible IR switch mid-tail)
+    with pytest.raises(RuntimeError, match="working set exhausted"):
+        cp.set_select(0, 0, 7)
+    # once the last re-select's fade window (1016 + margin) has decayed,
+    # the span clears analytically and eviction proceeds again
+    cp.blocks = 700 + 1016 + 64
+    cp.set_select(0, 0, 7)
+    assert 7 in ws.full_to_slot
+
+
+def build_ws_async(bank, payload_delay=0.0):
+    import time as _time
+
+    p = bank.max_partitions(B)
+    eng = FMajorPartitionedConvolution(V, B, p, max_predelay=64,
+                                       num_irs=CAP, mac_strategy="allk")
+    full = bank.partitioned_spectra(B, max_partitions=p)
+    cp = ControlPlane(V, KFULL, max_predelay=64)
+    cp.wet[:] = 0.8
+    cp.dry[:] = 0.1
+    dev = eng.prepare_bank(full[list(range(CAP))])
+
+    def payload(k):
+        if payload_delay:
+            _time.sleep(payload_delay)
+        return full[k: k + 1]
+
+    ws = WorkingSetBank(eng, cp, payload, dev, list(range(CAP)),
+                        min_age_blocks=0, async_paging=True)
+    return eng, cp, ws, full
+
+
+def test_async_fault_never_stalls_the_caller():
+    """A miss with async paging returns immediately (selection unchanged),
+    the upload lands via poll() between blocks, and only then does the
+    select re-issue with its crossfade."""
+    import time as _time
+
+    bank = make_bank()
+    eng, cp, ws, full = build_ws_async(bank, payload_delay=1.0)
+    try:
+        t0 = _time.perf_counter()
+        cp.set_select(0, 0, 7)                    # miss -> deferred
+        assert _time.perf_counter() - t0 < 0.5, "fault stalled the caller"
+        assert int(cp.select[0, 0]) == 0          # selection unchanged
+        assert ws.deferred == 1 and ws.misses == 0
+        # blocks keep flowing; the publish happens in a block hook
+        for _ in range(2000):
+            cp.end_block()                        # fires ws.poll()
+            if ws.misses:
+                break
+            _time.sleep(0.01)
+        assert ws.misses == 1
+        assert int(cp.select[0, 0]) == ws.full_to_slot[7]
+        assert ws.slot_to_full[int(cp.select[0, 0])] == 7
+        # the re-issued select started a crossfade
+        assert cp.vsteps[0, 0] > 0
+    finally:
+        ws.close()
+
+
+def test_async_paging_output_matches_effective_time_replay():
+    """Output with async paging match a FULL-bank run driven with
+    the effective event times: a wet re-slew (same-select) at the original
+    event block plus the real select at the block it actually applied."""
+    bank = make_bank()
+    full = bank.partitioned_spectra(B)
+    model = ConvolutionReverb(bank, num_voices=V, block=B, engine="fmajor",
+                              max_predelay=64, bank_capacity=CAP,
+                              async_paging=True)
+    ws = model.working_set
+    base_payload = ws.slot_payload
+    import time as _time
+    ws.slot_payload = lambda k: (_time.sleep(0.1), base_payload(k))[1]
+    model.control.wet[:] = 0.8
+    model.control.dry[:] = 0.1
+    model.control.speed[:] = 6
+    model.control.set_mapping(0, 0, CCMapping(message=0xB0, select=0x15))
+    applied = []
+    orig_cb = None
+
+    def note(voice, ch, old, new):
+        applied.append((model.control.blocks, voice, ch,
+                        ws.slot_to_full[int(new)]))
+        orig_cb(voice, ch, old, new)
+
+    n_blocks = 400
+    rng = np.random.default_rng(21)
+    x = (rng.standard_normal((V, 2, B * n_blocks)) * 0.05).astype(np.float32)
+    source = WavSource(x, num_voices=V, block=B)
+    sink = WavSink("/dev/null", 44100, keep_data=True)
+    session = model.session(source, sink)
+    orig_cb = model.control.on_select_change
+    model.control.on_select_change = note
+    # full index 7 is not resident (cap 4) -> deferred fault at block 20
+    midi = MidiSchedule([(20, "", bytes([0xB0, 0x15, 100]))])
+    session.run(model.init_state(), max_blocks=n_blocks, midi=midi)
+    ws.close()
+    got = sink.data
+
+    assert len(applied) == 1, f"deferred select never applied: {applied}"
+    applied_block, v, ch, full_idx = applied[0]
+    assert (v, ch, full_idx) == (0, 0, 7)
+    assert applied_block >= 21, "select applied before the upload could land"
+
+    # full-bank replay (block hooks fire after blocks+=1; the re-issued
+    # select affects the step of the block index it was recorded at)
+    model_fb = ConvolutionReverb(bank, num_voices=V, block=B,
+                                 engine="fmajor", max_predelay=64)
+    model_fb.control.wet[:] = 0.8
+    model_fb.control.dry[:] = 0.1
+    model_fb.control.speed[:] = 6
+    model_fb.control.set_mapping(0, 0, CCMapping(message=0xB0, select=0x15))
+    source = WavSource(x, num_voices=V, block=B)
+    sink = WavSink("/dev/null", 44100, keep_data=True)
+    session = model_fb.session(source, sink)
+    events = [(20, "", bytes([0xB0, 0x15, 0])),   # same-select: wet re-slew
+              (applied_block, "", bytes([0xB0, 0x15, 100]))]
+    session.run(model_fb.init_state(), max_blocks=n_blocks,
+                midi=MidiSchedule(events))
+    # 1e-6: the capacity-4 and full-9 banks tile the MAC contraction
+    # differently (same tolerance as the sync ws-vs-full test above)
+    np.testing.assert_allclose(got, sink.data, atol=1e-6)
+    assert np.abs(sink.data).max() > 1e-3

@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "the device (fast all-K MAC) and page IRs from the "
                         "full bank in on demand — large banks at "
                         "small-bank speed when few IRs sound at once")
+    p.add_argument("--async-paging", action="store_true",
+                   help="working-set residency only: page bank misses in "
+                        "on a background thread — a fault never stalls the "
+                        "block loop; the select (and its crossfade) applies "
+                        "on the first block the IR is actually resident")
     p.add_argument("--cascade-ratio", type=int, default=16,
                    help="cascade engine tail stagger ratio (tail partition "
                         "size = ratio*block; auto-shrunk to fit the voice "
@@ -151,7 +156,8 @@ def main(argv=None) -> int:
         sample_rate=args.sample_rate, cache_dir=args.cache_dir,
         mac_dtype=args.mac_dtype, verbose=not args.quiet,
         swap_snapshot=not args.no_swap_snapshot,
-        cascade_ratio=args.cascade_ratio, bank_capacity=args.bank_capacity)
+        cascade_ratio=args.cascade_ratio, bank_capacity=args.bank_capacity,
+        async_paging=args.async_paging)
 
     v, b = model.engine.num_voices, model.block
     rings = []

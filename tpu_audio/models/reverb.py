@@ -50,7 +50,8 @@ class ConvolutionReverb:
                  max_predelay: int = 8192, max_partitions: int | None = None,
                  backend: str = "auto", cache_dir: str | None = None,
                  mac_dtype: str = "f32", swap_snapshot: bool = True,
-                 cascade_ratio: int = 16, bank_capacity: int | None = None):
+                 cascade_ratio: int = 16, bank_capacity: int | None = None,
+                 async_paging: bool = False):
         self.bank = bank
         self.block = block
         self.sample_rate = sample_rate
@@ -61,7 +62,7 @@ class ConvolutionReverb:
                 bank, num_voices, block, engine, max_predelay,
                 max_partitions, backend, cache_dir, mac_dtype,
                 cascade_ratio, min(bank_capacity, len(bank)),
-                swap_snapshot, sample_rate)
+                swap_snapshot, sample_rate, async_paging)
         if engine == "cascade":
             partitions = max_partitions or bank.max_partitions(block)
             ratio = _fit_cascade_ratio(cascade_ratio, num_voices, partitions)
@@ -123,7 +124,7 @@ class ConvolutionReverb:
     def _init_working_set(self, bank, num_voices, block, engine,
                           max_predelay, max_partitions, backend, cache_dir,
                           mac_dtype, cascade_ratio, capacity,
-                          swap_snapshot, sample_rate):
+                          swap_snapshot, sample_rate, async_paging=False):
         """Large banks at small-bank speed: the engine runs the fast all-K
         path over `capacity` resident IR slots; the full bank stays on the
         host and select events page IRs in on demand
@@ -170,7 +171,7 @@ class ConvolutionReverb:
 
         self.working_set = WorkingSetBank(
             self.engine, self.control, payload, self.spectra, residents,
-            min_age_blocks=CC_MAX_SPEED + 64)
+            min_age_blocks=CC_MAX_SPEED + 64, async_paging=async_paging)
         self.working_set.on_update = self._publish_bank
         self._live_session = None
         Log.info("reverb", "%d voice(s), %d-IR bank with %d resident "

@@ -46,9 +46,14 @@ class MidiSchedule:
 
     @classmethod
     def parse(cls, text: str) -> "MidiSchedule":
-        """One event per line: ``<block> [device] <hex bytes...>``, e.g.
-        ``100 B0 15 40`` or ``100 hw:2,0 B0 15 40``. '#' comments. A device
-        token is recognised by containing a non-hex character."""
+        """One event per line: ``<block> [dev=<id>] <hex bytes...>``, e.g.
+        ``100 B0 15 40`` or ``100 dev=hw:2,0 B0 15 40``. '#' comments.
+
+        An explicit ``dev=`` prefix is unambiguous and preferred; a bare
+        second token containing a non-hex character is still accepted as a
+        device id for backward compatibility (note the legacy heuristic
+        silently consumes all-hex device ids like ``a1`` as data bytes —
+        use ``dev=`` for those)."""
         def is_hex(tok: str) -> bool:
             return all(c in "0123456789abcdefABCDEF" for c in tok) and len(tok) <= 2
 
@@ -61,7 +66,9 @@ class MidiSchedule:
             block = int(tokens[0])
             rest = tokens[1:]
             device = ""
-            if rest and not is_hex(rest[0]):
+            if rest and rest[0].startswith("dev="):
+                device, rest = rest[0][4:], rest[1:]
+            elif rest and not is_hex(rest[0]):
                 device, rest = rest[0], rest[1:]
             events.append((block, device, bytes(int(t, 16) for t in rest)))
         return cls(events)
@@ -325,14 +332,27 @@ class StreamSession:
                 and bool((self._a_host >= STEADY_THRESHOLD).any())):
             # span-only engine (swap_snapshot=False): there is nothing to
             # materialize the old bank's fade tails into, so the swap
-            # waits for in-flight crossfades to decay (bounded by the fade
-            # time itself) — tails keep the old sound, then the new bank
-            # applies atomically between blocks
+            # waits for in-flight crossfades to decay — bounded by the
+            # fade time ONLY while no new fades start. Continuous MIDI
+            # select churn resets coef_a to 1.0 on every re-select and can
+            # defer a live swap indefinitely (a documented livelock: the
+            # swap needs one full fade window of select silence); the
+            # periodic re-log below keeps that visible instead of a single
+            # line scrolling away.
+            self._swap_deferred_blocks = getattr(
+                self, "_swap_deferred_blocks", 0) + 1
             if not self._swap_wait_logged:
                 self._swap_wait_logged = True
                 Log.info("stream", "bank swap deferred until in-flight "
                          "crossfades decay (span-only engine)")
+            elif self._swap_deferred_blocks % 500 == 0:
+                Log.warn("stream", "bank swap still deferred after %d "
+                         "blocks — continuous re-selects keep fades in "
+                         "flight; pause select events for one fade window "
+                         "to let the swap through",
+                         self._swap_deferred_blocks)
             return state
+        self._swap_deferred_blocks = 0
         self._swap_wait_logged = False
         new_bank = self._pending_bank
         self._pending_bank = None

@@ -58,7 +58,7 @@ class WorkingSetBank:
 
     def __init__(self, engine, control, slot_payload: Callable[[int], object],
                  bank, residents: list[int], min_age_blocks: int = 1100,
-                 full_size: int | None = None):
+                 full_size: int | None = None, async_paging: bool = False):
         self.engine = engine
         self.control = control
         self.slot_payload = slot_payload
@@ -74,9 +74,60 @@ class WorkingSetBank:
         self.misses = 0
         self.hits = 0
         self.on_update: Callable[[object], None] | None = None
+        # per-(voice, ch) fade-span tracking: every slot a voice's span
+        # provenance (base_g) may still weight audibly, plus the block and
+        # vsteps of the LAST re-select that touched it. After a re-select
+        # the whole mixture decays with the NEW fade's coef_a trajectory,
+        # so one (block, window) pair bounds every member's residual: the
+        # span is inert once `now - block >= vsteps + DECAY_MARGIN` (after
+        # vsteps hits 0, a shrinks by 4/5 per block — < 1e-6 in ~62
+        # blocks). Without this, a chain of re-selects during one SLOW fade
+        # left twice-removed slots evictable while still at audible span
+        # weight (an audible IR switch mid-tail).
+        self.DECAY_MARGIN = 64
+        self._span: dict[tuple[int, int], set[int]] = {}
+        self._span_meta: dict[tuple[int, int], tuple[float, int]] = {}
+        # -- asynchronous paging (opt-in) ------------------------------------
+        # async_paging=True: a bank miss no longer stalls the block loop on
+        # the pack+upload (the reference's `prepare` runs on the caller's
+        # thread too and is marked "TODO make thread safe", src/conv.cu:206
+        # — this finishes that job). The select is DEFERRED: the voice
+        # keeps playing its current IR (the event only re-slews the wet
+        # gain toward its unchanged target), a single worker thread packs
+        # and uploads the incoming IR into a reserved victim slot, and the
+        # between-blocks poll (control.block_hooks) publishes the new bank
+        # and re-issues the select — the crossfade starts, with the normal
+        # fade semantics, on the first block the IR is actually resident.
+        # A newer select for the same (voice, ch) supersedes a pending one.
+        self.async_paging = bool(async_paging)
+        self.deferred = 0            # deferred-select counter (tests/stats)
+        self._reserved: set[int] = set()
+        self._pending: "dict[int, dict]" = {}      # full_idx -> record
+        self._pending_order: list = []
+        self._deferred_target: dict[tuple[int, int], int] = {}
+        self._queue = None
+        self._worker = None
+        if self.async_paging:
+            import queue
+            import threading
+
+            self._staged_bank = bank
+            self._queue = queue.Queue()
+            self._worker = threading.Thread(
+                target=self._worker_loop, name="workset-pager", daemon=True)
+            self._worker.start()
+            control.block_hooks.append(self.poll)
         control.select_remap = self._remap
 
     # -- the remap hook (runs on the host between blocks) -----------------------
+
+    def _live_span_slots(self, now: float) -> set[int]:
+        """Slots referenced by any fade span that has not yet decayed."""
+        live = set()
+        for key, (block, window) in self._span_meta.items():
+            if now - block < window:
+                live |= self._span.get(key, set())
+        return live
 
     def _remap(self, voice: int, ch: int, full_idx: int) -> int:
         if not 0 <= full_idx < self.full_size:
@@ -87,20 +138,39 @@ class WorkingSetBank:
                      full_idx, self.full_size)
             full_idx = min(max(full_idx, 0), self.full_size - 1)
         now = self.control.blocks
-        # the outgoing slot enters its fade-out: refresh its protection
-        self.last_used[int(self.control.select[voice, ch])] = now
         slot = self.full_to_slot.get(full_idx)
+        if slot is None and self.async_paging:
+            # deferred fault: selection stays put until the IR is resident
+            return self._defer(voice, ch, full_idx, now)
+        key = (voice, ch)
+        span = self._span.setdefault(key, set())
+        prev = self._span_meta.get(key)
+        if prev is not None and now - prev[0] >= prev[1]:
+            span.clear()  # previous fades provably decayed (analytic bound)
+        # the outgoing slot enters its fade-out: it joins the span
+        span.add(int(self.control.select[voice, ch]))
+        self._deferred_target.pop((voice, ch), None)  # superseded if pending
         if slot is None:
             slot = self._fault(full_idx, now)
         else:
             self.hits += 1
-        self.last_used[slot] = now
+        span.add(int(slot))
+        # the new fade re-times the WHOLE mixture's decay
+        window = int(self.control.speed[voice, ch]) + self.DECAY_MARGIN
+        self._span_meta[key] = (now, window)
+        # refresh idle-age protection for every slot the span references
+        for s in span:
+            self.last_used[s] = now
         return slot
 
-    def _fault(self, full_idx: int, now: float) -> int:
+    def _choose_victim(self, now: float) -> int:
         selected = {int(s) for s in self.control.select.ravel()}
+        # never evict a slot a live (undecayed) fade span references, even
+        # under a custom min_age_blocks shorter than the fade window; nor
+        # one reserved by an in-flight asynchronous upload
+        protected = selected | self._live_span_slots(now) | self._reserved
         victims = [s for s in range(self.capacity)
-                   if s not in selected
+                   if s not in protected
                    and now - self.last_used[s] >= self.min_age_blocks]
         if not victims:
             raise RuntimeError(
@@ -109,7 +179,10 @@ class WorkingSetBank:
                 f"{self.min_age_blocks} blocks (fade protection); raise "
                 f"the capacity (concurrently sounding IRs + fading tails "
                 f"must fit)")
-        victim = min(victims, key=lambda s: self.last_used[s])
+        return min(victims, key=lambda s: self.last_used[s])
+
+    def _fault(self, full_idx: int, now: float) -> int:
+        victim = self._choose_victim(now)
         old_full = self.slot_to_full[victim]
         self.full_to_slot.pop(old_full, None)
         self.slot_to_full[victim] = full_idx
@@ -122,3 +195,83 @@ class WorkingSetBank:
         if self.on_update is not None:
             self.on_update(self.bank)
         return victim
+
+    # -- asynchronous paging ------------------------------------------------------
+
+    def _defer(self, voice: int, ch: int, full_idx: int, now: float) -> int:
+        """Enqueue a background fault and keep the selection unchanged: the
+        event degenerates to a wet re-slew toward the current IR; the real
+        select (and its crossfade) is re-issued by poll() once resident."""
+        rec = self._pending.get(full_idx)
+        if rec is None:
+            if not self._pending:
+                # re-sync the staged lineage with any externally swapped
+                # bank (e.g. a session's layout pin) while nothing's queued
+                self._staged_bank = self.bank
+            import threading
+
+            victim = self._choose_victim(now)
+            old_full = self.slot_to_full[victim]
+            self.full_to_slot.pop(old_full, None)
+            self.slot_to_full[victim] = full_idx
+            self._reserved.add(victim)
+            rec = {"full": full_idx, "slot": victim, "old_full": old_full,
+                   "base": self.bank, "payload": None, "result": None,
+                   "error": None, "ready": threading.Event()}
+            self._pending[full_idx] = rec
+            self._pending_order.append(rec)
+            self._queue.put(rec)
+        self._deferred_target[(voice, ch)] = full_idx
+        self.deferred += 1
+        return int(self.control.select[voice, ch])
+
+    def _worker_loop(self) -> None:
+        while True:
+            rec = self._queue.get()
+            if rec is None:
+                return
+            try:
+                rec["payload"] = self.slot_payload(rec["full"])
+                rec["base"] = self._staged_bank
+                self._staged_bank = self.engine.update_bank_slot(
+                    self._staged_bank, rec["slot"], rec["payload"])
+                rec["result"] = self._staged_bank
+            except Exception as exc:  # noqa: BLE001 - surfaced in poll()
+                rec["error"] = exc
+            rec["ready"].set()
+
+    def poll(self) -> None:
+        """Publish completed background uploads and re-issue their deferred
+        selects. Runs between blocks (registered on control.block_hooks)."""
+        while self._pending_order and self._pending_order[0]["ready"].is_set():
+            rec = self._pending_order.pop(0)
+            self._pending.pop(rec["full"], None)
+            self._reserved.discard(rec["slot"])
+            if rec["error"] is not None:
+                raise rec["error"]
+            if self.bank is rec["base"]:
+                self.bank = rec["result"]
+            else:
+                # the bank was swapped while the upload was in flight
+                # (rare: layout pin mid-fault) — redo on the current bank
+                self.bank = self.engine.update_bank_slot(
+                    self.bank, rec["slot"], rec["payload"])
+            self.full_to_slot[rec["full"]] = rec["slot"]
+            self.last_used[rec["slot"]] = self.control.blocks
+            self.misses += 1
+            Log.info("workset", "IR %d -> slot %d (async; evicted %d; "
+                     "miss #%d)", rec["full"], rec["slot"], rec["old_full"],
+                     self.misses)
+            if self.on_update is not None:
+                self.on_update(self.bank)
+            for (v, c), want in list(self._deferred_target.items()):
+                if want == rec["full"]:
+                    del self._deferred_target[(v, c)]
+                    self.control.set_select(v, c, rec["full"])
+
+    def close(self) -> None:
+        """Stop the background pager thread (async mode)."""
+        if self._worker is not None:
+            self._queue.put(None)
+            self._worker.join(timeout=5)
+            self._worker = None
