@@ -356,9 +356,18 @@ def test_async_paging_output_matches_effective_time_replay():
         orig_cb(voice, ch, old, new)
 
     n_blocks = 400
+
+    class PacedSource(WavSource):
+        # >= 1 ms per block: with warm jit caches 400 tiny blocks can
+        # finish inside the 0.1 s pack sleep, and the deferred select
+        # would never land before the source ran dry
+        def read(self):
+            _time.sleep(0.001)
+            return super().read()
+
     rng = np.random.default_rng(21)
     x = (rng.standard_normal((V, 2, B * n_blocks)) * 0.05).astype(np.float32)
-    source = WavSource(x, num_voices=V, block=B)
+    source = PacedSource(x, num_voices=V, block=B)
     sink = WavSink("/dev/null", 44100, keep_data=True)
     session = model.session(source, sink)
     orig_cb = model.control.on_select_change

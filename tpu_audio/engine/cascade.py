@@ -186,48 +186,20 @@ class CascadeConvolution:
 
     # -- bank ---------------------------------------------------------------------
 
-    def _derive_bank_device(self, head_planar: jax.Array,
-                            tail_planar: jax.Array) -> CascadeBank:
-        """Traced: planar f32 partition spectra (head [K, O, Pp1, F1, 2],
-        tail [K, O, Pp2, F2, 2]) -> device CascadeBank. The plane-major MAC
-        packing and doubled/time-reversed tiling run ON DEVICE (the numpy
-        equivalents measured tens of seconds per bank on a 1-core host;
-        see fmajor._derive_bank_device)."""
-        dt = self.mac_dtype
+    def _pack_bank_host(self, head_spec: np.ndarray, tail_spec: np.ndarray):
+        """Host complex partition spectra -> the numpy MAC tensors
+        (head [F1, 2, 2Pp1, KOD] and frequency-minor tail
+        [2, 2Pp2, KOD, F2]), doubling BEFORE packing (gather with F-sized
+        chunks; see fmajor.double_reversed for the measured 50x)."""
+        from tpu_audio.engine.fmajor import (_pad_p, double_reversed,
+                                             pack_mac_rhs)
 
-        def dr2(arr, axis):
-            rev = jnp.roll(jnp.flip(arr, axis=axis), 1, axis=axis)
-            return jnp.concatenate([rev, rev], axis=axis)
-
-        def mac_cols(planar):                       # -> [F, 2, Pp, K*O*2]
-            k, o, pp, f, _ = planar.shape
-            br = jnp.transpose(planar[..., 0], (3, 2, 0, 1))  # [F,Pp,K,O]
-            bi = jnp.transpose(planar[..., 1], (3, 2, 0, 1))
-            mac = jnp.stack(
-                [jnp.stack([br, bi], axis=-1),
-                 jnp.stack([-bi, br], axis=-1)], axis=1)
-            return mac.reshape(f, 2, pp, k * o * 2).astype(dt)
-
-        def mac_cols_fminor(planar):                # -> [2, Pp, K*O*2, F]
-            k, o, pp, f, _ = planar.shape
-            br = jnp.transpose(planar[..., 0], (2, 0, 1, 3))  # [Pp,K,O,F]
-            bi = jnp.transpose(planar[..., 1], (2, 0, 1, 3))
-            mac = jnp.stack(
-                [jnp.stack([br, bi], axis=3),
-                 jnp.stack([-bi, br], axis=3)], axis=0)       # [2,Pp,K,O,2,F]
-            return mac.reshape(2, pp, k * o * 2, f).astype(dt)
-
-        return CascadeBank(
-            head_rhs2=dr2(mac_cols(head_planar), 2),
-            tail_rhs2=dr2(mac_cols_fminor(tail_planar), 1),
-        )
-
-    def _planar_pair(self, head_spec: np.ndarray, tail_spec: np.ndarray):
-        """Host complex spectra -> padded planar f32 device arrays."""
-        from tpu_audio.engine.fmajor import pack_planar_spectra
-
-        return (jnp.asarray(pack_planar_spectra(head_spec, self.pp1)),
-                jnp.asarray(pack_planar_spectra(tail_spec, self.pp2)))
+        head_dbl = double_reversed(_pad_p(head_spec, 2, self.pp1), 2)
+        tail_dbl = double_reversed(_pad_p(tail_spec, 2, self.pp2), 2)
+        head_rhs2 = pack_mac_rhs(head_dbl, 2 * self.pp1)
+        tail_rhs2 = np.ascontiguousarray(np.transpose(
+            pack_mac_rhs(tail_dbl, 2 * self.pp2), (1, 2, 3, 0)))
+        return head_rhs2, tail_rhs2
 
     def prepare_bank(self, bank, cache_dir=None) -> CascadeBank:
         """IRBank (time-domain) -> device CascadeBank: the head takes the
@@ -253,9 +225,34 @@ class CascadeConvolution:
             raise ValueError(f"bank has {head_spec.shape[0]} IRs, engine "
                              f"was built for num_irs={self.num_irs}")
         self.num_irs = head_spec.shape[0]
-        if getattr(self, "_derive_jit", None) is None:
-            self._derive_jit = jax.jit(self._derive_bank_device)
-        return self._derive_jit(*self._planar_pair(head_spec, tail_spec))
+        head_rhs2 = tail_rhs2 = None
+        path = None
+        if cache_dir:
+            import hashlib
+            import os
+            h = hashlib.sha256()
+            h.update(repr(("cascade-pack", self.pp1, self.pp2,
+                           head_spec.shape, tail_spec.shape)).encode())
+            h.update(np.ascontiguousarray(head_spec).tobytes())
+            h.update(np.ascontiguousarray(tail_spec).tobytes())
+            path = os.path.join(os.fspath(cache_dir),
+                                f"cascpack_{h.hexdigest()[:24]}.npz")
+            if os.path.exists(path):
+                from tpu_audio.utils.log import Log
+                Log.info("cascade", "packed-bank cache hit: %s", path)
+                with np.load(path) as data:
+                    head_rhs2, tail_rhs2 = data["head"], data["tail"]
+        if head_rhs2 is None:
+            head_rhs2, tail_rhs2 = self._pack_bank_host(head_spec, tail_spec)
+            if path is not None:
+                import os
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as fh:
+                    np.savez(fh, head=head_rhs2, tail=tail_rhs2)
+                os.replace(tmp, path)
+        return CascadeBank(
+            head_rhs2=jnp.asarray(head_rhs2, self.mac_dtype),
+            tail_rhs2=jnp.asarray(tail_rhs2, self.mac_dtype))
 
     def update_bank_slot(self, bank: CascadeBank, slot, ir) -> CascadeBank:
         """Replace ONE IR slot of a device bank (working-set residency,
@@ -274,7 +271,7 @@ class CascadeConvolution:
             out[0, :, : sp.shape[1]] = sp
             return out
 
-        head_planar, tail_planar = self._planar_pair(
+        head_rhs2, tail_rhs2 = self._pack_bank_host(
             spec(0, self.block, self.head_parts),
             spec(2 * self.b2, self.b2, self.tail_parts))
         # cached executable is keyed by the bank's layouts: StreamSession
@@ -284,22 +281,21 @@ class CascadeConvolution:
         fmt = jax.tree.map(lambda a: a.format, bank)
         cached = getattr(self, "_slot_update", None)
         if cached is None or self._slot_update_fmt != str(fmt):
-            derive = self._derive_bank_device
-
             def upd(bank, head_p, tail_p, k):
-                payload = derive(head_p, tail_p)     # device-side packing
                 return replace(
                     bank,
                     head_rhs2=jax.lax.dynamic_update_slice(
-                        bank.head_rhs2, payload.head_rhs2, (0, 0, 0, k * 4)),
+                        bank.head_rhs2, head_p, (0, 0, 0, k * 4)),
                     tail_rhs2=jax.lax.dynamic_update_slice(
-                        bank.tail_rhs2, payload.tail_rhs2, (0, 0, k * 4, 0)))
+                        bank.tail_rhs2, tail_p, (0, 0, k * 4, 0)))
 
             self._slot_update = jax.jit(
                 upd, in_shardings=(fmt, None, None, None),
                 out_shardings=fmt)
             self._slot_update_fmt = str(fmt)
-        return self._slot_update(bank, head_planar, tail_planar,
+        return self._slot_update(bank,
+                                 jnp.asarray(head_rhs2, self.mac_dtype),
+                                 jnp.asarray(tail_rhs2, self.mac_dtype),
                                  jnp.int32(slot))
 
     # -- state ---------------------------------------------------------------------

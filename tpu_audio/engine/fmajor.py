@@ -147,11 +147,16 @@ def pack_mac_rhs(spectra: np.ndarray, pp: int) -> np.ndarray:
 
 
 def double_reversed(arr: np.ndarray, axis: int) -> np.ndarray:
-    """out[j] = arr[(-j) mod P], tiled twice along `axis`."""
-    first = np.take(arr, [0], axis=axis)
-    rest = np.flip(np.take(arr, range(1, arr.shape[axis]), axis=axis), axis=axis)
-    rev = np.concatenate([first, rest], axis=axis)
-    return np.concatenate([rev, rev], axis=axis)
+    """out[j] = arr[(-j) mod P], tiled twice along `axis`.
+
+    One gather instead of flip+concat chains. ORDER MATTERS for cost: call
+    this while `axis`'s minor-side chunk is large (e.g. on [K, O, P, F]
+    complex spectra, chunk = F), THEN pack/transpose — doubling the packed
+    [F, 2, P, K*O*2] tensor instead costs ~50x more on a 1-core host
+    (measured 15.7 s vs 0.3 s at a 16-IR 4 s bank)."""
+    p = arr.shape[axis]
+    idx = (p - np.arange(2 * p)) % p
+    return np.take(arr, idx, axis=axis)
 
 
 def pack_planar_spectra(spectra: np.ndarray, pp: int) -> np.ndarray:
@@ -161,12 +166,15 @@ def pack_planar_spectra(spectra: np.ndarray, pp: int) -> np.ndarray:
 
 
 def pack_spectra_rev2(spectra: np.ndarray, pp: int) -> np.ndarray:
-    """[K, O, P, F] complex -> f32 [K, F, O, 2, 2*Pp] doubled+reversed."""
+    """[K, O, P, F] complex -> f32 [K, F, O, 2, 2*Pp] doubled+reversed.
+
+    Doubles on the partition axis BEFORE the transpose (cheap gather with
+    F-sized chunks; see double_reversed)."""
     planar = _pad_p(
         np.stack([spectra.real, spectra.imag], axis=1).astype(np.float32),
         3, pp)                                       # [K, 2, O, Pp, F]
-    planar = np.transpose(planar, (0, 4, 2, 1, 3))   # [K, F, O, 2, Pp]
-    return double_reversed(planar, axis=4)
+    dbl = double_reversed(planar, axis=3)            # [K, 2, O, 2Pp, F]
+    return np.ascontiguousarray(np.transpose(dbl, (0, 4, 2, 1, 3)))
 
 
 class FMajorPartitionedConvolution:
@@ -252,51 +260,37 @@ class FMajorPartitionedConvolution:
 
     # -- bank ---------------------------------------------------------------------
 
-    def _derive_bank_device(self, planar: jax.Array) -> FMajorBank:
-        """Traced: planar f32 spectra [K, O, Pp, F, 2] -> full FMajorBank.
+    def _pack_bank_host(self, spectra: np.ndarray):
+        """Host [K, O, P, F] complex -> the engine's numpy bank tensors
+        (mac_rhs, rhs2, planar, rev2; None where the mode doesn't use one).
 
-        All MAC-tensor derivation (the plane-major rhs packing of
-        ``pack_mac_rhs`` and the doubled/time-reversed tilings of
-        ``double_reversed``/``pack_spectra_rev2``) happens ON DEVICE: the
-        equivalent host-side numpy transposes/flips/concats measured ~25-50 s
-        for a 16-IR 4 s bank on a 1-core host (the round-2 bench-budget
-        killer), vs milliseconds of HBM traffic here. Only the cheap planar
-        split+pad stays on the host (complex64 cannot cross the transport;
-        see utils/transfer)."""
-        k, o, pp, f, _ = planar.shape
-        dt = self.mac_dtype
-
-        def dr2(arr, axis):
-            # out[j] = arr[(-j) mod P], tiled twice (double_reversed)
-            rev = jnp.roll(jnp.flip(arr, axis=axis), 1, axis=axis)
-            return jnp.concatenate([rev, rev], axis=axis)
-
-        zero4 = jnp.zeros((1, 1, 1, 1), dt)
-        mac_rhs_d, rhs2_d = zero4, zero4
+        All doubling/reversal happens BEFORE packing/transposing (gathers
+        with F-sized chunks — see double_reversed): this keeps a 16-IR 4 s
+        bank's host pack at ~3 s instead of ~50 s on a 1-core host. A
+        device-side jitted derivation was tried and rejected: the remote
+        TPU compiler took 95-275 s to compile the one-off layout graph
+        (and its minor-axis reverse crashes the fusion emitter — the
+        ops/fft.py 'split' backend exists for the same stack bug)."""
+        mac_rhs = rhs2 = rev2 = None
         if self.mac_strategy == "allk":
-            br = jnp.transpose(planar[..., 0], (3, 2, 0, 1))  # [F,Pp,K,O]
-            bi = jnp.transpose(planar[..., 1], (3, 2, 0, 1))
-            mac = jnp.stack(
-                [jnp.stack([br, bi], axis=-1),
-                 jnp.stack([-bi, br], axis=-1)], axis=1)      # [F,2,Pp,K,O,2]
-            mac = mac.reshape(f, 2, pp, k * o * 2).astype(dt)
-            # only the mode's own MAC tensor is materialized: ring reads
-            # the doubled+reversed rhs2 window, roll reads mac_rhs directly
             if self.ring_mode:
-                rhs2_d = dr2(mac, 2)
+                dbl = double_reversed(_pad_p(spectra, 2, self.pp), 2)
+                rhs2 = pack_mac_rhs(dbl, 2 * self.pp)
             else:
-                mac_rhs_d = mac
+                mac_rhs = pack_mac_rhs(spectra, self.pp)
         if self.ring_mode:
-            rev2_d = dr2(jnp.transpose(planar, (0, 3, 1, 4, 2)),
-                         4).astype(dt)                        # [K,F,O,2,2Pp]
-        else:
-            rev2_d = jnp.zeros((1, 1, 1, 1, 1), dt)
-        return FMajorBank(mac_rhs=mac_rhs_d, rhs2=rhs2_d, spectra=planar,
-                          spectra_rev2=rev2_d)
+            rev2 = pack_spectra_rev2(spectra, self.pp)
+        return mac_rhs, rhs2, pack_planar_spectra(spectra, self.pp), rev2
 
-    def prepare_bank(self, spectra: np.ndarray) -> FMajorBank:
+    def prepare_bank(self, spectra: np.ndarray,
+                     cache_dir: str | None = None) -> FMajorBank:
         """Host [K, 2, P, F] complex spectra -> device FMajorBank (f32/bf16
-        transfers only; complex64 never crosses the host boundary)."""
+        transfers only; complex64 never crosses the host boundary).
+
+        cache_dir: content-addressed disk cache for the PACKED tensors —
+        on a slow host the pack of a large 4 s bank costs tens of seconds
+        of strided numpy copies; a warm cache reduces it to one sequential
+        read per tensor."""
         spectra = np.asarray(spectra)
         if spectra.shape[2] != self.partitions or spectra.shape[3] != self.num_bins:
             raise ValueError(f"bank geometry {spectra.shape} != engine "
@@ -306,26 +300,67 @@ class FMajorPartitionedConvolution:
                              f"built for num_irs={self.num_irs} (base_g "
                              f"state is K-shaped)")
         self.num_irs = spectra.shape[0]
-        planar = jnp.asarray(pack_planar_spectra(spectra, self.pp))
-        if getattr(self, "_derive_jit", None) is None:
-            self._derive_jit = jax.jit(self._derive_bank_device)
-        return self._derive_jit(planar)
+        mac_rhs = rhs2 = planar = rev2 = None
+        path = None
+        if cache_dir is not None:
+            import hashlib
+            import os
+            h = hashlib.sha256()
+            h.update(repr(("fmajor-pack", self.pp, self.ring_mode,
+                           self.mac_strategy, spectra.shape)).encode())
+            h.update(np.ascontiguousarray(spectra).tobytes())
+            os.makedirs(cache_dir, exist_ok=True)
+            path = os.path.join(cache_dir, f"pack_{h.hexdigest()[:24]}.npz")
+            if os.path.exists(path):
+                from tpu_audio.utils.log import Log
+                Log.info("fmajor", "packed-bank cache hit: %s", path)
+                with np.load(path) as data:
+                    mac_rhs, rhs2, planar, rev2 = (
+                        data[k] if k in data else None
+                        for k in ("mac_rhs", "rhs2", "planar", "rev2"))
+        if planar is None:
+            mac_rhs, rhs2, planar, rev2 = self._pack_bank_host(spectra)
+            if path is not None:
+                arrays = {k: v for k, v in (("mac_rhs", mac_rhs),
+                                            ("rhs2", rhs2),
+                                            ("planar", planar),
+                                            ("rev2", rev2))
+                          if v is not None}
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as fh:
+                    np.savez(fh, **arrays)
+                import os
+                os.replace(tmp, path)
+        dt = self.mac_dtype
+        zero4 = jnp.zeros((1, 1, 1, 1), dt)
+        return FMajorBank(
+            mac_rhs=zero4 if mac_rhs is None else jnp.asarray(mac_rhs, dt),
+            rhs2=zero4 if rhs2 is None else jnp.asarray(rhs2, dt),
+            spectra=jnp.asarray(planar),
+            spectra_rev2=(jnp.zeros((1, 1, 1, 1, 1), dt) if rev2 is None
+                          else jnp.asarray(rev2, dt)),
+        )
 
     def update_bank_slot(self, bank: FMajorBank, slot, spectra_k) -> FMajorBank:
         """Replace ONE IR slot of a device bank (working-set residency,
         runtime/working_set.py): host [1, O, P, F] complex spectra for the
-        incoming IR cross as planar f32 and are packed ON DEVICE exactly
-        like prepare_bank (same derivation graph), then written into the
-        slot's columns/rows with dynamic-update-slices (one jit, slot
-        index traced — no per-slot recompiles, ~zero host pack time: the
-        numpy pack used to be the measured ~310 ms fault hiccup). 'allk'
-        only: the 'selected' strategy materializes per-voice spectra in
-        state, which a bank-slot write would silently miss."""
+        incoming IR are packed exactly like prepare_bank (~0.2 s for one
+        4 s IR with the gather-ordered pack) and written into the slot's
+        columns/rows with dynamic-update-slices (one jit, slot index
+        traced — no per-slot recompiles). 'allk' only: the 'selected'
+        strategy materializes per-voice spectra in state, which a
+        bank-slot write would silently miss."""
         if self.mac_strategy != "allk":
             raise ValueError("working-set slot updates require the 'allk' "
                              "MAC strategy (mac_strategy='selected' copies "
                              "spectra into state at collapse)")
-        planar = pack_planar_spectra(np.asarray(spectra_k), self.pp)
+        mac_rhs, rhs2, planar, rev2 = self._pack_bank_host(
+            np.asarray(spectra_k))
+        dt = self.mac_dtype
+        payloads = (jnp.asarray(rhs2 if self.ring_mode else mac_rhs, dt),
+                    jnp.asarray(planar),
+                    (jnp.asarray(rev2, dt) if self.ring_mode
+                     else jnp.zeros((1, 1, 1, 1, 1), dt)))
         # the cached executable bakes in the bank's layouts: re-key it when
         # they change (e.g. a StreamSession pinned compiler-chosen layouts
         # after the first fault) — a stale cache would emit a default-layout
@@ -334,33 +369,31 @@ class FMajorPartitionedConvolution:
         cached = getattr(self, "_slot_update", None)
         if cached is None or self._slot_update_fmt != str(fmt):
             ring = self.ring_mode
-            derive = self._derive_bank_device
 
-            def upd(bank, planar_p, k):
+            def upd(bank, mac_p, planar_p, rev2_p, k):
                 from dataclasses import replace as _replace
-                payload = derive(planar_p)
                 col0 = k * 4
                 if ring:
                     rhs2 = jax.lax.dynamic_update_slice(
-                        bank.rhs2, payload.rhs2, (0, 0, 0, col0))
+                        bank.rhs2, mac_p, (0, 0, 0, col0))
                     rev = jax.lax.dynamic_update_slice(
-                        bank.spectra_rev2, payload.spectra_rev2,
-                        (k, 0, 0, 0, 0))
+                        bank.spectra_rev2, rev2_p, (k, 0, 0, 0, 0))
                     out = _replace(bank, rhs2=rhs2, spectra_rev2=rev)
                 else:
                     mac = jax.lax.dynamic_update_slice(
-                        bank.mac_rhs, payload.mac_rhs, (0, 0, 0, col0))
+                        bank.mac_rhs, mac_p, (0, 0, 0, col0))
                     out = _replace(bank, mac_rhs=mac)
                 return _replace(out, spectra=jax.lax.dynamic_update_slice(
-                    bank.spectra, payload.spectra, (k, 0, 0, 0, 0)))
+                    bank.spectra, planar_p, (k, 0, 0, 0, 0)))
 
             # preserve the bank's (possibly compiler-pinned) layouts:
             # producing the update in default layouts would make every
             # subsequent pinned step relayout the whole bank per block
             self._slot_update = jax.jit(
-                upd, in_shardings=(fmt, None, None), out_shardings=fmt)
+                upd, in_shardings=(fmt, None, None, None, None),
+                out_shardings=fmt)
             self._slot_update_fmt = str(fmt)
-        return self._slot_update(bank, jnp.asarray(planar), jnp.int32(slot))
+        return self._slot_update(bank, *payloads, jnp.int32(slot))
 
     # -- state ---------------------------------------------------------------------
 
