@@ -513,3 +513,77 @@ def test_cascade_shard_validation():
     with pytest.raises(ValueError, match="stagger"):
         # 8 voices over 8 devices -> 1 voice/shard, not divisible by 2
         shard_cascade_step(eng, make_mesh(8, part=1))
+
+
+# -- session-level mesh serving ---------------------------------------------------
+
+
+@requires_8
+@pytest.mark.parametrize("engine_kind", ["fmajor", "cascade"])
+def test_mesh_session_matches_single_device(engine_kind, tmp_path):
+    """StreamSession(mesh=...) must serve bit-compatible audio with the
+    single-device session THROUGH the full runtime: MIDI re-selects
+    (collapse + crossfade), a checkpoint save + restore mid-stream, and —
+    for fmajor — a working-set fault paging a non-resident IR in."""
+    from tpu_audio.engine.params import CCMapping
+    from tpu_audio.models.reverb import ConvolutionReverb
+    from tpu_audio.runtime.backends import WavSink, WavSource
+    from tpu_audio.runtime.checkpoint import load_checkpoint
+    from tpu_audio.runtime.stream import MidiSchedule
+
+    V, B, K = 8, 32, 6
+    rng = np.random.default_rng(3)
+    bank = IRBank()
+    for _ in range(K):
+        ir = rng.standard_normal((2, 700)).astype(np.float32)
+        bank.append(ir * (0.3 / np.abs(ir).max()))
+    n_blocks = 40
+    x = (rng.standard_normal((V, 2, B * n_blocks)) * 0.05).astype(np.float32)
+    events = [(6, "", bytes([0xB0, 0x15, 64])),    # select full 3
+              (18, "", bytes([0xB0, 0x15, 110]))]  # select full 5
+
+    def run(mesh, ckpt=None, resume_from=None):
+        kwargs = dict(num_voices=V, block=B, max_predelay=64,
+                      engine=engine_kind)
+        if engine_kind == "fmajor":
+            kwargs["bank_capacity"] = 4  # exercise a working-set fault
+        if engine_kind == "cascade":
+            kwargs["cascade_ratio"] = 2
+        model = ConvolutionReverb(bank, **kwargs)
+        model.control.wet[:] = 0.8
+        model.control.dry[:] = 0.1
+        model.control.speed[:] = 6
+        model.control.set_mapping(0, 0, CCMapping(message=0xB0,
+                                                  select=0x15))
+        sink = WavSink("/dev/null", keep_data=True)
+        sess = model.session(WavSource(x, V, B), sink, warmup=0,
+                             donate=False, mesh=mesh)
+        state = model.init_state()
+        midi = MidiSchedule(list(events))
+        if resume_from is not None:
+            state, meta = load_checkpoint(resume_from, state, model.control)
+            start = meta["block_index"]
+            midi.rewind_to(start)
+            src = WavSource(x[..., B * start:], V, B)
+            sess.source = src
+            sess.run(state, midi=midi, start_block=start)
+            return sink.data, model
+        sess.run(state, midi=midi,
+                 checkpoint_path=ckpt, checkpoint_every=13)
+        return sink.data, model
+
+    # cascade shards voice groups: 8 voices / ratio 2 -> 2 voices per
+    # shard minimum, so a 4-device mesh; fmajor takes the full 8
+    mesh = make_mesh(8 if engine_kind == "fmajor" else 4, part=1)
+    got, _ = run(mesh)
+    want, _ = run(None)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    assert np.abs(want).max() > 1e-3
+
+    # checkpoint mid-stream on the MESH, resume on the MESH: the resumed
+    # tail must equal the uninterrupted run's
+    ckpt = tmp_path / f"mesh_{engine_kind}.ckpt"
+    full, _ = run(mesh, ckpt=str(ckpt))
+    resumed, _ = run(mesh, resume_from=str(ckpt))
+    n_resumed = resumed.shape[-1]
+    np.testing.assert_allclose(resumed, full[..., -n_resumed:], atol=2e-6)

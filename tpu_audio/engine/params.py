@@ -142,9 +142,14 @@ class ControlPlane:
         # stay in full-bank coordinates, `select` then holds slot indices
         self.select_remap = None      # callable (voice, ch, full_idx) -> slot
         # between-blocks callbacks (e.g. async working-set paging publishes
-        # completed slot uploads here), fired at the START of end_block so
-        # a publish lands before the next block's snapshot
+        # completed slot uploads here), fired at the END of end_block
         self.block_hooks: list = []
+        # auxiliary runtime state serialized with checkpoints (numpy
+        # arrays keyed by name; see runtime/checkpoint.py): subsystems like
+        # the working set keep their host-side maps here and register
+        # on_aux_restored to rebuild device residency after a load
+        self.aux: dict = {}
+        self.on_aux_restored = None
 
     # -- wiring ---------------------------------------------------------------
 

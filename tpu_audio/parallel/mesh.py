@@ -358,17 +358,22 @@ def _cascade_params_specs():
                   "pan_wet", "level")})
 
 
+def _named(specs, mesh: Mesh):
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def place_cascade_state(state, mesh: Mesh):
+    return jax.device_put(state, _named(_cascade_state_specs(), mesh))
+
+
+def place_cascade_bank(bank, mesh: Mesh):
+    return jax.device_put(bank, _named(_cascade_bank_specs(), mesh))
+
+
 def place_cascade(state, bank, mesh: Mesh):
     """Device_put cascade state/bank onto the mesh (bank replicated)."""
-    from tpu_audio.engine.cascade import CascadeBank, CascadeState
-
-    def shardings(specs):
-        return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
-                            is_leaf=lambda x: isinstance(x, P))
-
-    state = jax.device_put(state, shardings(_cascade_state_specs()))
-    bank = jax.device_put(bank, shardings(_cascade_bank_specs()))
-    return state, bank
+    return place_cascade_state(state, mesh), place_cascade_bank(bank, mesh)
 
 
 def shard_fmajor_collapse_pure(engine, mesh: Mesh, donate: bool = True):

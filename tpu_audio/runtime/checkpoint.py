@@ -48,7 +48,13 @@ def save_checkpoint(path: str | os.PathLike, state, control: ControlPlane,
         arrays[f"state_{i}"] = _npz_safe(host)
     for name in _CP_FIELDS:
         arrays[f"cp_{name}"] = getattr(control, name)
+    # auxiliary runtime state registered on the control plane (e.g. the
+    # working set's slot -> IR residency map, without which a restored
+    # `select` would point at a slot holding a DIFFERENT IR)
+    for name, value in control.aux.items():
+        arrays[f"aux_{name}"] = np.asarray(value)
     header = {
+        "aux_keys": sorted(control.aux),
         "num_state_leaves": len(leaves),
         "state_dtypes": dtypes,
         "state_class": type(state).__name__,
@@ -104,4 +110,8 @@ def load_checkpoint(path: str | os.PathLike, state_template,
         state = jax.tree.unflatten(treedef, new_leaves)
         for name in _CP_FIELDS:
             getattr(control, name)[...] = data[f"cp_{name}"]
+        for name in header.get("aux_keys", ()):
+            control.aux[name] = data[f"aux_{name}"]
+        if header.get("aux_keys") and control.on_aux_restored is not None:
+            control.on_aux_restored()
         return state, header.get("meta", {})

@@ -103,8 +103,18 @@ class StreamSession:
                  underrun_policy: str = "stop", chunk_blocks: int = 1,
                  max_consecutive_underruns: int | None = None,
                  clock: str = "sleep", fetch_batch: int = 1,
-                 wire: str = "f32"):
+                 wire: str = "f32", mesh=None):
         self.engine = engine
+        # mesh: serve over a jax.sharding.Mesh — the step/collapse functions
+        # compile with the engine's mesh shardings (parallel/mesh.py), the
+        # bank and state are placed once, and everything else (params
+        # upload, MIDI, working-set faults, checkpoints — host gathers via
+        # np.asarray) rides the same code path. One device = the degenerate
+        # mesh. Per-block dispatch only (chunking scans on one device).
+        self.mesh = mesh
+        if mesh is not None and chunk_blocks > 1:
+            raise ValueError("mesh serving uses per-block dispatch "
+                             "(chunk_blocks must be 1)")
         # bank may be a raw (possibly complex) host array or an already-
         # device-resident pytree (e.g. FMajorBank)
         self.bank = jax.tree.map(
@@ -188,7 +198,9 @@ class StreamSession:
         self._layouts_pinned = False
         self._is_coef = (getattr(engine, "variant", None) == "coef"
                          and hasattr(engine, "step_coef"))
-        if self._is_coef:
+        if mesh is not None:
+            self._build_sharded(mesh, donate)
+        elif self._is_coef:
             if self.chunk_blocks > 1:
                 from tpu_audio.engine.fmajor import make_chunk_step
                 full = make_chunk_step(engine, steady=False)
@@ -235,6 +247,74 @@ class StreamSession:
         else:
             self._step_full = jax.jit(engine.step, donate_argnums=donate_args)
             self._step_steady = None
+
+    # -- mesh serving ---------------------------------------------------------------
+
+    def _build_sharded(self, mesh, donate: bool) -> None:
+        """Compile the session's step/collapse functions with the engine's
+        mesh shardings and place the bank (SURVEY §5's distributed-comms
+        requirement at the SERVING level, not just the function level):
+        fmajor shards voices (and partitions in roll mode), the cascade
+        runs a communication-free voice-DP shard_map. Checkpoint saves
+        gather through np.asarray; restored host states are re-placed at
+        run start."""
+        if not self._is_coef:
+            raise ValueError("mesh serving supports coef-interface engines "
+                             "(fmajor, cascade, partitioned-coef)")
+        from tpu_audio.engine.cascade import CascadeConvolution
+        from tpu_audio.engine.fmajor import FMajorPartitionedConvolution
+        from tpu_audio.parallel import mesh as pm
+
+        engine = self.engine
+        self._a_host = np.zeros((engine.num_voices, 2), np.float64)
+        self._pending_old: dict[tuple[int, int], int] = {}
+        self.control.on_select_change = self._note_select_change
+        self._pure_host = np.zeros((engine.num_voices, 2), bool)
+        self._step_indexed = None
+        self._collapse_pure = None
+        self._collapse = None
+        self._collapse_takes_new_select = (
+            getattr(engine, "mac_strategy", None) == "selected")
+        self._collapse_pure_params = getattr(
+            engine, "collapse_pure_takes_params", False)
+        if isinstance(engine, CascadeConvolution):
+            steady = pm.shard_cascade_step(engine, mesh, "steady", donate)
+            indexed = pm.shard_cascade_step(engine, mesh, "indexed", donate)
+            self._step_steady, self._step_indexed = steady, indexed
+            # span-only engine: no materializing path exists; the indexed
+            # step serves every fade (purity always holds)
+            self._step_full = indexed
+            self._collapse_pure = pm.shard_cascade_collapse_pure(
+                engine, mesh, donate)
+            self._place_state = lambda st: pm.place_cascade_state(st, mesh)
+            self._place_bank = lambda b: pm.place_cascade_bank(b, mesh)
+        elif isinstance(engine, FMajorPartitionedConvolution):
+            self._step_steady = pm.shard_fmajor_step(engine, mesh,
+                                                     mode="steady",
+                                                     donate=donate)
+            self._step_full = pm.shard_fmajor_step(engine, mesh, mode="full",
+                                                   donate=donate)
+            if (getattr(engine, "mac_strategy", None) == "allk"
+                    and hasattr(engine, "step_coef_indexed")):
+                self._step_indexed = pm.shard_fmajor_step(
+                    engine, mesh, mode="indexed", donate=donate)
+                self._collapse_pure = pm.shard_fmajor_collapse_pure(
+                    engine, mesh, donate)
+            self._collapse = pm.shard_fmajor_collapse(engine, mesh, donate)
+            state_sh, bank_sh, _, _ = pm.fmajor_shardings(mesh, engine)
+            self._place_state = lambda st: jax.device_put(st, state_sh)
+            self._place_bank = lambda b: jax.device_put(b, bank_sh)
+        else:
+            self._step_steady = pm.shard_partitioned_step(engine, mesh,
+                                                          steady=True,
+                                                          donate=donate)
+            self._step_full = pm.shard_partitioned_step(engine, mesh,
+                                                        donate=donate)
+            self._collapse = pm.shard_collapse(engine, mesh, donate)
+            state_sh, _, _, _ = pm.partitioned_shardings(mesh, engine)
+            self._place_state = lambda st: jax.device_put(st, state_sh)
+            self._place_bank = lambda b: pm.place_bank(b, mesh)
+        self.bank = self._place_bank(self.bank)
 
     # -- coef-engine hooks ---------------------------------------------------------
 
@@ -320,6 +400,9 @@ class StreamSession:
         new bank — so fade tails keep the old sound and the steady path
         plays the new bank from the swap block on. No recompile while the
         geometry [K, P, F] matches."""
+        if self.mesh is not None:
+            self._pending_bank = self._place_bank(bank)
+            return
         self._pending_bank = jax.tree.map(
             lambda leaf: leaf if isinstance(leaf, jax.Array)
             else device_put_maybe_complex(leaf), bank)
@@ -397,6 +480,7 @@ class StreamSession:
         between steady, indexed, and collapse steps (utils/layouts.py).
         Per-block-dispatch sessions only; chunked steps scan internally."""
         if (self._layouts_pinned or self.chunk_blocks > 1
+                or self.mesh is not None
                 or not getattr(self.engine, "layout_sensitive", False)
                 or not self._is_coef or self._step_indexed is None):
             return
@@ -437,6 +521,10 @@ class StreamSession:
         import time
 
         self._maybe_pin_layouts(state)
+        if self.mesh is not None:
+            # (re-)place the state on the mesh: fresh inits and checkpoint-
+            # restored host states alike land on the serving shardings
+            state = self._place_state(state)
         if self._is_coef:
             # resync the analytic coef mirrors from the (possibly restored-
             # from-checkpoint) state so a mid-crossfade resume keeps using

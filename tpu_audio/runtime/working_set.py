@@ -118,6 +118,42 @@ class WorkingSetBank:
             self._worker.start()
             control.block_hooks.append(self.poll)
         control.select_remap = self._remap
+        # residency is checkpointable state: without it a restored
+        # `select` (slot indices) would address slots holding different
+        # IRs in a fresh process; on restore, mismatched slots re-page
+        control.on_aux_restored = self._restore_residency
+        self._sync_aux()
+
+    def _sync_aux(self) -> None:
+        self.control.aux["ws_slot_to_full"] = np.asarray(
+            self.slot_to_full, np.int64)
+
+    def _restore_residency(self) -> None:
+        """Rebuild device residency from a restored checkpoint: re-page
+        every slot whose resident IR differs from the checkpointed map,
+        then protect everything for one fade window (spans are unknown
+        after a restore — conservative is correct)."""
+        want = self.control.aux.get("ws_slot_to_full")
+        if want is None:
+            return
+        want = [int(f) for f in want]
+        if len(want) != self.capacity:
+            raise ValueError(
+                f"checkpoint residency has {len(want)} slots, working set "
+                f"has {self.capacity}")
+        for slot, full in enumerate(want):
+            if self.slot_to_full[slot] != full:
+                self.bank = self.engine.update_bank_slot(
+                    self.bank, slot, self.slot_payload(full))
+        self.slot_to_full = list(want)
+        self.full_to_slot = {f: s for s, f in enumerate(want)}
+        self.last_used = [float(self.control.blocks)] * self.capacity
+        self._span.clear()
+        self._span_meta.clear()
+        if self.async_paging:
+            self._staged_bank = self.bank
+        if self.on_update is not None:
+            self.on_update(self.bank)
 
     # -- the remap hook (runs on the host between blocks) -----------------------
 
@@ -190,6 +226,7 @@ class WorkingSetBank:
         self.bank = self.engine.update_bank_slot(
             self.bank, victim, self.slot_payload(full_idx))
         self.misses += 1
+        self._sync_aux()
         Log.info("workset", "IR %d -> slot %d (evicted %d; miss #%d)",
                  full_idx, victim, old_full, self.misses)
         if self.on_update is not None:
@@ -259,6 +296,7 @@ class WorkingSetBank:
             self.full_to_slot[rec["full"]] = rec["slot"]
             self.last_used[rec["slot"]] = self.control.blocks
             self.misses += 1
+            self._sync_aux()
             Log.info("workset", "IR %d -> slot %d (async; evicted %d; "
                      "miss #%d)", rec["full"], rec["slot"], rec["old_full"],
                      self.misses)
