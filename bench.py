@@ -32,6 +32,12 @@ step_coef_indexed (the production fade path — span provenance serves
 converged AND interrupted re-selects at ~steady cost) with the general
 materialized-snapshot step (the bank-swap-mid-fade edge path) reported
 separately.
+
+The bare headline invocation additionally folds two compact legs into the
+JSON ("legs" key, budget-guarded): the reference's own shipped workload —
+its 152-IR all.index bank served through REAL working-set residency,
+including measured fault latency — and one >512-voice cascade scaling
+point. `--legs none` restores the single-config run.
 """
 
 from __future__ import annotations
@@ -44,29 +50,27 @@ import time
 
 import numpy as np
 
+_T0 = time.perf_counter()
+
 
 def log(msg: str) -> None:
-    print(msg, file=sys.stderr, flush=True)
+    print(f"[t+{time.perf_counter() - _T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
-def build(args):
-    import jax
-    import jax.numpy as jnp
-
-    from tpu_audio.engine import ControlPlane, IRBank
-    from tpu_audio.engine.fmajor import FMajorPartitionedConvolution
-
-    sr = args.sample_rate
-    ir_len = int(args.ir_seconds * sr)
-    rng = np.random.default_rng(0)
-    bank = IRBank(sample_rate=sr)
-
-    # Real reference IRs tiled/padded to the target length when available,
-    # else synthetic exponential-decay noise IRs (same spectra footprint).
+def make_bank(num_irs: int, ir_seconds: float, sample_rate: int):
+    """Real reference IRs tiled/padded to the target length when available,
+    else synthetic exponential-decay noise IRs (same spectra footprint)."""
     import glob
     import os
-    ref = sorted(glob.glob("/root/reference/ir/1/*.wav"))[: args.num_irs]
-    for k in range(args.num_irs):
+
+    from tpu_audio.engine import IRBank
+
+    ir_len = int(ir_seconds * sample_rate)
+    rng = np.random.default_rng(0)
+    bank = IRBank(sample_rate=sample_rate)
+    ref = sorted(glob.glob("/root/reference/ir/1/*.wav"))[:num_irs]
+    for k in range(num_irs):
         if k < len(ref) and os.path.exists(ref[k]):
             from tpu_audio.io.wav import read_wav
             ir = read_wav(ref[k], verbose=False).stereo().T
@@ -77,6 +81,18 @@ def build(args):
             env = np.exp(-t / (0.4 * ir_len)).astype(np.float32)
             ir = rng.standard_normal((2, ir_len)).astype(np.float32) * env * 0.3
         bank.append(ir)
+    return bank
+
+
+def build(args):
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_audio.engine import ControlPlane, IRBank
+    from tpu_audio.engine.fmajor import FMajorPartitionedConvolution
+
+    sr = args.sample_rate
+    bank = make_bank(args.num_irs, args.ir_seconds, sr)
 
     partitions = bank.max_partitions(args.block)
     capacity = args.bank_capacity
@@ -95,9 +111,11 @@ def build(args):
             compact = IRBank(sample_rate=sr)
             for k in range(capacity):
                 compact.append(bank.ir(k))
-            spectra = engine.prepare_bank(compact)
+            spectra = engine.prepare_bank(
+                compact, cache_dir=getattr(args, "pack_cache", None))
         else:
-            spectra = engine.prepare_bank(bank)
+            spectra = engine.prepare_bank(
+                bank, cache_dir=getattr(args, "pack_cache", None))
     else:
         engine = FMajorPartitionedConvolution(
             args.voices, args.block, partitions,
@@ -106,8 +124,9 @@ def build(args):
             mac_strategy="allk" if capacity else args.mac_strategy,
             num_irs=capacity or args.num_irs, pv_mac=args.pv_mac)
         full_spectra = bank.partitioned_spectra(args.block)
-        spectra = engine.prepare_bank(full_spectra[: capacity]
-                                      if capacity else full_spectra)
+        spectra = engine.prepare_bank(
+            full_spectra[: capacity] if capacity else full_spectra,
+            cache_dir=getattr(args, "pack_cache", None))
     control = ControlPlane(args.voices, args.num_irs)
     control.wet[:] = 0.7
     control.dry[:] = 0.2
@@ -205,6 +224,132 @@ def e2e_throughput(step, state, bank, params, make_block, encode, decode,
     return np.asarray(times), missed, st
 
 
+def run_ws_leg(args, make_block):
+    """Working-set serving leg: the reference's own headline workload —
+    its 152-IR `all.index` bank (/root/reference/ir/all.index, loaded at
+    src/main.cu:72-81) at 4 s per IR — served through REAL WorkingSetBank
+    residency: engine-true steady cost over the resident set, plus the
+    measured latency of an actual fault (pack + upload + slot write)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_audio.models.reverb import ConvolutionReverb
+
+    bank = make_bank(args.ws_irs, args.ir_seconds, args.sample_rate)
+    log(f"ws leg: {args.ws_irs}-IR bank loaded")
+    model = ConvolutionReverb(
+        bank, num_voices=args.voices, block=args.block, engine="fmajor",
+        max_predelay=8192, bank_capacity=args.ws_capacity,
+        cache_dir=args.pack_cache)
+    control, engine, ws = model.control, model.engine, model.working_set
+    control.wet[:] = 0.7
+    control.dry[:] = 0.2
+    control.predelay[:] = 1024
+    params = jax.tree.map(jnp.asarray, control.snapshot())
+    state = engine.init_converged(model.spectra, params)
+    log("ws leg: engine + residency built")
+    steady = jax.jit(engine.step_coef_steady, donate_argnums=(0,))
+    ms, state = engine_true_ms(steady, state, model.spectra, params,
+                               make_block, args.engine_blocks,
+                               reps=max(args.reps - 1, 1))
+    log(f"ws leg: steady {ms:.3f} ms/block over {args.ws_capacity} "
+        f"resident slots")
+
+    # fault burst: page non-resident IRs in through the REAL select path;
+    # a tiny readback of the touched column forces completion (async
+    # dispatch would otherwise hide the upload). First fault absorbs the
+    # slot-update compile and is reported separately.
+    fault_ms = []
+    cap = args.ws_capacity
+    for i in range(args.ws_faults):
+        full_idx = cap + i
+        if full_idx >= args.ws_irs:
+            break
+        t0 = time.perf_counter()
+        control.set_select(0, 0, full_idx)
+        slot = int(control.select[0, 0])
+        _ = np.asarray(ws.bank.rhs2[0, 0, 0, slot * 4])
+        fault_ms.append((time.perf_counter() - t0) * 1e3)
+        control.vsteps[:] = 0  # keep the next probe steady
+    compile_ms = fault_ms[0] if fault_ms else float("nan")
+    warm = fault_ms[1:] or fault_ms
+    dl_ms = args.block / args.sample_rate * 1e3
+    leg = {
+        "irs": args.ws_irs,
+        "capacity": cap,
+        "steady_ms": round(ms, 3),
+        "rtf": round(dl_ms / ms, 3),
+        "fault_ms": round(float(np.median(warm)), 1) if warm else None,
+        "fault_compile_ms": round(compile_ms, 1),
+        "faults": ws.misses,
+    }
+    log(f"ws leg: fault latency median {leg['fault_ms']} ms "
+        f"(first incl. compile {leg['fault_compile_ms']} ms, "
+        f"{ws.misses} faults)")
+    return leg
+
+
+def run_cascade_leg(args, deadline_ms):
+    """High-voice cascade leg: one > 512-voice scaling point on the
+    two-stage engine (engine/cascade.py), steady engine-true cost with
+    compiler-pinned layouts (the production configuration)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_audio.engine import ControlPlane
+    from tpu_audio.engine.cascade import CascadeConvolution
+    from tpu_audio.models.reverb import _fit_cascade_ratio
+    from tpu_audio.utils.layouts import (backend_supports_layouts,
+                                         compile_auto_layout, pinned_init)
+
+    v = args.cascade_voices
+    bank = make_bank(args.num_irs, args.ir_seconds, args.sample_rate)
+    partitions = bank.max_partitions(args.block)
+    ratio = _fit_cascade_ratio(16, v, partitions)
+    engine = CascadeConvolution(
+        v, args.block, partitions, ratio=ratio, max_predelay=8192,
+        num_irs=args.num_irs, mac_dtype=args.cascade_dtype)
+    spectra = engine.prepare_bank(bank, cache_dir=args.pack_cache)
+    control = ControlPlane(v, args.num_irs)
+    control.wet[:] = 0.7
+    control.dry[:] = 0.2
+    control.predelay[:] = 1024
+    params = jax.tree.map(jnp.asarray, control.snapshot())
+    log(f"cascade leg: {v} voices ({args.cascade_dtype}), ratio {ratio}, "
+        f"bank built")
+
+    rng = np.random.default_rng(2)
+    shape = (v, 2, args.block)
+    pool = [jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 0.05)
+            for _ in range(4)]
+    make_block = lambda t: pool[t % len(pool)]
+
+    state_shape = jax.eval_shape(lambda: engine.init_state())
+    if backend_supports_layouts():
+        steady, state_fmt = compile_auto_layout(
+            engine.step_coef_steady,
+            (state_shape, spectra, params, pool[0]))
+        spectra = jax.device_put(spectra, steady.input_formats[0][1])
+        state = pinned_init(
+            lambda: engine.init_converged(spectra, params), state_fmt)
+    else:
+        steady = jax.jit(engine.step_coef_steady, donate_argnums=(0,))
+        state = engine.init_converged(spectra, params)
+    log("cascade leg: steady step compiled (pinned layouts)")
+    ms, _ = engine_true_ms(steady, state, spectra, params, make_block,
+                           max(args.engine_blocks // 2, 16),
+                           reps=max(args.reps - 1, 1))
+    leg = {
+        "voices": v,
+        "dtype": args.cascade_dtype,
+        "ratio": ratio,
+        "steady_ms": round(ms, 3),
+        "rtf": round(deadline_ms / ms, 3),
+    }
+    log(f"cascade leg: steady {ms:.3f} ms/block (RTF {leg['rtf']})")
+    return leg
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--voices", type=int, default=64)
@@ -218,10 +363,31 @@ def main(argv=None) -> int:
                     help="blocks per wire batch (transfer amortisation)")
     ap.add_argument("--engine-blocks", type=int, default=100)
     ap.add_argument("--bank-capacity", type=int, default=None,
-                    help="working-set IR residency: engine runs the fast "
-                         "all-K MAC over N resident slots while the full "
-                         "--num-irs bank stays on the host (the large-bank "
-                         "serving mode; see runtime/working_set.py)")
+                    help="resident-set probe: engine runs the fast all-K "
+                         "MAC over N resident slots (selects stay put — no "
+                         "faults are exercised on this path; the default "
+                         "run's ws leg measures REAL working-set residency "
+                         "including fault latency)")
+    ap.add_argument("--legs", default="auto", choices=["auto", "none", "all"],
+                    help="extra measured legs folded into the JSON: the "
+                         "152-IR working-set serving point (the reference's "
+                         "own shipped bank) and a >512-voice cascade point. "
+                         "'auto' runs them only for the bare headline "
+                         "invocation, inside --leg-budget")
+    ap.add_argument("--ws-irs", type=int, default=152)
+    ap.add_argument("--ws-capacity", type=int, default=16)
+    ap.add_argument("--ws-faults", type=int, default=6)
+    ap.add_argument("--cascade-voices", type=int, default=1024)
+    ap.add_argument("--cascade-dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--pack-cache", default=None,
+                    help="content-addressed disk cache dir for packed bank "
+                         "tensors (default: .bench_cache beside bench.py; "
+                         "'' disables). The pack is tens of seconds of "
+                         "strided numpy on a slow host; the cache makes "
+                         "repeat runs read it sequentially instead")
+    ap.add_argument("--leg-budget", type=float, default=400.0,
+                    help="skip extra legs once this many wall seconds have "
+                         "elapsed (the driver caps the whole run at 590 s)")
     ap.add_argument("--engine", default="fmajor",
                     choices=["fmajor", "cascade"],
                     help="'cascade' = two-stage non-uniform partitioning "
@@ -251,6 +417,14 @@ def main(argv=None) -> int:
 
     import jax
     import jax.numpy as jnp
+
+    import os
+    if args.pack_cache is None:
+        args.pack_cache = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+    args.pack_cache = args.pack_cache or None
+    if args.pack_cache:
+        os.makedirs(args.pack_cache, exist_ok=True)
 
     engine, spectra, control, params, state = build(args)
     deadline = args.block / args.sample_rate
@@ -392,6 +566,37 @@ def main(argv=None) -> int:
     else:
         fade_rtf = float("nan")
 
+    # ---- extra measured legs (the flagship scaling claims) -----------------
+    legs = {}
+    legs_skipped = None
+    default_config = (args.voices == 64 and args.num_irs == 4
+                      and args.engine == "fmajor"
+                      and args.bank_capacity is None
+                      and args.ir_seconds == 4.0 and args.block == 256
+                      and args.mac_dtype == "f32")
+    want_legs = (args.legs == "all"
+                 or (args.legs == "auto" and default_config))
+    if want_legs:
+        # release the primary leg's device state before building more
+        import gc
+        del state, engine, spectra, st
+        gc.collect()
+        for name, fn in (("ws", lambda: run_ws_leg(args, make_block)),
+                         ("cascade_hv",
+                          lambda: run_cascade_leg(args, dl_ms))):
+            elapsed = time.perf_counter() - _T0
+            if elapsed > args.leg_budget:
+                legs_skipped = (f"{name}+ skipped at t+{elapsed:.0f}s "
+                                f"(budget {args.leg_budget:.0f}s)")
+                log(legs_skipped)
+                break
+            try:
+                legs[name] = fn()
+            except Exception as exc:  # noqa: BLE001 - a leg must not kill the headline
+                log(f"{name} leg FAILED: {exc!r}")
+                legs[name] = {"error": repr(exc)[:200]}
+            gc.collect()
+
     head = results["pcm16"]
     transport_bound = head["p99_ms"] > dl_ms and ms_steady < dl_ms
     log(f"deadline {dl_ms:.3f} ms | engine-true steady {ms_steady:.3f} ms "
@@ -407,7 +612,7 @@ def main(argv=None) -> int:
                   + ("" if args.mac_dtype == "f32" else f"_{args.mac_dtype}")
                   + ("" if args.engine == "fmajor" else f"_{args.engine}")
                   + ("" if args.bank_capacity is None
-                     else f"_ws{args.bank_capacity}of{args.num_irs}"),
+                     else f"_rs{args.bank_capacity}of{args.num_irs}"),
         "value": round(head["rtf"], 3),
         "unit": "x_realtime",
         "vs_baseline": round(head["rtf"], 3),
@@ -422,6 +627,8 @@ def main(argv=None) -> int:
         "engine_steady_rtf": round(dl_ms / ms_steady, 3),
         "p99_ms": round(head["p99_ms"], 3),
         "transport_bound": transport_bound,
+        "legs": legs or None,
+        "legs_skipped": legs_skipped,
     }))
     return 0
 

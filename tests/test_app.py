@@ -234,3 +234,59 @@ def test_app_cleans_rings_on_setup_failure(tmp_path, settings_env):
     # the segment must be gone: opening it again must fail
     with _pytest.raises(RuntimeError):
         native.NativeRing.open(name)
+
+
+def test_reverb_groups_heterogeneous_fft_sizes(tmp_path):
+    """Two conv pairs with DIFFERENT fftSize and different index files
+    (reference src/main.cu:31-39 builds one independent instance per pair)
+    must build two engine groups and stream: the summed output equals the
+    sum of the two single-pair models run separately on the same input."""
+    from tpu_audio.models.reverb import ConvolutionReverb, ReverbGroups
+
+    rng = np.random.default_rng(9)
+    banks = []
+    for g in range(2):
+        paths = []
+        for k in range(2):
+            ir = rng.uniform(-0.3, 0.3, (120 + 60 * g, 2)).astype(np.float32)
+            p = tmp_path / f"g{g}_ir{k}.wav"
+            write_wav(p, ir, 44100)
+            paths.append(str(p))
+        idx = tmp_path / f"g{g}.index"
+        write_index(idx, paths)
+        banks.append(str(idx))
+    lines = ["conv.count 4"]
+    for n, (fft, idx) in enumerate([(1024, banks[0]), (1024, banks[0]),
+                                    (2048, banks[1]), (2048, banks[1])]):
+        lines += [f"conv[{n}].fftSize {fft}",
+                  f"conv[{n}].maxPredelay 128",
+                  f"conv[{n}].index {idx}",
+                  f"conv[{n}].value.select {n % 2}",
+                  "conv[{}].value.dry 0.3".format(n),
+                  "conv[{}].value.wet 0.7".format(n)]
+    sfile = tmp_path / "hetero.txt"
+    sfile.write_text("\n".join(lines) + "\n")
+
+    groups = ReverbGroups.from_settings(str(sfile), block=64, verbose=False)
+    assert len(groups.models) == 2
+    assert [len(p) for p in groups.pair_ids] == [1, 1]
+    assert groups.models[0].engine.num_voices == 1
+
+    x = (rng.standard_normal((2, 64 * 12)) * 0.05).astype(np.float32)
+    total, summaries = groups.process(x, warmup=0)
+    assert len(summaries) == 2
+
+    # reference wiring: both pairs hear the same input; outputs sum
+    from tpu_audio.runtime.backends import WavSink, WavSource
+    want = None
+    for m in groups.models:
+        src = WavSource(x, num_voices=1, block=64)
+        snk = WavSink("/dev/null", keep_data=True)
+        m2_state, _ = m.process(src, snk, warmup=0,
+                                state=m.init_state())
+        out = snk.data.sum(axis=0)
+        want = out if want is None else want[..., :out.shape[-1]] + out
+    # second run of the same models continues their internal state? No:
+    # process() was given a fresh state; outputs must match exactly
+    np.testing.assert_allclose(total, want, atol=1e-6)
+    assert np.abs(total).max() > 1e-4

@@ -65,4 +65,24 @@ def test_bench_snapshotless_and_bf16(capsys):
 def test_bench_working_set_capacity(capsys):
     rec = run_bench(capsys, extra=["--num-irs", "6", "--bank-capacity", "3"])
     assert rec["value"] > 0 and np.isfinite(rec["value"])
-    assert "ws3of6" in rec["metric"]
+    assert "rs3of6" in rec["metric"]  # resident-set probe (no faults)
+
+
+def test_bench_extra_legs(capsys):
+    """--legs all on tiny shapes: the ws leg must exercise REAL faults and
+    report their latency; the cascade leg reports a steady point."""
+    rec = run_bench(capsys, extra=[
+        "--legs", "all", "--ws-irs", "6", "--ws-capacity", "3",
+        "--ws-faults", "2", "--cascade-voices", "4",
+        "--ir-seconds", "0.2", "--leg-budget", "10000"])
+    assert rec["legs"]["ws"]["faults"] == 2
+    assert rec["legs"]["ws"]["steady_ms"] > 0
+    assert rec["legs"]["ws"]["fault_ms"] > 0
+    assert rec["legs"]["cascade_hv"]["steady_ms"] > 0
+    assert rec["legs"]["cascade_hv"]["voices"] == 4
+    assert rec["legs_skipped"] is None
+
+
+def test_bench_tiny_config_skips_legs_by_default(capsys):
+    rec = run_bench(capsys)
+    assert rec["legs"] is None

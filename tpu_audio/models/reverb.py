@@ -96,7 +96,8 @@ class ConvolutionReverb:
                     backend=backend, mac_strategy=strategy, num_irs=len(bank),
                     mac_dtype=mac_dtype, swap_snapshot=swap_snapshot)
                 # device bank is a pytree of MAC-ready real layouts
-                self.spectra = self.engine.prepare_bank(spectra)
+                self.spectra = self.engine.prepare_bank(
+                    spectra, cache_dir=cache_dir)
             else:
                 self.engine = PartitionedConvolution(
                     num_voices, block, partitions, max_predelay=max_predelay,
@@ -159,7 +160,8 @@ class ConvolutionReverb:
                 num_voices, block, partitions, max_predelay=max_predelay,
                 backend=backend, mac_strategy="allk", num_irs=capacity,
                 mac_dtype=mac_dtype, swap_snapshot=swap_snapshot)
-            self.spectra = self.engine.prepare_bank(full_spectra[residents])
+            self.spectra = self.engine.prepare_bank(
+                full_spectra[residents], cache_dir=cache_dir)
             payload = lambda k: full_spectra[k: k + 1]
         else:
             raise ValueError(f"bank_capacity (working-set residency) needs "
@@ -299,3 +301,116 @@ class MultiVoiceReverbServer(ConvolutionReverb):
                  **kwargs):
         kwargs.setdefault("engine", "fmajor")
         super().__init__(bank, num_voices=num_voices, block=block, **kwargs)
+
+
+class ReverbGroups:
+    """Heterogeneous engine groups from one settings file.
+
+    The reference builds count/2 INDEPENDENT Convolution instances — each
+    pair n with its own fftSize and per-channel index files (reference
+    src/main.cu:31-39, paired fftSizes asserted equal at main.cu:36) — all
+    fed the same stereo capture ports and mixed into the same playback
+    ports by the JACK graph (main.cu:86-89, overlapping connections sum).
+    ``ConvolutionReverb.from_settings`` covers the homogeneous case (every
+    pair shares one geometry); this class covers the general one: pairs
+    are grouped by (fftSize, index files), one batched engine per DISTINCT
+    geometry (the TPU-idiomatic form of N separate instances), and
+    ``process`` streams every group over the same input and sums their
+    outputs exactly like the reference's JACK wiring.
+    """
+
+    def __init__(self, models: list[ConvolutionReverb],
+                 pair_ids: list[list[int]]):
+        self.models = models
+        self.pair_ids = pair_ids  # settings pair indices per group
+
+    @classmethod
+    def from_settings(cls, settings: Settings | str, engine: str = "fmajor",
+                      root: str | None = None,
+                      max_ir_seconds: float | None = None,
+                      verbose: bool = True, **kwargs) -> "ReverbGroups":
+        if not isinstance(settings, Settings):
+            settings = Settings().open(settings, verbose=verbose)
+        count = settings.u32("conv.count", default=2)
+        if count % 2:
+            raise ValueError("conv.count must be a multiple of 2 (main.cu:26)")
+
+        def resolve(idx_ch: int) -> str:
+            index = settings.str("conv[%d].index", idx_ch, default="")
+            if index and root and not os.path.exists(index):
+                candidate = os.path.join(root, index)
+                if os.path.exists(candidate):
+                    index = candidate
+            return index
+
+        groups: dict[tuple, list[int]] = {}
+        for n in range(count // 2):
+            fft = settings.u32("conv[%d].fftSize", 2 * n, default=131072)
+            fft2 = settings.u32("conv[%d].fftSize", 2 * n + 1, default=fft)
+            if fft != fft2:
+                raise ValueError(f"convolution pair {n} needs identical fft "
+                                 f"sizes (main.cu:36): {fft} != {fft2}")
+            key = (fft, resolve(2 * n), resolve(2 * n + 1))
+            groups.setdefault(key, []).append(n)
+
+        models, pair_ids = [], []
+        for (fft, index0, index1), pairs in groups.items():
+            bank = (IRBank.from_index(index0, root=root, verbose=verbose,
+                                      max_seconds=max_ir_seconds)
+                    if index0 else IRBank())
+            windows = [(0, len(bank))]
+            if index1 and index1 != index0:
+                bank1 = IRBank.from_index(index1, root=root, verbose=verbose,
+                                          max_seconds=max_ir_seconds)
+                offset = bank.extend(bank1)
+                windows = [(0, offset), (offset, len(bank1))]
+            max_pd = settings.u32("conv[%d].maxPredelay", 2 * pairs[0],
+                                  default=8192)
+            model = ConvolutionReverb(bank, num_voices=len(pairs),
+                                      engine=engine, fft_size=fft,
+                                      max_predelay=max_pd, **kwargs)
+            model.control.set_channel_banks(windows)
+            for voice, n in enumerate(pairs):
+                for ch in range(2):
+                    idx = 2 * n + ch
+                    model.control.set_mapping(
+                        voice, ch, CCMapping.from_settings(settings, idx))
+                    model.control.load_initial_values(settings, voice,
+                                                      ch, idx)
+            models.append(model)
+            pair_ids.append(list(pairs))
+        Log.info("reverb", "%d conv pair(s) in %d engine group(s): %s",
+                 count // 2, len(models),
+                 [(m.engine.__class__.__name__, len(p))
+                  for m, p in zip(models, pair_ids)])
+        return cls(models, pair_ids)
+
+    def process(self, x: "np.ndarray", midi: MidiSchedule | None = None,
+                max_blocks: int | None = None, **session_kwargs):
+        """Stream stereo input [2, T] through every group (same input to
+        all pairs, like the reference's capture wiring) and return the
+        SUMMED stereo output [2, T'] (the JACK playback mix) plus the
+        per-group summaries."""
+        import numpy as np
+
+        from tpu_audio.runtime.backends import WavSink, WavSource
+
+        total = None
+        summaries = []
+        for model, pairs in zip(self.models, self.pair_ids):
+            source = WavSource(np.asarray(x), num_voices=len(pairs),
+                               block=model.block)
+            sink = WavSink("/dev/null", model.sample_rate, keep_data=True)
+            midi_copy = (MidiSchedule(list(midi._events))
+                         if midi is not None else None)
+            _, summary = model.process(source, sink, midi=midi_copy,
+                                       max_blocks=max_blocks,
+                                       **session_kwargs)
+            out = sink.data.sum(axis=0)  # sum this group's pairs [2, T']
+            if total is None:
+                total = out
+            else:
+                n = min(total.shape[-1], out.shape[-1])
+                total = total[..., :n] + out[..., :n]
+            summaries.append(summary)
+        return total, summaries
