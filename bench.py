@@ -106,7 +106,8 @@ def build(args):
         engine = CascadeConvolution(
             args.voices, args.block, partitions, ratio=ratio,
             max_predelay=8192, backend=args.fft_backend,
-            num_irs=capacity or args.num_irs, mac_dtype=args.mac_dtype)
+            num_irs=capacity or args.num_irs, mac_dtype=args.mac_dtype,
+            predelay_side=getattr(args, "predelay_side", "write"))
         if capacity:
             compact = IRBank(sample_rate=sr)
             for k in range(capacity):
@@ -308,7 +309,8 @@ def run_cascade_leg(args, deadline_ms):
     ratio = _fit_cascade_ratio(16, v, partitions)
     engine = CascadeConvolution(
         v, args.block, partitions, ratio=ratio, max_predelay=8192,
-        num_irs=args.num_irs, mac_dtype=args.cascade_dtype)
+        num_irs=args.num_irs, mac_dtype=args.cascade_dtype,
+        predelay_side=getattr(args, "predelay_side", "write"))
     spectra = engine.prepare_bank(bank, cache_dir=args.pack_cache)
     control = ControlPlane(v, args.num_irs)
     control.wet[:] = 0.7
@@ -379,6 +381,11 @@ def main(argv=None) -> int:
     ap.add_argument("--ws-faults", type=int, default=6)
     ap.add_argument("--cascade-voices", type=int, default=1024)
     ap.add_argument("--cascade-dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--predelay-side", default="write",
+                    choices=["write", "read"],
+                    help="cascade head-ring predelay application (read = "
+                         "FIFO, halves the head-ring write traffic; "
+                         "documented semantics change at predelay EDITS)")
     ap.add_argument("--pack-cache", default=None,
                     help="content-addressed disk cache dir for packed bank "
                          "tensors (default: .bench_cache beside bench.py; "

@@ -408,3 +408,83 @@ def test_update_bank_slot_matches_full_prepare():
                                   np.asarray(ref.head_rhs2))
     np.testing.assert_array_equal(np.asarray(updated.tail_rhs2),
                                   np.asarray(ref.tail_rhs2))
+
+
+def test_read_side_predelay_equals_write_side_when_constant():
+    """predelay_side='read' (FIFO head ring) must equal the write-side
+    scatter EXACTLY while predelay is constant — fades, re-selects and
+    per-voice q/r mixes included. Only predelay EDITS may differ (the
+    documented skip/repeat vs gap/overlap semantics)."""
+    bank, _, _, _, _ = build()
+    p = bank.max_partitions(B)
+
+    def run(side):
+        eng = CascadeConvolution(V, B, p, ratio=M, max_predelay=MAXPD,
+                                 predelay_side=side)
+        dev = eng.prepare_bank(bank)
+        cp = control()
+        params = jax.tree.map(jnp.asarray, cp.snapshot())
+        state = eng.init_converged(dev, params)
+        step = jax.jit(eng.step_coef_indexed, donate_argnums=())
+        collapse = jax.jit(eng.collapse_pure, donate_argnums=())
+        rng = np.random.default_rng(13)
+        outs = []
+        for t in range(3 * M * M + 8):
+            if t == 7:  # mid-run re-select with a fade
+                old = cp.select.copy()
+                cp.select[:, 0] = (cp.select[:, 0] + 1) % K
+                cp.vsteps[:] = 9
+                params = jax.tree.map(jnp.asarray, cp.snapshot())
+                state = collapse(state, jnp.asarray(old),
+                                 jnp.asarray(old != cp.select), params)
+            params = jax.tree.map(jnp.asarray, cp.snapshot())
+            x = jnp.asarray(rng.standard_normal((V, 2, B))
+                            .astype(np.float32) * 0.05)
+            state, o = step(state, dev, params, x)
+            outs.append(np.asarray(o))
+            cp.end_block()
+        return np.concatenate(outs, axis=-1)
+
+    got = run("read")
+    want = run("write")
+    np.testing.assert_array_equal(got, want)
+    assert np.abs(want).max() > 1e-4
+
+
+def test_read_side_predelay_edit_retimes_buffered_wet():
+    """Documented deviation guard: after a predelay EDIT the read-side
+    FIFO re-times already-buffered wet (skip/repeat) while the write-side
+    ring keeps it at the old delay — outputs must differ transiently and
+    re-converge once the buffered window drains."""
+    bank, _, _, _, _ = build()
+    p = bank.max_partitions(B)
+
+    def run(side):
+        eng = CascadeConvolution(V, B, p, ratio=M, max_predelay=MAXPD,
+                                 predelay_side=side)
+        dev = eng.prepare_bank(bank)
+        cp = control()
+        cp.predelay[:, 0] = MAXPD  # deepest: maximum buffered window
+        params = jax.tree.map(jnp.asarray, cp.snapshot())
+        state = eng.init_converged(dev, params)
+        step = jax.jit(eng.step_coef_steady, donate_argnums=())
+        rng = np.random.default_rng(14)
+        outs = []
+        for t in range(40):
+            if t == 12:
+                cp.predelay[:, 0] = 0  # jump to zero delay
+            params = jax.tree.map(jnp.asarray, cp.snapshot())
+            x = jnp.asarray(rng.standard_normal((V, 2, B))
+                            .astype(np.float32) * 0.05)
+            state, o = step(state, dev, params, x)
+            outs.append(np.asarray(o))
+            cp.end_block()
+        return np.stack(outs)
+
+    got = run("read")
+    want = run("write")
+    nh = MAXPD // B + 2
+    np.testing.assert_array_equal(got[:12], want[:12])   # before the edit
+    assert np.abs(got[12: 12 + nh] - want[12: 12 + nh]).max() > 1e-5
+    # after the buffered window drains both sides agree again
+    np.testing.assert_allclose(got[12 + nh:], want[12 + nh:], atol=1e-6)

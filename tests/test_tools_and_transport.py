@@ -193,3 +193,46 @@ def test_cli_midi_fifo_device_spec_parsing():
         device, _, path = spec.rpartition("=")
         specs.append((device, path))
     assert specs == [("hw:2,0", "/tmp/a.fifo"), ("", "/tmp/b.fifo")]
+
+
+def test_alsa_rawmidi_path_convention(tmp_path):
+    """'hw:C,D' ids map to /dev/snd char devices (reference src/main.cu:47
+    settings convention); reading one is just MidiByteStream on a path."""
+    from tpu_audio.runtime.midi_transport import (
+        MidiByteStream, alsa_rawmidi_path, list_alsa_rawmidi,
+        open_alsa_rawmidi)
+
+    assert alsa_rawmidi_path("hw:2,0") == "/dev/snd/midiC2D0"
+    assert alsa_rawmidi_path("hw:11,3") == "/dev/snd/midiC11D3"
+    assert alsa_rawmidi_path("hw:1") == "/dev/snd/midiC1D0"
+    assert alsa_rawmidi_path("/custom/dev") == "/custom/dev"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        alsa_rawmidi_path("usb:1")
+    # discovery over a fake /dev/snd
+    (tmp_path / "midiC0D0").write_bytes(b"")
+    (tmp_path / "midiC2D1").write_bytes(b"")
+    (tmp_path / "pcmC0D0p").write_bytes(b"")
+    assert list_alsa_rawmidi(str(tmp_path)) == ["hw:0,0", "hw:2,1"]
+    assert list_alsa_rawmidi(str(tmp_path / "missing")) == []
+    # framing through a (fake) device file — same path as a real one
+    dev = tmp_path / "midiC9D0"
+    dev.write_bytes(bytes([0xB0, 0x15, 0x40, 0x16, 0x7F]))  # running status
+    stream = MidiByteStream(str(dev), device="hw:9,0")
+    events = stream.poll()
+    stream.close()
+    assert events == [("hw:9,0", bytes([0xB0, 0x15, 0x40])),
+                      ("hw:9,0", bytes([0xB0, 0x16, 0x7F]))]
+
+
+def test_jack_bridge_gating():
+    """The JACK bridge must degrade gracefully where libjack is absent
+    (this CI host) and expose its availability probe."""
+    from tpu_audio.runtime.jack_bridge import JackRingBridge, jack_available
+
+    if jack_available():  # pragma: no cover - host-dependent
+        import pytest as _pytest
+        _pytest.skip("libjack present; bridge needs a running jackd")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="libjack"):
+        JackRingBridge(None, None)

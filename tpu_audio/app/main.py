@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "on a background thread — a fault never stalls the "
                         "block loop; the select (and its crossfade) applies "
                         "on the first block the IR is actually resident")
+    p.add_argument("--predelay-side", default="write",
+                   choices=["write", "read"],
+                   help="cascade only: apply block-predelay at ring WRITE "
+                        "(reference residual semantics) or at ring READ "
+                        "(FIFO; halves head-ring traffic at high voice "
+                        "counts; predelay edits skip/repeat buffered wet)")
     p.add_argument("--cascade-ratio", type=int, default=16,
                    help="cascade engine tail stagger ratio (tail partition "
                         "size = ratio*block; auto-shrunk to fit the voice "
@@ -157,7 +163,7 @@ def main(argv=None) -> int:
         mac_dtype=args.mac_dtype, verbose=not args.quiet,
         swap_snapshot=not args.no_swap_snapshot,
         cascade_ratio=args.cascade_ratio, bank_capacity=args.bank_capacity,
-        async_paging=args.async_paging)
+        async_paging=args.async_paging, predelay_side=args.predelay_side)
 
     v, b = model.engine.num_voices, model.block
     rings = []
@@ -277,6 +283,17 @@ def _stream(args, model, rings, v, b) -> int:
               f"| rtf {s.get('rtf', 0):.2f} | missed {s['missed_deadlines']} "
               f"| underruns {s['underruns']}"
               + (f" | dropped {sink.dropped}" if hasattr(sink, "dropped") else ""))
+        # deadline-margin hint: on high-RTT host links the default f32
+        # wire can sit at the edge while the chip itself is far under
+        # budget — the 16-bit wire + batched fetches halve/amortize the
+        # transfer (BENCH r2: f32 p99 5.58 ms vs pcm16 1.24 at identical
+        # engine cost)
+        if (args.wire == "f32"
+                and s["p99_ms"] > 0.9 * session.block_period * 1e3):
+            Log.warn("app", "f32 wire p99 (%.2f ms) is within 10%% of the "
+                     "%.2f ms deadline; if the chip link is high-latency "
+                     "try --wire pcm16 --fetch-batch 16",
+                     s["p99_ms"], session.block_period * 1e3)
     if args.output:
         Log.info("app", "wrote %s", args.output)
     return 0 if s["blocks_streamed"] > 0 else 1

@@ -134,7 +134,7 @@ class CascadeConvolution:
     def __init__(self, num_voices: int, block: int, partitions: int,
                  ratio: int = 16, max_predelay: int = 8192,
                  backend: str = "auto", num_irs: int | None = None,
-                 mac_dtype: str = "f32"):
+                 mac_dtype: str = "f32", predelay_side: str = "write"):
         if num_voices % ratio:
             raise ValueError(f"{num_voices} voices not divisible by the "
                              f"stagger ratio {ratio} (one voice group's "
@@ -156,6 +156,21 @@ class CascadeConvolution:
         self.num_irs = num_irs
         if mac_dtype not in ("f32", "bf16"):
             raise ValueError(f"unknown mac_dtype {mac_dtype!r}")
+        # predelay_side="read" (opt-in, voice-scaling lever): the head wet
+        # ring becomes a plain FIFO — each block writes its pre-delay wet
+        # into TWO slots (small writes) and the emit gathers slot
+        # (t - q) mod NH per voice, instead of the write-side one-hot
+        # scatter whose add is a full ring read+WRITE pass every block
+        # (~107 MB at 1536 voices). EXACTLY equal while predelay is
+        # constant (tested); at a predelay CHANGE the semantics differ
+        # from the reference's residual buffer (src/conv.cu:89-100):
+        # write-side keeps already-scattered wet at its old delay (new
+        # content gaps/overlaps), read-side re-times the buffered wet too
+        # (a skip/repeat of up to maxPredelay). Both are click-bounded;
+        # the default stays reference-faithful.
+        if predelay_side not in ("write", "read"):
+            raise ValueError(f"unknown predelay_side {predelay_side!r}")
+        self.predelay_side = predelay_side
         self.mac_dtype = jnp.float32 if mac_dtype == "f32" else jnp.bfloat16
         self._mac_prec = (jax.lax.Precision.HIGH if mac_dtype == "f32"
                           else jax.lax.Precision.DEFAULT)
@@ -426,15 +441,38 @@ class CascadeConvolution:
         emit_h = jax.lax.rem(t, jnp.int32(nh))
         slots = jnp.arange(nb)[None, :]
         slots_h = jnp.arange(nh)[None, :]
-        oh_q = (slots_h == jax.lax.rem(t + q, jnp.int32(nh))[:, None]
-                ).astype(jnp.float32)
-        oh_q1 = (slots_h == jax.lax.rem(t + q + 1, jnp.int32(nh))[:, None]
-                 ).astype(jnp.float32)
-        ring = (state.wet_ring + jnp.einsum("vn,vob->vnob", oh_q, head_main)
-                + jnp.einsum("vn,vob->vnob", oh_q1, head_tail))
-        head_now = jax.lax.dynamic_slice_in_dim(ring, emit_h, 1, axis=1)[:, 0]
-        ring = ring * (jnp.arange(nh) != emit_h
-                       ).astype(jnp.float32)[None, :, None, None]
+        if self.predelay_side == "read":
+            # FIFO: slot t holds tail_{t-1} + main_t (two SMALL writes; the
+            # t+1 write overwrites a slot whose content is provably dead,
+            # NH = maxq + 2); the per-voice delay applies at EMIT via a
+            # one-hot gather — no full-ring write pass (see __init__)
+            s0 = jax.lax.rem(t, jnp.int32(nh))
+            s1 = jax.lax.rem(t + 1, jnp.int32(nh))
+            cur = jax.lax.dynamic_slice_in_dim(
+                state.wet_ring, s0, 1, axis=1)[:, 0]
+            ring = jax.lax.dynamic_update_slice(
+                state.wet_ring, (cur + head_main)[:, None], (0, s0, 0, 0))
+            ring = jax.lax.dynamic_update_slice(
+                ring, head_tail[:, None], (0, s1, 0, 0))
+            # + nh keeps the argument non-negative (lax.rem truncates):
+            # t - q >= -(nh - 2) at startup, and t_modulus % nh == 0 keeps
+            # the index continuous across the counter wrap
+            oh_emit = (slots_h == jax.lax.rem(t - q + jnp.int32(nh),
+                                              jnp.int32(nh))[:, None]
+                       ).astype(jnp.float32)
+            head_now = jnp.einsum("vn,vnob->vob", oh_emit, ring)
+        else:
+            oh_q = (slots_h == jax.lax.rem(t + q, jnp.int32(nh))[:, None]
+                    ).astype(jnp.float32)
+            oh_q1 = (slots_h == jax.lax.rem(t + q + 1, jnp.int32(nh))[:, None]
+                     ).astype(jnp.float32)
+            ring = (state.wet_ring
+                    + jnp.einsum("vn,vob->vnob", oh_q, head_main)
+                    + jnp.einsum("vn,vob->vnob", oh_q1, head_tail))
+            head_now = jax.lax.dynamic_slice_in_dim(
+                ring, emit_h, 1, axis=1)[:, 0]
+            ring = ring * (jnp.arange(nh) != emit_h
+                           ).astype(jnp.float32)[None, :, None, None]
 
         # ---- tail stage: one voice group's chunk ----
         # STRIDED groups (voice i -> group i % m): slice group g as axis 1

@@ -51,7 +51,7 @@ class ConvolutionReverb:
                  backend: str = "auto", cache_dir: str | None = None,
                  mac_dtype: str = "f32", swap_snapshot: bool = True,
                  cascade_ratio: int = 16, bank_capacity: int | None = None,
-                 async_paging: bool = False):
+                 async_paging: bool = False, predelay_side: str = "write"):
         self.bank = bank
         self.block = block
         self.sample_rate = sample_rate
@@ -74,7 +74,8 @@ class ConvolutionReverb:
             self.engine = CascadeConvolution(
                 num_voices, block, partitions, ratio=ratio,
                 max_predelay=max_predelay, backend=backend,
-                num_irs=len(bank), mac_dtype=mac_dtype)
+                num_irs=len(bank), mac_dtype=mac_dtype,
+                predelay_side=predelay_side)
             self.spectra = self.engine.prepare_bank(bank,
                                                     cache_dir=cache_dir)
         elif engine in ("fmajor", "partitioned"):

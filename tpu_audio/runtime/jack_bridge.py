@@ -1,0 +1,204 @@
+"""Optional JACK audio bridge (ctypes, no build-time dependency).
+
+Capability equivalent of the reference's JackClient base class (reference
+src/jackclient.h:10-63, src/jackclient.cu:24-55): open a client against a
+running jackd, register stereo in/out ports, and move blocks between the
+JACK process callback and the engine. The TPU-native serving design keeps
+the engine OUT of the audio callback (the callback must return in
+microseconds; a TPU step is dispatched asynchronously from the session
+loop), so this bridge adapts JACK to the same lock-free shm rings the
+session already serves (csrc/blockio.cpp via runtime.native):
+
+    jackd RT thread --process_cb--> input NativeRing --> StreamSession
+    StreamSession --> output NativeRing --process_cb--> jackd RT thread
+
+Run the bridge in its own process (`python -m tpu_audio.runtime.jack_bridge
+--in-ring tpu_in --out-ring tpu_out`) next to a session started with
+``--input-ring tpu_in --output-ring tpu_out`` — the same topology as the
+three-process live-path test (tests/test_live_path.py), with jackd taking
+the producer/consumer role.
+
+Honesty note: the ctypes process callback re-enters Python and therefore
+acquires the GIL — fine for a bridge host whose only job is two memcpys
+per period, but not hard-RT-proof under arbitrary Python load; a C
+implementation of just this file is the production hardening step. This
+environment has no JACK server or library, so the bridge is gated on
+``jack_available()`` and exercised only for its pure-Python parts in CI.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+
+import numpy as np
+
+from tpu_audio.utils.log import Log
+
+_JACK_DEFAULT_AUDIO_TYPE = b"32 bit float mono audio"
+_JackPortIsInput = 0x1
+_JackPortIsOutput = 0x2
+_JackNoStartServer = 0x01
+
+
+def _load_libjack():
+    name = ctypes.util.find_library("jack")
+    if not name:
+        return None
+    try:
+        lib = ctypes.CDLL(name)
+    except OSError:
+        return None
+    lib.jack_client_open.restype = ctypes.c_void_p
+    lib.jack_client_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                     ctypes.c_void_p]
+    lib.jack_port_register.restype = ctypes.c_void_p
+    lib.jack_port_register.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                       ctypes.c_char_p, ctypes.c_ulong,
+                                       ctypes.c_ulong]
+    lib.jack_port_get_buffer.restype = ctypes.POINTER(ctypes.c_float)
+    lib.jack_port_get_buffer.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+    lib.jack_get_sample_rate.restype = ctypes.c_uint32
+    lib.jack_get_sample_rate.argtypes = [ctypes.c_void_p]
+    lib.jack_get_buffer_size.restype = ctypes.c_uint32
+    lib.jack_get_buffer_size.argtypes = [ctypes.c_void_p]
+    lib.jack_set_process_callback.argtypes = [ctypes.c_void_p,
+                                              ctypes.c_void_p,
+                                              ctypes.c_void_p]
+    lib.jack_activate.argtypes = [ctypes.c_void_p]
+    lib.jack_deactivate.argtypes = [ctypes.c_void_p]
+    lib.jack_client_close.argtypes = [ctypes.c_void_p]
+    lib.jack_connect.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                 ctypes.c_char_p]
+    return lib
+
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def jack_available() -> bool:
+    """True when libjack is loadable on this host (a running jackd is
+    additionally required to actually open a client)."""
+    global _LIB, _LIB_TRIED
+    if not _LIB_TRIED:
+        _LIB_TRIED = True
+        _LIB = _load_libjack()
+    return _LIB is not None
+
+
+_PROCESS_CB = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_uint32,
+                               ctypes.c_void_p)
+
+
+class JackRingBridge:
+    """JACK client that bridges stereo audio to/from two NativeRings.
+
+    Underrun policy matches the session's live semantics: if the output
+    ring is dry the callback emits silence (the session's reverb tail
+    resumes when it catches up); if the input ring is full the oldest
+    data is dropped (the reference's JACK client, being synchronous,
+    could never fall behind — a tunneled TPU can).
+    """
+
+    def __init__(self, in_ring, out_ring, name: str = "tpu_audio",
+                 server_may_start: bool = False):
+        if not jack_available():
+            raise RuntimeError("libjack not found on this host")
+        self.lib = _LIB
+        self.in_ring = in_ring
+        self.out_ring = out_ring
+        flags = 0 if server_may_start else _JackNoStartServer
+        self.client = self.lib.jack_client_open(name.encode(), flags, None)
+        if not self.client:
+            raise RuntimeError(
+                "jack_client_open failed (is jackd running?)")
+        self.sample_rate = self.lib.jack_get_sample_rate(self.client)
+        self.block = self.lib.jack_get_buffer_size(self.client)
+        self.ports_in = [self.lib.jack_port_register(
+            self.client, f"in_{i}".encode(), _JACK_DEFAULT_AUDIO_TYPE,
+            _JackPortIsInput, 0) for i in range(2)]
+        self.ports_out = [self.lib.jack_port_register(
+            self.client, f"out_{i}".encode(), _JACK_DEFAULT_AUDIO_TYPE,
+            _JackPortIsOutput, 0) for i in range(2)]
+        self.underruns = 0
+        # keep a reference: ctypes callbacks are garbage-collected
+        # otherwise (a classic segfault)
+        self._cb = _PROCESS_CB(self._process)
+        self.lib.jack_set_process_callback(self.client, self._cb, None)
+        Log.info("jack", "client '%s': %d Hz, %d frames/period",
+                 name, self.sample_rate, self.block)
+
+    # the JACK RT thread calls this once per period
+    def _process(self, nframes: int, _arg) -> int:
+        try:
+            frames = int(nframes)
+            # capture -> input ring (interleave [2, B] -> flat f32)
+            ins = np.empty((2, frames), np.float32)
+            for i, port in enumerate(self.ports_in):
+                buf = self.lib.jack_port_get_buffer(port, nframes)
+                ins[i] = np.ctypeslib.as_array(buf, shape=(frames,))
+            self.in_ring.write(ins.ravel())
+            # output ring -> playback (silence on underrun)
+            out = self.out_ring.read(2 * frames)
+            if out is None:
+                out = np.zeros(2 * frames, np.float32)
+                self.underruns += 1
+            out = out.reshape(2, frames)
+            for i, port in enumerate(self.ports_out):
+                buf = self.lib.jack_port_get_buffer(port, nframes)
+                np.ctypeslib.as_array(buf, shape=(frames,))[:] = out[i]
+            return 0
+        except Exception:  # pragma: no cover - never raise into the RT thread
+            return 1
+
+    def start(self, connect_system: bool = True) -> None:
+        if self.lib.jack_activate(self.client):
+            raise RuntimeError("jack_activate failed")
+        if connect_system:
+            # reference wiring: system capture -> ins, outs -> playback
+            # (src/main.cu:86-89); failures are non-fatal, like the
+            # reference's unchecked jack_connect calls
+            for i in range(2):
+                self.lib.jack_connect(
+                    self.client, f"system:capture_{i + 1}".encode(),
+                    f"tpu_audio:in_{i}".encode())
+                self.lib.jack_connect(
+                    self.client, f"tpu_audio:out_{i}".encode(),
+                    f"system:playback_{i + 1}".encode())
+
+    def stop(self) -> None:
+        self.lib.jack_deactivate(self.client)
+        self.lib.jack_client_close(self.client)
+
+
+def main(argv=None) -> int:
+    """Bridge process entry point (see module docstring)."""
+    import argparse
+    import time
+
+    from tpu_audio.runtime.native import NativeRing
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--in-ring", required=True,
+                    help="shm ring name the session reads input from")
+    ap.add_argument("--out-ring", required=True,
+                    help="shm ring name the session writes output to")
+    ap.add_argument("--name", default="tpu_audio")
+    args = ap.parse_args(argv)
+    bridge = JackRingBridge(NativeRing.open(args.in_ring),
+                            NativeRing.open(args.out_ring), name=args.name)
+    bridge.start()
+    try:
+        while True:
+            time.sleep(1.0)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        bridge.stop()
+        Log.info("jack", "bridge stopped (%d underruns)", bridge.underruns)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

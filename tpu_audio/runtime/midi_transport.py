@@ -94,3 +94,50 @@ class MultiMidiStream:
     def close(self) -> None:
         for stream in self.streams:
             stream.close()
+
+
+# -- ALSA rawmidi convenience -------------------------------------------------
+#
+# The reference opens ALSA rawmidi devices by id ("hw:2,0") through
+# libasound (reference src/midi.cu:61-86). On Linux those devices are
+# plain character files (/dev/snd/midiC<card>D<dev>) that MidiByteStream
+# already reads non-blockingly — no libasound needed for READING, which is
+# all the reference ever does (its send() is declared but unimplemented,
+# src/midi.h:35).
+
+def alsa_rawmidi_path(device_id: str) -> str:
+    """'hw:2,0' (reference settings convention, src/main.cu:47) ->
+    '/dev/snd/midiC2D0'. Accepts 'hw:C' (device 0) and passes through
+    paths that already point at a device file."""
+    if device_id.startswith("/"):
+        return device_id
+    if not device_id.startswith("hw:"):
+        raise ValueError(f"not an ALSA rawmidi id: {device_id!r}")
+    parts = device_id[3:].split(",")
+    card = int(parts[0])
+    dev = int(parts[1]) if len(parts) > 1 else 0
+    return f"/dev/snd/midiC{card}D{dev}"
+
+
+def list_alsa_rawmidi(dev_dir: str = "/dev/snd") -> list[str]:
+    """Rawmidi device ids present on this host ('hw:C,D' form)."""
+    import re
+
+    ids = []
+    try:
+        names = sorted(os.listdir(dev_dir))
+    except OSError:
+        return []
+    for name in names:
+        m = re.fullmatch(r"midiC(\d+)D(\d+)", name)
+        if m:
+            ids.append(f"hw:{m.group(1)},{m.group(2)}")
+    return ids
+
+
+def open_alsa_rawmidi(device_id: str, **kwargs) -> MidiByteStream:
+    """A MidiByteStream over a real ALSA rawmidi device ('hw:2,0'). The
+    returned stream plugs into StreamSession(live_midi=...) and frames
+    with running status exactly like the reference's reader thread."""
+    return MidiByteStream(alsa_rawmidi_path(device_id),
+                          device=device_id, **kwargs)
