@@ -519,7 +519,8 @@ def test_cascade_shard_validation():
 
 
 @requires_8
-@pytest.mark.parametrize("engine_kind", ["fmajor", "cascade"])
+@pytest.mark.parametrize("engine_kind", ["fmajor", "fmajor-async",
+                                         "cascade"])
 def test_mesh_session_matches_single_device(engine_kind, tmp_path):
     """StreamSession(mesh=...) must serve bit-compatible audio with the
     single-device session THROUGH the full runtime: MIDI re-selects
@@ -544,9 +545,10 @@ def test_mesh_session_matches_single_device(engine_kind, tmp_path):
 
     def run(mesh, ckpt=None, resume_from=None):
         kwargs = dict(num_voices=V, block=B, max_predelay=64,
-                      engine=engine_kind)
-        if engine_kind == "fmajor":
+                      engine=engine_kind.split("-")[0])
+        if engine_kind.startswith("fmajor"):
             kwargs["bank_capacity"] = 4  # exercise a working-set fault
+            kwargs["async_paging"] = engine_kind.endswith("async")
         if engine_kind == "cascade":
             kwargs["cascade_ratio"] = 2
         model = ConvolutionReverb(bank, **kwargs)
@@ -574,7 +576,7 @@ def test_mesh_session_matches_single_device(engine_kind, tmp_path):
 
     # cascade shards voice groups: 8 voices / ratio 2 -> 2 voices per
     # shard minimum, so a 4-device mesh; fmajor takes the full 8
-    mesh = make_mesh(8 if engine_kind == "fmajor" else 4, part=1)
+    mesh = make_mesh(4 if engine_kind == "cascade" else 8, part=1)
     got, _ = run(mesh)
     want, _ = run(None)
     np.testing.assert_allclose(got, want, atol=2e-6)

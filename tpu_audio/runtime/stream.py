@@ -314,7 +314,11 @@ class StreamSession:
             state_sh, _, _, _ = pm.partitioned_shardings(mesh, engine)
             self._place_state = lambda st: jax.device_put(st, state_sh)
             self._place_bank = lambda b: pm.place_bank(b, mesh)
-        self.bank = self._place_bank(self.bank)
+        # bank placement is deferred to run() start so bank-owning
+        # subsystems (the working set's on_bank_pinned adoption) — wired
+        # by the model AFTER this constructor — see the placed bank and
+        # key their slot-update executables by its mesh formats
+        self._mesh_bank_placed = False
 
     # -- coef-engine hooks ---------------------------------------------------------
 
@@ -525,6 +529,11 @@ class StreamSession:
             # (re-)place the state on the mesh: fresh inits and checkpoint-
             # restored host states alike land on the serving shardings
             state = self._place_state(state)
+            if not self._mesh_bank_placed:
+                self._mesh_bank_placed = True
+                self.bank = self._place_bank(self.bank)
+                if getattr(self, "on_bank_pinned", None) is not None:
+                    self.on_bank_pinned(self.bank)
         if self._is_coef:
             # resync the analytic coef mirrors from the (possibly restored-
             # from-checkpoint) state so a mid-crossfade resume keeps using
