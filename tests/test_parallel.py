@@ -589,3 +589,39 @@ def test_mesh_session_matches_single_device(engine_kind, tmp_path):
     resumed, _ = run(mesh, resume_from=str(ckpt))
     n_resumed = resumed.shape[-1]
     np.testing.assert_allclose(resumed, full[..., -n_resumed:], atol=2e-6)
+
+
+@requires_8
+@pytest.mark.skipif(not __import__("os").environ.get("TPU_AUDIO_SLOW_TESTS"),
+                    reason="~4 min CPU compile; set TPU_AUDIO_SLOW_TESTS=1")
+def test_cascade_2048v_two_shard_step():
+    """The beyond-single-chip claim: 2048 voices run as a two-shard
+    communication-free cascade (single-chip 2048v x 4 s bf16 measured RTF
+    0.5-0.7 — past the roofline; two shards of the voice shard_map carry
+    it). Validates the sharding compiles + executes at the REAL voice
+    count (IRs shortened: the schedule/sharding is length-invariant)."""
+    from tpu_audio.engine.cascade import CascadeConvolution
+    from tpu_audio.parallel.mesh import (make_mesh, place_cascade,
+                                         shard_cascade_step)
+
+    rng = np.random.default_rng(0)
+    bank = IRBank()
+    for _ in range(2):
+        bank.append(rng.standard_normal((2, 22050)).astype(np.float32) * 0.2)
+    p = bank.max_partitions(256)
+    eng = CascadeConvolution(2048, 256, p, ratio=16, max_predelay=8192,
+                             num_irs=2, mac_dtype="bf16")
+    dev = eng.prepare_bank(bank)
+    cp = ControlPlane(2048, 2)
+    cp.wet[:] = 0.7
+    cp.dry[:] = 0.2
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+    mesh = make_mesh(2, part=1)
+    state, bank_s = place_cascade(eng.init_converged(dev, params), dev, mesh)
+    step = shard_cascade_step(eng, mesh, mode="steady", donate=False)
+    x = jnp.asarray(rng.standard_normal((2048, 2, 256))
+                    .astype(np.float32) * 0.05)
+    state, out = step(state, bank_s, params, x)
+    out = np.asarray(out)
+    assert out.shape == (2048, 2, 256) and np.isfinite(out).all()
+    assert np.abs(out).max() > 1e-3

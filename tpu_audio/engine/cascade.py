@@ -456,11 +456,13 @@ class CascadeConvolution:
                 ring, head_tail[:, None], (0, s1, 0, 0))
             # + nh keeps the argument non-negative (lax.rem truncates):
             # t - q >= -(nh - 2) at startup, and t_modulus % nh == 0 keeps
-            # the index continuous across the counter wrap
-            oh_emit = (slots_h == jax.lax.rem(t - q + jnp.int32(nh),
-                                              jnp.int32(nh))[:, None]
-                       ).astype(jnp.float32)
-            head_now = jnp.einsum("vn,vnob->vob", oh_emit, ring)
+            # the index continuous across the counter wrap. The per-voice
+            # emit is a masked VPU reduce over the slot axis — an einsum
+            # against the one-hot lowers to V tiny [1,NH]x[NH,2B] matvecs
+            # (MXU pass-bound: measured +23% at 2048v)
+            emit_slot = jax.lax.rem(t - q + jnp.int32(nh), jnp.int32(nh))
+            mask = (slots_h == emit_slot[:, None])[:, :, None, None]
+            head_now = jnp.sum(jnp.where(mask, ring, 0.0), axis=1)
         else:
             oh_q = (slots_h == jax.lax.rem(t + q, jnp.int32(nh))[:, None]
                     ).astype(jnp.float32)
