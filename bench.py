@@ -392,7 +392,39 @@ def run_mono_leg(args, deadline_ms):
     return leg
 
 
+PARTIAL: dict = {}
+
+
+def _install_partial_json_handler() -> None:
+    """The tunnel's remote compile service occasionally wedges and a jit
+    call blocks forever; the driver then SIGTERMs the run at its budget.
+    Emit a JSON line with whatever WAS measured instead of dying silent —
+    a partial record beats an empty BENCH file. (Round 2 lost its 152-IR
+    evidence to exactly this failure mode.)"""
+    import signal
+
+    def emit(signum, frame):
+        rec = {"metric": PARTIAL.get("metric", "rtf_64voices_4sIR_44k256"),
+               "value": PARTIAL.get("value", 0.0),
+               "unit": "x_realtime",
+               "vs_baseline": PARTIAL.get("value", 0.0),
+               "partial": True,
+               "error": f"killed by signal {signum} at "
+                        f"t+{time.perf_counter() - _T0:.0f}s (wedged remote "
+                        f"compile is the known cause)"}
+        rec.update({k: v for k, v in PARTIAL.items() if k != "value"})
+        print(json.dumps(rec), flush=True)
+        raise SystemExit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, emit)
+        except (ValueError, OSError):  # non-main thread / exotic platform
+            pass
+
+
 def main(argv=None) -> int:
+    _install_partial_json_handler()
     ap = argparse.ArgumentParser()
     ap.add_argument("--voices", type=int, default=64)
     ap.add_argument("--block", type=int, default=256)
@@ -472,6 +504,19 @@ def main(argv=None) -> int:
     args.pack_cache = args.pack_cache or None
     if args.pack_cache:
         os.makedirs(args.pack_cache, exist_ok=True)
+        # persistent XLA compilation cache: the tunnel's remote compile
+        # service hangs entire runs on bad days (observed 50% of runs,
+        # trivial compiles at 300 s); a pre-warmed disk cache lets repeat
+        # runs skip it (verified supported on this backend)
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.join(args.pack_cache, "xla"))
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.0)
+        except Exception as exc:  # noqa: BLE001 - cache is best-effort
+            log(f"compilation cache unavailable: {exc!r}")
 
     engine, spectra, control, params, state = build(args)
     deadline = args.block / args.sample_rate
@@ -564,6 +609,8 @@ def main(argv=None) -> int:
         f"steady {ms_steady:.3f} (RTF {dl_ms / ms_steady:.2f}) | "
         f"fade-indexed {ms_fidx:.3f} (RTF {dl_ms / ms_fidx:.2f}) | "
         f"fade-general {ms_fgen:.3f} (RTF {dl_ms / ms_fgen:.2f})")
+    PARTIAL.update(engine_steady_ms=round(ms_steady, 3),
+                   engine_steady_rtf=round(dl_ms / ms_steady, 3))
 
     # ---- end-to-end serving throughput -------------------------------------
     from tpu_audio.utils.wire import decode_pcm16, encode_pcm16
@@ -601,6 +648,9 @@ def main(argv=None) -> int:
             blocks=int(times.size * T),
         )
         log(f"e2e {wire}: {results[wire]}")
+        if wire == "pcm16":
+            PARTIAL.update(value=round(results[wire]["rtf"], 3),
+                           p99_ms=round(results[wire]["p99_ms"], 3))
 
     # mid-crossfade end-to-end (span fade = the production fade path)
     if has_indexed:
@@ -646,6 +696,7 @@ def main(argv=None) -> int:
             except Exception as exc:  # noqa: BLE001 - a leg must not kill the headline
                 log(f"{name} leg FAILED: {exc!r}")
                 legs[name] = {"error": repr(exc)[:200]}
+            PARTIAL["legs"] = dict(legs)
             gc.collect()
 
     head = results["pcm16"]
