@@ -552,6 +552,14 @@ def test_mesh_session_matches_single_device(engine_kind, tmp_path):
         if engine_kind == "cascade":
             kwargs["cascade_ratio"] = 2
         model = ConvolutionReverb(bank, **kwargs)
+        ws = getattr(model, "working_set", None)
+        if ws is not None and ws.async_paging:
+            # publish timing is worker-thread-scheduled; pin it so the
+            # deferred select lands at the same block in every run (what's
+            # under test is mesh x bank-publish, not scheduling jitter —
+            # test_working_set.py covers the free-running timing semantics)
+            hook = model.control.block_hooks.index(ws.poll)
+            model.control.block_hooks[hook] = ws.drain
         model.control.wet[:] = 0.8
         model.control.dry[:] = 0.1
         model.control.speed[:] = 6

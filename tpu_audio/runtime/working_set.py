@@ -307,6 +307,18 @@ class WorkingSetBank:
                     del self._deferred_target[(v, c)]
                     self.control.set_select(v, c, rec["full"])
 
+    def drain(self, timeout: float | None = None) -> None:
+        """Block until every in-flight background upload has completed,
+        then publish them all (async mode; no-op otherwise). Deterministic
+        sync point for checkpointing/shutdown — and for tests that need
+        the publish block to be schedule-independent."""
+        for rec in list(self._pending_order):
+            if not rec["ready"].wait(timeout):
+                raise TimeoutError(
+                    f"pending IR {rec['full']} upload did not complete "
+                    f"within {timeout} s")
+        self.poll()
+
     def close(self) -> None:
         """Stop the background pager thread (async mode)."""
         if self._worker is not None:
