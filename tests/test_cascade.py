@@ -173,6 +173,49 @@ def test_fade_converges_to_uniform(vsteps, bound, check_settle):
                                    atol=3e-5)
 
 
+def test_tail_mac_mxu_matches_vpu():
+    """The MXU dot_general tail-MAC lowering (auto-selected at large Vg,
+    forced here at test shapes) must agree with the VPU reduce form at
+    f32 steady tolerance, through a mid-run span collapse + crossfade.
+    Same math, different units — this guards the dimension numbers and
+    the transpose back to the frequency-minor layout."""
+    bank, cas, cas_bank, fm, fm_bank = build()
+    assert cas.tail_mac == "vpu"        # auto picks VPU at Vg*I = 2 rows
+    cas_m = CascadeConvolution(V, B, cas.partitions, ratio=M,
+                               max_predelay=MAXPD, tail_mac="mxu")
+    assert cas_m.tail_mac == "mxu"
+    cas_m_bank = cas_m.prepare_bank(bank)
+    rng = np.random.default_rng(7)
+    xs = [rng.standard_normal((V, 2, B)).astype(np.float32) * 0.05
+          for _ in range(72)]
+
+    def run(engine, bank_d):
+        cp = control()
+        params = jax.tree.map(jnp.asarray, cp.snapshot())
+        state = engine.init_converged(bank_d, params)
+        step = jax.jit(engine.step_coef_indexed, donate_argnums=())
+        cpure = jax.jit(engine.collapse_pure, donate_argnums=())
+        outs = []
+        for t, x in enumerate(xs):
+            if t == 8:
+                old = cp.select.copy()
+                cp.select[:] = (cp.select + 1) % K
+                cp.vsteps[:] = 24
+                state = cpure(state, jnp.asarray(old),
+                              jnp.asarray(np.ones_like(old, bool)),
+                              jax.tree.map(jnp.asarray, cp.snapshot()))
+            params = jax.tree.map(jnp.asarray, cp.snapshot())
+            state, o = step(state, bank_d, params, jnp.asarray(x))
+            outs.append(np.asarray(o))
+            cp.end_block()
+        return np.concatenate(outs, axis=-1)
+
+    got = run(cas_m, cas_m_bank)
+    want = run(cas, cas_bank)
+    np.testing.assert_allclose(got, want, atol=3e-5)
+    assert np.abs(want).max() > 1e-3
+
+
 def test_predelay_change_transient_bounded_then_exact():
     """Mid-stream predelay changes: both engines scatter at WRITE time
     (reference src/conv.cu:411), but the cascade's in-flight tail chunks

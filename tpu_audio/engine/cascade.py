@@ -134,7 +134,8 @@ class CascadeConvolution:
     def __init__(self, num_voices: int, block: int, partitions: int,
                  ratio: int = 16, max_predelay: int = 8192,
                  backend: str = "auto", num_irs: int | None = None,
-                 mac_dtype: str = "f32", predelay_side: str = "write"):
+                 mac_dtype: str = "f32", predelay_side: str = "write",
+                 tail_mac: str = "auto"):
         if num_voices % ratio:
             raise ValueError(f"{num_voices} voices not divisible by the "
                              f"stagger ratio {ratio} (one voice group's "
@@ -174,6 +175,21 @@ class CascadeConvolution:
         self.mac_dtype = jnp.float32 if mac_dtype == "f32" else jnp.bfloat16
         self._mac_prec = (jax.lax.Precision.HIGH if mac_dtype == "f32"
                           else jax.lax.Precision.DEFAULT)
+        # tail MAC lowering: the (d, q) contraction can run as a VPU
+        # broadcast-multiply+reduce (F2 rides the lanes) or as an MXU
+        # dot_general batched over F2 ([Vg*I, d*q] @ [d*q, K4] per bin).
+        # The MXU form is pass-bound at small Vg (Vg*I rows rattle in a
+        # 128-row tile x 4097 batches) but wins 2.2x once the rows fill
+        # the tile: measured 2048v bf16 isolated 7.26 -> 3.24 ms
+        # (examples/probe_tail_mac.py, 2026-08-17, same session). "auto"
+        # picks MXU when Vg*I >= 128. It is also MORE accurate in bf16:
+        # the MXU takes exact bf16 products into an f32 accumulator while
+        # the VPU form rounds each product to bf16 before the reduce.
+        if tail_mac not in ("auto", "vpu", "mxu"):
+            raise ValueError(f"unknown tail_mac {tail_mac!r}")
+        vg_rows = (num_voices // ratio) * 2
+        self.tail_mac = (tail_mac if tail_mac != "auto"
+                         else ("mxu" if vg_rows >= 128 else "vpu"))
         self.xf1 = SpectralTransform(2 * block, backend=backend)
         self.xf2 = SpectralTransform(2 * self.b2, backend=backend)
         self.f1 = self.xf1.num_bins
@@ -522,27 +538,43 @@ class CascadeConvolution:
         old_col = jax.lax.dynamic_slice(
             state.fdl2, (g, 0, 0, 0, w2, 0), (1, vg, 2, 2, 1, self.f2)
         ).reshape(vg, 2, 2, 1, self.f2)
-        # frequency-minor MAC: contract the small (d, q) axes as a fused
-        # broadcast-multiply + reduce with F2 riding the vector lanes
-        # (a dot_general here would batch 4097 tiny MXU matmuls — pass-
-        # bound; see CascadeBank docstring)
+        # tail MAC: contract the small (d, q) axes, either on the VPU
+        # (fused broadcast-multiply + reduce, F2 riding the lanes) or on
+        # the MXU (dot_general batched over F2) — chosen by self.tail_mac
+        # (auto: MXU once Vg*I rows fill a 128-row tile)
         rhs = jax.lax.dynamic_slice_in_dim(
             bank.tail_rhs2, self.pp2 - w2, self.pp2, axis=1)
         k4 = bank.tail_rhs2.shape[2]
         # window column w2 pairs the fresh slot with partition 0; in the
         # doubled-reversed tensor that's the STATIC index pp2
         rhs_col = bank.tail_rhs2[:, self.pp2: self.pp2 + 1]
-        # products in mac_dtype, accumulation forced to f32 via the reduce
-        # dtype — explicit astype on the 100+ MB operands materializes an
-        # upcast copy of the whole group slice in the bf16 configuration
-        m2 = jnp.sum(
-            old_g[:, :, :, :, None, :]                    # [Vg,I,d,q,1,F2]
-            * rhs[None, None],                            # [1,1,d,q,K4,F2]
-            axis=(2, 3), dtype=jnp.float32)               # [Vg, I, K4, F2]
         delta = xn2c.reshape(vg, 2, 2, 1, self.f2) - old_col
-        m2 = m2 + jnp.sum(
-            delta[:, :, :, :, None, :] * rhs_col[None, None],
-            axis=(2, 3), dtype=jnp.float32)
+        if self.tail_mac == "mxu":
+            # MXU form (large Vg): batch F2, contract (d, q) as two dot
+            # dims — [Vg,I,d,q,F2] x [d,q,K4,F2] -> [F2,Vg,I,K4], then
+            # transpose back to the engine's frequency-minor layout.
+            # 2.2x over the VPU reduce at 2048v bf16 and exact-product
+            # accurate (see __init__ tail_mac comment).
+            dn = (((2, 3), (0, 1)), ((4,), (3,)))
+            m2 = jax.lax.dot_general(
+                old_g, rhs, dn, precision=self._mac_prec,
+                preferred_element_type=jnp.float32)       # [F2,Vg,I,K4]
+            m2 = m2 + jax.lax.dot_general(
+                delta, rhs_col, dn, precision=self._mac_prec,
+                preferred_element_type=jnp.float32)
+            m2 = jnp.transpose(m2, (1, 2, 3, 0))          # [Vg, I, K4, F2]
+        else:
+            # VPU form (small Vg): products in mac_dtype, accumulation
+            # forced to f32 via the reduce dtype — explicit astype on the
+            # 100+ MB operands materializes an upcast copy of the whole
+            # group slice in the bf16 configuration
+            m2 = jnp.sum(
+                old_g[:, :, :, :, None, :]                # [Vg,I,d,q,1,F2]
+                * rhs[None, None],                        # [1,1,d,q,K4,F2]
+                axis=(2, 3), dtype=jnp.float32)           # [Vg, I, K4, F2]
+            m2 = m2 + jnp.sum(
+                delta[:, :, :, :, None, :] * rhs_col[None, None],
+                axis=(2, 3), dtype=jnp.float32)
         m2 = m2.reshape(vg, 2, k4 // 4, 2, 2, self.f2)    # [Vg,I,K,O,d,F2]
 
         sel_g = group(params.select)
