@@ -37,6 +37,12 @@ def main() -> int:
     ap.add_argument("--cache-dir", default=None)
     ap.add_argument("--skip-timing", action="store_true",
                     help="compile + memory analysis only")
+    ap.add_argument("--stage-breakdown", action="store_true",
+                    help="time full/head/tail variants interleaved in one "
+                         "session (weather-immune comparison)")
+    ap.add_argument("--stages", default=None,
+                    help="comma list (head,tail): time a stage subset in "
+                         "isolation (diagnostic; see CascadeConvolution._step)")
     args = ap.parse_args()
 
     import jax
@@ -72,16 +78,23 @@ def main() -> int:
             for _ in range(4)]
     make_block = lambda t: pool[t % len(pool)]
 
+    if args.stages:
+        stage_set = tuple(args.stages.split(","))
+        step_fn = lambda st, bk, pr, xb: engine._step(  # noqa: E731
+            st, bk, pr, xb, with_base=False, stages=stage_set)
+    else:
+        step_fn = engine.step_coef_steady
+
     state_shape = jax.eval_shape(lambda: engine.init_state())
     if backend_supports_layouts():
         steady, state_fmt = compile_auto_layout(
-            engine.step_coef_steady, (state_shape, spectra, params, pool[0]))
+            step_fn, (state_shape, spectra, params, pool[0]))
         spectra = jax.device_put(spectra, steady.input_formats[0][1])
         state = pinned_init(
             lambda: engine.init_converged(spectra, params), state_fmt)
         compiled = steady
     else:
-        steady = jax.jit(engine.step_coef_steady, donate_argnums=(0,))
+        steady = jax.jit(step_fn, donate_argnums=(0,))
         compiled = steady.lower(state_shape, spectra, params,
                                 pool[0]).compile()
         state = engine.init_converged(spectra, params)
@@ -124,6 +137,54 @@ def main() -> int:
     result = {"voices": args.voices, "dtype": args.dtype,
               "predelay_side": args.predelay_side, "ratio": ratio,
               "num_irs": args.num_irs, "memory": mem}
+    if args.stage_breakdown:
+        # time full / head-only / tail-only in ONE session so tunnel
+        # weather cancels in the comparison
+        del state                            # free the main-path copy
+        import functools
+        timings = {}
+        variants = {"full": ("head", "tail"), "head": ("head",),
+                    "tail": ("tail",)}
+        # sequential per variant (the state is ~4.4 GB at 2048v — three
+        # live copies OOM the chip); same process, back-to-back, so the
+        # comparison still sits inside one weather window
+        variants["full_pinned"] = ("head", "tail")
+        for name, st_set in variants.items():
+            if name == "full_pinned":
+                if not backend_supports_layouts():
+                    continue
+                sds = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+                fn, st_fmt = compile_auto_layout(
+                    engine.step_coef_steady,
+                    (state_shape, jax.tree.map(sds, spectra),
+                     jax.tree.map(sds, params), sds(pool[0])))
+                spectra_p = jax.device_put(spectra, fn.input_formats[0][1])
+                s = pinned_init(
+                    lambda: engine.init_converged(spectra_p, params), st_fmt)
+                s, o = fn(s, spectra_p, params, pool[0])
+            else:
+                fn = jax.jit(functools.partial(
+                    engine._step, with_base=False, stages=st_set),
+                    donate_argnums=(0,))
+                s = engine.init_converged(spectra, params)
+                s, o = fn(s, spectra, params, pool[0])
+            bk = spectra_p if name == "full_pinned" else spectra
+            np.asarray(o[0, 0, :4])          # force completion (see CLAUDE)
+            print(f"[probe] {name} compiled+first", file=sys.stderr)
+            for _rep in range(args.reps + 1):
+                t0 = time.perf_counter()
+                for tb in range(args.blocks):
+                    s, o = fn(s, bk, params, make_block(tb))
+                np.asarray(o[0, 0, :4])
+                dt_ms = (time.perf_counter() - t0) / args.blocks * 1e3
+                timings.setdefault(name, []).append(round(dt_ms, 3))
+            del s, o
+        best = {k: min(v) for k, v in timings.items()}
+        print(f"[probe] stage breakdown (best of {args.reps + 1}): {best} "
+              f"(all reps: {timings})", file=sys.stderr)
+        result.update(stage_ms=best, stage_reps=timings)
+        print(json.dumps(result))
+        return 0
     if not args.skip_timing:
         ms, _ = bench.engine_true_ms(
             steady, state, spectra, params, make_block, args.blocks,

@@ -401,7 +401,13 @@ class CascadeConvolution:
     # -- the step -------------------------------------------------------------------
 
     def _step(self, state: CascadeState, bank: CascadeBank,
-              params: VoiceParams, x: jax.Array, with_base: bool):
+              params: VoiceParams, x: jax.Array, with_base: bool,
+              stages: tuple = ("head", "tail")):
+        """One block. `stages` is a DIAGNOSTIC trace-time filter (perf
+        triage only — examples/probe_cascade_hv.py --stages): dropping
+        "head" or "tail" skips that stage's compute and carries its state
+        through unchanged, so stage costs can be timed in isolation on
+        the real code path. Production callers never pass it."""
         b, v, m = self.block, self.num_voices, self.ratio
         vg = v // m
         t = state.t
@@ -415,7 +421,37 @@ class CascadeConvolution:
         c = state.coef_c * (1.0 - r) + params.wet * r
         scale = self._wet_scale(params)                   # [V, I, O]
 
+        # MODULAR rings: slot for content due at block t+D is (t+D) mod NB.
+        # No per-block shift pass — the emit slot is read then zeroed in
+        # the same fused expression (the concat-shift form lowered to
+        # multiple full-ring pad/slice/copy passes at large voice counts)
+        nb = self.ring_slots
+        nh = self.head_slots
+        emit = jax.lax.rem(t, jnp.int32(nb))
+        emit_h = jax.lax.rem(t, jnp.int32(nh))
+        slots = jnp.arange(nb)[None, :]
+        slots_h = jnp.arange(nh)[None, :]
+
         # ---- head stage: exact fmajor allk ring block ----
+        fdl1, ring, head_now = self._head_stage(
+            state, bank, params, x, with_base, t, a, c, scale, q, r_pd,
+            nh, emit_h, slots_h) if "head" in stages else (
+            state.fdl1, state.wet_ring, jnp.zeros((v, 2, b), jnp.float32))
+
+        # ---- tail stage: one voice group's chunk ----
+        if "tail" not in stages:                          # diagnostics only
+            out = add_dry(jnp.clip(head_now, -1.0, 1.0), x, params)
+            t_next = (jax.lax.rem(t + 1, jnp.int32(self.t_modulus))
+                      if self.t_modulus else t + 1)
+            return replace(state, t=t_next, fdl1=fdl1, prev_in=x,
+                           wet_ring=ring, coef_a=a, coef_c=c), out
+        return self._tail_stage(state, bank, params, x, with_base, t, a, c,
+                                scale, q, r_pd, nb, emit, slots, fdl1, ring,
+                                head_now)
+
+    def _head_stage(self, state, bank, params, x, with_base, t, a, c,
+                    scale, q, r_pd, nh, emit_h, slots_h):
+        b, v = self.block, self.num_voices
         seg = jnp.concatenate([state.prev_in, x], axis=-1)
         spec1 = self.xf1.rfft(seg)                        # [V, 2, F1]
         xn1 = jnp.stack([jnp.real(spec1), jnp.imag(spec1)], axis=-1)
@@ -447,16 +483,6 @@ class CascadeConvolution:
         head_main = jnp.where(offs >= r_pd[:, None, None], ys1[..., b:], 0.0)
         head_tail = jnp.where(offs < r_pd[:, None, None], ys1[..., :b], 0.0)
 
-        # MODULAR ring: slot for content due at block t+D is (t+D) mod NB.
-        # No per-block shift pass — the emit slot is read then zeroed in
-        # the same fused expression (the concat-shift form lowered to
-        # multiple full-ring pad/slice/copy passes at large voice counts)
-        nb = self.ring_slots
-        nh = self.head_slots
-        emit = jax.lax.rem(t, jnp.int32(nb))
-        emit_h = jax.lax.rem(t, jnp.int32(nh))
-        slots = jnp.arange(nb)[None, :]
-        slots_h = jnp.arange(nh)[None, :]
         if self.predelay_side == "read":
             # FIFO: slot t holds tail_{t-1} + main_t (two SMALL writes; the
             # t+1 write overwrites a slot whose content is provably dead,
@@ -466,19 +492,26 @@ class CascadeConvolution:
             s1 = jax.lax.rem(t + 1, jnp.int32(nh))
             cur = jax.lax.dynamic_slice_in_dim(
                 state.wet_ring, s0, 1, axis=1)[:, 0]
-            ring = jax.lax.dynamic_update_slice(
-                state.wet_ring, (cur + head_main)[:, None], (0, s0, 0, 0))
-            ring = jax.lax.dynamic_update_slice(
-                ring, head_tail[:, None], (0, s1, 0, 0))
             # + nh keeps the argument non-negative (lax.rem truncates):
             # t - q >= -(nh - 2) at startup, and t_modulus % nh == 0 keeps
             # the index continuous across the counter wrap. The per-voice
             # emit is a masked VPU reduce over the slot axis — an einsum
             # against the one-hot lowers to V tiny [1,NH]x[NH,2B] matvecs
-            # (MXU pass-bound: measured +23% at 2048v)
+            # (MXU pass-bound: measured +23% at 2048v). The reduce reads
+            # the PRE-update ring (a pure read of the donated argument, no
+            # read-after-write hazard with the slot writes below); the only
+            # slot whose post-update content could differ is s0, read by
+            # q == 0 voices — corrected explicitly with this block's
+            # head_main (slot s1's write never aliases t - q for q >= 0).
             emit_slot = jax.lax.rem(t - q + jnp.int32(nh), jnp.int32(nh))
             mask = (slots_h == emit_slot[:, None])[:, :, None, None]
-            head_now = jnp.sum(jnp.where(mask, ring, 0.0), axis=1)
+            head_now = jnp.sum(jnp.where(mask, state.wet_ring, 0.0), axis=1)
+            head_now = head_now + jnp.where(
+                (q == 0)[:, None, None], head_main, 0.0)
+            ring = jax.lax.dynamic_update_slice(
+                state.wet_ring, (cur + head_main)[:, None], (0, s0, 0, 0))
+            ring = jax.lax.dynamic_update_slice(
+                ring, head_tail[:, None], (0, s1, 0, 0))
         else:
             oh_q = (slots_h == jax.lax.rem(t + q, jnp.int32(nh))[:, None]
                     ).astype(jnp.float32)
@@ -491,8 +524,12 @@ class CascadeConvolution:
                 ring, emit_h, 1, axis=1)[:, 0]
             ring = ring * (jnp.arange(nh) != emit_h
                            ).astype(jnp.float32)[None, :, None, None]
+        return fdl1, ring, head_now
 
-        # ---- tail stage: one voice group's chunk ----
+    def _tail_stage(self, state, bank, params, x, with_base, t, a, c,
+                    scale, q, r_pd, nb, emit, slots, fdl1, ring, head_now):
+        b, v, m = self.block, self.num_voices, self.ratio
+        vg = v // m
         # STRIDED groups (voice i -> group i % m): slice group g as axis 1
         # of a [vg, m, ...] reshape; contiguous voice sharding then keeps
         # each shard's local schedule identical to the global one
@@ -636,6 +673,18 @@ class CascadeConvolution:
         oh_qk = (slots[None] == jax.lax.rem(
             t + qg[:, None, None] + jnp.int32(self.tail_slot0) + ks,
             jnp.int32(nb))).astype(jnp.float32)           # [Vg, M+1, NB]
+
+        # ---- emit slot (t mod NB): clamp wet (head + tail), add dry
+        # (reference kernel order, src/conv.cu:411-427). The emit reads
+        # the PRE-scatter ring: the scatter lands at offsets
+        # tail_slot0 + q + k in [tail_slot0 + q, tail_slot0 + q + M],
+        # all >= tail_slot0 >= ratio+1 > 0 and <= NB - 3 < NB, so it can
+        # never alias slot t — reading the donated argument directly
+        # keeps the whole chain hazard-free and in place. ----
+        tail_now = jnp.swapaxes(
+            jax.lax.dynamic_slice_in_dim(state.tail_ring, emit, 1, axis=4
+                                         )[:, :, :, :, 0].sum(axis=2),
+            0, 1).reshape(v, 2, b)
         tring_g = jax.lax.dynamic_slice(
             state.tail_ring, (g, 0, 0, 0, 0, 0), (1, vg, 2, 2, nb, b)
         ).reshape(vg, 2, 2, nb, b)
@@ -643,14 +692,9 @@ class CascadeConvolution:
         tring = jax.lax.dynamic_update_slice(
             state.tail_ring, tring_g.reshape(1, vg, 2, 2, nb, b),
             (g, 0, 0, 0, 0, 0))
-
-        # ---- emit slot (t mod NB): clamp wet (head + tail), add dry
-        # (reference kernel order, src/conv.cu:411-427); zero the emitted
-        # slot with a small in-place write so it can re-accumulate ----
-        tail_now = jnp.swapaxes(
-            jax.lax.dynamic_slice_in_dim(tring, emit, 1, axis=4
-                                         )[:, :, :, :, 0].sum(axis=2),
-            0, 1).reshape(v, 2, b)
+        # zero the emitted slot (small in-place write) so it can
+        # re-accumulate; ordered after the group write-back, which
+        # rewrites group g's emit-slot row with its (unchanged) old value
         tring = jax.lax.dynamic_update_slice(
             tring, jnp.zeros((m, vg, 2, 2, 1, b), jnp.float32),
             (0, 0, 0, 0, emit, 0))
