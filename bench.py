@@ -290,10 +290,13 @@ def run_ws_leg(args, make_block):
     return leg
 
 
-def run_cascade_leg(args, deadline_ms):
+def run_cascade_leg(args, deadline_ms, voices=None, dtype=None,
+                    predelay_side=None):
     """High-voice cascade leg: one > 512-voice scaling point on the
     two-stage engine (engine/cascade.py), steady engine-true cost with
-    compiler-pinned layouts (the production configuration)."""
+    compiler-pinned layouts (the production configuration). The
+    voices/dtype/predelay_side overrides let the 2048v bf16 read-side
+    configuration run as its own leg."""
     import jax
     import jax.numpy as jnp
 
@@ -303,21 +306,23 @@ def run_cascade_leg(args, deadline_ms):
     from tpu_audio.utils.layouts import (backend_supports_layouts,
                                          compile_auto_layout, pinned_init)
 
-    v = args.cascade_voices
+    v = voices or args.cascade_voices
+    dtype = dtype or args.cascade_dtype
     bank = make_bank(args.num_irs, args.ir_seconds, args.sample_rate)
     partitions = bank.max_partitions(args.block)
     ratio = _fit_cascade_ratio(16, v, partitions)
     engine = CascadeConvolution(
         v, args.block, partitions, ratio=ratio, max_predelay=8192,
-        num_irs=args.num_irs, mac_dtype=args.cascade_dtype,
-        predelay_side=getattr(args, "predelay_side", "write"))
+        num_irs=args.num_irs, mac_dtype=dtype,
+        predelay_side=(predelay_side
+                       or getattr(args, "predelay_side", "write")))
     spectra = engine.prepare_bank(bank, cache_dir=args.pack_cache)
     control = ControlPlane(v, args.num_irs)
     control.wet[:] = 0.7
     control.dry[:] = 0.2
     control.predelay[:] = 1024
     params = jax.tree.map(jnp.asarray, control.snapshot())
-    log(f"cascade leg: {v} voices ({args.cascade_dtype}), ratio {ratio}, "
+    log(f"cascade leg: {v} voices ({dtype}), ratio {ratio}, "
         f"bank built")
 
     rng = np.random.default_rng(2)
@@ -343,7 +348,7 @@ def run_cascade_leg(args, deadline_ms):
                            reps=max(args.reps - 1, 1))
     leg = {
         "voices": v,
-        "dtype": args.cascade_dtype,
+        "dtype": dtype,
         "ratio": ratio,
         "steady_ms": round(ms, 3),
         "rtf": round(deadline_ms / ms, 3),
@@ -681,10 +686,19 @@ def main(argv=None) -> int:
         import gc
         del state, engine, spectra, st
         gc.collect()
-        for name, fn in (("ws", lambda: run_ws_leg(args, make_block)),
-                         ("cascade_hv",
-                          lambda: run_cascade_leg(args, dl_ms)),
-                         ("mono_ref", lambda: run_mono_leg(args, dl_ms))):
+        # cheapest-first so a slow-compile start (wedged remote compiles
+        # eat the budget) still captures as many legs as possible
+        leg_list = [("cascade_hv", lambda: run_cascade_leg(args, dl_ms)),
+                    ("ws", lambda: run_ws_leg(args, make_block)),
+                    ("mono_ref", lambda: run_mono_leg(args, dl_ms))]
+        if args.cascade_voices >= 512:
+            # the single-chip voice-capacity point (real-time 2048v bf16,
+            # read-side predelay); only meaningful at production scale —
+            # tiny smoke configs skip it
+            leg_list.append(("cascade_2048", lambda: run_cascade_leg(
+                args, dl_ms, voices=2048, dtype="bf16",
+                predelay_side="read")))
+        for name, fn in leg_list:
             elapsed = time.perf_counter() - _T0
             if elapsed > args.leg_budget:
                 legs_skipped = (f"{name}+ skipped at t+{elapsed:.0f}s "
