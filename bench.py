@@ -428,9 +428,49 @@ def _install_partial_json_handler() -> None:
             pass
 
 
+_WATCHDOG_DONE = False
+
+
+def _install_watchdog(seconds: float) -> None:
+    """A SIGTERM handler can't run while the main thread is blocked inside
+    a wedged remote compile (Python defers signals until the C call
+    returns — i.e. never). A daemon timer thread CAN: XLA releases the
+    GIL while compiling. At `seconds` it prints whatever PARTIAL holds
+    and hard-exits, so even a fully wedged run leaves a JSON line for
+    the driver instead of dying silent at its SIGKILL."""
+    import os
+    import threading
+
+    global _WATCHDOG_DONE
+    _WATCHDOG_DONE = False
+
+    def fire():
+        if _WATCHDOG_DONE:
+            return
+        rec = {"metric": PARTIAL.get("metric", "rtf_64voices_4sIR_44k256"),
+               "value": PARTIAL.get("value", 0.0),
+               "unit": "x_realtime",
+               "vs_baseline": PARTIAL.get("value", 0.0),
+               "partial": True,
+               "error": f"watchdog fired at t+{time.perf_counter() - _T0:.0f}s "
+                        f"(wedged remote compile is the known cause)"}
+        rec.update({k: v for k, v in PARTIAL.items() if k != "value"})
+        print(json.dumps(rec), flush=True)
+        os._exit(0)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+
+
 def main(argv=None) -> int:
     _install_partial_json_handler()
     ap = argparse.ArgumentParser()
+    ap.add_argument("--watchdog", type=float, default=550.0,
+                    help="hard partial-JSON deadline in wall seconds (0 = "
+                         "off): a daemon thread emits whatever was measured "
+                         "and exits — survives compiles a SIGTERM handler "
+                         "cannot interrupt")
     ap.add_argument("--voices", type=int, default=64)
     ap.add_argument("--block", type=int, default=256)
     ap.add_argument("--sample-rate", type=int, default=44100)
@@ -498,6 +538,8 @@ def main(argv=None) -> int:
                          "— frees ~11 MB/voice at 4 s IRs for more voices")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args(argv)
+    if args.watchdog:
+        _install_watchdog(args.watchdog)
 
     import jax
     import jax.numpy as jnp
@@ -722,6 +764,8 @@ def main(argv=None) -> int:
            "tail is the shared network tunnel to the chip, which no "
            "deployment topology has]" if transport_bound else ""))
 
+    global _WATCHDOG_DONE
+    _WATCHDOG_DONE = True
     print(json.dumps({
         "metric": f"rtf_{args.voices}voices_{args.ir_seconds:g}sIR_"
                   f"{args.sample_rate // 1000}k{args.block}"
