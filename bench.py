@@ -107,7 +107,8 @@ def build(args):
             args.voices, args.block, partitions, ratio=ratio,
             max_predelay=8192, backend=args.fft_backend,
             num_irs=capacity or args.num_irs, mac_dtype=args.mac_dtype,
-            predelay_side=getattr(args, "predelay_side", "write"))
+            predelay_side=getattr(args, "predelay_side", "write"),
+            mac_strategy="allk" if capacity else args.mac_strategy)
         if capacity:
             compact = IRBank(sample_rate=sr)
             for k in range(capacity):
@@ -527,8 +528,9 @@ def main(argv=None) -> int:
                          "README scaling table)")
     ap.add_argument("--mac-strategy", default="allk",
                     choices=["allk", "selected", "auto"],
-                    help="fmajor MAC strategy (the CLI's 'auto' picks "
-                         "'selected' for banks > 16 IRs)")
+                    help="MAC strategy, fmajor AND cascade ('auto' picks "
+                         "'selected' for banks > 16 IRs; with "
+                         "--bank-capacity the resident set forces 'allk')")
     ap.add_argument("--pv-mac", default="dot", choices=["dot", "merged"],
                     help="per-voice MAC lowering for the 'selected' "
                          "strategy / general fade (see fmajor.py)")
@@ -600,8 +602,12 @@ def main(argv=None) -> int:
                                     False))
         if pinned:
             steady = pinned["steady"]
-            fade_idx = pinned["indexed"]
-            pinned_collapse = pinned["collapse_pure"]
+            if has_indexed:
+                fade_idx = pinned["indexed"]
+                pinned_collapse = pinned["collapse_pure"]
+            else:            # 'selected': general fade + materializing collapse
+                fade_gen = pinned["full"]
+                pinned_collapse = pinned["collapse"]
             # bank in the compiler-chosen layout ONCE (else every call
             # relayouts it)
             spectra = jax.device_put(spectra, pinned["bank_format"])
@@ -630,12 +636,17 @@ def main(argv=None) -> int:
         return cfn(st, params.select, changed, *extra)
 
     def general_fade_state():
-        st = engine.init_converged(spectra, params)
+        st = fresh_state()
         changed = jnp.asarray(np.ones((args.voices, 2), bool))
-        kw = (dict(new_select=params.select)
-              if engine.mac_strategy == "selected" else {})
-        return jax.jit(lambda s: engine.collapse(
-            s, spectra, params.select, changed, **kw))(st)
+        if engine.mac_strategy != "selected":
+            return jax.jit(lambda s: engine.collapse(
+                s, spectra, params.select, changed))(st)
+        extra = ((params_fade,)
+                 if getattr(engine, "collapse_takes_params", False) else ())
+        cfn = (pinned_collapse if not has_indexed and pinned_collapse
+               else jax.jit(engine.collapse))
+        return cfn(st, spectra, params.select, changed, params.select,
+                   *extra)
 
     if has_indexed:
         ms_fidx, _ = engine_true_ms(

@@ -173,6 +173,156 @@ def test_fade_converges_to_uniform(vsteps, bound, check_settle):
                                    atol=3e-5)
 
 
+def test_selected_strategy_matches_allk():
+    """'selected' (per-voice materialized rhs, large-bank strategy) must
+    reproduce 'allk' through steady state AND a full re-select crossfade:
+    same affine-fade math — allk contracts the span against all-K products,
+    selected MACs a materialized base rhs (the MAC is linear in its rhs) —
+    so they agree at f32 steady tolerance, general vs indexed step,
+    collapse vs collapse_pure, in-flight tail rescale included."""
+    bank, cas, cas_bank, fm, fm_bank = build()
+    sel = CascadeConvolution(V, B, cas.partitions, ratio=M,
+                             max_predelay=MAXPD, mac_strategy="selected")
+    assert sel.mac_strategy == "selected" and sel.swap_snapshot
+    assert cas.mac_strategy == "allk" and not cas.swap_snapshot
+    sel_bank = sel.prepare_bank(bank)
+    rng = np.random.default_rng(13)
+    xs = [rng.standard_normal((V, 2, B)).astype(np.float32) * 0.05
+          for _ in range(72)]
+
+    def run(engine, bank_d, selected):
+        cp = control()
+        params = jax.tree.map(jnp.asarray, cp.snapshot())
+        state = engine.init_converged(bank_d, params)
+        step = jax.jit(
+            (lambda s, bk, p, x: engine.step_coef(s, bk, p, x,
+                                                  with_base=True))
+            if selected else engine.step_coef_indexed, donate_argnums=())
+        outs = []
+        for t, x in enumerate(xs):
+            if t == 8:
+                old = cp.select.copy()
+                cp.select[:] = (cp.select + 1) % K
+                cp.vsteps[:] = 24
+                ch = jnp.asarray(np.ones_like(old, bool))
+                pd = jax.tree.map(jnp.asarray, cp.snapshot())
+                if selected:
+                    state = jax.jit(engine.collapse)(
+                        state, bank_d, jnp.asarray(old), ch,
+                        jnp.asarray(cp.select), pd)
+                else:
+                    state = jax.jit(engine.collapse_pure)(
+                        state, jnp.asarray(old), ch, pd)
+            params = jax.tree.map(jnp.asarray, cp.snapshot())
+            state, o = step(state, bank_d, params, jnp.asarray(x))
+            outs.append(np.asarray(o))
+            cp.end_block()
+        return np.concatenate(outs, axis=-1)
+
+    got = run(sel, sel_bank, True)
+    want = run(cas, cas_bank, False)
+    np.testing.assert_allclose(got, want, atol=3e-5)
+    assert np.abs(want).max() > 1e-3
+
+
+def test_selected_session_matches_allk_session():
+    """StreamSession integration for the 'selected' cascade: MIDI-driven
+    re-selects route through the materializing collapse (+ the in-flight
+    tail rescale via collapse_takes_params) and the general fade step;
+    the stream must match the allk session at steady tolerance, and a
+    checkpoint resume must be bit-exact against its own uninterrupted
+    run."""
+    from tpu_audio.engine.params import CCMapping
+    from tpu_audio.runtime.backends import WavSink, WavSource
+    from tpu_audio.runtime.checkpoint import load_checkpoint, save_checkpoint
+    from tpu_audio.runtime.stream import MidiSchedule, StreamSession
+
+    bank, cas, cas_bank, _, _ = build()
+    sel = CascadeConvolution(V, B, cas.partitions, ratio=M,
+                             max_predelay=MAXPD, mac_strategy="selected")
+    sel_bank = sel.prepare_bank(bank)
+
+    def run_session(engine, bank_d, sink, src):
+        cp = control()
+        cp.set_mapping(0, 0, CCMapping(message=0xB0, select=0x15))
+        cp.set_mapping(0, 1, CCMapping(message=0xB0, select=0x15))
+        sess = StreamSession(engine, bank_d, cp, src, sink,
+                             warmup=0, donate=False)
+        midi = MidiSchedule([(5, "", bytes([0xB0, 0x15, 64]))])
+        # init_converged: the 'selected' strategy gathers its per-voice
+        # rhs there (init_state leaves them zero — silence)
+        state0 = engine.init_converged(
+            bank_d, jax.tree.map(jnp.asarray, cp.snapshot()))
+        return sess, sess.run(state0, midi=midi)
+
+    rng = np.random.default_rng(4)
+    x = (rng.standard_normal((V, 2, B * 40)) * 0.05).astype(np.float32)
+
+    sink_a = WavSink("/dev/null", keep_data=True)
+    sess_a, _ = run_session(cas, cas_bank, sink_a, WavSource(x, V, B))
+    sink_s = WavSink("/dev/null", keep_data=True)
+    sess_s, _ = run_session(sel, sel_bank, sink_s, WavSource(x, V, B))
+    assert getattr(sess_a, "indexed_blocks", 0) >= 1   # allk rode the span
+    np.testing.assert_allclose(sink_s.data, sink_a.data, atol=3e-5)
+    assert np.abs(sink_a.data).max() > 1e-3
+
+    # checkpoint resume, selected strategy: bit-exact vs its own full run
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        ck = f"{td}/c.npz"
+        cp2 = control()
+        cp2.set_mapping(0, 0, CCMapping(message=0xB0, select=0x15))
+        cp2.set_mapping(0, 1, CCMapping(message=0xB0, select=0x15))
+        sink2 = WavSink("/dev/null", keep_data=True)
+        sess2 = StreamSession(sel, sel_bank, cp2,
+                              WavSource(x[..., : B * 22], V, B), sink2,
+                              warmup=0, donate=False)
+        state = sess2.run(
+            sel.init_converged(sel_bank,
+                               jax.tree.map(jnp.asarray, cp2.snapshot())),
+            midi=MidiSchedule([(5, "", bytes([0xB0, 0x15, 64]))]))
+        save_checkpoint(ck, state, cp2)
+
+        cp3 = control()
+        sink3 = WavSink("/dev/null", keep_data=True)
+        state3, _ = load_checkpoint(ck, sel.init_state(), cp3)
+        sess3 = StreamSession(sel, sel_bank, cp3,
+                              WavSource(x[..., B * 22:], V, B), sink3,
+                              warmup=0, donate=False)
+        sess3.run(state3, midi=None)
+        got = np.concatenate([sink2.data, sink3.data], axis=-1)
+    np.testing.assert_array_equal(got, sink_s.data)
+
+
+def test_selected_auto_strategy_and_guards():
+    bank, cas, *_ = build()
+    auto_small = CascadeConvolution(V, B, cas.partitions, ratio=M,
+                                    max_predelay=MAXPD, num_irs=3,
+                                    mac_strategy="auto")
+    assert auto_small.mac_strategy == "allk"
+    auto_big = CascadeConvolution(V, B, cas.partitions, ratio=M,
+                                  max_predelay=MAXPD, num_irs=17,
+                                  mac_strategy="auto")
+    assert auto_big.mac_strategy == "selected"
+    sel = CascadeConvolution(V, B, cas.partitions, ratio=M,
+                             max_predelay=MAXPD, mac_strategy="selected")
+    sel_bank = sel.prepare_bank(bank)
+    cp = control()
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+    st = sel.init_converged(sel_bank, params)
+    with pytest.raises(ValueError, match="allk"):
+        sel.step_coef_indexed(st, sel_bank, params, jnp.zeros((V, 2, B)))
+    with pytest.raises(ValueError, match="allk"):
+        sel.collapse_pure(st, params.select,
+                          jnp.ones((V, 2), bool), params)
+    with pytest.raises(ValueError, match="allk"):
+        sel.update_bank_slot(sel_bank, 0, np.zeros((2, 64), np.float32))
+    with pytest.raises(ValueError, match="span-only"):
+        cas.collapse(st, sel_bank, params.select,
+                     jnp.ones((V, 2), bool), params.select, params)
+
+
 def test_tail_mac_mxu_matches_vpu():
     """The MXU dot_general tail-MAC lowering (auto-selected at large Vg,
     forced here at test shapes) must agree with the VPU reduce form at

@@ -520,7 +520,7 @@ def test_cascade_shard_validation():
 
 @requires_8
 @pytest.mark.parametrize("engine_kind", ["fmajor", "fmajor-async",
-                                         "cascade"])
+                                         "cascade", "cascade-selected"])
 def test_mesh_session_matches_single_device(engine_kind, tmp_path):
     """StreamSession(mesh=...) must serve bit-compatible audio with the
     single-device session THROUGH the full runtime: MIDI re-selects
@@ -549,8 +549,13 @@ def test_mesh_session_matches_single_device(engine_kind, tmp_path):
         if engine_kind.startswith("fmajor"):
             kwargs["bank_capacity"] = 4  # exercise a working-set fault
             kwargs["async_paging"] = engine_kind.endswith("async")
-        if engine_kind == "cascade":
+        if engine_kind.startswith("cascade"):
             kwargs["cascade_ratio"] = 2
+        if engine_kind == "cascade-selected":
+            # force the large-bank strategy at a small-bank shape: fades
+            # run the sharded general step, re-selects the sharded
+            # materializing collapse (voice-local rhs re-base + re-gather)
+            kwargs["mac_strategy"] = "selected"
         model = ConvolutionReverb(bank, **kwargs)
         ws = getattr(model, "working_set", None)
         if ws is not None and ws.async_paging:
@@ -584,7 +589,7 @@ def test_mesh_session_matches_single_device(engine_kind, tmp_path):
 
     # cascade shards voice groups: 8 voices / ratio 2 -> 2 voices per
     # shard minimum, so a 4-device mesh; fmajor takes the full 8
-    mesh = make_mesh(4 if engine_kind == "cascade" else 8, part=1)
+    mesh = make_mesh(4 if engine_kind.startswith("cascade") else 8, part=1)
     got, _ = run(mesh)
     want, _ = run(None)
     np.testing.assert_allclose(got, want, atol=2e-6)

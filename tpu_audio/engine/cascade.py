@@ -118,24 +118,37 @@ class CascadeState:
                           # rescale in-flight fade-out content per (v, ch)
     coef_a: jax.Array     # f32 [V, 2]
     coef_c: jax.Array     # f32 [V, 2]
-    base_g: jax.Array     # f32 [V, 2, K] span fade provenance (fmajor.py)
-    base_pure: jax.Array  # bool [V, 2] (always True: span-only engine)
+    base_g: jax.Array     # f32 [V, 2, K] span fade provenance (fmajor.py;
+                          # 'selected': [V, 2, 1] placeholder — selected
+                          # never re-enters the span)
+    base_pure: jax.Array  # bool [V, 2] ('allk': always True — span-only;
+                          # 'selected': True = zero snapshot, False after
+                          # the first materializing collapse, fmajor.py)
+    # 'selected' strategy only (placeholder-shaped under 'allk'): the
+    # per-voice gathered MAC rhs (sel_*) and the materialized fade
+    # snapshot rhs (base_*) — the MAC is LINEAR in its rhs weights, so
+    # the affine crossfade a*base + c*sel rides materialized rhs tensors
+    # exactly like fmajor's materialized spectra (fmajor.py:634-642)
+    sel_head: jax.Array   # mac [F1, V, I, d, 2*P1p, OD]
+    sel_tail: jax.Array   # mac [M, Vg, I, d, 2*P2p, OD, F2] (group-major)
+    base_head: jax.Array  # mac [F1, V, I, d, 2*P1p, OD]
+    base_tail: jax.Array  # mac [M, Vg, I, d, 2*P2p, OD, F2]
 
 
 class CascadeConvolution:
     """V stereo voices, two-stage non-uniform partitioned OLS."""
 
     variant = "coef"          # StreamSession coef-engine interface
-    mac_strategy = "allk"     # span fades ride the all-K MAC
     ring_mode = True
-    swap_snapshot = False     # span-only: no materialized fade snapshot
     layout_sensitive = True   # sessions pin compiler-chosen layouts (utils/layouts.py)
+    collapse_takes_params = True  # in-flight tail rescale needs vsteps/predelay
+    ALLK_MAX_COLUMNS = 64     # K <= 16 stereo IRs (fmajor.py threshold)
 
     def __init__(self, num_voices: int, block: int, partitions: int,
                  ratio: int = 16, max_predelay: int = 8192,
                  backend: str = "auto", num_irs: int | None = None,
                  mac_dtype: str = "f32", predelay_side: str = "write",
-                 tail_mac: str = "auto"):
+                 tail_mac: str = "auto", mac_strategy: str = "allk"):
         if num_voices % ratio:
             raise ValueError(f"{num_voices} voices not divisible by the "
                              f"stagger ratio {ratio} (one voice group's "
@@ -190,6 +203,28 @@ class CascadeConvolution:
         vg_rows = (num_voices // ratio) * 2
         self.tail_mac = (tail_mac if tail_mac != "auto"
                          else ("mxu" if vg_rows >= 128 else "vpu"))
+        # MAC strategy (fmajor.py semantics): 'allk' computes every IR's
+        # product and keeps fades in the bank's span (the production path
+        # for small/working-set banks); 'selected' materializes each
+        # voice's selected rhs in state (large banks, e.g. the reference's
+        # 152-IR all.index served with MORE concurrently-selected IRs than
+        # a working set can hold) — per-block cost is then K-independent:
+        # the tail reads only the CURRENT GROUP's [Vg, ...] rhs slice,
+        # ~1/ratio of the per-voice tensors fmajor's 'selected' touches
+        # every block. Memory scales with V (~25 MB/voice tail rhs at 4 s
+        # f32, x2 during fades): a moderate-voice/large-bank trade.
+        if mac_strategy == "auto":
+            if num_irs is None:
+                raise ValueError("mac_strategy='auto' needs num_irs")
+            mac_strategy = ("allk" if num_irs * 4 <= self.ALLK_MAX_COLUMNS
+                            else "selected")
+        if mac_strategy not in ("allk", "selected"):
+            raise ValueError(f"unknown mac_strategy {mac_strategy!r}")
+        self.mac_strategy = mac_strategy
+        # 'selected' fades run against a materialized base rhs, so a live
+        # bank swap mid-fade CAN keep the old bank's tail; 'allk' stays
+        # span-only (swaps defer until fades decay)
+        self.swap_snapshot = mac_strategy == "selected"
         self.xf1 = SpectralTransform(2 * block, backend=backend)
         self.xf2 = SpectralTransform(2 * self.b2, backend=backend)
         self.f1 = self.xf1.num_bins
@@ -291,6 +326,10 @@ class CascadeConvolution:
         at both stage resolutions exactly like prepare_bank and written
         into the slot's columns with dynamic-update-slices (one jit, slot
         index traced)."""
+        if self.mac_strategy != "allk":
+            raise ValueError("working-set residency pairs with the 'allk' "
+                             "strategy (the 'selected' MAC reads per-voice "
+                             "materialized rhs, not bank slots)")
         from tpu_audio.ops.partition import partition_spectra
 
         ir = np.asarray(ir, np.float32)
@@ -331,12 +370,23 @@ class CascadeConvolution:
 
     # -- state ---------------------------------------------------------------------
 
+    def _sel_shapes(self):
+        """(head, tail) shapes of the 'selected' strategy's per-voice rhs
+        leaves; size-1 placeholders under 'allk'."""
+        if self.mac_strategy != "selected":
+            return (1,) * 6, (1,) * 7
+        v, m = self.num_voices, self.ratio
+        return ((self.f1, v, 2, 2, 2 * self.pp1, 4),
+                (m, v // m, 2, 2, 2 * self.pp2, 4, self.f2))
+
     def init_state(self) -> CascadeState:
         if self.num_irs is None:
             raise ValueError("pass num_irs= or call prepare_bank before "
                              "init_state (base_g is bank-sized)")
         v, b, m = self.num_voices, self.block, self.ratio
         vg = v // m
+        kg = self.num_irs if self.mac_strategy == "allk" else 1
+        hsh, tsh = self._sel_shapes()
         return jax.jit(lambda: CascadeState(
             t=jnp.zeros((), jnp.int32),
             fdl1=jnp.zeros((self.f1, v * 2, 2, self.pp1), self.mac_dtype),
@@ -348,15 +398,45 @@ class CascadeConvolution:
                                 jnp.float32),
             coef_a=jnp.zeros((v, 2), jnp.float32),
             coef_c=jnp.zeros((v, 2), jnp.float32),
-            base_g=jnp.zeros((v, 2, self.num_irs), jnp.float32),
+            base_g=jnp.zeros((v, 2, kg), jnp.float32),
             base_pure=jnp.ones((v, 2), jnp.bool_),
+            sel_head=jnp.zeros(hsh, self.mac_dtype),
+            sel_tail=jnp.zeros(tsh, self.mac_dtype),
+            base_head=jnp.zeros(hsh, self.mac_dtype),
+            base_tail=jnp.zeros(tsh, self.mac_dtype),
         ))()
 
     def init_converged(self, bank: CascadeBank, params: VoiceParams
                        ) -> CascadeState:
         state = self.init_state()
-        return replace(state, coef_c=jax.jit(
+        state = replace(state, coef_c=jax.jit(
             lambda w: w.astype(jnp.float32) + 0.0)(params.wet))
+        if self.mac_strategy == "selected":
+            state = replace(
+                state,
+                sel_head=jax.jit(self._gather_head)(bank, params.select),
+                sel_tail=jax.jit(self._gather_tail)(bank, params.select))
+        return state
+
+    def _gather_head(self, bank: CascadeBank, select: jax.Array) -> jax.Array:
+        """Per-voice head rhs [F1, V, I, d, 2*P1p, OD] gathered from the
+        all-K tensor by each (voice, channel)'s selection."""
+        k = bank.num_irs
+        r = bank.head_rhs2.reshape(self.f1, 2, 2 * self.pp1, k, 4)
+        g = jnp.take(r, select, axis=3)       # [F1, d, 2P1p, V, I, OD]
+        return jnp.transpose(g, (0, 3, 4, 1, 2, 5)).astype(self.mac_dtype)
+
+    def _gather_tail(self, bank: CascadeBank, select: jax.Array) -> jax.Array:
+        """Per-voice tail rhs [M, Vg, I, d, 2*P2p, OD, F2] (group-major:
+        voice j*ratio + g lives at [g, j], matching the state leaves)."""
+        k = bank.num_irs
+        m = self.ratio
+        vg = self.num_voices // m
+        r = bank.tail_rhs2.reshape(2, 2 * self.pp2, k, 4, self.f2)
+        g = jnp.take(r, select, axis=2)       # [d, 2P2p, V, I, OD, F2]
+        g = jnp.transpose(g, (2, 3, 0, 1, 4, 5))  # [V, I, d, 2P2p, OD, F2]
+        g = g.reshape((vg, m) + g.shape[1:])
+        return jnp.swapaxes(g, 0, 1).astype(self.mac_dtype)
 
     # -- shared pieces ---------------------------------------------------------------
 
@@ -459,15 +539,35 @@ class CascadeConvolution:
                             (1, 0, 2))[..., None].astype(self.mac_dtype)
         w1 = jax.lax.rem(t, jnp.int32(self.pp1))
         fdl1 = jax.lax.dynamic_update_slice(state.fdl1, xn1, (0, 0, 0, w1))
-        m1 = self._allk_mac(fdl1, bank.head_rhs2, w1, self.f1, self.pp1,
-                            v * 2)                        # [F1,V,I,K,O,d]
-        sel = params.select[None, :, :, None, None, None]
-        y = jnp.einsum("fviod,vio->fvod",
-                       jnp.take_along_axis(m1, sel, axis=3)[:, :, :, 0],
-                       c[..., None] * scale)
-        if with_base:
-            y = y + jnp.einsum("fvikod,vik,vio->fvod", m1, state.base_g,
-                               a[..., None] * scale)
+        if self.mac_strategy == "selected":
+            # per-voice MAC against the materialized selected rhs (and the
+            # materialized base rhs during fades) — K-independent cost
+            fb = fdl1.reshape(self.f1, v, 2, 2, self.pp1)
+
+            def pv_head(rhs2v):                   # [F1, V, I, d, 2P1p, OD]
+                wv = jax.lax.dynamic_slice_in_dim(
+                    rhs2v, self.pp1 - w1, self.pp1, axis=4)
+                mv = jnp.sum(
+                    fb[..., None] * wv.astype(self.mac_dtype),
+                    axis=(3, 4), dtype=jnp.float32)        # [F1, V, I, OD]
+                return mv.reshape(self.f1, v, 2, 2, 2)     # [F1,V,I,O,d]
+
+            y = jnp.einsum("fviod,vio->fvod", pv_head(state.sel_head),
+                           c[..., None] * scale)
+            if with_base:
+                y = y + jnp.einsum("fviod,vio->fvod",
+                                   pv_head(state.base_head),
+                                   a[..., None] * scale)
+        else:
+            m1 = self._allk_mac(fdl1, bank.head_rhs2, w1, self.f1, self.pp1,
+                                v * 2)                    # [F1,V,I,K,O,d]
+            sel = params.select[None, :, :, None, None, None]
+            y = jnp.einsum("fviod,vio->fvod",
+                           jnp.take_along_axis(m1, sel, axis=3)[:, :, :, 0],
+                           c[..., None] * scale)
+            if with_base:
+                y = y + jnp.einsum("fvikod,vik,vio->fvod", m1, state.base_g,
+                                   a[..., None] * scale)
 
         # head predelay: sub-block part as a spectral phase ramp, block
         # part as a one-hot slot scatter (fmajor.py _finish)
@@ -575,6 +675,41 @@ class CascadeConvolution:
         old_col = jax.lax.dynamic_slice(
             state.fdl2, (g, 0, 0, 0, w2, 0), (1, vg, 2, 2, 1, self.f2)
         ).reshape(vg, 2, 2, 1, self.f2)
+        delta = xn2c.reshape(vg, 2, 2, 1, self.f2) - old_col
+        scale_g = group(scale)
+        if self.mac_strategy == "selected":
+            # per-voice MAC against the CURRENT GROUP's slice of the
+            # materialized selected rhs (and base rhs during fades):
+            # K-independent cost — the large bank is touched only at
+            # gather time (collapse / re-select)
+            def pv_tail(rhs_leaf):
+                rv = jax.lax.dynamic_slice(
+                    rhs_leaf, (g, 0, 0, 0, 0, 0, 0),
+                    (1, vg, 2, 2, 2 * self.pp2, 4, self.f2)).reshape(
+                    vg, 2, 2, 2 * self.pp2, 4, self.f2)
+                wv = jax.lax.dynamic_slice_in_dim(
+                    rv, self.pp2 - w2, self.pp2, axis=3)
+                mm = jnp.sum(old_g[:, :, :, :, None, :] * wv,
+                             axis=(2, 3), dtype=jnp.float32)  # [Vg,I,OD,F2]
+                colv = rv[:, :, :, self.pp2: self.pp2 + 1]
+                mm = mm + jnp.sum(delta[:, :, :, :, None, :] * colv,
+                                  axis=(2, 3), dtype=jnp.float32)
+                return mm.reshape(vg, 2, 2, 2, self.f2)       # [Vg,I,O,d,F2]
+
+            tail_specs = [pv_tail(state.sel_tail) * scale_g[..., None, None]]
+            if with_base:
+                tail_specs.append(
+                    pv_tail(state.base_tail) * scale_g[..., None, None])
+        else:
+            tail_specs = self._tail_mac_allk(
+                state, bank, params, old_g, delta, w2, vg, group, scale_g,
+                with_base)
+        return self._tail_finish(
+            state, params, x, with_base, t, a, c, q, r_pd, nb, emit, slots,
+            fdl1, ring, head_now, group, inbuf2, fdl2, tail_specs)
+
+    def _tail_mac_allk(self, state, bank, params, old_g, delta, w2, vg,
+                       group, scale_g, with_base):
         # tail MAC: contract the small (d, q) axes, either on the VPU
         # (fused broadcast-multiply + reduce, F2 riding the lanes) or on
         # the MXU (dot_general batched over F2) — chosen by self.tail_mac
@@ -585,7 +720,6 @@ class CascadeConvolution:
         # window column w2 pairs the fresh slot with partition 0; in the
         # doubled-reversed tensor that's the STATIC index pp2
         rhs_col = bank.tail_rhs2[:, self.pp2: self.pp2 + 1]
-        delta = xn2c.reshape(vg, 2, 2, 1, self.f2) - old_col
         if self.tail_mac == "mxu":
             # MXU form (large Vg): batch F2, contract (d, q) as two dot
             # dims — [Vg,I,d,q,F2] x [d,q,K4,F2] -> [F2,Vg,I,K4], then
@@ -617,14 +751,20 @@ class CascadeConvolution:
         sel_g = group(params.select)
         y2s = jnp.take_along_axis(
             m2, sel_g[:, :, None, None, None, None], axis=2)[:, :, 0]
-        scale_g = group(scale)
         tail_specs = [y2s * scale_g[..., None, None]]     # [Vg,I,O,d,F2]
         if with_base:
             bg_g = group(state.base_g)
             tail_specs.append(
                 jnp.sum(m2 * bg_g[:, :, :, None, None, None], axis=2)
                 * scale_g[..., None, None])
+        return tail_specs
 
+    def _tail_finish(self, state, params, x, with_base, t, a, c, q, r_pd,
+                     nb, emit, slots, fdl1, ring, head_now, group, inbuf2,
+                     fdl2, tail_specs):
+        b, v, m = self.block, self.num_voices, self.ratio
+        vg = v // m
+        g = jax.lax.rem(t, jnp.int32(m))
         # tail predelay sub-block phase ramp (r_pd << B2 guard: safe)
         n2 = 2 * self.b2
         rg = group(r_pd)
@@ -711,9 +851,9 @@ class CascadeConvolution:
 
     def step_coef(self, state, bank, params, x, with_base: bool = True,
                   indexed_base: bool = False):
-        if with_base and not indexed_base:
+        if with_base and not indexed_base and self.mac_strategy != "selected":
             raise ValueError(
-                "the cascade engine is span-only (no materialized fade "
+                "the 'allk' cascade is span-only (no materialized fade "
                 "snapshot); fades ride step_coef_indexed")
         return self._step(state, bank, params, x, with_base=with_base)
 
@@ -721,15 +861,78 @@ class CascadeConvolution:
         return self._step(state, bank, params, x, with_base=False)
 
     def step_coef_indexed(self, state, bank, params, x):
+        if self.mac_strategy != "allk":
+            raise ValueError("indexed fade requires the 'allk' MAC strategy "
+                             "('selected' fades read the materialized base "
+                             "rhs via step_coef)")
         return self._step(state, bank, params, x, with_base=True)
 
     def step(self, state, bank, params, x):
-        return self.step_coef_indexed(state, bank, params, x)
+        return self._step(state, bank, params, x, with_base=True)
 
-    def collapse(self, *args, **kwargs):
-        raise ValueError("the cascade engine is span-only: collapse in the "
-                         "span (collapse_pure); bank swaps defer until "
-                         "fades decay")
+    def collapse(self, state: CascadeState, bank: CascadeBank,
+                 old_select: jax.Array, changed: jax.Array,
+                 new_select: jax.Array | None = None,
+                 params: VoiceParams | None = None) -> CascadeState:
+        """'selected' strategy re-base (fmajor.collapse semantics): the MAC
+        is linear in its rhs, so the affine snapshot materializes directly
+        on the rhs tensors — base := a*base_eff + c*sel (the OLD selection's
+        rhs is exactly state.sel_*), then sel_* re-gathers `new_select`
+        for changed voices. base_eff honours purity (pure == the zero
+        snapshot; after this every voice's base is a valid tensor, like
+        fmajor.collapse). The in-flight tail-ring rescale (already-
+        scattered old-selection content must follow the NEW fade-out
+        trajectory) is identical to collapse_pure's and needs `params`
+        (the post-change snapshot: vsteps + predelay). The 'allk' cascade
+        stays span-only: collapse_pure."""
+        if self.mac_strategy != "selected":
+            raise ValueError("the 'allk' cascade is span-only: collapse in "
+                             "the span (collapse_pure); bank swaps defer "
+                             "until fades decay")
+        if new_select is None:
+            raise ValueError("'selected' strategy collapse needs new_select")
+        if params is None:
+            raise ValueError("cascade collapse needs params (the post-"
+                             "change snapshot) for the in-flight tail "
+                             "rescale")
+        a, c = state.coef_a, state.coef_c
+        vg, m = self.num_voices // self.ratio, self.ratio
+
+        def bh(x2):                         # [V, 2] -> head broadcast
+            return x2[None, :, :, None, None, None]
+
+        def bt(x2):                         # [V, 2] -> tail broadcast
+            g2 = jnp.swapaxes(x2.reshape(vg, m, 2), 0, 1)
+            return g2[:, :, :, None, None, None, None]
+
+        def mix(base, sel, brd):
+            base_eff = jnp.where(brd(state.base_pure), 0.0,
+                                 base.astype(jnp.float32))
+            out = brd(a) * base_eff + brd(c) * sel.astype(jnp.float32)
+            return jnp.where(brd(changed), out, base_eff).astype(base.dtype)
+
+        new_head = self._gather_head(bank, new_select)
+        new_tail = self._gather_tail(bank, new_select)
+        return replace(
+            state,
+            base_head=mix(state.base_head, state.sel_head, bh),
+            base_tail=mix(state.base_tail, state.sel_tail, bt),
+            sel_head=jnp.where(bh(changed), new_head, state.sel_head),
+            sel_tail=jnp.where(bt(changed), new_tail, state.sel_tail),
+            tail_ring=self._rescale_inflight(state, changed, params),
+            base_pure=jnp.zeros_like(state.base_pure),
+            coef_a=jnp.where(changed, 1.0, state.coef_a),
+            coef_c=jnp.where(changed, 0.0, state.coef_c),
+        )
+
+    def regather_selection(self, state: CascadeState, bank: CascadeBank,
+                           select: jax.Array) -> CascadeState:
+        """Re-point the materialized per-voice rhs at a (new) bank's
+        content for the current selection — the live bank-swap path
+        (StreamSession._apply_pending_bank)."""
+        return replace(state,
+                       sel_head=self._gather_head(bank, select),
+                       sel_tail=self._gather_tail(bank, select))
 
     collapse_pure_takes_params = True
 
@@ -751,14 +954,34 @@ class CascadeConvolution:
         the predelay delta — a bounded level transient on the old tail
         that drains within one tail window (tested:
         tests/test_cascade.py::test_simultaneous_predelay_and_reselect)."""
+        if self.mac_strategy != "allk":
+            raise ValueError("span collapse requires the 'allk' MAC "
+                             "strategy ('selected' collapses materialize: "
+                             "collapse)")
         k = state.base_g.shape[-1]
         oh = jax.nn.one_hot(old_select, k, dtype=jnp.float32)
         prev = jnp.where(state.base_pure[..., None], state.base_g, 0.0)
         g = state.coef_a[..., None] * prev + state.coef_c[..., None] * oh
 
-        # post-collapse fade-out factors: a'_d = prod_{m=0..d} (1 - r_m),
-        # slot n's compute block is d = n - q (entries with d < 0 were
-        # computed before the collapse and keep their weights, factor 1)
+        return replace(
+            state,
+            tail_ring=self._rescale_inflight(state, changed, params),
+            base_g=jnp.where(changed[..., None], g, state.base_g),
+            base_pure=jnp.where(changed, True, state.base_pure),
+            coef_a=jnp.where(changed, 1.0, state.coef_a),
+            coef_c=jnp.where(changed, 0.0, state.coef_c),
+        )
+
+    def _rescale_inflight(self, state: CascadeState, changed: jax.Array,
+                          params: VoiceParams) -> jax.Array:
+        """Rescale a changed voice's already-scattered tail-ring content by
+        the post-collapse fade-out trajectory (see collapse_pure docstring:
+        in-flight slots were weighted with pre-collapse projections).
+        Strategy-independent — both collapse forms share it.
+
+        Post-collapse fade-out factors: a'_d = prod_{m=0..d} (1 - r_m),
+        slot n's compute block is d = n - q (entries with d < 0 were
+        computed before the collapse and keep their weights, factor 1)."""
         nb = state.tail_ring.shape[4]
         msteps = jnp.arange(nb, dtype=jnp.float32)
         r = 1.0 / (jnp.maximum(
@@ -778,14 +1001,5 @@ class CascadeConvolution:
         # by rolling by the current block counter
         factor = jnp.roll(factor, state.t, axis=-1)
         vg = self.num_voices // self.ratio
-        tring = state.tail_ring * jnp.swapaxes(factor.reshape(
+        return state.tail_ring * jnp.swapaxes(factor.reshape(
             vg, self.ratio, 2, nb), 0, 1)[:, :, :, None, :, None]
-
-        return replace(
-            state,
-            tail_ring=tring,
-            base_g=jnp.where(changed[..., None], g, state.base_g),
-            base_pure=jnp.where(changed, True, state.base_pure),
-            coef_a=jnp.where(changed, 1.0, state.coef_a),
-            coef_c=jnp.where(changed, 0.0, state.coef_c),
-        )

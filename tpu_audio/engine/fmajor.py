@@ -462,6 +462,13 @@ class FMajorPartitionedConvolution:
             out = jnp.transpose(gathered, (4, 0, 1, 2, 5, 3))
         return out.astype(self.mac_dtype)
 
+    def regather_selection(self, state: FMajorState, bank: FMajorBank,
+                           select: jax.Array) -> FMajorState:
+        """Re-point the materialized per-voice spectra at a (new) bank —
+        the live bank-swap path (StreamSession._apply_pending_bank)."""
+        return replace(state,
+                       sel_spectra=self._gather_selection(bank, select))
+
     def _span_expand(self, bank: FMajorBank, g: jax.Array) -> jax.Array:
         """Materialize span-represented snapshots, sum_k g[v,i,k] * bank[k],
         into the base layout [F,V,I,O,2,(2)Pp], f32 (rare path: collapse

@@ -51,7 +51,8 @@ class ConvolutionReverb:
                  backend: str = "auto", cache_dir: str | None = None,
                  mac_dtype: str = "f32", swap_snapshot: bool = True,
                  cascade_ratio: int = 16, bank_capacity: int | None = None,
-                 async_paging: bool = False, predelay_side: str = "write"):
+                 async_paging: bool = False, predelay_side: str = "write",
+                 mac_strategy: str = "auto"):
         self.bank = bank
         self.block = block
         self.sample_rate = sample_rate
@@ -71,11 +72,14 @@ class ConvolutionReverb:
                          "(voices=%d must divide, IR partitions=%d must "
                          "exceed 2*ratio)", cascade_ratio, ratio,
                          num_voices, partitions)
+            # 'auto' mirrors fmajor: large banks (K*4 > 64 columns) get the
+            # 'selected' strategy (per-voice materialized rhs, K-independent
+            # per-block cost) instead of the all-K MAC
             self.engine = CascadeConvolution(
                 num_voices, block, partitions, ratio=ratio,
                 max_predelay=max_predelay, backend=backend,
                 num_irs=len(bank), mac_dtype=mac_dtype,
-                predelay_side=predelay_side)
+                predelay_side=predelay_side, mac_strategy=mac_strategy)
             self.spectra = self.engine.prepare_bank(bank,
                                                     cache_dir=cache_dir)
         elif engine in ("fmajor", "partitioned"):
@@ -89,8 +93,8 @@ class ConvolutionReverb:
             if engine == "fmajor":
                 # swap_snapshot=False only composes with the allk strategy;
                 # the auto rule would silently pick 'selected' on big banks
-                strategy = "auto"
-                if not swap_snapshot:
+                strategy = mac_strategy
+                if not swap_snapshot and strategy == "auto":
                     strategy = "allk"
                 self.engine = FMajorPartitionedConvolution(
                     num_voices, block, partitions, max_predelay=max_predelay,

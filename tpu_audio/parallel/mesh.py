@@ -261,10 +261,19 @@ def shard_fmajor_step(engine, mesh: Mesh, steady: bool = False,
 
 # -- cascade engine sharding ------------------------------------------------------
 
-def _cascade_state_specs():
-    """PartitionSpecs for CascadeState leaves."""
+def _cascade_state_specs(selected: bool = False):
+    """PartitionSpecs for CascadeState leaves.
+
+    ``selected``: shard the 'selected' strategy's materialized per-voice
+    rhs leaves over their voice axes (head [F1, V, ...] axis 1; tail
+    [M, Vg, ...] axis 1 — a contiguous Vg split IS a contiguous voice
+    split because voice v lives at [v % M, v // M] and each shard's local
+    voice count is a multiple of the ratio, so local group membership
+    u % M equals global v % M). Under 'allk' they are size-1 placeholders
+    and replicate."""
     from tpu_audio.engine.cascade import CascadeState
 
+    rhs = P(None, "voice") if selected else P()
     return CascadeState(
         t=P(),
         fdl1=P(None, "voice", None, None),
@@ -277,6 +286,10 @@ def _cascade_state_specs():
         coef_c=P("voice", None),
         base_g=P("voice", None, None),
         base_pure=P("voice", None),
+        sel_head=rhs,
+        sel_tail=rhs,
+        base_head=rhs,
+        base_tail=rhs,
     )
 
 
@@ -306,10 +319,16 @@ def _cascade_local_engine(engine, mesh: Mesh):
             f"multiple of the stagger ratio {engine.ratio}")
     import jax.numpy as jnp
 
+    # propagate EVERY behavior knob: predelay_side changes semantics at
+    # predelay edits, and tail_mac changes bf16 rounding (the MXU form
+    # takes exact products) — either mismatch breaks the sharded ==
+    # unsharded exactness the tests assert
     local = CascadeConvolution(
         local_v, engine.block, engine.partitions, ratio=engine.ratio,
         max_predelay=engine.max_predelay, num_irs=engine.num_irs,
-        mac_dtype=("f32" if engine.mac_dtype == jnp.float32 else "bf16"))
+        mac_dtype=("f32" if engine.mac_dtype == jnp.float32 else "bf16"),
+        predelay_side=engine.predelay_side, tail_mac=engine.tail_mac,
+        mac_strategy=engine.mac_strategy)
     local.xf1, local.xf2 = engine.xf1, engine.xf2
     return local
 
@@ -318,13 +337,15 @@ def shard_cascade_step(engine, mesh: Mesh, mode: str = "steady",
                        donate: bool = True):
     """jit the cascade step as a shard_map over the 'voice' axis.
 
-    mode: "steady" | "indexed" (the cascade is span-only; there is no
-    materialized "full" step). The bank and the scalar block counter are
-    replicated; every other leaf shards over voices."""
+    mode: "steady" | "indexed" ('allk': span fades, no materialized
+    step) | "full" ('selected': the general fade step over the
+    materialized per-voice rhs). The bank and the scalar block counter
+    are replicated; every other leaf shards over voices."""
     local = _cascade_local_engine(engine, mesh)
     fn = {"steady": local.step_coef_steady,
-          "indexed": local.step_coef_indexed}[mode]
-    state_sp = _cascade_state_specs()
+          "indexed": local.step_coef_indexed,
+          "full": local.step_coef}[mode]
+    state_sp = _cascade_state_specs(engine.mac_strategy == "selected")
     mapped = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(state_sp, _cascade_bank_specs(), _cascade_params_specs(),
@@ -346,6 +367,22 @@ def shard_cascade_collapse_pure(engine, mesh: Mesh, donate: bool = True):
     return jax.jit(mapped, donate_argnums=(0,) if donate else ())
 
 
+def shard_cascade_collapse(engine, mesh: Mesh, donate: bool = True):
+    """jit the 'selected' strategy's materializing collapse (re-base of
+    the per-voice rhs + re-gather of the new selection from the
+    replicated bank + in-flight tail rescale) as a voice-axis shard_map —
+    entirely voice-local arithmetic, communication-free like the step."""
+    local = _cascade_local_engine(engine, mesh)
+    state_sp = _cascade_state_specs(selected=True)
+    sel_sp = P("voice", None)
+    mapped = jax.shard_map(
+        local.collapse, mesh=mesh,
+        in_specs=(state_sp, _cascade_bank_specs(), sel_sp, sel_sp, sel_sp,
+                  _cascade_params_specs()),
+        out_specs=state_sp)
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
 def _cascade_bank_specs():
     from tpu_audio.engine.cascade import CascadeBank
     return CascadeBank(head_rhs2=P(), tail_rhs2=P())
@@ -363,17 +400,19 @@ def _named(specs, mesh: Mesh):
                         is_leaf=lambda x: isinstance(x, P))
 
 
-def place_cascade_state(state, mesh: Mesh):
-    return jax.device_put(state, _named(_cascade_state_specs(), mesh))
+def place_cascade_state(state, mesh: Mesh, selected: bool = False):
+    return jax.device_put(state, _named(_cascade_state_specs(selected),
+                                        mesh))
 
 
 def place_cascade_bank(bank, mesh: Mesh):
     return jax.device_put(bank, _named(_cascade_bank_specs(), mesh))
 
 
-def place_cascade(state, bank, mesh: Mesh):
+def place_cascade(state, bank, mesh: Mesh, selected: bool = False):
     """Device_put cascade state/bank onto the mesh (bank replicated)."""
-    return place_cascade_state(state, mesh), place_cascade_bank(bank, mesh)
+    return (place_cascade_state(state, mesh, selected),
+            place_cascade_bank(bank, mesh))
 
 
 def shard_fmajor_collapse_pure(engine, mesh: Mesh, donate: bool = True):

@@ -212,6 +212,10 @@ class StreamSession:
             self._collapse = jax.jit(engine.collapse, donate_argnums=donate_args)
             self._collapse_takes_new_select = (
                 getattr(engine, "mac_strategy", None) == "selected")
+            # the cascade's materializing collapse also rescales in-flight
+            # tail slots, which needs the post-change vsteps/predelay
+            self._collapse_takes_params = getattr(
+                engine, "collapse_takes_params", False)
             # analytic host mirror of coef_a for the steady-state switch
             self._a_host = np.zeros((engine.num_voices, 2), np.float64)
             self._pending_old: dict[tuple[int, int], int] = {}
@@ -275,18 +279,33 @@ class StreamSession:
         self._collapse = None
         self._collapse_takes_new_select = (
             getattr(engine, "mac_strategy", None) == "selected")
+        self._collapse_takes_params = getattr(
+            engine, "collapse_takes_params", False)
         self._collapse_pure_params = getattr(
             engine, "collapse_pure_takes_params", False)
         if isinstance(engine, CascadeConvolution):
-            steady = pm.shard_cascade_step(engine, mesh, "steady", donate)
-            indexed = pm.shard_cascade_step(engine, mesh, "indexed", donate)
-            self._step_steady, self._step_indexed = steady, indexed
-            # span-only engine: no materializing path exists; the indexed
-            # step serves every fade (purity always holds)
-            self._step_full = indexed
-            self._collapse_pure = pm.shard_cascade_collapse_pure(
-                engine, mesh, donate)
-            self._place_state = lambda st: pm.place_cascade_state(st, mesh)
+            selected = getattr(engine, "mac_strategy", None) == "selected"
+            self._step_steady = pm.shard_cascade_step(engine, mesh,
+                                                      "steady", donate)
+            if selected:
+                # 'selected': fades run the general step over the
+                # materialized per-voice rhs; re-selects run the
+                # materializing collapse — both voice-local shard_maps
+                self._step_full = pm.shard_cascade_step(engine, mesh,
+                                                        "full", donate)
+                self._collapse = pm.shard_cascade_collapse(engine, mesh,
+                                                           donate)
+            else:
+                # span-only 'allk': no materializing path exists; the
+                # indexed step serves every fade (purity always holds)
+                indexed = pm.shard_cascade_step(engine, mesh, "indexed",
+                                                donate)
+                self._step_indexed = indexed
+                self._step_full = indexed
+                self._collapse_pure = pm.shard_cascade_collapse_pure(
+                    engine, mesh, donate)
+            self._place_state = lambda st: pm.place_cascade_state(
+                st, mesh, selected)
             self._place_bank = lambda b: pm.place_cascade_bank(b, mesh)
         elif isinstance(engine, FMajorPartitionedConvolution):
             self._step_steady = pm.shard_fmajor_step(engine, mesh,
@@ -368,11 +387,12 @@ class StreamSession:
         # (virtual snapshots are materialized in-graph), so the general
         # fade step may read state.base for anyone afterwards
         self._pure_host[:] = False
+        args = (state, self.bank, jnp.asarray(old_sel), jnp.asarray(changed))
         if self._collapse_takes_new_select:
-            return self._collapse(state, self.bank, jnp.asarray(old_sel),
-                                  jnp.asarray(changed), jnp.asarray(new_sel))
-        return self._collapse(state, self.bank, jnp.asarray(old_sel),
-                              jnp.asarray(changed))
+            args += (jnp.asarray(new_sel),)
+        if getattr(self, "_collapse_takes_params", False):
+            args += (self.control.snapshot_device(),)
+        return self._collapse(*args)
 
     def stop(self) -> None:
         """Request a clean end of run() at the next block boundary —
@@ -457,21 +477,20 @@ class StreamSession:
                 # fade-out tail must keep playing the old bank's sound
                 no_change = jnp.zeros((self.engine.num_voices, 2), jnp.bool_)
                 sel_now = jnp.asarray(self.control.select)
+                args = (state, self.bank, sel_now, no_change)
                 if self._collapse_takes_new_select:
-                    state = self._collapse(state, self.bank, sel_now,
-                                           no_change, sel_now)
-                else:
-                    state = self._collapse(state, self.bank, sel_now,
-                                           no_change)
+                    args += (sel_now,)
+                if getattr(self, "_collapse_takes_params", False):
+                    args += (self.control.snapshot_device(),)
+                state = self._collapse(*args)
                 self._pure_host[:] = False
             if self._collapse_takes_new_select:
                 # 'selected' strategy: the steady MAC reads materialized
                 # per-voice spectra — re-gather them from the NEW bank
+                # (engine-provided: fmajor re-points sel_spectra, the
+                # cascade its sel_head/sel_tail rhs)
                 if self._regather is None:
-                    from dataclasses import replace as _replace
-                    eng = self.engine
-                    self._regather = jax.jit(lambda st, b, sel: _replace(
-                        st, sel_spectra=eng._gather_selection(b, sel)))
+                    self._regather = jax.jit(self.engine.regather_selection)
                 state = self._regather(state, new_bank,
                                        jnp.asarray(self.control.select))
         self.bank = new_bank
@@ -481,12 +500,17 @@ class StreamSession:
         """Layout-sensitive engines (the cascade: engine.layout_sensitive)
         get their step functions recompiled ONCE with compiler-chosen
         boundary layouts, pinned consistently so state never relayouts
-        between steady, indexed, and collapse steps (utils/layouts.py).
+        between steady, fade, and collapse steps (utils/layouts.py):
+        steady/indexed/collapse_pure under 'allk', steady/full/collapse
+        under 'selected' (whose fades run the general step and whose
+        re-selects run the materializing collapse).
         Per-block-dispatch sessions only; chunked steps scan internally."""
+        selected = getattr(self.engine, "mac_strategy", None) == "selected"
         if (self._layouts_pinned or self.chunk_blocks > 1
                 or self.mesh is not None
                 or not getattr(self.engine, "layout_sensitive", False)
-                or not self._is_coef or self._step_indexed is None):
+                or not self._is_coef
+                or (self._step_indexed is None and not selected)):
             return
         self._layouts_pinned = True
         from tpu_audio.utils.layouts import pin_engine_steps
@@ -500,8 +524,12 @@ class StreamSession:
             collapse_params=getattr(self, "_collapse_pure_params", False))
         if pinned:
             self._step_steady = pinned["steady"]
-            self._step_indexed = pinned["indexed"]
-            self._collapse_pure = pinned["collapse_pure"]
+            if selected:
+                self._step_full = pinned["full"]
+                self._collapse = pinned["collapse"]
+            else:
+                self._step_indexed = pinned["indexed"]
+                self._collapse_pure = pinned["collapse_pure"]
             # place the bank in the compiler-chosen layout ONCE — passing
             # the default-layout bank relayouts ~100 MB on every step call
             self.bank = jax.device_put(self.bank, pinned["bank_format"])

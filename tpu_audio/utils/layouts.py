@@ -92,9 +92,15 @@ def pin_engine_steps(engine, bank, params, state, x, donate: bool = True,
     materializes them, so callers can pin layouts BEFORE allocating any
     state and then create it with :func:`pinned_init`.
 
-    Returns a dict with 'steady', 'indexed', 'collapse_pure' executables
-    and 'state_format' (None where unsupported by the backend — caller
-    falls back to jit).
+    Strategy-aware: 'allk' engines get 'steady' + 'indexed' +
+    'collapse_pure' (the span-fade production trio); 'selected' engines
+    get 'steady' + 'full' (the general fade step, their production fade
+    path) + 'collapse' (the materializing re-base — called on every
+    re-select, so it must agree on the state layout or every fade entry
+    pays a full-state relayout).
+
+    Returns a dict with the executables and 'state_format' (None where
+    unsupported by the backend — caller falls back to jit).
     """
     if not backend_supports_layouts():
         return None
@@ -102,16 +108,33 @@ def pin_engine_steps(engine, bank, params, state, x, donate: bool = True,
         engine.step_coef_steady, (state, bank, params, x),
         donate_state=donate)
     bank_fmt = steady.input_formats[0][1]
+    out = {"steady": steady, "state_format": state_fmt,
+           "bank_format": bank_fmt}
+    changed = params.select == params.select
+    if getattr(engine, "mac_strategy", "allk") == "selected":
+        full, _ = compile_auto_layout(
+            engine.step_coef, (state, bank, params, x),
+            donate_state=donate, state_fmt=state_fmt, arg_fmts={1: bank_fmt})
+        c_args = [state, bank, params.select, changed, params.select]
+        if getattr(engine, "collapse_takes_params", False):
+            c_args.append(params)
+        coll, _ = compile_auto_layout(
+            engine.collapse, tuple(c_args), donate_state=donate,
+            state_fmt=state_fmt, arg_fmts={1: bank_fmt})
+        out.update(full=full, collapse=coll)
+        Log.info("layouts", "pinned compiler-chosen state layouts across "
+                 "steady/full/collapse steps ('selected' strategy)")
+        return out
     indexed, _ = compile_auto_layout(
         engine.step_coef_indexed, (state, bank, params, x),
         donate_state=donate, state_fmt=state_fmt, arg_fmts={1: bank_fmt})
-    cp_args = ((state, params.select, params.select == params.select, params)
+    cp_args = ((state, params.select, changed, params)
                if collapse_params
-               else (state, params.select, params.select == params.select))
+               else (state, params.select, changed))
     collapse, _ = compile_auto_layout(
         engine.collapse_pure, cp_args, donate_state=donate,
         state_fmt=state_fmt)
     Log.info("layouts", "pinned compiler-chosen state layouts across "
              "steady/indexed/collapse steps")
-    return {"steady": steady, "indexed": indexed, "collapse_pure": collapse,
-            "state_format": state_fmt, "bank_format": bank_fmt}
+    out.update(indexed=indexed, collapse_pure=collapse)
+    return out
