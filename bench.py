@@ -33,11 +33,14 @@ converged AND interrupted re-selects at ~steady cost) with the general
 materialized-snapshot step (the bank-swap-mid-fade edge path) reported
 separately.
 
-The bare headline invocation additionally folds two compact legs into the
-JSON ("legs" key, budget-guarded): the reference's own shipped workload —
-its 152-IR all.index bank served through REAL working-set residency,
-including measured fault latency — and one >512-voice cascade scaling
-point. `--legs none` restores the single-config run.
+The bare headline invocation additionally folds compact legs into the
+JSON ("legs" key, budget-guarded, cheapest-first): the reference's own
+shipped workload — its 152-IR all.index bank served through REAL
+working-set residency including measured fault latency, AND through the
+cascade 'selected' strategy (K-independent per-block cost, no residency
+management) — plus >512-voice cascade scaling points and the reference's
+own monolithic operating point. `--legs none` restores the single-config
+run.
 """
 
 from __future__ import annotations
@@ -355,6 +358,86 @@ def run_cascade_leg(args, deadline_ms, voices=None, dtype=None,
         "rtf": round(deadline_ms / ms, 3),
     }
     log(f"cascade leg: steady {ms:.3f} ms/block (RTF {leg['rtf']})")
+    return leg
+
+
+def run_selected_leg(args, deadline_ms):
+    """Large-bank 'selected' leg: the reference's shipped 152-IR bank
+    served WITHOUT residency management — the cascade 'selected' strategy
+    materializes each voice's rhs in state, so per-block cost is
+    K-independent (the complement of the working-set leg: no fault
+    latency, memory scales with V instead). Measures steady AND the
+    mid-fade general step (the strategy's production fade path), pinned
+    layouts throughout."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_audio.engine import ControlPlane
+    from tpu_audio.engine.cascade import CascadeConvolution
+    from tpu_audio.models.reverb import _fit_cascade_ratio
+    from tpu_audio.utils.layouts import pin_engine_steps, pinned_init
+
+    k = args.ws_irs
+    bank = make_bank(k, args.ir_seconds, args.sample_rate)
+    partitions = bank.max_partitions(args.block)
+    ratio = _fit_cascade_ratio(16, args.voices, partitions)
+    engine = CascadeConvolution(
+        args.voices, args.block, partitions, ratio=ratio, max_predelay=8192,
+        num_irs=k, mac_dtype=args.mac_dtype, mac_strategy="selected")
+    spectra = engine.prepare_bank(bank, cache_dir=args.pack_cache)
+    control = ControlPlane(args.voices, k)
+    control.wet[:] = 0.7
+    control.dry[:] = 0.2
+    control.predelay[:] = 1024
+    control.select[:] = np.arange(args.voices * 2).reshape(-1, 2) % k
+    params = jax.tree.map(jnp.asarray, control.snapshot())
+    log(f"sel152 leg: {args.voices} voices x {k} IRs, cascade 'selected', "
+        f"ratio {ratio}, bank built")
+
+    rng = np.random.default_rng(5)
+    shape = (args.voices, 2, args.block)
+    pool = [jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 0.05)
+            for _ in range(4)]
+    make_block = lambda t: pool[t % len(pool)]
+
+    fresh = lambda: engine.init_converged(spectra, params)
+    pinned = pin_engine_steps(engine, spectra, params,
+                              jax.eval_shape(fresh), pool[0])
+    if pinned:
+        steady, fade, collapse = (pinned["steady"], pinned["full"],
+                                  pinned["collapse"])
+        spectra = jax.device_put(spectra, pinned["bank_format"])
+        state = pinned_init(lambda: engine.init_converged(spectra, params),
+                            pinned["state_format"])
+    else:
+        steady = jax.jit(engine.step_coef_steady, donate_argnums=(0,))
+        fade = jax.jit(engine.step_coef, donate_argnums=(0,))
+        collapse = jax.jit(engine.collapse)
+        state = fresh()
+    blocks = max(args.engine_blocks // 2, 16)
+    reps = max(args.reps - 1, 1)
+    ms, _ = engine_true_ms(steady, state, spectra, params, make_block,
+                           blocks, reps=reps)
+    # mid-fade: re-select every voice (materializing collapse), hold the
+    # fade in flight (huge vsteps) so every timed block runs the general
+    # step over sel AND base rhs
+    control.vsteps[:] = 1 << 20
+    new_sel = (control.select + 1) % k
+    control.select[:] = new_sel
+    params_f = jax.tree.map(jnp.asarray, control.snapshot())
+    changed = jnp.asarray(np.ones((args.voices, 2), bool))
+    st = collapse(pinned_init(lambda: engine.init_converged(spectra, params),
+                              pinned["state_format"]) if pinned else fresh(),
+                  spectra, params.select, changed, jnp.asarray(new_sel),
+                  params_f)
+    ms_fade, _ = engine_true_ms(fade, st, spectra, params_f, make_block,
+                                blocks, reps=reps)
+    leg = {"voices": args.voices, "num_irs": k, "strategy": "selected",
+           "ratio": ratio, "steady_ms": round(ms, 3),
+           "rtf": round(deadline_ms / ms, 3),
+           "fade_general_ms": round(ms_fade, 3)}
+    log(f"sel152 leg: steady {ms:.3f} ms/block (RTF {leg['rtf']}) | "
+        f"fade-general {ms_fade:.3f}")
     return leg
 
 
@@ -743,6 +826,7 @@ def main(argv=None) -> int:
         # eat the budget) still captures as many legs as possible
         leg_list = [("cascade_hv", lambda: run_cascade_leg(args, dl_ms)),
                     ("ws", lambda: run_ws_leg(args, make_block)),
+                    ("sel152", lambda: run_selected_leg(args, dl_ms)),
                     ("mono_ref", lambda: run_mono_leg(args, dl_ms))]
         if args.cascade_voices >= 512:
             # the single-chip voice-capacity point (real-time 2048v bf16,

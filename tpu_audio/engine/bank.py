@@ -224,15 +224,24 @@ class IRBank:
     def cached_partitioned_spectra(self, block: int, cache_dir: str | os.PathLike,
                                    max_partitions: int | None = None,
                                    offset: int = 0) -> np.ndarray:
-        """partitioned_spectra with a content-addressed .npz disk cache."""
+        """partitioned_spectra with a content-addressed disk cache.
+
+        Raw .npy (mmap'd on read), not .npz: python's zipfile layer reads
+        multi-hundred-MB entries at single-digit MB/s on a 1-core host
+        (CRC + chunked copies). Legacy .npz entries are still honoured."""
         os.makedirs(cache_dir, exist_ok=True)
         key = self._cache_key("part", block, max_partitions, offset)
-        path = os.path.join(os.fspath(cache_dir), f"bank_{key}.npz")
-        if os.path.exists(path):
-            Log.info("bank", "spectra cache hit: %s", path)
-            return np.load(path)["spectra"]
+        base = os.path.join(os.fspath(cache_dir), f"bank_{key}")
+        if os.path.exists(base + ".npy"):
+            Log.info("bank", "spectra cache hit: %s.npy", base)
+            return np.load(base + ".npy", mmap_mode="r")
+        if os.path.exists(base + ".npz"):
+            Log.info("bank", "spectra cache hit: %s.npz", base)
+            return np.load(base + ".npz")["spectra"]
         spectra = self.partitioned_spectra(block, max_partitions,
                                            offset=offset)
-        np.savez(path, spectra=spectra)
-        Log.info("bank", "spectra cache write: %s", path)
+        tmp = base + ".tmp.npy"
+        np.save(tmp, spectra)
+        os.replace(tmp, base + ".npy")
+        Log.info("bank", "spectra cache write: %s.npy", base)
         return spectra

@@ -256,16 +256,30 @@ class CascadeConvolution:
         """Host complex partition spectra -> the numpy MAC tensors
         (head [F1, 2, 2Pp1, KOD] and frequency-minor tail
         [2, 2Pp2, KOD, F2]), doubling BEFORE packing (gather with F-sized
-        chunks; see fmajor.double_reversed for the measured 50x)."""
+        chunks; see fmajor.double_reversed for the measured 50x).
+
+        The tail tensor is built DIRECTLY in its F-minor layout: packing
+        F-major first and transposing after (`pack_mac_rhs` + transpose)
+        reads the 1.7 GB 152-IR tensor at an F-plane stride per element —
+        measured minutes of host time on this 1-core box; the four
+        write-contiguous plane assignments below share the F-contiguous
+        minor axis with their source and take seconds."""
         from tpu_audio.engine.fmajor import (_pad_p, double_reversed,
                                              pack_mac_rhs)
 
         head_dbl = double_reversed(_pad_p(head_spec, 2, self.pp1), 2)
-        tail_dbl = double_reversed(_pad_p(tail_spec, 2, self.pp2), 2)
         head_rhs2 = pack_mac_rhs(head_dbl, 2 * self.pp1)
-        tail_rhs2 = np.ascontiguousarray(np.transpose(
-            pack_mac_rhs(tail_dbl, 2 * self.pp2), (1, 2, 3, 0)))
-        return head_rhs2, tail_rhs2
+
+        tail_dbl = double_reversed(_pad_p(tail_spec, 2, self.pp2), 2)
+        k, o, p2, f = tail_dbl.shape              # [K, O, 2Pp2, F2] complex
+        br = np.transpose(tail_dbl.real.astype(np.float32), (2, 0, 1, 3))
+        bi = np.transpose(tail_dbl.imag.astype(np.float32), (2, 0, 1, 3))
+        rhs = np.empty((2, p2, k, o, 2, f), np.float32)
+        rhs[0, ..., 0, :] = br                    # [2Pp2, K, O, F2]
+        rhs[0, ..., 1, :] = bi
+        rhs[1, ..., 0, :] = -bi
+        rhs[1, ..., 1, :] = br
+        return head_rhs2, rhs.reshape(2, p2, k * o * 2, f)
 
     def prepare_bank(self, bank, cache_dir=None) -> CascadeBank:
         """IRBank (time-domain) -> device CascadeBank: the head takes the
@@ -301,21 +315,27 @@ class CascadeConvolution:
                            head_spec.shape, tail_spec.shape)).encode())
             h.update(np.ascontiguousarray(head_spec).tobytes())
             h.update(np.ascontiguousarray(tail_spec).tobytes())
-            path = os.path.join(os.fspath(cache_dir),
-                                f"cascpack_{h.hexdigest()[:24]}.npz")
-            if os.path.exists(path):
+            # raw .npy pair, NOT .npz: python's zipfile reads multi-GB
+            # entries at ~5 MB/s on this 1-core box (CRC + small-chunk
+            # copies — a 2 GB 152-IR pack took ~8 min to LOAD); np.load
+            # with mmap hands jnp.asarray the pages straight from the
+            # file cache
+            base = os.path.join(os.fspath(cache_dir),
+                                f"cascpack_{h.hexdigest()[:24]}")
+            path = (base + "_head.npy", base + "_tail.npy")
+            if all(os.path.exists(p) for p in path):
                 from tpu_audio.utils.log import Log
-                Log.info("cascade", "packed-bank cache hit: %s", path)
-                with np.load(path) as data:
-                    head_rhs2, tail_rhs2 = data["head"], data["tail"]
+                Log.info("cascade", "packed-bank cache hit: %s*", base)
+                head_rhs2 = np.load(path[0], mmap_mode="r")
+                tail_rhs2 = np.load(path[1], mmap_mode="r")
         if head_rhs2 is None:
             head_rhs2, tail_rhs2 = self._pack_bank_host(head_spec, tail_spec)
             if path is not None:
                 import os
-                tmp = path + ".tmp"
-                with open(tmp, "wb") as fh:
-                    np.savez(fh, head=head_rhs2, tail=tail_rhs2)
-                os.replace(tmp, path)
+                for p, arr in zip(path, (head_rhs2, tail_rhs2)):
+                    tmp = p + ".tmp.npy"   # .npy suffix: np.save appends
+                    np.save(tmp, arr)      # one otherwise
+                    os.replace(tmp, p)
         return CascadeBank(
             head_rhs2=jnp.asarray(head_rhs2, self.mac_dtype),
             tail_rhs2=jnp.asarray(tail_rhs2, self.mac_dtype))

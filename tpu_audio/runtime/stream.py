@@ -463,6 +463,14 @@ class StreamSession:
         self._swap_wait_logged = False
         new_bank = self._pending_bank
         self._pending_bank = None
+        # keep the swapped-in bank in the serving placement: pinned
+        # sessions silently relayout a default-layout bank on EVERY step
+        # call (the documented 10x gotcha), mesh sessions would re-place
+        # it per dispatch
+        if getattr(self, "_pinned_bank_fmt", None) is not None:
+            new_bank = jax.device_put(new_bank, self._pinned_bank_fmt)
+        elif self.mesh is not None and self._mesh_bank_placed:
+            new_bank = self._place_bank(new_bank)
         if self._is_coef and hasattr(state, "base_pure"):
             if not getattr(self.engine, "swap_snapshot", True):
                 # span-only engine: the deferral above guarantees every
@@ -490,7 +498,14 @@ class StreamSession:
                 # (engine-provided: fmajor re-points sel_spectra, the
                 # cascade its sel_head/sel_tail rhs)
                 if self._regather is None:
-                    self._regather = jax.jit(self.engine.regather_selection)
+                    # pinned sessions: the regathered state must come back
+                    # in the pinned layouts or every later step relayouts
+                    # the (large) sel leaves
+                    fmt = getattr(self, "_pinned_state_fmt", None)
+                    self._regather = jax.jit(
+                        self.engine.regather_selection,
+                        **({"out_shardings": fmt} if fmt is not None
+                           else {}))
                 state = self._regather(state, new_bank,
                                        jnp.asarray(self.control.select))
         self.bank = new_bank
@@ -532,6 +547,8 @@ class StreamSession:
                 self._collapse_pure = pinned["collapse_pure"]
             # place the bank in the compiler-chosen layout ONCE — passing
             # the default-layout bank relayouts ~100 MB on every step call
+            self._pinned_state_fmt = pinned["state_format"]
+            self._pinned_bank_fmt = pinned["bank_format"]
             self.bank = jax.device_put(self.bank, pinned["bank_format"])
             if getattr(self, "on_bank_pinned", None) is not None:
                 self.on_bank_pinned(self.bank)
