@@ -80,6 +80,10 @@ def test_bench_extra_legs(capsys):
     assert rec["legs"]["ws"]["fault_ms"] > 0
     assert rec["legs"]["cascade_hv"]["steady_ms"] > 0
     assert rec["legs"]["cascade_hv"]["voices"] == 4
+    assert rec["legs"]["sel152"]["strategy"] == "selected"
+    assert rec["legs"]["sel152"]["num_irs"] == 6
+    assert rec["legs"]["sel152"]["steady_ms"] > 0
+    assert rec["legs"]["sel152"]["fade_general_ms"] > 0
     assert rec["legs_skipped"] is None
 
 
