@@ -826,11 +826,7 @@ def main(argv=None) -> int:
         # eat the budget) still captures as many legs as possible
         leg_list = [("cascade_hv", lambda: run_cascade_leg(args, dl_ms)),
                     ("ws", lambda: run_ws_leg(args, make_block)),
-                    ("mono_ref", lambda: run_mono_leg(args, dl_ms)),
-                    # last: its 2 GB fully-resident bank upload alone can
-                    # cost ~250 s on a congested tunnel evening (measured;
-                    # ~30 s fair-weather, ~2.5 s PCIe)
-                    ("sel152", lambda: run_selected_leg(args, dl_ms))]
+                    ("mono_ref", lambda: run_mono_leg(args, dl_ms))]
         if args.cascade_voices >= 512:
             # the single-chip voice-capacity point (real-time 2048v bf16,
             # read-side predelay); only meaningful at production scale —
@@ -838,6 +834,10 @@ def main(argv=None) -> int:
             leg_list.append(("cascade_2048", lambda: run_cascade_leg(
                 args, dl_ms, voices=2048, dtype="bf16",
                 predelay_side="read")))
+        # last: its 2 GB fully-resident bank upload alone can cost ~250 s
+        # on a congested tunnel evening (measured; ~30 s fair-weather,
+        # ~2.5 s PCIe)
+        leg_list.append(("sel152", lambda: run_selected_leg(args, dl_ms)))
         for name, fn in leg_list:
             elapsed = time.perf_counter() - _T0
             if elapsed > args.leg_budget:
