@@ -407,13 +407,17 @@ def run_selected_leg(args, deadline_ms):
         steady, fade, collapse = (pinned["steady"], pinned["full"],
                                   pinned["collapse"])
         spectra = jax.device_put(spectra, pinned["bank_format"])
-        state = pinned_init(lambda: engine.init_converged(spectra, params),
-                            pinned["state_format"])
+        # NOT pinned_init: compiling the 'selected' init (large bank
+        # gathers) under pinned out_shardings wedges the remote compiler
+        # for >20 min (measured, twice); plain-jit init + device_put
+        # relayout takes seconds at this 64v scale
+        fresh = lambda: jax.device_put(
+            engine.init_converged(spectra, params), pinned["state_format"])
     else:
         steady = jax.jit(engine.step_coef_steady, donate_argnums=(0,))
         fade = jax.jit(engine.step_coef, donate_argnums=(0,))
         collapse = jax.jit(engine.collapse)
-        state = fresh()
+    state = fresh()
     blocks = max(args.engine_blocks // 2, 16)
     reps = max(args.reps - 1, 1)
     ms, _ = engine_true_ms(steady, state, spectra, params, make_block,
@@ -426,10 +430,8 @@ def run_selected_leg(args, deadline_ms):
     control.select[:] = new_sel
     params_f = jax.tree.map(jnp.asarray, control.snapshot())
     changed = jnp.asarray(np.ones((args.voices, 2), bool))
-    st = collapse(pinned_init(lambda: engine.init_converged(spectra, params),
-                              pinned["state_format"]) if pinned else fresh(),
-                  spectra, params.select, changed, jnp.asarray(new_sel),
-                  params_f)
+    st = collapse(fresh(), spectra, params.select, changed,
+                  jnp.asarray(new_sel), params_f)
     ms_fade, _ = engine_true_ms(fade, st, spectra, params_f, make_block,
                                 blocks, reps=reps)
     leg = {"voices": args.voices, "num_irs": k, "strategy": "selected",
@@ -695,8 +697,16 @@ def main(argv=None) -> int:
             # relayouts it)
             spectra = jax.device_put(spectra, pinned["bank_format"])
             base_fresh = lambda: engine.init_converged(spectra, params)
-            fresh_state = lambda: pinned_init(base_fresh,
-                                              pinned["state_format"])
+            if has_indexed:
+                fresh_state = lambda: pinned_init(base_fresh,
+                                                  pinned["state_format"])
+            else:
+                # 'selected': compiling the gather-heavy init under pinned
+                # out_shardings wedges the remote compiler (>20 min,
+                # measured twice) — plain init + device_put relayout; the
+                # transient double-hold is fine at selected voice counts
+                fresh_state = lambda: jax.device_put(
+                    base_fresh(), pinned["state_format"])
         state = fresh_state()
 
     # ---- engine-true (chained dispatch, chip-side cost) --------------------

@@ -30,6 +30,9 @@ def main() -> int:
     ap.add_argument("--no-pin", action="store_true",
                     help="plain jit instead of pinned AUTO layouts")
     ap.add_argument("--skip-fade", action="store_true")
+    ap.add_argument("--stage-breakdown", action="store_true",
+                    help="additionally time head-only / tail-only steady "
+                         "variants in THIS process (weather-immune)")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -142,6 +145,30 @@ def main() -> int:
             args.blocks, reps=args.reps)
         result["fade_general_ms"] = round(ms_f, 3)
         stage(f"fade-general {ms_f:.3f} ms/block")
+
+    if args.stage_breakdown:
+        import functools
+        for name, st_set in (("head", ("head",)), ("tail", ("tail",))):
+            stage(f"{name}-only compile+run")
+            fn = jax.jit(functools.partial(engine._step, with_base=False,
+                                           stages=st_set),
+                         donate_argnums=(0,))
+            s = engine.init_state()
+            s = replace(s, coef_c=jnp.asarray(
+                np.asarray(control.wet, np.float32)), sel_head=gh,
+                sel_tail=gt)
+            s, o = fn(s, spectra, params, pool[0])
+            np.asarray(o[0, 0, :2])
+            best = []
+            for _rep in range(args.reps + 1):
+                t1 = time.time()
+                for tb in range(args.blocks):
+                    s, o = fn(s, spectra, params, pool[tb % 4])
+                np.asarray(o[0, 0, :2])
+                best.append((time.time() - t1) / args.blocks * 1e3)
+            del s, o
+            result[f"{name}_ms"] = round(min(best), 3)
+            stage(f"{name}-only {result[f'{name}_ms']:.3f} ms/block")
 
     print(json.dumps(result))
     return 0
