@@ -495,16 +495,9 @@ def _install_partial_json_handler() -> None:
     import signal
 
     def emit(signum, frame):
-        rec = {"metric": PARTIAL.get("metric", "rtf_64voices_4sIR_44k256"),
-               "value": PARTIAL.get("value", 0.0),
-               "unit": "x_realtime",
-               "vs_baseline": PARTIAL.get("value", 0.0),
-               "partial": True,
-               "error": f"killed by signal {signum} at "
-                        f"t+{time.perf_counter() - _T0:.0f}s (wedged remote "
-                        f"compile is the known cause)"}
-        rec.update({k: v for k, v in PARTIAL.items() if k != "value"})
-        print(json.dumps(rec), flush=True)
+        _emit_partial(f"killed by signal {signum} at "
+                      f"t+{time.perf_counter() - _T0:.0f}s (wedged remote "
+                      f"compile is the known cause)")
         raise SystemExit(0)
 
     for sig in (signal.SIGTERM, signal.SIGINT):
@@ -515,6 +508,56 @@ def _install_partial_json_handler() -> None:
 
 
 _WATCHDOG_DONE = False
+_WATCHDOG_TIMER = None
+
+
+def _emit_partial(error: str) -> None:
+    """Print a partial JSON record (headline + whatever legs finished) —
+    a partial record beats an empty BENCH file."""
+    rec = {"metric": PARTIAL.get("metric", "rtf_64voices_4sIR_44k256"),
+           "value": PARTIAL.get("value", 0.0),
+           "unit": "x_realtime",
+           "vs_baseline": PARTIAL.get("value", 0.0),
+           "partial": True,
+           "error": error}
+    rec.update({k: v for k, v in PARTIAL.items() if k != "value"})
+    print(json.dumps(rec), flush=True)
+
+
+def _wait_for_backend(deadline_t: float) -> None:
+    """The tunneled TPU backend goes transiently UNAVAILABLE (observed
+    2026-08-17: plugin init raised for ~30+ min, which crashed the run
+    before any measurement). A failed init can leave a cached/poisoned
+    backend error in-process, so probe from THROWAWAY subprocesses and
+    only touch the backend here once a probe succeeds. Returns at the
+    deadline either way; the real init then raises its own error (which
+    the __main__ wrapper converts to a partial JSON record)."""
+    import subprocess
+    import sys
+
+    attempt = 0
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c",
+                                "import jax; jax.devices()"],
+                               capture_output=True, timeout=120)
+            if r.returncode == 0:
+                if attempt:
+                    log(f"backend probe ok after {attempt} retries")
+                return
+            err = (r.stderr or b"").decode(errors="replace").strip()
+            err = err.splitlines()[-1][:160] if err else f"rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            err = "probe timed out at 120s"
+        attempt += 1
+        remaining = deadline_t - time.perf_counter()
+        if remaining <= 0:
+            log(f"backend still unavailable at probe deadline ({err}); "
+                "proceeding — the run will report its own error")
+            return
+        log(f"backend unavailable (probe {attempt}: {err}); retrying, "
+            f"{remaining:.0f}s left in probe window")
+        time.sleep(15.0)
 
 
 def _install_watchdog(seconds: float) -> None:
@@ -527,26 +570,20 @@ def _install_watchdog(seconds: float) -> None:
     import os
     import threading
 
-    global _WATCHDOG_DONE
+    global _WATCHDOG_DONE, _WATCHDOG_TIMER
     _WATCHDOG_DONE = False
 
     def fire():
         if _WATCHDOG_DONE:
             return
-        rec = {"metric": PARTIAL.get("metric", "rtf_64voices_4sIR_44k256"),
-               "value": PARTIAL.get("value", 0.0),
-               "unit": "x_realtime",
-               "vs_baseline": PARTIAL.get("value", 0.0),
-               "partial": True,
-               "error": f"watchdog fired at t+{time.perf_counter() - _T0:.0f}s "
-                        f"(wedged remote compile is the known cause)"}
-        rec.update({k: v for k, v in PARTIAL.items() if k != "value"})
-        print(json.dumps(rec), flush=True)
+        _emit_partial(f"watchdog fired at t+{time.perf_counter() - _T0:.0f}s "
+                      f"(wedged remote compile is the known cause)")
         os._exit(0)
 
     t = threading.Timer(seconds, fire)
     t.daemon = True
     t.start()
+    _WATCHDOG_TIMER = t
 
 
 def main(argv=None) -> int:
@@ -624,6 +661,11 @@ def main(argv=None) -> int:
                          "state tensor; span provenance serves every fade) "
                          "— frees ~11 MB/voice at 4 s IRs for more voices")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--no-backend-probe", dest="backend_probe",
+                    action="store_false",
+                    help="skip the subprocess backend-availability probe "
+                         "(it costs ~15 s of import time per retry; tests "
+                         "and CPU smoke runs don't need it)")
     args = ap.parse_args(argv)
     if args.watchdog:
         _install_watchdog(args.watchdog)
@@ -651,6 +693,13 @@ def main(argv=None) -> int:
                               0.0)
         except Exception as exc:  # noqa: BLE001 - cache is best-effort
             log(f"compilation cache unavailable: {exc!r}")
+
+    if args.backend_probe:
+        # don't crash an entire round's BENCH record on a transiently-down
+        # tunnel: wait (in throwaway subprocesses) for the backend to come
+        # back, up to half the watchdog window
+        _wait_for_backend(_T0 + (args.watchdog * 0.5 if args.watchdog
+                                 else 240.0))
 
     engine, spectra, control, params, state = build(args)
     deadline = args.block / args.sample_rate
@@ -833,28 +882,40 @@ def main(argv=None) -> int:
         del state, engine, spectra, st
         gc.collect()
         # cheapest-first so a slow-compile start (wedged remote compiles
-        # eat the budget) still captures as many legs as possible
-        leg_list = [("cascade_hv", lambda: run_cascade_leg(args, dl_ms)),
-                    ("ws", lambda: run_ws_leg(args, make_block)),
-                    ("mono_ref", lambda: run_mono_leg(args, dl_ms))]
+        # eat the budget) still captures as many legs as possible; the
+        # third element is a fair-weather wall-time estimate — a leg that
+        # cannot plausibly finish before the watchdog is skipped rather
+        # than started (a half-run leg measures nothing and its partial
+        # state can't be reclaimed before the watchdog kills the run)
+        leg_list = [("cascade_hv", lambda: run_cascade_leg(args, dl_ms), 60),
+                    ("ws", lambda: run_ws_leg(args, make_block), 120),
+                    ("mono_ref", lambda: run_mono_leg(args, dl_ms), 40)]
         if args.cascade_voices >= 512:
             # the single-chip voice-capacity point (real-time 2048v bf16,
             # read-side predelay); only meaningful at production scale —
             # tiny smoke configs skip it
             leg_list.append(("cascade_2048", lambda: run_cascade_leg(
                 args, dl_ms, voices=2048, dtype="bf16",
-                predelay_side="read")))
+                predelay_side="read"), 90))
         # last: its 2 GB fully-resident bank upload alone can cost ~250 s
         # on a congested tunnel evening (measured; ~30 s fair-weather,
         # ~2.5 s PCIe)
-        leg_list.append(("sel152", lambda: run_selected_leg(args, dl_ms)))
-        for name, fn in leg_list:
+        leg_list.append(("sel152", lambda: run_selected_leg(args, dl_ms),
+                         200))
+        skipped = []
+        for name, fn, est_s in leg_list:
             elapsed = time.perf_counter() - _T0
             if elapsed > args.leg_budget:
-                legs_skipped = (f"{name}+ skipped at t+{elapsed:.0f}s "
-                                f"(budget {args.leg_budget:.0f}s)")
-                log(legs_skipped)
+                skipped.append(f"{name}+ skipped at t+{elapsed:.0f}s "
+                               f"(budget {args.leg_budget:.0f}s)")
+                log(skipped[-1])
                 break
+            if args.watchdog and args.watchdog - elapsed < est_s:
+                skipped.append(f"{name} skipped at t+{elapsed:.0f}s "
+                               f"(needs ~{est_s}s, watchdog at "
+                               f"{args.watchdog:.0f}s)")
+                log(skipped[-1])
+                continue
             try:
                 legs[name] = fn()
             except Exception as exc:  # noqa: BLE001 - a leg must not kill the headline
@@ -862,6 +923,7 @@ def main(argv=None) -> int:
                 legs[name] = {"error": repr(exc)[:200]}
             PARTIAL["legs"] = dict(legs)
             gc.collect()
+        legs_skipped = "; ".join(skipped) or None
 
     head = results["pcm16"]
     transport_bound = head["p99_ms"] > dl_ms and ms_steady < dl_ms
@@ -874,6 +936,8 @@ def main(argv=None) -> int:
 
     global _WATCHDOG_DONE
     _WATCHDOG_DONE = True
+    if _WATCHDOG_TIMER is not None:
+        _WATCHDOG_TIMER.cancel()
     print(json.dumps({
         "metric": f"rtf_{args.voices}voices_{args.ir_seconds:g}sIR_"
                   f"{args.sample_rate // 1000}k{args.block}"
@@ -902,4 +966,21 @@ def main(argv=None) -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    try:
+        raise SystemExit(main())
+    except SystemExit:
+        raise
+    except BaseException as exc:  # noqa: BLE001 - the driver records our
+        # stdout as the round's BENCH file; an uncaught traceback (e.g. a
+        # backend that stays UNAVAILABLE past the probe window) must still
+        # leave a partial JSON record behind (round 2 lost evidence to a
+        # silent death; 2026-08-17 evening nearly lost a round to a
+        # tunnel-down crash in build())
+        import traceback
+        traceback.print_exc()
+        _WATCHDOG_DONE = True
+        if _WATCHDOG_TIMER is not None:
+            _WATCHDOG_TIMER.cancel()
+        _emit_partial(f"crashed at t+{time.perf_counter() - _T0:.0f}s: "
+                      f"{type(exc).__name__}: {exc}"[:400])
+        raise SystemExit(0)

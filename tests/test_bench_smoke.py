@@ -17,7 +17,7 @@ def run_bench(capsys, extra=()):
         sys.path.pop(0)
     argv = ["--voices", "2", "--num-irs", "2", "--ir-seconds", "0.05",
             "--block", "256", "--engine-blocks", "4", "--chunks", "4",
-            "--chunk", "3", "--reps", "1", *extra]
+            "--chunk", "3", "--reps", "1", "--no-backend-probe", *extra]
     assert bench.main(argv) == 0
     out = capsys.readouterr().out.strip().splitlines()[-1]
     return json.loads(out)
