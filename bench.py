@@ -587,6 +587,24 @@ def _install_watchdog(seconds: float) -> None:
 
 
 def main(argv=None) -> int:
+    """Library-safe wrapper: PARTIAL/_T0 are per-run, and the watchdog
+    timer must not outlive a raising run (a stray daemon timer firing
+    minutes later would os._exit(0) the HOST process — e.g. kill pytest
+    mid-suite with a green exit code)."""
+    global _T0
+    _T0 = time.perf_counter()
+    PARTIAL.clear()
+    try:
+        return _main(argv)
+    except BaseException:
+        global _WATCHDOG_DONE
+        _WATCHDOG_DONE = True
+        if _WATCHDOG_TIMER is not None:
+            _WATCHDOG_TIMER.cancel()
+        raise
+
+
+def _main(argv=None) -> int:
     _install_partial_json_handler()
     ap = argparse.ArgumentParser()
     ap.add_argument("--watchdog", type=float, default=550.0,

@@ -154,9 +154,14 @@ def main() -> int:
                                            stages=st_set),
                          donate_argnums=(0,))
             s = engine.init_state()
+            # gh/gt were donated away with the main timing loop's state —
+            # re-gather fresh selected rhs leaves for each variant
             s = replace(s, coef_c=jnp.asarray(
-                np.asarray(control.wet, np.float32)), sel_head=gh,
-                sel_tail=gt)
+                np.asarray(control.wet, np.float32)),
+                sel_head=jax.jit(engine._gather_head)(spectra,
+                                                      params.select),
+                sel_tail=jax.jit(engine._gather_tail)(spectra,
+                                                      params.select))
             s, o = fn(s, spectra, params, pool[0])
             np.asarray(o[0, 0, :2])
             best = []

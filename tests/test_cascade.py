@@ -681,3 +681,29 @@ def test_read_side_predelay_edit_retimes_buffered_wet():
     assert np.abs(got[12: 12 + nh] - want[12: 12 + nh]).max() > 1e-5
     # after the buffered window drains both sides agree again
     np.testing.assert_allclose(got[12 + nh:], want[12 + nh:], atol=1e-6)
+
+
+def test_materialize_base_equals_no_change_collapse():
+    """Cascade 'selected': materialize_base == collapse(changed=all-False)
+    leaf for leaf (the rescale factor is exactly 1.0 for unchanged voices,
+    so keeping tail_ring untouched is identical), WITHOUT the full-bank
+    gathers the traced form pays (stream.py bank-swap/resume callers)."""
+    bank, cas, *_ = build()
+    sel = CascadeConvolution(V, B, cas.partitions, ratio=M,
+                             max_predelay=MAXPD, mac_strategy="selected")
+    sel_bank = sel.prepare_bank(bank)
+    cp = control()
+    cp.vsteps[:] = 30
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+    state = sel.init_converged(sel_bank, params)
+    assert bool(np.asarray(state.base_pure).all())
+    no_change = jnp.asarray(np.zeros((V, 2), bool))
+    ref = sel.collapse(state, sel_bank, params.select, no_change,
+                       params.select, params)
+    got = sel.materialize_base(state, sel_bank)
+    for name in type(state).__dataclass_fields__:
+        np.testing.assert_array_equal(np.asarray(getattr(got, name)),
+                                      np.asarray(getattr(ref, name)),
+                                      err_msg=name)
+    with pytest.raises(ValueError, match="span-only"):
+        cas.materialize_base(state, sel_bank)

@@ -857,3 +857,48 @@ def test_update_bank_slot_matches_full_prepare(ring):
         np.testing.assert_array_equal(np.asarray(getattr(updated, leaf)),
                                       np.asarray(getattr(ref, leaf)),
                                       err_msg=leaf)
+
+
+@pytest.mark.parametrize("strategy", ["allk", "selected"])
+def test_materialize_base_equals_no_change_collapse(strategy):
+    """materialize_base must be leaf-for-leaf identical to
+    collapse(changed=all-False) — the session's bank-swap/resume paths use
+    it because the traced all-False form cannot dead-code-eliminate the
+    re-select gathers (a full-bank read at 'selected' scale)."""
+    _, _, spectra, _ = build()
+    fm = FMajorPartitionedConvolution(4, 32, spectra.shape[2],
+                                      max_predelay=64,
+                                      mac_strategy=strategy,
+                                      num_irs=spectra.shape[0])
+    bank = fm.prepare_bank(spectra)
+    cp = ControlPlane(4, 3, max_predelay=64)
+    cp.wet[:] = 0.7
+    cp.select[:] = [[0, 1], [1, 2], [2, 0], [0, 0]]
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+    state = fm.init_converged(bank, params)
+    if strategy == "allk":
+        # a genuinely virtual mid-fade snapshot: span-collapse a re-select
+        cp.vsteps[:] = 40
+        state = fm.collapse_pure(state, params.select,
+                                 jnp.asarray(np.ones((4, 2), bool)))
+        assert bool(np.asarray(state.base_pure).all())
+    no_change = jnp.asarray(np.zeros((4, 2), bool))
+    sel = jnp.asarray(cp.select)
+    ref = fm.collapse(state, bank, sel, no_change,
+                      sel if strategy == "selected" else None)
+    got = fm.materialize_base(state, bank)
+    for name in type(state).__dataclass_fields__:
+        np.testing.assert_array_equal(np.asarray(getattr(got, name)),
+                                      np.asarray(getattr(ref, name)),
+                                      err_msg=name)
+
+
+def test_materialize_base_guard_span_only():
+    _, _, spectra, _ = build()
+    fm = FMajorPartitionedConvolution(4, 32, spectra.shape[2],
+                                      max_predelay=64, swap_snapshot=False,
+                                      num_irs=spectra.shape[0])
+    bank = fm.prepare_bank(spectra)
+    st = fm.init_state()
+    with pytest.raises(ValueError, match="swap_snapshot"):
+        fm.materialize_base(st, bank)

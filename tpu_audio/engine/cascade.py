@@ -945,6 +945,39 @@ class CascadeConvolution:
             coef_c=jnp.where(changed, 0.0, state.coef_c),
         )
 
+    def materialize_base(self, state: CascadeState, bank: CascadeBank
+                         ) -> CascadeState:
+        """Materialize purity WITHOUT any re-select (fmajor semantics):
+        base_* := base_eff, purity cleared; selection, coefficients, and
+        the tail ring untouched (nothing changed, so no in-flight rescale).
+        The 'selected' strategy's purity only ever holds the ZERO snapshot
+        (init state), so no bank read happens — unlike
+        ``collapse(..., changed=all-False)``, which gathers the full bank
+        for operands it then discards (1.9 GB at 152 IRs x 4 s)."""
+        if self.mac_strategy != "selected":
+            raise ValueError("the 'allk' cascade is span-only: snapshots "
+                             "cannot materialize — defer bank swaps until "
+                             "fades decay")
+
+        def eff(base, brd):
+            z = jnp.where(brd(state.base_pure), 0.0,
+                          base.astype(jnp.float32))
+            return z.astype(base.dtype)
+
+        def bh(x2):
+            return x2[None, :, :, None, None, None]
+
+        def bt(x2):
+            g2 = jnp.swapaxes(
+                x2.reshape(self.num_voices // self.ratio, self.ratio, 2),
+                0, 1)
+            return g2[:, :, :, None, None, None, None]
+
+        return replace(state,
+                       base_head=eff(state.base_head, bh),
+                       base_tail=eff(state.base_tail, bt),
+                       base_pure=jnp.zeros_like(state.base_pure))
+
     def regather_selection(self, state: CascadeState, bank: CascadeBank,
                            select: jax.Array) -> CascadeState:
         """Re-point the materialized per-voice rhs at a (new) bank's

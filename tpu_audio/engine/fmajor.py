@@ -762,6 +762,30 @@ class FMajorPartitionedConvolution:
                 mask, fresh, state.sel_spectra))
         return state
 
+    def materialize_base(self, state: FMajorState, bank: FMajorBank
+                         ) -> FMajorState:
+        """Materialize virtual (span-provenance) snapshots WITHOUT any
+        re-select: base := base_eff, purity cleared, coefficients and
+        selection untouched. Semantically identical to
+        ``collapse(..., changed=all-False)`` but statically free of the
+        changed-gated work — a traced all-False `changed` cannot be
+        dead-code-eliminated, so that form still gathers re-select
+        operands from the full bank only to discard them (the session's
+        bank-swap and resume paths, stream.py, are the callers)."""
+        if not self.swap_snapshot:
+            raise ValueError(
+                "engine was built with swap_snapshot=False: snapshots "
+                "cannot materialize — defer bank swaps until fades decay")
+        if self.mac_strategy == "selected":
+            virtual = jnp.zeros(state.base.shape, jnp.float32)
+        else:
+            virtual = self._span_expand(bank, state.base_g)
+        pure = state.base_pure[None, :, :, None, None, None]
+        base_eff = jnp.where(pure, virtual, state.base.astype(jnp.float32))
+        return replace(state,
+                       base=base_eff.astype(state.base.dtype),
+                       base_pure=jnp.zeros_like(state.base_pure))
+
     def collapse_pure(self, state: FMajorState, old_select: jax.Array,
                       changed: jax.Array) -> FMajorState:
         """Span collapse ('allk' strategy): the affine re-base base :=

@@ -175,6 +175,7 @@ class StreamSession:
         self.wire = wire
         self._pending_bank = None
         self._regather = None
+        self._materialize = None
         self._swap_wait_logged = False
         # cooperative stop for unbounded live sessions (the reference parks
         # its main thread on stdin and quits on Enter, src/main.cu:95);
@@ -394,6 +395,34 @@ class StreamSession:
             args += (self.control.snapshot_device(),)
         return self._collapse(*args)
 
+    def _materialize_base(self, state):
+        """Materialize virtual fade snapshots with NO re-select (bank-swap
+        and resume paths). Prefers the engine's static `materialize_base`
+        — `collapse` with a traced all-False `changed` cannot dead-code-
+        eliminate the re-select gathers, which read the entire bank at
+        'selected' scale only to discard the result."""
+        fn = getattr(self.engine, "materialize_base", None)
+        if fn is not None:
+            if self._materialize is None:
+                # pinned sessions: results must come back in the pinned
+                # layouts or every later step relayouts the state
+                fmt = getattr(self, "_pinned_state_fmt", None)
+                self._materialize = jax.jit(
+                    fn, **({"out_shardings": fmt} if fmt is not None
+                           else {}))
+            state = self._materialize(state, self.bank)
+        else:
+            no_change = jnp.zeros((self.engine.num_voices, 2), jnp.bool_)
+            sel_now = jnp.asarray(self.control.select)
+            args = (state, self.bank, sel_now, no_change)
+            if self._collapse_takes_new_select:
+                args += (sel_now,)
+            if getattr(self, "_collapse_takes_params", False):
+                args += (self.control.snapshot_device(),)
+            state = self._collapse(*args)
+        self._pure_host[:] = False
+        return state
+
     def stop(self) -> None:
         """Request a clean end of run() at the next block boundary —
         callable from another thread (e.g. a stdin watcher, the
@@ -483,15 +512,7 @@ class StreamSession:
             elif bool(np.asarray(state.base_pure).any()):
                 # materialize virtual snapshots against the OLD bank: the
                 # fade-out tail must keep playing the old bank's sound
-                no_change = jnp.zeros((self.engine.num_voices, 2), jnp.bool_)
-                sel_now = jnp.asarray(self.control.select)
-                args = (state, self.bank, sel_now, no_change)
-                if self._collapse_takes_new_select:
-                    args += (sel_now,)
-                if getattr(self, "_collapse_takes_params", False):
-                    args += (self.control.snapshot_device(),)
-                state = self._collapse(*args)
-                self._pure_host[:] = False
+                state = self._materialize_base(state)
             if self._collapse_takes_new_select:
                 # 'selected' strategy: the steady MAC reads materialized
                 # per-voice spectra — re-gather them from the NEW bank
@@ -594,16 +615,7 @@ class StreamSession:
                     # cannot run the indexed step (chunked mode, or pinned):
                     # materialize the virtual snapshots once so the general
                     # fade reads a valid base tensor
-                    no_change = jnp.zeros((self.engine.num_voices, 2),
-                                          jnp.bool_)
-                    sel_now = jnp.asarray(self.control.select)
-                    if self._collapse_takes_new_select:
-                        state = self._collapse(state, self.bank, sel_now,
-                                               no_change, sel_now)
-                    else:
-                        state = self._collapse(state, self.bank, sel_now,
-                                               no_change)
-                    self._pure_host[:] = False
+                    state = self._materialize_base(state)
             else:
                 self._pure_host = np.zeros_like(self._pure_host)
 
