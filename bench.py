@@ -486,6 +486,18 @@ def run_mono_leg(args, deadline_ms):
 PARTIAL: dict = {}
 
 
+def _metric_name(args) -> str:
+    """One suffixed metric id per configuration — used by the final JSON
+    record AND stored in PARTIAL up front so watchdog/signal/crash records
+    attribute partial numbers to the right configuration."""
+    return (f"rtf_{args.voices}voices_{args.ir_seconds:g}sIR_"
+            f"{args.sample_rate // 1000}k{args.block}"
+            + ("" if args.mac_dtype == "f32" else f"_{args.mac_dtype}")
+            + ("" if args.engine == "fmajor" else f"_{args.engine}")
+            + ("" if args.bank_capacity is None
+               else f"_rs{args.bank_capacity}of{args.num_irs}"))
+
+
 def _install_partial_json_handler() -> None:
     """The tunnel's remote compile service occasionally wedges and a jit
     call blocks forever; the driver then SIGTERMs the run at its budget.
@@ -500,11 +512,12 @@ def _install_partial_json_handler() -> None:
                       f"compile is the known cause)")
         raise SystemExit(0)
 
-    for sig in (signal.SIGTERM, signal.SIGINT):
-        try:
-            signal.signal(sig, emit)
-        except (ValueError, OSError):  # non-main thread / exotic platform
-            pass
+    # SIGTERM only: a Ctrl-C abort must stay a KeyboardInterrupt (nonzero
+    # exit), not a zero-exit "partial result" a wrapper would record
+    try:
+        signal.signal(signal.SIGTERM, emit)
+    except (ValueError, OSError):  # non-main thread / exotic platform
+        pass
 
 
 _WATCHDOG_DONE = False
@@ -685,6 +698,9 @@ def _main(argv=None) -> int:
                          "(it costs ~15 s of import time per retry; tests "
                          "and CPU smoke runs don't need it)")
     args = ap.parse_args(argv)
+    # partial/watchdog records must carry THIS run's metric name, not the
+    # default config's
+    PARTIAL["metric"] = _metric_name(args)
     if args.watchdog:
         _install_watchdog(args.watchdog)
 
@@ -957,12 +973,7 @@ def _main(argv=None) -> int:
     if _WATCHDOG_TIMER is not None:
         _WATCHDOG_TIMER.cancel()
     print(json.dumps({
-        "metric": f"rtf_{args.voices}voices_{args.ir_seconds:g}sIR_"
-                  f"{args.sample_rate // 1000}k{args.block}"
-                  + ("" if args.mac_dtype == "f32" else f"_{args.mac_dtype}")
-                  + ("" if args.engine == "fmajor" else f"_{args.engine}")
-                  + ("" if args.bank_capacity is None
-                     else f"_rs{args.bank_capacity}of{args.num_irs}"),
+        "metric": _metric_name(args),
         "value": round(head["rtf"], 3),
         "unit": "x_realtime",
         "vs_baseline": round(head["rtf"], 3),
@@ -986,7 +997,7 @@ def _main(argv=None) -> int:
 if __name__ == "__main__":
     try:
         raise SystemExit(main())
-    except SystemExit:
+    except (SystemExit, KeyboardInterrupt):
         raise
     except BaseException as exc:  # noqa: BLE001 - the driver records our
         # stdout as the round's BENCH file; an uncaught traceback (e.g. a

@@ -290,3 +290,33 @@ def test_reverb_groups_heterogeneous_fft_sizes(tmp_path):
     # process() was given a fresh state; outputs must match exactly
     np.testing.assert_allclose(total, want, atol=1e-6)
     assert np.abs(total).max() > 1e-4
+
+
+def test_reverb_groups_split_on_max_predelay(tmp_path):
+    """Pairs sharing fftSize+index but with DIFFERENT maxPredelay must NOT
+    merge into one engine group: a group shares one engine, and the
+    predelay CC scales value*maxPredelay//128 — merging would silently
+    apply pair 0's range to pair 1 (the reference builds each instance
+    with its own configuration, src/main.cu:31-39)."""
+    from tpu_audio.models.reverb import ReverbGroups
+
+    rng = np.random.default_rng(11)
+    paths = []
+    for k in range(2):
+        ir = rng.uniform(-0.3, 0.3, (100, 2)).astype(np.float32)
+        p = tmp_path / f"ir{k}.wav"
+        write_wav(p, ir, 44100)
+        paths.append(str(p))
+    idx = tmp_path / "b.index"
+    write_index(idx, paths)
+    lines = ["conv.count 4"]
+    for n, maxpd in enumerate([512, 512, 128, 128]):
+        lines += [f"conv[{n}].fftSize 1024",
+                  f"conv[{n}].maxPredelay {maxpd}",
+                  f"conv[{n}].index {idx}"]
+    sfile = tmp_path / "pd.txt"
+    sfile.write_text("\n".join(lines) + "\n")
+
+    groups = ReverbGroups.from_settings(str(sfile), block=64, verbose=False)
+    assert len(groups.models) == 2
+    assert sorted(m.engine.max_predelay for m in groups.models) == [128, 512]

@@ -402,3 +402,32 @@ def test_async_paging_output_matches_effective_time_replay():
     # differently (same tolerance as the sync ws-vs-full test above)
     np.testing.assert_allclose(got, sink.data, atol=1e-6)
     assert np.abs(sink.data).max() > 1e-3
+
+
+def test_deferred_select_retimes_span_protection():
+    """A DEFERRED select still restarts the fade clock (the event re-slews
+    wet with the new vsteps), so the span's analytic decay window must be
+    re-timed exactly like the sync remap path — otherwise a slow fade
+    started by the deferred event could outlive a stale window and leave
+    its still-audible slots evictable by a concurrent voice's fault."""
+    bank = make_bank()
+    eng, cp, ws, full = build_ws_async(bank, payload_delay=0.5)
+    try:
+        cp.speed[:] = 900                 # slow fade (near CC max)
+        # warm a sync fade first so (0, 0) has span meta to go stale
+        cp.set_select(0, 0, 1)            # resident: sync path
+        assert (0, 0) in ws._span_meta
+        for _ in range(20):
+            cp.end_block()
+        now0 = cp.blocks
+        cp.set_select(0, 0, 7)            # miss -> deferred
+        assert ws.deferred == 1
+        block, window = ws._span_meta[(0, 0)]
+        assert block == now0, "deferred select must re-time the span window"
+        assert window >= 900, "window must cover the NEW slow fade"
+        # every span slot's idle-age protection was refreshed too
+        for s in ws._span[(0, 0)]:
+            assert ws.last_used[s] == now0
+        ws.drain(timeout=10)
+    finally:
+        ws.close()

@@ -306,36 +306,27 @@ class CascadeConvolution:
                              f"was built for num_irs={self.num_irs}")
         self.num_irs = head_spec.shape[0]
         head_rhs2 = tail_rhs2 = None
-        path = None
+        base = None
         if cache_dir:
-            import hashlib
-            import os
-            h = hashlib.sha256()
-            h.update(repr(("cascade-pack", self.pp1, self.pp2,
-                           head_spec.shape, tail_spec.shape)).encode())
-            h.update(np.ascontiguousarray(head_spec).tobytes())
-            h.update(np.ascontiguousarray(tail_spec).tobytes())
-            # raw .npy pair, NOT .npz: python's zipfile reads multi-GB
-            # entries at ~5 MB/s on this 1-core box (CRC + small-chunk
-            # copies — a 2 GB 152-IR pack took ~8 min to LOAD); np.load
-            # with mmap hands jnp.asarray the pages straight from the
-            # file cache
-            base = os.path.join(os.fspath(cache_dir),
-                                f"cascpack_{h.hexdigest()[:24]}")
-            path = (base + "_head.npy", base + "_tail.npy")
-            if all(os.path.exists(p) for p in path):
-                from tpu_audio.utils.log import Log
-                Log.info("cascade", "packed-bank cache hit: %s*", base)
-                head_rhs2 = np.load(path[0], mmap_mode="r")
-                tail_rhs2 = np.load(path[1], mmap_mode="r")
+            # raw .npy pair, NOT .npz (utils/diskcache.py: zipfile reads
+            # multi-GB entries at ~5 MB/s on this 1-core box; mmap'd .npy
+            # hands jnp.asarray the pages straight from the file cache)
+            from tpu_audio.utils import diskcache
+            from tpu_audio.utils.log import Log
+            base = "cascpack_" + diskcache.content_key(
+                "cascade-pack", (self.pp1, self.pp2, head_spec.shape,
+                                 tail_spec.shape), head_spec, tail_spec)
+            hit = diskcache.load(cache_dir, base, ("head", "tail"))
+            if hit is not None:
+                Log.info("cascade", "packed-bank cache hit: %s/%s*",
+                         cache_dir, base)
+                head_rhs2, tail_rhs2 = hit["head"], hit["tail"]
         if head_rhs2 is None:
             head_rhs2, tail_rhs2 = self._pack_bank_host(head_spec, tail_spec)
-            if path is not None:
-                import os
-                for p, arr in zip(path, (head_rhs2, tail_rhs2)):
-                    tmp = p + ".tmp.npy"   # .npy suffix: np.save appends
-                    np.save(tmp, arr)      # one otherwise
-                    os.replace(tmp, p)
+            if base is not None:
+                from tpu_audio.utils import diskcache
+                diskcache.store(cache_dir, base,
+                                {"head": head_rhs2, "tail": tail_rhs2})
         return CascadeBank(
             head_rhs2=jnp.asarray(head_rhs2, self.mac_dtype),
             tail_rhs2=jnp.asarray(tail_rhs2, self.mac_dtype))
@@ -364,13 +355,19 @@ class CascadeConvolution:
         head_rhs2, tail_rhs2 = self._pack_bank_host(
             spec(0, self.block, self.head_parts),
             spec(2 * self.b2, self.b2, self.tail_parts))
-        # cached executable is keyed by the bank's layouts: StreamSession
-        # may pin compiler-chosen layouts after the first fault, and a
-        # stale cache would emit a default-layout bank that every pinned
-        # step then relayouts per block (measured 10x session slowdown)
+        # cached executables are KEYED by the bank's layouts (StreamSession
+        # may pin compiler-chosen layouts after the first fault; a stale
+        # executable would emit a default-layout bank that every pinned
+        # step then relayouts per block — measured 10x session slowdown).
+        # A dict, not a single mutable pair: the async pager's worker
+        # thread and the session thread may both be in here, and per-key
+        # entries stay consistent under any interleaving.
         fmt = jax.tree.map(lambda a: a.format, bank)
-        cached = getattr(self, "_slot_update", None)
-        if cached is None or self._slot_update_fmt != str(fmt):
+        cache = getattr(self, "_slot_update_cache", None)
+        if cache is None:
+            cache = self._slot_update_cache = {}
+        fn = cache.get(str(fmt))
+        if fn is None:
             def upd(bank, head_p, tail_p, k):
                 return replace(
                     bank,
@@ -379,14 +376,13 @@ class CascadeConvolution:
                     tail_rhs2=jax.lax.dynamic_update_slice(
                         bank.tail_rhs2, tail_p, (0, 0, k * 4, 0)))
 
-            self._slot_update = jax.jit(
-                upd, in_shardings=(fmt, None, None, None),
-                out_shardings=fmt)
-            self._slot_update_fmt = str(fmt)
-        return self._slot_update(bank,
-                                 jnp.asarray(head_rhs2, self.mac_dtype),
-                                 jnp.asarray(tail_rhs2, self.mac_dtype),
-                                 jnp.int32(slot))
+            fn = jax.jit(upd, in_shardings=(fmt, None, None, None),
+                         out_shardings=fmt)
+            cache[str(fmt)] = fn
+        return fn(bank,
+                  jnp.asarray(head_rhs2, self.mac_dtype),
+                  jnp.asarray(tail_rhs2, self.mac_dtype),
+                  jnp.int32(slot))
 
     # -- state ---------------------------------------------------------------------
 

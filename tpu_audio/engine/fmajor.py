@@ -301,36 +301,42 @@ class FMajorPartitionedConvolution:
                              f"state is K-shaped)")
         self.num_irs = spectra.shape[0]
         mac_rhs = rhs2 = planar = rev2 = None
-        path = None
+        base = None
+        fields = ("mac_rhs", "rhs2", "planar", "rev2")
         if cache_dir is not None:
-            import hashlib
             import os
-            h = hashlib.sha256()
-            h.update(repr(("fmajor-pack", self.pp, self.ring_mode,
-                           self.mac_strategy, spectra.shape)).encode())
-            h.update(np.ascontiguousarray(spectra).tobytes())
-            os.makedirs(cache_dir, exist_ok=True)
-            path = os.path.join(cache_dir, f"pack_{h.hexdigest()[:24]}.npz")
-            if os.path.exists(path):
-                from tpu_audio.utils.log import Log
-                Log.info("fmajor", "packed-bank cache hit: %s", path)
-                with np.load(path) as data:
-                    mac_rhs, rhs2, planar, rev2 = (
-                        data[k] if k in data else None
-                        for k in ("mac_rhs", "rhs2", "planar", "rev2"))
+
+            from tpu_audio.utils import diskcache
+            from tpu_audio.utils.log import Log
+            base = "pack_" + diskcache.content_key(
+                "fmajor-pack", (self.pp, self.ring_mode, self.mac_strategy,
+                                spectra.shape), spectra)
+            hit = diskcache.load(cache_dir, base, fields)
+            if hit is not None:
+                Log.info("fmajor", "packed-bank cache hit: %s/%s*",
+                         cache_dir, base)
+                mac_rhs, rhs2, planar, rev2 = (hit[f] for f in fields)
+            else:
+                legacy = os.path.join(os.fspath(cache_dir), base + ".npz")
+                if os.path.exists(legacy):
+                    # one-time migration: .npz reads multi-GB entries at
+                    # ~5 MB/s (see utils/diskcache.py) — re-store as raw
+                    # .npy so every later run mmaps it
+                    Log.info("fmajor", "packed-bank cache hit (legacy npz, "
+                             "migrating to npy): %s", legacy)
+                    with np.load(legacy) as data:
+                        mac_rhs, rhs2, planar, rev2 = (
+                            data[k] if k in data else None for k in fields)
+                    diskcache.store(cache_dir, base,
+                                    dict(zip(fields,
+                                             (mac_rhs, rhs2, planar, rev2))))
         if planar is None:
             mac_rhs, rhs2, planar, rev2 = self._pack_bank_host(spectra)
-            if path is not None:
-                arrays = {k: v for k, v in (("mac_rhs", mac_rhs),
-                                            ("rhs2", rhs2),
-                                            ("planar", planar),
-                                            ("rev2", rev2))
-                          if v is not None}
-                tmp = path + ".tmp"
-                with open(tmp, "wb") as fh:
-                    np.savez(fh, **arrays)
-                import os
-                os.replace(tmp, path)
+            if base is not None:
+                from tpu_audio.utils import diskcache
+                diskcache.store(cache_dir, base,
+                                dict(zip(fields,
+                                         (mac_rhs, rhs2, planar, rev2))))
         dt = self.mac_dtype
         zero4 = jnp.zeros((1, 1, 1, 1), dt)
         return FMajorBank(
@@ -361,13 +367,20 @@ class FMajorPartitionedConvolution:
                     jnp.asarray(planar),
                     (jnp.asarray(rev2, dt) if self.ring_mode
                      else jnp.zeros((1, 1, 1, 1, 1), dt)))
-        # the cached executable bakes in the bank's layouts: re-key it when
-        # they change (e.g. a StreamSession pinned compiler-chosen layouts
-        # after the first fault) — a stale cache would emit a default-layout
-        # bank that every subsequent pinned step relayouts per block
+        # cached executables are KEYED by the bank's layouts: they change
+        # when a StreamSession pins compiler-chosen layouts after the first
+        # fault — a stale executable would emit a default-layout bank that
+        # every subsequent pinned step relayouts per block. A dict (not a
+        # single mutable pair) because the async pager's worker thread and
+        # the session thread may both be in here: per-key entries stay
+        # internally consistent under any interleaving, a torn
+        # (executable, fmt-string) pair would not.
         fmt = jax.tree.map(lambda a: a.format, bank)
-        cached = getattr(self, "_slot_update", None)
-        if cached is None or self._slot_update_fmt != str(fmt):
+        cache = getattr(self, "_slot_update_cache", None)
+        if cache is None:
+            cache = self._slot_update_cache = {}
+        fn = cache.get(str(fmt))
+        if fn is None:
             ring = self.ring_mode
 
             def upd(bank, mac_p, planar_p, rev2_p, k):
@@ -389,11 +402,10 @@ class FMajorPartitionedConvolution:
             # preserve the bank's (possibly compiler-pinned) layouts:
             # producing the update in default layouts would make every
             # subsequent pinned step relayout the whole bank per block
-            self._slot_update = jax.jit(
-                upd, in_shardings=(fmt, None, None, None, None),
-                out_shardings=fmt)
-            self._slot_update_fmt = str(fmt)
-        return self._slot_update(bank, *payloads, jnp.int32(slot))
+            fn = jax.jit(upd, in_shardings=(fmt, None, None, None, None),
+                         out_shardings=fmt)
+            cache[str(fmt)] = fn
+        return fn(bank, *payloads, jnp.int32(slot))
 
     # -- state ---------------------------------------------------------------------
 

@@ -355,11 +355,17 @@ class ReverbGroups:
             if fft != fft2:
                 raise ValueError(f"convolution pair {n} needs identical fft "
                                  f"sizes (main.cu:36): {fft} != {fft2}")
-            key = (fft, resolve(2 * n), resolve(2 * n + 1))
+            # a group shares ONE engine, so every engine-constructor input
+            # must be part of the key — pairs differing in maxPredelay must
+            # not merge (the CC scaling value*maxpd//128 would silently use
+            # the other pair's range)
+            max_pd = settings.u32("conv[%d].maxPredelay", 2 * n,
+                                  default=8192)
+            key = (fft, max_pd, resolve(2 * n), resolve(2 * n + 1))
             groups.setdefault(key, []).append(n)
 
         models, pair_ids = [], []
-        for (fft, index0, index1), pairs in groups.items():
+        for (fft, max_pd, index0, index1), pairs in groups.items():
             bank = (IRBank.from_index(index0, root=root, verbose=verbose,
                                       max_seconds=max_ir_seconds)
                     if index0 else IRBank())
@@ -369,8 +375,6 @@ class ReverbGroups:
                                           max_seconds=max_ir_seconds)
                 offset = bank.extend(bank1)
                 windows = [(0, offset), (offset, len(bank1))]
-            max_pd = settings.u32("conv[%d].maxPredelay", 2 * pairs[0],
-                                  default=8192)
             model = ConvolutionReverb(bank, num_voices=len(pairs),
                                       engine=engine, fft_size=fft,
                                       max_predelay=max_pd, **kwargs)

@@ -70,6 +70,8 @@ def _load_libjack():
     lib.jack_client_close.argtypes = [ctypes.c_void_p]
     lib.jack_connect.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                  ctypes.c_char_p]
+    lib.jack_get_client_name.restype = ctypes.c_char_p
+    lib.jack_get_client_name.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -113,6 +115,10 @@ class JackRingBridge:
         if not self.client:
             raise RuntimeError(
                 "jack_client_open failed (is jackd running?)")
+        # the server may have renamed the client on collision (and the
+        # caller may have passed name != default): ALL port strings must
+        # use the ASSIGNED name, or jack_connect wires to nothing
+        self.name = self.lib.jack_get_client_name(self.client).decode()
         self.sample_rate = self.lib.jack_get_sample_rate(self.client)
         self.block = self.lib.jack_get_buffer_size(self.client)
         self.ports_in = [self.lib.jack_port_register(
@@ -127,7 +133,7 @@ class JackRingBridge:
         self._cb = _PROCESS_CB(self._process)
         self.lib.jack_set_process_callback(self.client, self._cb, None)
         Log.info("jack", "client '%s': %d Hz, %d frames/period",
-                 name, self.sample_rate, self.block)
+                 self.name, self.sample_rate, self.block)
 
     # the JACK RT thread calls this once per period
     def _process(self, nframes: int, _arg) -> int:
@@ -162,9 +168,9 @@ class JackRingBridge:
             for i in range(2):
                 self.lib.jack_connect(
                     self.client, f"system:capture_{i + 1}".encode(),
-                    f"tpu_audio:in_{i}".encode())
+                    f"{self.name}:in_{i}".encode())
                 self.lib.jack_connect(
-                    self.client, f"tpu_audio:out_{i}".encode(),
+                    self.client, f"{self.name}:out_{i}".encode(),
                     f"system:playback_{i + 1}".encode())
 
     def stop(self) -> None:

@@ -258,6 +258,22 @@ class WorkingSetBank:
             self._pending[full_idx] = rec
             self._pending_order.append(rec)
             self._queue.put(rec)
+        # a deferred select still restarts the fade clock (the event
+        # re-slews wet with the NEW vsteps, reference conv.cu:261), so the
+        # span's analytic decay window must be re-timed exactly like the
+        # sync path — otherwise a slow fade started here could outlive its
+        # (stale) window and leave a still-audible span slot evictable by
+        # a concurrent voice's fault
+        key = (voice, ch)
+        span = self._span.setdefault(key, set())
+        prev = self._span_meta.get(key)
+        if prev is not None and now - prev[0] >= prev[1]:
+            span.clear()  # previous fades provably decayed
+        span.add(int(self.control.select[voice, ch]))
+        window = int(self.control.speed[voice, ch]) + self.DECAY_MARGIN
+        self._span_meta[key] = (now, window)
+        for s in span:
+            self.last_used[s] = now
         self._deferred_target[(voice, ch)] = full_idx
         self.deferred += 1
         return int(self.control.select[voice, ch])
