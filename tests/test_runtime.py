@@ -844,3 +844,49 @@ def test_fade_blocks_upload_zero_params():
     assert uploads[60] <= 3, f"fade blocks re-uploaded params: {uploads}"
     # and the fade really was in flight for tens of blocks
     assert uploads[60] >= 2
+
+
+def test_chunked_session_respects_max_blocks():
+    """Chunked mode must not render/deliver past max_blocks: a full-chunk
+    gather at the boundary used to overshoot by up to chunk-1 blocks."""
+    m = small_model(num_voices=1, num_irs=2, ir_len=128)
+    m.control.dry[:] = 0.2
+    m.control.wet[:] = 0.8
+    rng = np.random.default_rng(13)
+    x = (rng.standard_normal((1, 2, 64 * 20)) * 0.05).astype(np.float32)
+    sink = WavSink("/dev/null", keep_data=True)
+    m.process(WavSource(x, 1, 64), sink, warmup=0, chunk_blocks=4,
+              max_blocks=6)
+    assert sink.data.shape[-1] == 6 * 64
+
+
+def test_midischedule_parse_reports_line_and_content():
+    import pytest as _pytest
+
+    from tpu_audio.runtime.stream import MidiSchedule
+    with _pytest.raises(ValueError, match=r"line 2.*B0 15 400"):
+        MidiSchedule.parse("0 B0 15 40\n8 B0 15 400\n")
+    with _pytest.raises(ValueError, match="line 1"):
+        MidiSchedule.parse("x0 B0 15 40\n")
+
+
+def test_wav_sink_all_voices_suffixless_path(tmp_path):
+    sink = WavSink(tmp_path / "out", 44100, voice="all", keep_data=False)
+    sink.write(np.zeros((3, 2, 16), np.float32))
+    sink.close()
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ["out_v000.wav", "out_v001.wav", "out_v002.wav"]
+
+
+def test_wav_source_broadcast_is_lazy():
+    """Shared program material must stay [1, 2, T] internally (the V-voice
+    broadcast is applied per block): materializing it costs V x the file
+    size in host RAM (21 GB at 1024 voices for a 60 s file)."""
+    rng = np.random.default_rng(17)
+    x = (rng.standard_normal((2, 64 * 3)) * 0.1).astype(np.float32)
+    src = WavSource(x, num_voices=512, block=64)
+    assert src.data.shape[0] == 1
+    blk = src.read()
+    assert blk.shape == (512, 2, 64)
+    np.testing.assert_array_equal(blk[0], blk[511])
+    np.testing.assert_array_equal(blk[0], x[:, :64])

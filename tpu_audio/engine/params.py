@@ -150,6 +150,12 @@ class ControlPlane:
         # on_aux_restored to rebuild device residency after a load
         self.aux: dict = {}
         self.on_aux_restored = None
+        # fired by sessions immediately BEFORE a checkpoint is written:
+        # subsystems with in-flight host-side work (async working-set
+        # uploads + their deferred selects) publish it so the checkpoint
+        # captures a consistent world — a deferred select lives only in
+        # host memory and would otherwise be lost on restore
+        self.pre_checkpoint_hooks: list = []
 
     # -- wiring ---------------------------------------------------------------
 

@@ -54,11 +54,14 @@ class WavSource(BlockSource):
             if data.ndim == 2:
                 data = data[None]
             self.sample_rate = None
-        if data.shape[0] == 1 and num_voices > 1:
-            data = np.broadcast_to(data, (num_voices,) + data.shape[1:])
-        if data.shape[0] != num_voices:
+        if data.shape[0] not in (1, num_voices):
             raise ValueError(f"source has {data.shape[0]} voices, need {num_voices}")
+        # shared program material STAYS [1, 2, T]: materializing the
+        # V-voice broadcast costs num_voices x the file size in host RAM
+        # (a 60 s stereo file at 1024 voices would be ~21 GB); read()
+        # broadcasts each block instead
         self.data = np.ascontiguousarray(data * gain, dtype=np.float32)
+        self.num_voices = num_voices
         self.block = block
         self.loop = loop
         self.max_blocks = max_blocks
@@ -84,7 +87,8 @@ class WavSource(BlockSource):
             if not self.loop:
                 return None
             self._pos = 0
-        out = np.zeros(self.data.shape[:-1] + (self.block,), np.float32)
+        out = np.zeros((self.num_voices,) + self.data.shape[1:-1]
+                       + (self.block,), np.float32)
         filled = 0
         while filled < self.block:
             end = min(self._pos + (self.block - filled), t)
@@ -196,9 +200,14 @@ class WavSink(BlockSink):
 
     def _open(self, num_voices: int) -> None:
         if self.voice == "all":
+            import os
+            # splitext, not str.replace: a suffix-less path (or a ".wav"
+            # inside a directory component) would otherwise open the SAME
+            # file for every voice, corrupting all of them
+            root, ext = os.path.splitext(self.path)
             self._writers = []
             for v in range(num_voices):
-                path = self.path.replace(".wav", f"_v{v:03d}.wav")
+                path = f"{root}_v{v:03d}{ext or '.wav'}"
                 self._writers.append((v, WavWriter(
                     path, self.sample_rate, 2, self.bits, self.scale)))
         else:

@@ -98,13 +98,22 @@ class JackRingBridge:
 
     Underrun policy matches the session's live semantics: if the output
     ring is dry the callback emits silence (the session's reverb tail
-    resumes when it catches up); if the input ring is full the oldest
-    data is dropped (the reference's JACK client, being synchronous,
-    could never fall behind — a tunneled TPU can).
+    resumes when it catches up); if the input ring is full the NEWEST
+    capture period is dropped whole (the ring write is all-or-none,
+    csrc/blockio.cpp — the SPSC contract forbids the producer consuming
+    stale data to make room) and counted in ``overruns``. The reference's
+    JACK client, being synchronous, could never fall behind — a tunneled
+    TPU can.
+
+    ``expect_block``: the session's block size. jackd's period size MUST
+    match it — the rings carry flat f32 with no framing, so a mismatch
+    would not error, it would silently de-interleave into garbled
+    channels. Pass None to skip the check (single-purpose rigs).
     """
 
     def __init__(self, in_ring, out_ring, name: str = "tpu_audio",
-                 server_may_start: bool = False):
+                 server_may_start: bool = False,
+                 expect_block: int | None = None):
         if not jack_available():
             raise RuntimeError("libjack not found on this host")
         self.lib = _LIB
@@ -121,6 +130,14 @@ class JackRingBridge:
         self.name = self.lib.jack_get_client_name(self.client).decode()
         self.sample_rate = self.lib.jack_get_sample_rate(self.client)
         self.block = self.lib.jack_get_buffer_size(self.client)
+        if expect_block is not None and self.block != expect_block:
+            self.lib.jack_client_close(self.client)
+            raise RuntimeError(
+                f"jackd runs {self.block} frames/period but the session "
+                f"expects {expect_block}: the shm rings carry unframed f32 "
+                f"and a mismatch garbles channels — restart jackd with "
+                f"-p{expect_block} (or the session with --block "
+                f"{self.block})")
         self.ports_in = [self.lib.jack_port_register(
             self.client, f"in_{i}".encode(), _JACK_DEFAULT_AUDIO_TYPE,
             _JackPortIsInput, 0) for i in range(2)]
@@ -128,6 +145,7 @@ class JackRingBridge:
             self.client, f"out_{i}".encode(), _JACK_DEFAULT_AUDIO_TYPE,
             _JackPortIsOutput, 0) for i in range(2)]
         self.underruns = 0
+        self.overruns = 0
         # keep a reference: ctypes callbacks are garbage-collected
         # otherwise (a classic segfault)
         self._cb = _PROCESS_CB(self._process)
@@ -144,7 +162,8 @@ class JackRingBridge:
             for i, port in enumerate(self.ports_in):
                 buf = self.lib.jack_port_get_buffer(port, nframes)
                 ins[i] = np.ctypeslib.as_array(buf, shape=(frames,))
-            self.in_ring.write(ins.ravel())
+            if not self.in_ring.write(ins.ravel()):
+                self.overruns += 1   # session fell behind; period dropped
             # output ring -> playback (silence on underrun)
             out = self.out_ring.read(2 * frames)
             if out is None:
@@ -191,9 +210,13 @@ def main(argv=None) -> int:
     ap.add_argument("--out-ring", required=True,
                     help="shm ring name the session writes output to")
     ap.add_argument("--name", default="tpu_audio")
+    ap.add_argument("--expect-block", type=int, default=None,
+                    help="session block size; jackd's period must match "
+                         "(the rings carry unframed f32)")
     args = ap.parse_args(argv)
     bridge = JackRingBridge(NativeRing.open(args.in_ring),
-                            NativeRing.open(args.out_ring), name=args.name)
+                            NativeRing.open(args.out_ring), name=args.name,
+                            expect_block=args.expect_block)
     bridge.start()
     try:
         while True:
@@ -202,7 +225,8 @@ def main(argv=None) -> int:
         pass
     finally:
         bridge.stop()
-        Log.info("jack", "bridge stopped (%d underruns)", bridge.underruns)
+        Log.info("jack", "bridge stopped (%d underruns, %d overruns)",
+                 bridge.underruns, bridge.overruns)
     return 0
 
 

@@ -58,19 +58,26 @@ class MidiSchedule:
             return all(c in "0123456789abcdefABCDEF" for c in tok) and len(tok) <= 2
 
         events = []
-        for line in text.splitlines():
-            line = line.split("#", 1)[0].strip()
+        for lineno, raw in enumerate(text.splitlines(), start=1):
+            line = raw.split("#", 1)[0].strip()
             if not line:
                 continue
             tokens = line.split()
-            block = int(tokens[0])
             rest = tokens[1:]
             device = ""
             if rest and rest[0].startswith("dev="):
                 device, rest = rest[0][4:], rest[1:]
             elif rest and not is_hex(rest[0]):
                 device, rest = rest[0], rest[1:]
-            events.append((block, device, bytes(int(t, 16) for t in rest)))
+            try:
+                block = int(tokens[0])
+                data = bytes(int(t, 16) for t in rest)
+            except ValueError as exc:
+                raise ValueError(
+                    f"MIDI schedule line {lineno}: {exc} "
+                    f"(line was: {raw.strip()!r}; format is "
+                    f"'<block> [dev=<id>] <hex bytes 00-FF...>')") from exc
+            events.append((block, device, data))
         return cls(events)
 
     def pop_due(self, block_index: int) -> list[tuple[str, bytes]]:
@@ -650,10 +657,15 @@ class StreamSession:
                     self._consecutive_underruns = 0
                 n_valid = 1
             else:
-                # gather a chunk; zero-pad a partial tail (trimmed on write)
+                # gather a chunk; zero-pad a partial tail (trimmed on
+                # write). Cap at the caller's max_blocks — a full-chunk
+                # gather would render and DELIVER up to chunk-1 blocks the
+                # caller never asked for.
                 stop = False
                 xs = []
-                while len(xs) < chunk:
+                want = chunk if max_blocks is None else min(
+                    chunk, max_blocks - block_index)
+                while len(xs) < want:
                     blk = self.source.read()
                     if blk is None:
                         if (self.underrun_policy == "stop"
@@ -767,6 +779,11 @@ class StreamSession:
                     batch_acc = []
                 while pending:
                     self._deliver(*pending.popleft())
+                # let subsystems publish in-flight host-side work (async
+                # working-set drain: pending uploads + deferred selects)
+                # so the checkpoint captures a consistent world
+                for hook in self.control.pre_checkpoint_hooks:
+                    hook()
                 from tpu_audio.runtime.checkpoint import save_checkpoint
                 save_checkpoint(checkpoint_path, state, self.control,
                                 meta={"block_index":

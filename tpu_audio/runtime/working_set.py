@@ -117,6 +117,11 @@ class WorkingSetBank:
                 target=self._worker_loop, name="workset-pager", daemon=True)
             self._worker.start()
             control.block_hooks.append(self.poll)
+            # a deferred select lives only in host memory until poll()
+            # publishes it: sessions fire these hooks before writing a
+            # checkpoint, so drain() lands the upload + re-issues the
+            # select and the checkpoint captures a consistent world
+            control.pre_checkpoint_hooks.append(self.drain)
         control.select_remap = self._remap
         # residency is checkpointable state: without it a restored
         # `select` (slot indices) would address slots holding different
@@ -165,6 +170,26 @@ class WorkingSetBank:
                 live |= self._span.get(key, set())
         return live
 
+    def _retime_span(self, voice: int, ch: int, now: float) -> set:
+        """A select event (applied OR deferred) restarts the fade clock, so
+        the voice's span protection must be re-timed with the NEW fade's
+        window: clear a provably-decayed previous span, add the currently
+        sounding slot (it enters its fade-out / re-slew), stamp the new
+        analytic decay window, and refresh every member's idle-age
+        protection. Shared by the sync and deferred paths — the eviction-
+        safety proof requires them identical."""
+        key = (voice, ch)
+        span = self._span.setdefault(key, set())
+        prev = self._span_meta.get(key)
+        if prev is not None and now - prev[0] >= prev[1]:
+            span.clear()  # previous fades provably decayed (analytic bound)
+        span.add(int(self.control.select[voice, ch]))
+        window = int(self.control.speed[voice, ch]) + self.DECAY_MARGIN
+        self._span_meta[key] = (now, window)
+        for s in span:
+            self.last_used[s] = now
+        return span
+
     def _remap(self, voice: int, ch: int, full_idx: int) -> int:
         if not 0 <= full_idx < self.full_size:
             # out-of-range CC scalings (the reference formula can exceed
@@ -178,25 +203,17 @@ class WorkingSetBank:
         if slot is None and self.async_paging:
             # deferred fault: selection stays put until the IR is resident
             return self._defer(voice, ch, full_idx, now)
-        key = (voice, ch)
-        span = self._span.setdefault(key, set())
-        prev = self._span_meta.get(key)
-        if prev is not None and now - prev[0] >= prev[1]:
-            span.clear()  # previous fades provably decayed (analytic bound)
-        # the outgoing slot enters its fade-out: it joins the span
-        span.add(int(self.control.select[voice, ch]))
         self._deferred_target.pop((voice, ch), None)  # superseded if pending
         if slot is None:
+            # may raise (exhausted / payload failure): the select then never
+            # applies, so nothing is re-timed — the span keeps its previous
+            # (possibly expired) window
             slot = self._fault(full_idx, now)
         else:
             self.hits += 1
+        span = self._retime_span(voice, ch, now)
         span.add(int(slot))
-        # the new fade re-times the WHOLE mixture's decay
-        window = int(self.control.speed[voice, ch]) + self.DECAY_MARGIN
-        self._span_meta[key] = (now, window)
-        # refresh idle-age protection for every slot the span references
-        for s in span:
-            self.last_used[s] = now
+        self.last_used[slot] = now
         return slot
 
     def _choose_victim(self, now: float) -> int:
@@ -220,11 +237,15 @@ class WorkingSetBank:
     def _fault(self, full_idx: int, now: float) -> int:
         victim = self._choose_victim(now)
         old_full = self.slot_to_full[victim]
+        # pack + upload BEFORE touching the residency maps: a failed
+        # payload/upload must not leave them claiming an IR is resident
+        # that never landed (a later select of it would 'hit' a slot still
+        # holding the evicted IR and silently play the wrong sound)
+        self.bank = self.engine.update_bank_slot(
+            self.bank, victim, self.slot_payload(full_idx))
         self.full_to_slot.pop(old_full, None)
         self.slot_to_full[victim] = full_idx
         self.full_to_slot[full_idx] = victim
-        self.bank = self.engine.update_bank_slot(
-            self.bank, victim, self.slot_payload(full_idx))
         self.misses += 1
         self._sync_aux()
         Log.info("workset", "IR %d -> slot %d (evicted %d; miss #%d)",
@@ -264,16 +285,7 @@ class WorkingSetBank:
         # sync path — otherwise a slow fade started here could outlive its
         # (stale) window and leave a still-audible span slot evictable by
         # a concurrent voice's fault
-        key = (voice, ch)
-        span = self._span.setdefault(key, set())
-        prev = self._span_meta.get(key)
-        if prev is not None and now - prev[0] >= prev[1]:
-            span.clear()  # previous fades provably decayed
-        span.add(int(self.control.select[voice, ch]))
-        window = int(self.control.speed[voice, ch]) + self.DECAY_MARGIN
-        self._span_meta[key] = (now, window)
-        for s in span:
-            self.last_used[s] = now
+        self._retime_span(voice, ch, now)
         self._deferred_target[(voice, ch)] = full_idx
         self.deferred += 1
         return int(self.control.select[voice, ch])
@@ -301,6 +313,15 @@ class WorkingSetBank:
             self._pending.pop(rec["full"], None)
             self._reserved.discard(rec["slot"])
             if rec["error"] is not None:
+                # roll back the defer's residency claim — the upload never
+                # landed, so the slot still holds the evicted IR (unless
+                # old_full has since been re-faulted into another slot)
+                self.slot_to_full[rec["slot"]] = rec["old_full"]
+                if rec["old_full"] not in self.full_to_slot:
+                    self.full_to_slot[rec["old_full"]] = rec["slot"]
+                for key, want in list(self._deferred_target.items()):
+                    if want == rec["full"]:
+                        del self._deferred_target[key]
                 raise rec["error"]
             if self.bank is rec["base"]:
                 self.bank = rec["result"]
