@@ -822,8 +822,14 @@ def test_device_bank_pack_matches_numpy(ring, strategy):
                                       mac_strategy=strategy,
                                       num_irs=spectra.shape[0])
     dev = fm.prepare_bank(spectra)
-    np.testing.assert_array_equal(np.asarray(dev.spectra),
-                                  pack_planar_spectra(spectra, fm.pp))
+    if ring:
+        # ring mode never reads the planar spectra (gather/span-expand use
+        # spectra_rev2): the leaf stays a placeholder — no dead HBM/upload
+        assert dev.spectra.shape == (1, 1, 1, 1, 1)
+        assert dev.num_irs == spectra.shape[0]
+    else:
+        np.testing.assert_array_equal(np.asarray(dev.spectra),
+                                      pack_planar_spectra(spectra, fm.pp))
     if strategy == "allk":
         mac = pack_mac_rhs(spectra, fm.pp)
         if ring:

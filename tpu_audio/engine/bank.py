@@ -218,6 +218,10 @@ class IRBank:
         h = hashlib.sha256()
         h.update(repr((kind, geometry, self.sample_rate)).encode())
         for ir in self._irs:
+            # per-IR shape separators: without them two banks whose IR
+            # lists concatenate to the same byte stream (different splits
+            # of the same sample data) would collide to one entry
+            h.update(repr(np.asarray(ir).shape).encode())
             h.update(np.ascontiguousarray(ir).tobytes())
         return h.hexdigest()[:24]
 

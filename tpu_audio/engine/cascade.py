@@ -287,6 +287,12 @@ class CascadeConvolution:
         B2 granularity (reference `prepare` builds one monolithic spectrum,
         src/conv.cu:207-253; here two partition resolutions). cache_dir
         enables the bank's content-addressed spectra disk cache."""
+        # NOTE the tail spectra are computed at the bank's natural length
+        # and truncated to tail_parts below — at the default geometry
+        # (partitions == bank.max_partitions) nothing is wasted, and
+        # passing max_partitions=self.tail_parts would change the spectra
+        # cache key (invalidating every existing entry) to save host FFTs
+        # only in the rare capped-partitions configuration
         if cache_dir:
             head_spec = bank.cached_partitioned_spectra(
                 self.block, cache_dir, max_partitions=self.head_parts)
@@ -355,19 +361,11 @@ class CascadeConvolution:
         head_rhs2, tail_rhs2 = self._pack_bank_host(
             spec(0, self.block, self.head_parts),
             spec(2 * self.b2, self.b2, self.tail_parts))
-        # cached executables are KEYED by the bank's layouts (StreamSession
-        # may pin compiler-chosen layouts after the first fault; a stale
-        # executable would emit a default-layout bank that every pinned
-        # step then relayouts per block — measured 10x session slowdown).
-        # A dict, not a single mutable pair: the async pager's worker
-        # thread and the session thread may both be in here, and per-key
-        # entries stay consistent under any interleaving.
+        from tpu_audio.utils.layouts import format_keyed_executable
+
         fmt = jax.tree.map(lambda a: a.format, bank)
-        cache = getattr(self, "_slot_update_cache", None)
-        if cache is None:
-            cache = self._slot_update_cache = {}
-        fn = cache.get(str(fmt))
-        if fn is None:
+
+        def build():
             def upd(bank, head_p, tail_p, k):
                 return replace(
                     bank,
@@ -376,9 +374,10 @@ class CascadeConvolution:
                     tail_rhs2=jax.lax.dynamic_update_slice(
                         bank.tail_rhs2, tail_p, (0, 0, k * 4, 0)))
 
-            fn = jax.jit(upd, in_shardings=(fmt, None, None, None),
-                         out_shardings=fmt)
-            cache[str(fmt)] = fn
+            return jax.jit(upd, in_shardings=(fmt, None, None, None),
+                           out_shardings=fmt)
+
+        fn = format_keyed_executable(self, fmt, build)
         return fn(bank,
                   jnp.asarray(head_rhs2, self.mac_dtype),
                   jnp.asarray(tail_rhs2, self.mac_dtype),
@@ -912,14 +911,7 @@ class CascadeConvolution:
                              "change snapshot) for the in-flight tail "
                              "rescale")
         a, c = state.coef_a, state.coef_c
-        vg, m = self.num_voices // self.ratio, self.ratio
-
-        def bh(x2):                         # [V, 2] -> head broadcast
-            return x2[None, :, :, None, None, None]
-
-        def bt(x2):                         # [V, 2] -> tail broadcast
-            g2 = jnp.swapaxes(x2.reshape(vg, m, 2), 0, 1)
-            return g2[:, :, :, None, None, None, None]
+        bh, bt = self._bh, self._bt
 
         def mix(base, sel, brd):
             base_eff = jnp.where(brd(state.base_pure), 0.0,
@@ -941,6 +933,17 @@ class CascadeConvolution:
             coef_c=jnp.where(changed, 0.0, state.coef_c),
         )
 
+    def _bh(self, x2: jax.Array) -> jax.Array:
+        """[V, 2] -> broadcast over the head rhs leaf [F1,V,I,d,2P1p,OD]."""
+        return x2[None, :, :, None, None, None]
+
+    def _bt(self, x2: jax.Array) -> jax.Array:
+        """[V, 2] -> broadcast over the tail rhs leaf (group-major
+        [M,Vg,I,d,2P2p,OD,F2]; voice j*ratio + g lives at [g, j])."""
+        g2 = jnp.swapaxes(
+            x2.reshape(self.num_voices // self.ratio, self.ratio, 2), 0, 1)
+        return g2[:, :, :, None, None, None, None]
+
     def materialize_base(self, state: CascadeState, bank: CascadeBank
                          ) -> CascadeState:
         """Materialize purity WITHOUT any re-select (fmajor semantics):
@@ -960,18 +963,9 @@ class CascadeConvolution:
                           base.astype(jnp.float32))
             return z.astype(base.dtype)
 
-        def bh(x2):
-            return x2[None, :, :, None, None, None]
-
-        def bt(x2):
-            g2 = jnp.swapaxes(
-                x2.reshape(self.num_voices // self.ratio, self.ratio, 2),
-                0, 1)
-            return g2[:, :, :, None, None, None, None]
-
         return replace(state,
-                       base_head=eff(state.base_head, bh),
-                       base_tail=eff(state.base_tail, bt),
+                       base_head=eff(state.base_head, self._bh),
+                       base_tail=eff(state.base_tail, self._bt),
                        base_pure=jnp.zeros_like(state.base_pure))
 
     def regather_selection(self, state: CascadeState, bank: CascadeBank,

@@ -79,7 +79,9 @@ class FMajorBank:
 
     @property
     def num_irs(self) -> int:
-        return self.spectra.shape[0]
+        # one of the planar leaves is a size-1 placeholder (spectra in
+        # ring mode, spectra_rev2 in roll mode) — the real one is K-major
+        return max(self.spectra.shape[0], self.spectra_rev2.shape[0])
 
 
 @jax.tree_util.register_dataclass
@@ -339,10 +341,15 @@ class FMajorPartitionedConvolution:
                                          (mac_rhs, rhs2, planar, rev2))))
         dt = self.mac_dtype
         zero4 = jnp.zeros((1, 1, 1, 1), dt)
+        # ring mode never reads the planar spectra (gather/span-expand use
+        # spectra_rev2): keep the leaf a placeholder — at 152 IRs x 4 s the
+        # planar tensor is ~435 MB of dead HBM plus a ~1 min upload on an
+        # 8 MB/s tunnel evening
         return FMajorBank(
             mac_rhs=zero4 if mac_rhs is None else jnp.asarray(mac_rhs, dt),
             rhs2=zero4 if rhs2 is None else jnp.asarray(rhs2, dt),
-            spectra=jnp.asarray(planar),
+            spectra=(jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
+                     if self.ring_mode else jnp.asarray(planar)),
             spectra_rev2=(jnp.zeros((1, 1, 1, 1, 1), dt) if rev2 is None
                           else jnp.asarray(rev2, dt)),
         )
@@ -360,29 +367,22 @@ class FMajorPartitionedConvolution:
             raise ValueError("working-set slot updates require the 'allk' "
                              "MAC strategy (mac_strategy='selected' copies "
                              "spectra into state at collapse)")
+        from tpu_audio.utils.layouts import format_keyed_executable
+
         mac_rhs, rhs2, planar, rev2 = self._pack_bank_host(
             np.asarray(spectra_k))
         dt = self.mac_dtype
-        payloads = (jnp.asarray(rhs2 if self.ring_mode else mac_rhs, dt),
-                    jnp.asarray(planar),
-                    (jnp.asarray(rev2, dt) if self.ring_mode
+        ring = self.ring_mode
+        # ring mode: the planar leaf is a placeholder (never read) — no
+        # planar payload crosses the host boundary per fault
+        payloads = (jnp.asarray(rhs2 if ring else mac_rhs, dt),
+                    (jnp.zeros((1, 1, 1, 1, 1), jnp.float32) if ring
+                     else jnp.asarray(planar)),
+                    (jnp.asarray(rev2, dt) if ring
                      else jnp.zeros((1, 1, 1, 1, 1), dt)))
-        # cached executables are KEYED by the bank's layouts: they change
-        # when a StreamSession pins compiler-chosen layouts after the first
-        # fault — a stale executable would emit a default-layout bank that
-        # every subsequent pinned step relayouts per block. A dict (not a
-        # single mutable pair) because the async pager's worker thread and
-        # the session thread may both be in here: per-key entries stay
-        # internally consistent under any interleaving, a torn
-        # (executable, fmt-string) pair would not.
         fmt = jax.tree.map(lambda a: a.format, bank)
-        cache = getattr(self, "_slot_update_cache", None)
-        if cache is None:
-            cache = self._slot_update_cache = {}
-        fn = cache.get(str(fmt))
-        if fn is None:
-            ring = self.ring_mode
 
+        def build():
             def upd(bank, mac_p, planar_p, rev2_p, k):
                 from dataclasses import replace as _replace
                 col0 = k * 4
@@ -391,20 +391,21 @@ class FMajorPartitionedConvolution:
                         bank.rhs2, mac_p, (0, 0, 0, col0))
                     rev = jax.lax.dynamic_update_slice(
                         bank.spectra_rev2, rev2_p, (k, 0, 0, 0, 0))
-                    out = _replace(bank, rhs2=rhs2, spectra_rev2=rev)
-                else:
-                    mac = jax.lax.dynamic_update_slice(
-                        bank.mac_rhs, mac_p, (0, 0, 0, col0))
-                    out = _replace(bank, mac_rhs=mac)
-                return _replace(out, spectra=jax.lax.dynamic_update_slice(
-                    bank.spectra, planar_p, (k, 0, 0, 0, 0)))
+                    return _replace(bank, rhs2=rhs2, spectra_rev2=rev)
+                mac = jax.lax.dynamic_update_slice(
+                    bank.mac_rhs, mac_p, (0, 0, 0, col0))
+                return _replace(
+                    bank, mac_rhs=mac,
+                    spectra=jax.lax.dynamic_update_slice(
+                        bank.spectra, planar_p, (k, 0, 0, 0, 0)))
 
             # preserve the bank's (possibly compiler-pinned) layouts:
             # producing the update in default layouts would make every
             # subsequent pinned step relayout the whole bank per block
-            fn = jax.jit(upd, in_shardings=(fmt, None, None, None, None),
-                         out_shardings=fmt)
-            cache[str(fmt)] = fn
+            return jax.jit(upd, in_shardings=(fmt, None, None, None, None),
+                           out_shardings=fmt)
+
+        fn = format_keyed_executable(self, fmt, build)
         return fn(bank, *payloads, jnp.int32(slot))
 
     # -- state ---------------------------------------------------------------------

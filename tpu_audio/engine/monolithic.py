@@ -91,7 +91,7 @@ class MonolithicConvolution:
              x: jax.Array) -> tuple[MonolithicState, jax.Array]:
         """One audio block.
 
-        state, bank [K, 2, 2? no: K, 2, Fm], params, x [V, 2, B] ->
+        state, bank [K, 2, Fm], params, x [V, 2, B] ->
         (state', out [V, 2, B]).
         """
         v, b, n = self.num_voices, self.block, self.fft_size

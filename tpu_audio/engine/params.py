@@ -89,11 +89,12 @@ def _device_vsteps_decrement(params: VoiceParams) -> VoiceParams:
     in place of a host re-upload (one tiny async d2d dispatch)."""
     global _VSTEPS_DECREMENT
     if _VSTEPS_DECREMENT is None:
-        import jax.numpy as jnp
         from dataclasses import replace
 
+        from tpu_audio.ops.smoother import vsteps_decrement
+
         _VSTEPS_DECREMENT = jax.jit(lambda p: replace(
-            p, vsteps=jnp.maximum(p.vsteps - 1, 0)))
+            p, vsteps=vsteps_decrement(p.vsteps)))
     return _VSTEPS_DECREMENT(params)
 
 
@@ -269,6 +270,16 @@ class ControlPlane:
         self._dirty = True
         if self.select_remap is not None:
             index = int(self.select_remap(voice, ch, index))
+        elif not 0 <= index < max(self.bank_size, 1):
+            # clamp like snapshot() will: storing the raw index would
+            # desync the PLAYED IR (snapshot clips) from collapse
+            # provenance (one_hot/gather of the stored value) — the next
+            # re-select's fade-out would then silently drop this voice's
+            # current sound (an audible click) instead of crossfading
+            from tpu_audio.utils.log import Log
+            Log.warn("params", "select %d outside the %d-IR bank; clamped",
+                     index, self.bank_size)
+            index = min(max(index, 0), max(self.bank_size - 1, 0))
         old = int(self.select[voice, ch])
         self.select[voice, ch] = index
         self.vsteps[voice, ch] = self.speed[voice, ch]

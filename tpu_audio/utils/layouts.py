@@ -138,3 +138,30 @@ def pin_engine_steps(engine, bank, params, state, x, donate: bool = True,
              "steady/indexed/collapse steps")
     out.update(indexed=indexed, collapse_pure=collapse)
     return out
+
+
+def format_keyed_executable(holder, fmt, build,
+                            attr: str = "_slot_update_cache"):
+    """Per-layout executable cache shared by the engines' bank-slot
+    updates (fmajor/cascade ``update_bank_slot``).
+
+    Executables bake in the bank's layouts, which change when a session
+    pins compiler-chosen layouts after the first fault — a stale
+    executable would emit a default-layout bank that every pinned step
+    relayouts per block (measured 10x session slowdown). A DICT keyed by
+    ``str(fmt)`` (not a single mutable (executable, key) attribute pair)
+    because the async pager's worker thread and the session thread may
+    race here: per-key entries stay internally consistent under any
+    interleaving, a torn pair would not. ``build()`` is called at most
+    once per key per thread (a benign double-compile if two threads race
+    the same new key)."""
+    cache = getattr(holder, attr, None)
+    if cache is None:
+        cache = {}
+        setattr(holder, attr, cache)
+    key = str(fmt)
+    fn = cache.get(key)
+    if fn is None:
+        fn = build()
+        cache[key] = fn
+    return fn
