@@ -15,6 +15,15 @@ define the reference's spectral layout, are used in golden tests, and let a
 user port reference-style pipelines 1:1.
 
 All functions are jittable and operate on the last axis.
+
+PLATFORM CAUTION: these primitives are exercised on CPU (golden tests,
+offline tooling). On the tunneled TPU stack two of their building blocks
+are documented process-killers (CLAUDE.md): ``jnp.fft.fft`` stalls the
+remote compiler at transform sizes >= 8192 (``rfft_via_pack``), and
+minor-axis reverses can SIGABRT the fusion emitter (``unpack_c_to_2r``'s
+flip). The production engines avoid both by construction (batched rfft
+through ops/fft.py's backend dispatch, doubled-reversed HOST packing);
+use those paths for on-chip work.
 """
 
 from __future__ import annotations
@@ -48,7 +57,14 @@ def unpack_c_to_2r(spectrum: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 def full_spectrum_from_half(half: jnp.ndarray, n: int) -> jnp.ndarray:
     """Expand an rfft half-spectrum [..., n//2+1] to the full length-n
-    Hermitian spectrum (bins n//2+1.. are conjugate mirrors)."""
+    Hermitian spectrum (bins n//2+1.. are conjugate mirrors). Even n
+    only (the engines' 2*block transforms are always even)."""
+    if n % 2:
+        raise ValueError(f"full_spectrum_from_half handles even n only "
+                         f"(got {n}): odd-n mirrors include the last bin")
+    if half.shape[-1] != n // 2 + 1:
+        raise ValueError(f"half-spectrum has {half.shape[-1]} bins, "
+                         f"expected n//2+1 = {n // 2 + 1}")
     mirror = jnp.conj(jnp.flip(half[..., 1:-1], axis=-1))
     return jnp.concatenate([half, mirror], axis=-1)
 

@@ -199,9 +199,14 @@ def ring_mac_reference(w, fdl, rhs2):
 
 def double_reversed_rhs(rhs: np.ndarray) -> np.ndarray:
     """[F, 2, P, KOD] natural-order rhs -> [F, 2, 2P, KOD] doubled reversed:
-    out[j] = H[(-j) mod P], tiled twice along the partition axis."""
-    rev = np.concatenate([rhs[:, :, :1], rhs[:, :, 1:][:, :, ::-1]], axis=2)
-    return np.concatenate([rev, rev], axis=2)
+    out[j] = H[(-j) mod P], tiled twice along the partition axis.
+
+    Delegates to the engine's double_reversed (one source of truth for
+    the (-j mod P) gather). Doubling the PACKED tensor is the expensive
+    order on large banks (fmajor.double_reversed docstring: ~50x) — fine
+    at the test/experiment scales this module serves."""
+    from tpu_audio.engine.fmajor import double_reversed
+    return double_reversed(np.asarray(rhs), axis=2)
 
 
 def pad_partitions(arr: np.ndarray, axis: int, multiple: int = 8) -> np.ndarray:
@@ -216,13 +221,10 @@ def pad_partitions(arr: np.ndarray, axis: int, multiple: int = 8) -> np.ndarray:
 
 
 def pack_rhs_planes(spectra: np.ndarray) -> np.ndarray:
-    """[K, O, P, F] complex -> [F, 2, P, K*O*2] f32 plane-major MAC rhs."""
-    k, o, p, f = spectra.shape
-    br = np.transpose(spectra.real.astype(np.float32), (3, 2, 0, 1))  # [F,P,K,O]
-    bi = np.transpose(spectra.imag.astype(np.float32), (3, 2, 0, 1))
-    rhs = np.empty((f, 2, p, k, o, 2), np.float32)
-    rhs[:, 0, :, :, :, 0] = br
-    rhs[:, 0, :, :, :, 1] = bi
-    rhs[:, 1, :, :, :, 0] = -bi
-    rhs[:, 1, :, :, :, 1] = br
-    return rhs.reshape(f, 2, p, k * o * 2)
+    """[K, O, P, F] complex -> [F, 2, P, K*O*2] f32 plane-major MAC rhs.
+
+    Delegates to the engine's pack_mac_rhs (one source of truth for the
+    c=1 plane's (-bi, br) complex-product encoding), unpadded."""
+    from tpu_audio.engine.fmajor import pack_mac_rhs
+    spectra = np.asarray(spectra)
+    return pack_mac_rhs(spectra, spectra.shape[2])

@@ -54,8 +54,11 @@ def partition_spectra(ir: np.ndarray, block: int,
     parts = partition_ir(ir, block, max_partitions)
     if backend == "numpy":
         return np.fft.rfft(parts, axis=-1).astype(np.complex64)
+    from tpu_audio.utils.transfer import to_host_maybe_complex
     xf = SpectralTransform(2 * block, backend=backend)
-    return np.asarray(xf.rfft(parts))
+    # planar readback: a raw np.asarray of the device complex result would
+    # be the forbidden complex host crossing (utils/transfer.py)
+    return to_host_maybe_complex(xf.rfft(parts)).astype(np.complex64)
 
 
 def monolithic_spectrum(ir: np.ndarray, fft_size: int, reserve: int = 1024,

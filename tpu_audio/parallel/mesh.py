@@ -151,8 +151,16 @@ def shard_collapse(engine: PartitionedConvolution, mesh: Mesh,
 
 def place_state(state: PartitionedState, mesh: Mesh,
                 engine: PartitionedConvolution) -> PartitionedState:
-    """Device_put a host/state pytree onto the mesh shardings."""
-    return jax.device_put(state, partitioned_state_sharding(mesh, engine))
+    """Device_put a host/state pytree onto the mesh shardings.
+
+    Routed through the planar-transfer helper because PartitionedState
+    carries complex64 leaves: a HOST-resident state (checkpoint gathers,
+    hand-built fixtures) put raw would hit the transport's UNIMPLEMENTED
+    complex path and poison the TPU session (utils/transfer.py).
+    Device-resident leaves pass through device_put untouched."""
+    from tpu_audio.utils.transfer import tree_device_put_maybe_complex
+    return tree_device_put_maybe_complex(
+        state, partitioned_state_sharding(mesh, engine))
 
 
 def place_bank(bank, mesh: Mesh):

@@ -17,7 +17,20 @@ import jax.numpy as jnp
 
 
 def device_put_maybe_complex(x, sharding=None):
-    """device_put that stages complex arrays as two f32 transfers."""
+    """device_put that stages complex arrays as two f32 transfers.
+
+    Accepts host values AND device-resident jax.Arrays: a device complex
+    leaf is split on-device (jit) rather than read back — ``np.asarray``
+    on it would itself be the forbidden complex host crossing."""
+    if isinstance(x, jax.Array):
+        if not jnp.iscomplexobj(x):
+            return jax.device_put(x, sharding) if sharding is not None else x
+        re, im = jax.jit(lambda v: (jnp.real(v), jnp.imag(v)))(x)
+        if sharding is not None:
+            re = jax.device_put(re, sharding)
+            im = jax.device_put(im, sharding)
+            return jax.jit(jax.lax.complex, out_shardings=sharding)(re, im)
+        return jax.jit(jax.lax.complex)(re, im)
     x = np.asarray(x)
     if not np.iscomplexobj(x):
         return jax.device_put(x, sharding) if sharding is not None else \
