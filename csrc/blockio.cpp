@@ -231,7 +231,16 @@ static int midi_is_complete(const uint8_t* b, uint32_t len) {
         case 0xC0: case 0xD0:
             return len == 2;
         case 0xF0:
-            return b[len - 1] == 0xF7;
+            // SysEx runs to its 0xF7 terminator; system COMMON messages
+            // have fixed lengths (F1 MTC quarter-frame 2, F2 song position
+            // 3, F3 song select 2; F4/F5 undefined and F6 tune request /
+            // stray F7 are single bytes). Framing them all as SysEx made
+            // one DAW MTC quarter-frame swallow every following
+            // running-status data byte.
+            if (b[0] == 0xF0) return b[len - 1] == 0xF7;
+            if (b[0] == 0xF2) return len == 3;
+            if (b[0] == 0xF1 || b[0] == 0xF3) return len == 2;
+            return len == 1;
         default:
             return 0;
     }
@@ -242,6 +251,11 @@ static int midi_is_complete(const uint8_t* b, uint32_t len) {
 // Semantics mirror tpu_audio.io.midi.MidiFramer (running status per the
 // reference src/midi.cu:53-55; realtime bytes 0xF8+ pass through
 // transparently).
+// SIZING CONTRACT: a completed message on out overflow is DROPPED, so the
+// caller must provide out_cap >= 3*n + 260 — the worst case is 3 out
+// bytes per input byte (1-data-byte running status: len byte + status +
+// data) plus one sub-256-byte message buffered from a previous feed.
+// runtime/native.py sizes its buffer to this bound.
 uint32_t ta_midi_feed(ta_midi* m, const uint8_t* data, uint32_t n,
                       uint8_t* out, uint32_t out_cap) {
     uint32_t written = 0;
@@ -256,8 +270,13 @@ uint32_t ta_midi_feed(ta_midi* m, const uint8_t* data, uint32_t n,
         }
         if (byte & 0x80) {
             uint8_t hi = byte & 0xF0;
-            if (hi != 0xF0 || byte == 0xF0) m->running_status = byte;
-            if (m->len && byte == 0xF7 && (m->buf[0] & 0xF0) == 0xF0) {
+            // SysEx and system common CLEAR running status (MIDI spec);
+            // only channel voice statuses set it. (Capturing 0xF0 as
+            // running status let a later stray data byte open a phantom
+            // SysEx that swallowed the stream.)
+            if (hi != 0xF0) m->running_status = byte;
+            else m->running_status = 0;
+            if (m->len && byte == 0xF7 && m->buf[0] == 0xF0) {
                 if (m->len < sizeof(m->buf)) m->buf[m->len++] = byte;
             } else {
                 m->len = 0;

@@ -34,10 +34,19 @@ def test_load_index_relative_to_index_dir(tmp_path, monkeypatch):
     assert os.path.exists(loaded[0])
 
 
-def test_missing_entries_skipped(tmp_path):
+def test_missing_entries_raise_to_preserve_numbering(tmp_path):
+    """A silently skipped entry would shift every later bank index, so
+    settings select values address the WRONG IRs; must_exist=True raises
+    (the reference also dies here: wav.cu asserts on open failure)."""
     idx = tmp_path / "m.index"
-    idx.write_text("does/not/exist.wav\n")
-    assert load_index(idx) == []
+    idx.write_text("a.wav\ndoes/not/exist.wav\nb.wav\n")
+    (tmp_path / "a.wav").write_bytes(b"")
+    (tmp_path / "b.wav").write_bytes(b"")
+    with pytest.raises(FileNotFoundError, match="does/not/exist.wav"):
+        load_index(idx)
+    # numbering-preserving escape hatch: raw entries kept in place
+    entries = load_index(idx, must_exist=False)
+    assert len(entries) == 3 and entries[1] == "does/not/exist.wav"
 
 
 def test_reference_index_files():

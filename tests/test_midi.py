@@ -77,3 +77,34 @@ def test_is_valid_message():
 def test_cc_bytes_helper():
     assert cc_bytes(0, 21, 64) == bytes([0xB0, 21, 64])
     assert parse_cc(cc_bytes(3, 28, 127)) == (0xB3, 28, 127)
+
+
+def test_system_common_fixed_lengths_and_running_status_survival():
+    """F1 (MTC quarter frame) / F2 / F3 / F6 are fixed-length system-common
+    messages, NOT SysEx: framing them as 'runs to 0xF7' made one DAW
+    quarter-frame swallow every following running-status data byte."""
+    f = MidiFramer()
+    msgs = f.feed(bytes([0xB0, 0x15, 0x40,      # CC
+                         0xF1, 0x05,            # MTC quarter frame (2 bytes)
+                         0xB0, 0x16, 0x41,      # explicit-status CC resumes
+                         0xF2, 0x01, 0x02,      # song position (3 bytes)
+                         0xF6]))                # tune request (1 byte)
+    assert msgs == [bytes([0xB0, 0x15, 0x40]), bytes([0xF1, 0x05]),
+                    bytes([0xB0, 0x16, 0x41]), bytes([0xF2, 0x01, 0x02]),
+                    bytes([0xF6])]
+
+
+def test_system_common_clears_running_status():
+    """SysEx/system common CLEAR running status (MIDI spec): capturing
+    0xF0 as running status let a later stray data byte open a phantom
+    SysEx that absorbed the rest of the stream."""
+    f = MidiFramer()
+    f.feed(bytes([0xF0, 0x01, 0x02, 0xF7]))
+    assert f.running_status == 0
+    # stray data bytes after SysEx: warned and skipped, never assembled
+    assert f.feed(bytes([0x10, 0x20, 0x30])) == []
+    assert f.feed(bytes([0xB0, 0x15, 0x40])) == [bytes([0xB0, 0x15, 0x40])]
+    f2 = MidiFramer()
+    f2.feed(bytes([0xB0, 0x15, 0x40, 0xF1, 0x05]))
+    assert f2.running_status == 0  # F1 cleared it
+    assert f2.feed(bytes([0x16, 0x41])) == []  # data bytes are stray now

@@ -114,3 +114,31 @@ def test_ring_source_sink_block_adapters():
     np.testing.assert_array_equal(got, block)
     assert src.read() is None  # non-blocking empty
     ring.close()
+
+
+def test_native_framer_running_status_flood_loses_nothing():
+    """A 4096-byte running-status CC flood expands ~2x in framed form;
+    the binding must size the out buffer to the 3n+260 worst case (the
+    old fixed 4096 silently dropped half the messages)."""
+    from tpu_audio.io.midi import MidiFramer
+
+    stream = bytes([0xB0]) + bytes(
+        int(b) for p in range(2047) for b in (p % 120, (p * 7) % 128))
+    nat = native.NativeMidiFramer()
+    got = nat.feed(stream)
+    want = MidiFramer().feed(stream)
+    assert len(got) == len(want) == 2047
+    assert got == want
+    nat.close()
+
+
+def test_native_framer_system_common_matches_python():
+    from tpu_audio.io.midi import MidiFramer
+
+    stream = bytes([0xB0, 0x15, 0x40, 0xF1, 0x05, 0x16, 0x41,
+                    0xB0, 0x17, 0x42, 0xF2, 0x01, 0x02, 0xF6,
+                    0xF0, 0x01, 0xF7, 0x10, 0x20,
+                    0x90, 0x40, 0x7F])
+    nat = native.NativeMidiFramer()
+    assert nat.feed(stream) == MidiFramer().feed(stream)
+    nat.close()

@@ -76,3 +76,13 @@ def test_save_roundtrip(tmp_path):
     assert s2.u32("conv.count") == 2
     assert s2.str("conv[%d].index", 0) == "./ir/all.index"
     assert len(s2) == len(s)
+
+
+def test_zero_padded_decimal_parses_like_stoi():
+    """The reference parses with std::stoi (base 10): '010' is decimal 10.
+    int(x, 0) rejected it as malformed octal, breaking file compat."""
+    s = Settings()
+    s.parse("a 010\nb 0x1F\nc 8\n", verbose=False)
+    assert s.u32("a") == 10
+    assert s.u32("b") == 0x1F  # explicit-prefix extension still works
+    assert s.u8("c") == 8

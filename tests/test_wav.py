@@ -108,3 +108,24 @@ def test_reference_ir_files_load(path):
     assert np.all(np.isfinite(w.frames))
     # reference scaling keeps everything within +-0.5 full scale
     assert np.max(np.abs(w.frames)) <= 0.5
+
+
+def test_ieee_float64_wav_reads_correctly(tmp_path):
+    """A double-precision float WAV (producible by sox/librosa) must honour
+    bits-per-sample — parsing f64 samples as f4 halves loaded the IR as
+    noise at twice the frame count, silently."""
+    import struct
+
+    frames = np.linspace(-0.5, 0.5, 32, dtype=np.float64)[:, None]
+    frames = np.repeat(frames, 2, axis=1)
+    payload = frames.astype("<f8").tobytes()
+    p = tmp_path / "f64.wav"
+    with open(p, "wb") as fh:
+        fh.write(b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE")
+        fh.write(b"fmt " + struct.pack("<IHHIIHH", 16, 3, 2, 44100,
+                                       44100 * 16, 16, 64))
+        fh.write(b"data" + struct.pack("<I", len(payload)) + payload)
+    w = read_wav(p, scale="full", verbose=False)
+    assert w.num_frames == 32
+    np.testing.assert_allclose(w.frames, frames.astype(np.float32),
+                               atol=1e-7)

@@ -42,8 +42,14 @@ def load_index(path: str | os.PathLike, must_exist: bool = True,
             )
             if resolved is None:
                 if must_exist:
-                    Log.warn("index", "missing IR file: %s", entry)
-                    continue
+                    # raising preserves bank numbering: silently skipping
+                    # would shift every later index, so settings select
+                    # values (and MIDI CC scalings) address the WRONG IRs
+                    # (the reference also dies here: wav.cu asserts)
+                    raise FileNotFoundError(
+                        f"index {path}: missing IR file {entry!r} "
+                        f"(searched {[b or '.' for b in bases]}); pass "
+                        f"must_exist=False to keep the raw entry")
                 resolved = entry
             out.append(resolved)
     return out

@@ -38,7 +38,18 @@ def is_valid_message(buf: bytes) -> bool:
     if hi in _TWO_BYTE_STATUS:
         return len(buf) == 2
     if hi == 0xF0:
-        return buf[-1] == 0xF7
+        # SysEx runs to its 0xF7 terminator; system COMMON messages have
+        # fixed lengths (F1 MTC quarter-frame 2, F2 song position 3, F3
+        # song select 2; F4/F5 undefined and F6 tune request / stray F7
+        # are single bytes). Framing them all as SysEx made one DAW MTC
+        # quarter-frame swallow every following running-status data byte.
+        if buf[0] == 0xF0:
+            return buf[-1] == 0xF7
+        if buf[0] == 0xF2:
+            return len(buf) == 3
+        if buf[0] in (0xF1, 0xF3):
+            return len(buf) == 2
+        return len(buf) == 1
     return False
 
 
@@ -64,12 +75,17 @@ class MidiFramer:
                 messages.append(bytes([byte]))
                 continue
             if byte & 0x80:
-                # status byte: becomes running status AND starts/extends the
-                # message (reference src/midi.cu:53-56).
+                # status byte: a channel voice status becomes running
+                # status and starts the message (reference src/midi.cu:
+                # 53-56); SysEx and system common CLEAR running status
+                # (MIDI spec — capturing 0xF0 let a later stray data byte
+                # open a phantom SysEx that swallowed the stream).
                 hi = byte & 0xF0
-                if hi != 0xF0 or byte == 0xF0:
+                if hi != 0xF0:
                     self.running_status = byte
-                if self._buf and byte == 0xF7 and (self._buf[0] & 0xF0) == 0xF0:
+                else:
+                    self.running_status = 0
+                if self._buf and byte == 0xF7 and self._buf[0] == 0xF0:
                     self._buf.append(byte)  # SysEx terminator
                 else:
                     if self._buf and not self.strict:

@@ -39,14 +39,24 @@ class Setting:
     def is_false(self) -> bool:
         return not self.is_true()
 
+    def _int(self) -> int:
+        # the reference parses with std::stoi (base 10: zero-padded
+        # values like '010' are decimal 10, settings.h:17-19); int(x, 0)
+        # would reject them as malformed octal. Explicit 0x/0b/0o
+        # prefixes are accepted as an extension.
+        v = self.value.strip().lower()
+        base = 0 if v.startswith(("0x", "0b", "0o", "-0x", "-0b", "-0o")) \
+            else 10
+        return int(v, base)
+
     def u8(self) -> int:
-        return int(self.value, 0) & 0xFF
+        return self._int() & 0xFF
 
     def u16(self) -> int:
-        return int(self.value, 0) & 0xFFFF
+        return self._int() & 0xFFFF
 
     def u32(self) -> int:
-        return int(self.value, 0) & 0xFFFFFFFF
+        return self._int() & 0xFFFFFFFF
 
     def f32(self) -> float:
         return float(self.value)

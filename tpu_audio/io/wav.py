@@ -67,7 +67,15 @@ def _decode_pcm(raw: bytes, bits: int, block_align: int, channels: int,
                 audio_format: int, scale: str) -> np.ndarray:
     headroom = 0.5 if scale == "reference" else 1.0
     if audio_format == WAVE_FORMAT_IEEE_FLOAT:
-        data = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+        # honour bits-per-sample: parsing an f64 file as f4 halves would
+        # silently load the IR as noise at twice the frame count
+        if bits == 32:
+            data = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+        elif bits == 64:
+            data = np.frombuffer(raw, dtype="<f8").astype(np.float32)
+        else:
+            raise ValueError(
+                f"unsupported IEEE-float bits-per-sample: {bits}")
         out = data * (headroom / 1.0)
     elif bits == 16:
         data = np.frombuffer(raw, dtype="<i2").astype(np.float32)
@@ -175,6 +183,11 @@ class WavWriter:
         self._fh.write(b"data")
         self._fh.write(struct.pack("<I", 0))
 
+    # RIFF sizes are u32: past this, close() could not write a valid
+    # header (and would corrupt hours of already-recorded audio at the
+    # very end of a session — ~6.8 h of stereo PCM16 at 44.1 kHz)
+    _MAX_PAYLOAD = 0xFFFFFFFF - 36
+
     def write(self, frames: np.ndarray) -> None:
         frames = np.asarray(frames, dtype=np.float32)
         if frames.ndim == 1:
@@ -183,6 +196,13 @@ class WavWriter:
             raise ValueError(f"got {frames.shape[1]} channels, "
                              f"writer opened with {self.channels}")
         payload = encode_frames(frames * self._gain, self.bits)
+        if self._payload_bytes + len(payload) > self._MAX_PAYLOAD:
+            if not getattr(self, "_overflow_warned", False):
+                self._overflow_warned = True
+                Log.warn("wav", "RIFF 4 GiB payload limit reached; "
+                         "dropping further frames (the file stays valid — "
+                         "rotate the output for longer sessions)")
+            return
         self._fh.write(payload)
         self._payload_bytes += len(payload)
 

@@ -41,6 +41,38 @@ def _fit_cascade_ratio(requested: int, num_voices: int, partitions: int) -> int:
         f"awkward voice counts don't benefit from the cascade)")
 
 
+def _resolve_index(settings: Settings, idx_ch: int,
+                   root: str | None) -> str:
+    """conv[idx_ch].index resolved against `root` when not found as-is
+    (reference indices list repo-root-relative paths, src/main.cu:72)."""
+    index = settings.str("conv[%d].index", idx_ch, default="")
+    if index and root and not os.path.exists(index):
+        candidate = os.path.join(root, index)
+        if os.path.exists(candidate):
+            index = candidate
+    return index
+
+
+def _merged_bank(index0: str, index1: str, root, max_ir_seconds,
+                 verbose) -> tuple:
+    """Build a conv pair's bank + per-channel select windows (reference
+    src/main.cu:72-81 loads both indexes into ONE shared map, letting
+    channel 1 silently overwrite channel 0 — here differing indexes
+    concatenate along the bank axis and each channel addresses its own
+    window). Shared by ConvolutionReverb.from_settings and
+    ReverbGroups.from_settings."""
+    bank = (IRBank.from_index(index0, root=root, verbose=verbose,
+                              max_seconds=max_ir_seconds)
+            if index0 else IRBank())
+    windows = [(0, len(bank))]
+    if index1 and index1 != index0:
+        bank1 = IRBank.from_index(index1, root=root, verbose=verbose,
+                                  max_seconds=max_ir_seconds)
+        offset = bank.extend(bank1)
+        windows = [(0, offset), (offset, len(bank1))]
+    return bank, windows
+
+
 class ConvolutionReverb:
     """V stereo voices of convolution reverb over one IR bank."""
 
@@ -63,7 +95,7 @@ class ConvolutionReverb:
                 bank, num_voices, block, engine, max_predelay,
                 max_partitions, backend, cache_dir, mac_dtype,
                 cascade_ratio, min(bank_capacity, len(bank)),
-                swap_snapshot, sample_rate, async_paging)
+                swap_snapshot, sample_rate, async_paging, predelay_side)
         if engine == "cascade":
             partitions = max_partitions or bank.max_partitions(block)
             ratio = _fit_cascade_ratio(cascade_ratio, num_voices, partitions)
@@ -130,7 +162,8 @@ class ConvolutionReverb:
     def _init_working_set(self, bank, num_voices, block, engine,
                           max_predelay, max_partitions, backend, cache_dir,
                           mac_dtype, cascade_ratio, capacity,
-                          swap_snapshot, sample_rate, async_paging=False):
+                          swap_snapshot, sample_rate, async_paging=False,
+                          predelay_side="write"):
         """Large banks at small-bank speed: the engine runs the fast all-K
         path over `capacity` resident IR slots; the full bank stays on the
         host and select events page IRs in on demand
@@ -145,7 +178,10 @@ class ConvolutionReverb:
             self.engine = CascadeConvolution(
                 num_voices, block, partitions, ratio=ratio,
                 max_predelay=max_predelay, backend=backend,
-                num_irs=capacity, mac_dtype=mac_dtype)
+                num_irs=capacity, mac_dtype=mac_dtype,
+                predelay_side=predelay_side)
+            # (mac_strategy is deliberately NOT forwarded: working-set
+            # residency is defined over the all-K MAC's bank slots)
             compact = IRBank(sample_rate=bank.sample_rate)
             for k in residents:
                 compact.append(bank.ir(k))
@@ -223,24 +259,9 @@ class ConvolutionReverb:
             raise ValueError("convolution pair needs identical fft sizes "
                              "(main.cu:36)")
         max_pd = settings.u32("conv[%d].maxPredelay", 0, default=8192)
-
-        def resolve(idx_ch: int) -> str:
-            index = settings.str("conv[%d].index", idx_ch, default="")
-            if index and root and not os.path.exists(index):
-                candidate = os.path.join(root, index)
-                if os.path.exists(candidate):
-                    index = candidate
-            return index
-
-        index0, index1 = resolve(0), resolve(1)
-        bank = IRBank.from_index(index0, root=root, verbose=verbose,
-                                 max_seconds=max_ir_seconds) if index0 else IRBank()
-        windows = [(0, len(bank))]
-        if index1 and index1 != index0:
-            bank1 = IRBank.from_index(index1, root=root, verbose=verbose,
-                                      max_seconds=max_ir_seconds)
-            offset = bank.extend(bank1)
-            windows = [(0, offset), (offset, len(bank1))]
+        bank, windows = _merged_bank(
+            _resolve_index(settings, 0, root),
+            _resolve_index(settings, 1, root), root, max_ir_seconds, verbose)
         if normalize_bank:
             bank.normalize(mode=normalize_bank)
         model = cls(bank, num_voices=v, engine=engine, fft_size=fft_size,
@@ -339,14 +360,7 @@ class ReverbGroups:
         count = settings.u32("conv.count", default=2)
         if count % 2:
             raise ValueError("conv.count must be a multiple of 2 (main.cu:26)")
-
-        def resolve(idx_ch: int) -> str:
-            index = settings.str("conv[%d].index", idx_ch, default="")
-            if index and root and not os.path.exists(index):
-                candidate = os.path.join(root, index)
-                if os.path.exists(candidate):
-                    index = candidate
-            return index
+        resolve = lambda idx_ch: _resolve_index(settings, idx_ch, root)
 
         groups: dict[tuple, list[int]] = {}
         for n in range(count // 2):
@@ -366,15 +380,8 @@ class ReverbGroups:
 
         models, pair_ids = [], []
         for (fft, max_pd, index0, index1), pairs in groups.items():
-            bank = (IRBank.from_index(index0, root=root, verbose=verbose,
-                                      max_seconds=max_ir_seconds)
-                    if index0 else IRBank())
-            windows = [(0, len(bank))]
-            if index1 and index1 != index0:
-                bank1 = IRBank.from_index(index1, root=root, verbose=verbose,
-                                          max_seconds=max_ir_seconds)
-                offset = bank.extend(bank1)
-                windows = [(0, offset), (offset, len(bank1))]
+            bank, windows = _merged_bank(index0, index1, root,
+                                         max_ir_seconds, verbose)
             model = ConvolutionReverb(bank, num_voices=len(pairs),
                                       engine=engine, fft_size=fft,
                                       max_predelay=max_pd, **kwargs)

@@ -235,6 +235,14 @@ class NativeMidiFramer:
 
     def feed(self, data: bytes) -> list[bytes]:
         arr = np.frombuffer(data, dtype=np.uint8)
+        # ta_midi_feed DROPS completed messages on out overflow; the
+        # provable bound is 3 out bytes per input byte (1-data-byte
+        # running status emits len+status+data) plus one buffered
+        # sub-256-byte message — an undersized fixed 4096 buffer lost
+        # half the messages of a 4096-byte running-status CC flood
+        need = 3 * arr.size + 260
+        if self._out.size < need:
+            self._out = np.empty(need, np.uint8)
         in_ptr = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         out_ptr = self._out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         n = self._lib.ta_midi_feed(self._h, in_ptr, arr.size, out_ptr,
@@ -242,7 +250,10 @@ class NativeMidiFramer:
         messages = []
         i = 0
         while i < n:
-            length = self._out[i]
+            # int() is load-bearing: numpy-2 promotion makes
+            # `int + uint8` a uint8, so `i` would wrap at 256 and loop
+            # forever once a feed returns more than 255 framed bytes
+            length = int(self._out[i])
             messages.append(bytes(self._out[i + 1:i + 1 + length]))
             i += 1 + length
         return messages

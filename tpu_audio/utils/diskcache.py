@@ -64,15 +64,19 @@ def store(cache_dir, base: str, arrays: dict) -> None:
     hit). ``None``-valued fields are recorded absent."""
     os.makedirs(cache_dir, exist_ok=True)
     root = os.path.join(os.fspath(cache_dir), base)
+    # pid-unique tmp names: two processes missing the same key (bench +
+    # app sharing a cache dir) must not interleave writes into one tmp
+    # file — os.replace then publishes whichever finished last, whole
+    pid = os.getpid()
     present = []
     for f, a in arrays.items():
         if a is None:
             continue
-        tmp = f"{root}_{f}.tmp.npy"        # np.save appends .npy otherwise
+        tmp = f"{root}_{f}.tmp{pid}.npy"   # np.save appends .npy otherwise
         np.save(tmp, a)
         os.replace(tmp, f"{root}_{f}.npy")
         present.append(f)
-    tmp = root + ".ok.tmp"
+    tmp = f"{root}.ok.tmp{pid}"
     with open(tmp, "w") as fh:
         fh.write("\n".join(present) + "\n")
     os.replace(tmp, root + ".ok")
