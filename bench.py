@@ -524,9 +524,23 @@ _WATCHDOG_DONE = False
 _WATCHDOG_TIMER = None
 
 
+_LAST_GOOD_DIR = None
+
+
+def _last_good_path(metric: str) -> str | None:
+    if _LAST_GOOD_DIR is None:
+        return None
+    import os
+    return os.path.join(_LAST_GOOD_DIR, f"last_good_{metric}.json")
+
+
 def _emit_partial(error: str) -> None:
     """Print a partial JSON record (headline + whatever legs finished) —
-    a partial record beats an empty BENCH file."""
+    a partial record beats an empty BENCH file. If a previous run of the
+    SAME configuration completed on this machine, its full record rides
+    along under "last_good" (clearly labeled, never substituted for the
+    live value) so a tunnel outage at capture time doesn't erase the
+    evidence entirely."""
     rec = {"metric": PARTIAL.get("metric", "rtf_64voices_4sIR_44k256"),
            "value": PARTIAL.get("value", 0.0),
            "unit": "x_realtime",
@@ -534,6 +548,15 @@ def _emit_partial(error: str) -> None:
            "partial": True,
            "error": error}
     rec.update({k: v for k, v in PARTIAL.items() if k != "value"})
+    path = _last_good_path(rec["metric"])
+    try:
+        if path:
+            import os
+            if os.path.exists(path):
+                with open(path) as fh:
+                    rec["last_good"] = json.load(fh)
+    except Exception:  # noqa: BLE001 - never let telemetry kill the record
+        pass
     print(json.dumps(rec), flush=True)
 
 
@@ -714,6 +737,8 @@ def _main(argv=None) -> int:
     args.pack_cache = args.pack_cache or None
     if args.pack_cache:
         os.makedirs(args.pack_cache, exist_ok=True)
+        global _LAST_GOOD_DIR
+        _LAST_GOOD_DIR = args.pack_cache
         # persistent XLA compilation cache: the tunnel's remote compile
         # service hangs entire runs on bad days (observed 50% of runs,
         # trivial compiles at 300 s); a pre-warmed disk cache lets repeat
@@ -972,7 +997,7 @@ def _main(argv=None) -> int:
     _WATCHDOG_DONE = True
     if _WATCHDOG_TIMER is not None:
         _WATCHDOG_TIMER.cancel()
-    print(json.dumps({
+    rec = {
         "metric": _metric_name(args),
         "value": round(head["rtf"], 3),
         "unit": "x_realtime",
@@ -990,7 +1015,21 @@ def _main(argv=None) -> int:
         "transport_bound": transport_bound,
         "legs": legs or None,
         "legs_skipped": legs_skipped,
-    }))
+    }
+    print(json.dumps(rec), flush=True)
+    path = _last_good_path(rec["metric"])
+    if path:
+        # persist per-metric so a later run that dies to tunnel weather can
+        # attach this completed record under "last_good"
+        try:
+            rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                               time.gmtime())
+            tmp = f"{path}.tmp{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump(rec, fh)
+            os.replace(tmp, path)
+        except Exception:  # noqa: BLE001 - telemetry must not fail the run
+            pass
     return 0
 
 
