@@ -217,7 +217,10 @@ def e2e_throughput(step, state, bank, params, make_block, encode, decode,
         last_host = np.asarray(pending.popleft())
         tnow = time.perf_counter()
         if tprev is not None:
-            times.append((tnow - tprev) / chunk)
+            per_block = (tnow - tprev) / chunk
+            times.append(per_block)
+            if per_block > deadline_s:   # drained chunks count too
+                missed += chunk
         tprev = tnow
 
     # honesty check: the delivered wire data must be real, finite audio
@@ -276,7 +279,6 @@ def run_ws_leg(args, make_block):
         _ = np.asarray(ws.bank.rhs2[0, 0, 0, slot * 4])
         fault_ms.append((time.perf_counter() - t0) * 1e3)
         control.vsteps[:] = 0  # keep the next probe steady
-    compile_ms = fault_ms[0] if fault_ms else float("nan")
     warm = fault_ms[1:] or fault_ms
     dl_ms = args.block / args.sample_rate * 1e3
     leg = {
@@ -285,7 +287,9 @@ def run_ws_leg(args, make_block):
         "steady_ms": round(ms, 3),
         "rtf": round(dl_ms / ms, 3),
         "fault_ms": round(float(np.median(warm)), 1) if warm else None,
-        "fault_compile_ms": round(compile_ms, 1),
+        # None, not NaN, when no fault ran: a bare NaN in the JSON line is
+        # invalid strict JSON and non-Python parsers reject the record
+        "fault_compile_ms": (round(fault_ms[0], 1) if fault_ms else None),
         "faults": ws.misses,
     }
     log(f"ws leg: fault latency median {leg['fault_ms']} ms "
@@ -488,14 +492,25 @@ PARTIAL: dict = {}
 
 def _metric_name(args) -> str:
     """One suffixed metric id per configuration — used by the final JSON
-    record AND stored in PARTIAL up front so watchdog/signal/crash records
-    attribute partial numbers to the right configuration."""
+    record, stored in PARTIAL up front so watchdog/signal/crash records
+    attribute partial numbers to the right configuration, and keying the
+    'last_good' store. Every flag that materially changes what is
+    measured must appear here (suffixes only for non-default values, so
+    the default invocation keeps the driver-tracked
+    'rtf_64voices_4sIR_44k256' name)."""
     return (f"rtf_{args.voices}voices_{args.ir_seconds:g}sIR_"
             f"{args.sample_rate // 1000}k{args.block}"
             + ("" if args.mac_dtype == "f32" else f"_{args.mac_dtype}")
             + ("" if args.engine == "fmajor" else f"_{args.engine}")
             + ("" if args.bank_capacity is None
-               else f"_rs{args.bank_capacity}of{args.num_irs}"))
+               else f"_rs{args.bank_capacity}of{args.num_irs}")
+            + ("" if args.num_irs == 4 or args.bank_capacity is not None
+               else f"_K{args.num_irs}")
+            + ("" if args.mac_strategy == "allk"
+               else f"_{args.mac_strategy}")
+            + ("" if args.pv_mac == "dot" else f"_pv{args.pv_mac}")
+            + ("" if args.predelay_side == "write" else "_pdread")
+            + ("_nosnap" if args.no_swap_snapshot else ""))
 
 
 def _install_partial_json_handler() -> None:
@@ -721,6 +736,13 @@ def _main(argv=None) -> int:
                          "(it costs ~15 s of import time per retry; tests "
                          "and CPU smoke runs don't need it)")
     args = ap.parse_args(argv)
+    if args.chunks < 2:
+        # the pipelined e2e loop needs >= 2 chunks to produce one timed
+        # sample (--chunks 1 used to crash np.percentile on an empty
+        # array, violating the never-crash charter)
+        log(f"--chunks {args.chunks} raised to 2 (minimum for one "
+            f"steady-state timing sample)")
+        args.chunks = 2
     # partial/watchdog records must carry THIS run's metric name, not the
     # default config's
     PARTIAL["metric"] = _metric_name(args)
@@ -824,6 +846,14 @@ def _main(argv=None) -> int:
     control.vsteps[:] = 1 << 20  # keep the fade in flight during timing
     params_fade = jax.tree.map(jnp.asarray, control.snapshot())
 
+    # hoisted: jax.jit(bound_method) makes a NEW wrapper (and compile
+    # cache) per call — fade_state runs twice per bench, and with the
+    # disk cache disabled each duplicate compile costs 20-40 s of tunnel
+    collapse_pure_jit = (None if has_indexed is False
+                         else (pinned_collapse or
+                               jax.jit(engine.collapse_pure)))
+    collapse_gen_jit = jax.jit(engine.collapse)
+
     def fade_state():
         # a re-select collapsed in the bank's span (provenance in state) —
         # the production fade entry path for converged and interrupted
@@ -833,19 +863,17 @@ def _main(argv=None) -> int:
         extra = ((params_fade,)
                  if getattr(engine, "collapse_pure_takes_params", False)
                  else ())
-        cfn = pinned_collapse or jax.jit(engine.collapse_pure)
-        return cfn(st, params.select, changed, *extra)
+        return collapse_pure_jit(st, params.select, changed, *extra)
 
     def general_fade_state():
         st = fresh_state()
         changed = jnp.asarray(np.ones((args.voices, 2), bool))
         if engine.mac_strategy != "selected":
-            return jax.jit(lambda s: engine.collapse(
-                s, spectra, params.select, changed))(st)
+            return collapse_gen_jit(st, spectra, params.select, changed)
         extra = ((params_fade,)
                  if getattr(engine, "collapse_takes_params", False) else ())
         cfn = (pinned_collapse if not has_indexed and pinned_collapse
-               else jax.jit(engine.collapse))
+               else collapse_gen_jit)
         return cfn(st, spectra, params.select, changed, params.select,
                    *extra)
 
@@ -869,7 +897,11 @@ def _main(argv=None) -> int:
         f"fade-indexed {ms_fidx:.3f} (RTF {dl_ms / ms_fidx:.2f}) | "
         f"fade-general {ms_fgen:.3f} (RTF {dl_ms / ms_fgen:.2f})")
     PARTIAL.update(engine_steady_ms=round(ms_steady, 3),
-                   engine_steady_rtf=round(dl_ms / ms_steady, 3))
+                   engine_steady_rtf=round(dl_ms / ms_steady, 3),
+                   engine_fade_indexed_ms=(None if np.isnan(ms_fidx)
+                                           else round(ms_fidx, 3)),
+                   engine_fade_general_ms=(None if np.isnan(ms_fgen)
+                                           else round(ms_fgen, 3)))
 
     # ---- end-to-end serving throughput -------------------------------------
     from tpu_audio.utils.wire import decode_pcm16, encode_pcm16
@@ -910,6 +942,8 @@ def _main(argv=None) -> int:
         if wire == "pcm16":
             PARTIAL.update(value=round(results[wire]["rtf"], 3),
                            p99_ms=round(results[wire]["p99_ms"], 3))
+        else:
+            PARTIAL.update(e2e_f32_rtf=round(results[wire]["rtf"], 3))
 
     # mid-crossfade end-to-end (span fade = the production fade path)
     if has_indexed:
@@ -1012,6 +1046,10 @@ def _main(argv=None) -> int:
                                    else round(ms_fgen, 3)),
         "engine_steady_rtf": round(dl_ms / ms_steady, 3),
         "p99_ms": round(head["p99_ms"], 3),
+        # honest basis: e2e times are per-block AVERAGES over chunk-sized
+        # transfer batches (the serving unit on this wire), best-of-N rep;
+        # engine_steady_ms/engine_fade_* are true per-block chained costs
+        "p99_basis": f"per-{args.chunk}-block-chunk avg, best rep",
         "transport_bound": transport_bound,
         "legs": legs or None,
         "legs_skipped": legs_skipped,
