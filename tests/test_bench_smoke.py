@@ -90,3 +90,21 @@ def test_bench_extra_legs(capsys):
 def test_bench_tiny_config_skips_legs_by_default(capsys):
     rec = run_bench(capsys)
     assert rec["legs"] is None
+
+
+def test_main_raising_cancels_watchdog():
+    """Library use: a raising run must not leave the watchdog daemon timer
+    armed — a stray fire minutes later would os._exit(0) the HOST process
+    (e.g. kill pytest mid-suite with a green exit code)."""
+    sys.path.insert(0, "/root/repo")
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+    with pytest.raises(Exception):
+        bench.main(["--voices", "2", "--num-irs", "0",   # invalid: crashes
+                    "--ir-seconds", "0.05", "--engine-blocks", "2",
+                    "--chunks", "2", "--chunk", "2", "--reps", "1",
+                    "--no-backend-probe", "--watchdog", "30"])
+    assert bench._WATCHDOG_TIMER is not None
+    assert not bench._WATCHDOG_TIMER.is_alive()

@@ -236,3 +236,77 @@ def test_jack_bridge_gating():
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="libjack"):
         JackRingBridge(None, None)
+
+
+def test_jack_bridge_process_callback_logic():
+    """Drive JackRingBridge._process with a stub libjack: capture ->
+    input ring, output ring -> playback with silence substitution on
+    underrun, drop-newest + overrun count on input-ring overflow."""
+    import ctypes
+
+    import numpy as np
+
+    from tpu_audio.runtime.jack_bridge import JackRingBridge
+
+    frames = 8
+
+    class FakeLib:
+        def __init__(self):
+            # one f32 buffer per port handle
+            self.buffers = {h: np.zeros(frames, np.float32)
+                            for h in (1, 2, 3, 4)}
+
+        def jack_port_get_buffer(self, port, nframes):
+            return self.buffers[port].ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float))
+
+    class FakeRing:
+        def __init__(self, accept=True):
+            self.accept = accept
+            self.written = []
+            self.queue = []
+
+        def write(self, data):
+            if not self.accept:
+                return False
+            self.written.append(np.array(data))
+            return True
+
+        def read(self, n):
+            return self.queue.pop(0) if self.queue else None
+
+    bridge = JackRingBridge.__new__(JackRingBridge)  # skip jackd handshake
+    bridge.lib = FakeLib()
+    bridge.in_ring = FakeRing()
+    bridge.out_ring = FakeRing()
+    bridge.ports_in = [1, 2]
+    bridge.ports_out = [3, 4]
+    bridge.underruns = 0
+    bridge.overruns = 0
+
+    bridge.lib.buffers[1][:] = 0.25         # L capture
+    bridge.lib.buffers[2][:] = -0.5         # R capture
+    out = np.concatenate([np.full(frames, 0.125, np.float32),
+                          np.full(frames, -0.25, np.float32)])
+    bridge.out_ring.queue.append(out)
+
+    assert bridge._process(frames, None) == 0
+    # capture landed planar [L..., R...] in the input ring
+    got = bridge.in_ring.written[0].reshape(2, frames)
+    np.testing.assert_array_equal(got[0], 0.25)
+    np.testing.assert_array_equal(got[1], -0.5)
+    # playback buffers carry the ring audio
+    np.testing.assert_array_equal(bridge.lib.buffers[3], 0.125)
+    np.testing.assert_array_equal(bridge.lib.buffers[4], -0.25)
+    assert bridge.underruns == 0 and bridge.overruns == 0
+
+    # dry output ring -> silence + underrun count
+    assert bridge._process(frames, None) == 0
+    np.testing.assert_array_equal(bridge.lib.buffers[3], 0.0)
+    assert bridge.underruns == 1
+
+    # full input ring -> period dropped whole, overrun counted
+    bridge.in_ring.accept = False
+    assert bridge._process(frames, None) == 0
+    assert bridge.overruns == 1
+    assert len(bridge.in_ring.written) == 2  # nothing new appended
