@@ -282,7 +282,12 @@ class FMajorPartitionedConvolution:
                 mac_rhs = pack_mac_rhs(spectra, self.pp)
         if self.ring_mode:
             rev2 = pack_spectra_rev2(spectra, self.pp)
-        return mac_rhs, rhs2, pack_planar_spectra(spectra, self.pp), rev2
+        # ring mode never reads the planar spectra (FMajorBank keeps a
+        # placeholder leaf): skip its pack entirely — ~700 MB of host
+        # stack+pad work and cache bytes at the 152-IR 4 s scale
+        planar = None if self.ring_mode else pack_planar_spectra(spectra,
+                                                                 self.pp)
+        return mac_rhs, rhs2, planar, rev2
 
     def prepare_bank(self, spectra: np.ndarray,
                      cache_dir: str | None = None) -> FMajorBank:
@@ -304,6 +309,7 @@ class FMajorPartitionedConvolution:
         self.num_irs = spectra.shape[0]
         mac_rhs = rhs2 = planar = rev2 = None
         base = None
+        loaded = False
         fields = ("mac_rhs", "rhs2", "planar", "rev2")
         if cache_dir is not None:
             import os
@@ -318,6 +324,7 @@ class FMajorPartitionedConvolution:
                 Log.info("fmajor", "packed-bank cache hit: %s/%s*",
                          cache_dir, base)
                 mac_rhs, rhs2, planar, rev2 = (hit[f] for f in fields)
+                loaded = True
             else:
                 legacy = os.path.join(os.fspath(cache_dir), base + ".npz")
                 if os.path.exists(legacy):
@@ -332,7 +339,8 @@ class FMajorPartitionedConvolution:
                     diskcache.store(cache_dir, base,
                                     dict(zip(fields,
                                              (mac_rhs, rhs2, planar, rev2))))
-        if planar is None:
+                    loaded = True
+        if not loaded:
             mac_rhs, rhs2, planar, rev2 = self._pack_bank_host(spectra)
             if base is not None:
                 from tpu_audio.utils import diskcache
