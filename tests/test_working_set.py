@@ -137,6 +137,32 @@ def test_session_output_equals_full_bank():
     assert np.abs(want).max() > 1e-3
 
 
+def test_session_warmup_precompiles_fault_path():
+    """model.session() wires WorkingSetBank.warmup onto pre_run_hooks: the
+    run's first block must find the fault path already compiled (one
+    warmup slot rewrite), and the rewrite must be a semantic no-op —
+    bank contents bit-equal before/after, no miss counted."""
+    bank = make_bank()
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((V, 2, B * 6)) * 0.05).astype(np.float32)
+    model = ConvolutionReverb(bank, num_voices=V, block=B,
+                              max_predelay=64, engine="fmajor",
+                              bank_capacity=CAP)
+    ws = model.working_set
+    before = jax.tree.map(lambda a: np.asarray(a), ws.bank)
+    sink = WavSink("/dev/null", keep_data=True)
+    sess = model.session(WavSource(x, V, B), sink, warmup=0, donate=False)
+    assert ws.warmup in sess.pre_run_hooks
+    sess.run(model.init_state())
+    assert ws.warmups == 1
+    assert ws.misses == 0
+    after = jax.tree.map(lambda a: np.asarray(a), ws.bank)
+    for b, a in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(b, a)
+    # the published bank is the warmed one everywhere
+    assert model.spectra is ws.bank
+
+
 def test_cascade_slot_update_matches_rebuild():
     """cascade.update_bank_slot == rebuilding the bank with that IR in
     place (bit-level on the packed tensors)."""

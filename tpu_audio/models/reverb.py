@@ -305,6 +305,9 @@ class ConvolutionReverb:
                 self.working_set.bank = bank
 
             sess.on_bank_pinned = adopt
+            # pre-compile the fault path once layouts are final, so the
+            # first real bank miss never pays a jit compile mid-stream
+            sess.pre_run_hooks.append(self.working_set.warmup)
         return sess
 
     def process(self, source: BlockSource, sink: BlockSink,

@@ -200,6 +200,11 @@ class StreamSession:
                                 deadline_s=self.block_period)
         self.on_missed_deadline = on_missed_deadline
         self._missed_logged = 0
+        # fired once per run(), AFTER layout pinning / mesh bank placement
+        # and before the first block — the seam for warm-up work that must
+        # see the serving-final bank layouts (e.g. the working set
+        # pre-compiling its fault path, models/reverb.py:session)
+        self.pre_run_hooks: list = []
 
         donate_args = (0,) if donate else ()
         self._donate = donate
@@ -607,6 +612,8 @@ class StreamSession:
                 self.bank = self._place_bank(self.bank)
                 if getattr(self, "on_bank_pinned", None) is not None:
                     self.on_bank_pinned(self.bank)
+        for hook in self.pre_run_hooks:
+            hook()
         if self._is_coef:
             # resync the analytic coef mirrors from the (possibly restored-
             # from-checkpoint) state so a mid-crossfade resume keeps using

@@ -73,6 +73,7 @@ class WorkingSetBank:
         self.last_used = [float("-inf")] * self.capacity  # never selected
         self.misses = 0
         self.hits = 0
+        self.warmups = 0
         self.on_update: Callable[[object], None] | None = None
         # per-(voice, ch) fade-span tracking: every slot a voice's span
         # provenance (base_g) may still weight audibly, plus the block and
@@ -128,6 +129,23 @@ class WorkingSetBank:
         # IRs in a fresh process; on restore, mismatched slots re-page
         control.on_aux_restored = self._restore_residency
         self._sync_aux()
+
+    def warmup(self) -> None:
+        """Pre-compile the fault path before serving starts: re-upload
+        slot 0's currently resident IR — a semantic no-op on bank contents
+        — so the first real bank miss pays no jit compile mid-stream
+        (measured ~2.3 s on a tunneled dev chip; tens of ms locally). Must
+        run AFTER the session has placed/pinned the bank: the slot-update
+        executable is keyed by the bank's layouts, and a pre-pin warmup
+        would compile (and leave warm) the wrong variant. Sessions wire
+        this onto their pre_run_hooks (models/reverb.py:session)."""
+        self.bank = self.engine.update_bank_slot(
+            self.bank, 0, self.slot_payload(self.slot_to_full[0]))
+        if self.async_paging and not self._pending:
+            self._staged_bank = self.bank
+        self.warmups += 1
+        if self.on_update is not None:
+            self.on_update(self.bank)
 
     def _sync_aux(self) -> None:
         self.control.aux["ws_slot_to_full"] = np.asarray(
