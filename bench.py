@@ -248,7 +248,7 @@ def run_ws_leg(args, make_block):
     model = ConvolutionReverb(
         bank, num_voices=args.voices, block=args.block, engine="fmajor",
         max_predelay=8192, bank_capacity=args.ws_capacity,
-        cache_dir=args.pack_cache)
+        cache_dir=args.pack_cache, fault_upload=args.fault_upload)
     control, engine, ws = model.control, model.engine, model.working_set
     control.wet[:] = 0.7
     control.dry[:] = 0.2
@@ -688,6 +688,11 @@ def _main(argv=None) -> int:
     ap.add_argument("--ws-irs", type=int, default=152)
     ap.add_argument("--ws-capacity", type=int, default=16)
     ap.add_argument("--ws-faults", type=int, default=6)
+    ap.add_argument("--fault-upload", default="dual",
+                    choices=["dual", "derived"],
+                    help="ws leg fault payload: 'derived' uploads only the "
+                         "rev2 slot and rebuilds the MAC column on device "
+                         "(half the per-fault bytes)")
     ap.add_argument("--cascade-voices", type=int, default=1024)
     ap.add_argument("--cascade-dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--predelay-side", default="write",

@@ -74,7 +74,8 @@ def test_bench_extra_legs(capsys):
     rec = run_bench(capsys, extra=[
         "--legs", "all", "--ws-irs", "6", "--ws-capacity", "3",
         "--ws-faults", "2", "--cascade-voices", "4",
-        "--ir-seconds", "0.2", "--leg-budget", "10000"])
+        "--ir-seconds", "0.2", "--leg-budget", "10000",
+        "--fault-upload", "derived"])
     assert rec["legs"]["ws"]["faults"] == 2
     assert rec["legs"]["ws"]["steady_ms"] > 0
     assert rec["legs"]["ws"]["fault_ms"] > 0

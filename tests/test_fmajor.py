@@ -865,6 +865,29 @@ def test_update_bank_slot_matches_full_prepare(ring):
                                       err_msg=leaf)
 
 
+@pytest.mark.parametrize("mac_dtype", ["f32", "bf16"])
+def test_fault_upload_derived_matches_dual(mac_dtype):
+    """fault_upload='derived' (ring mode: upload only the rev2 slot,
+    rebuild the rhs2 MAC column on device) must produce a bank bit-equal
+    to the dual-upload path in both MAC dtypes."""
+    _, _, spectra, _ = build(ring=True)
+    kw = dict(max_predelay=64, ring=True, mac_strategy="allk",
+              num_irs=spectra.shape[0], mac_dtype=mac_dtype)
+    fm_dual = FMajorPartitionedConvolution(4, 32, spectra.shape[2], **kw)
+    fm_drv = FMajorPartitionedConvolution(4, 32, spectra.shape[2],
+                                          fault_upload="derived", **kw)
+    rng = np.random.default_rng(13)
+    newk = (rng.standard_normal((1,) + spectra.shape[1:])
+            + 1j * rng.standard_normal((1,) + spectra.shape[1:])
+            ).astype(np.complex64)
+    got = fm_drv.update_bank_slot(fm_drv.prepare_bank(spectra), 2, newk)
+    want = fm_dual.update_bank_slot(fm_dual.prepare_bank(spectra), 2, newk)
+    for leaf in ("mac_rhs", "rhs2", "spectra", "spectra_rev2"):
+        np.testing.assert_array_equal(np.asarray(getattr(got, leaf)),
+                                      np.asarray(getattr(want, leaf)),
+                                      err_msg=leaf)
+
+
 @pytest.mark.parametrize("strategy", ["allk", "selected"])
 def test_materialize_base_equals_no_change_collapse(strategy):
     """materialize_base must be leaf-for-leaf identical to

@@ -137,17 +137,20 @@ def test_session_output_equals_full_bank():
     assert np.abs(want).max() > 1e-3
 
 
-def test_session_warmup_precompiles_fault_path():
+@pytest.mark.parametrize("fault_upload", ["dual", "derived"])
+def test_session_warmup_precompiles_fault_path(fault_upload):
     """model.session() wires WorkingSetBank.warmup onto pre_run_hooks: the
     run's first block must find the fault path already compiled (one
     warmup slot rewrite), and the rewrite must be a semantic no-op —
-    bank contents bit-equal before/after, no miss counted."""
+    bank contents bit-equal before/after, no miss counted. Parametrized
+    over the fault payload modes: 'derived' exercises the device-side MAC
+    column rebuild through the real session wiring."""
     bank = make_bank()
     rng = np.random.default_rng(11)
     x = (rng.standard_normal((V, 2, B * 6)) * 0.05).astype(np.float32)
     model = ConvolutionReverb(bank, num_voices=V, block=B,
                               max_predelay=64, engine="fmajor",
-                              bank_capacity=CAP)
+                              bank_capacity=CAP, fault_upload=fault_upload)
     ws = model.working_set
     before = jax.tree.map(lambda a: np.asarray(a), ws.bank)
     sink = WavSink("/dev/null", keep_data=True)

@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "the device (fast all-K MAC) and page IRs from the "
                         "full bank in on demand — large banks at "
                         "small-bank speed when few IRs sound at once")
+    p.add_argument("--fault-upload", default="dual",
+                   choices=["dual", "derived"],
+                   help="working-set fault payload (fmajor ring): 'derived' "
+                        "uploads only the rev2 slot and rebuilds the MAC "
+                        "column on device — half the per-fault bytes")
     p.add_argument("--async-paging", action="store_true",
                    help="working-set residency only: page bank misses in "
                         "on a background thread — a fault never stalls the "
@@ -163,7 +168,8 @@ def main(argv=None) -> int:
         mac_dtype=args.mac_dtype, verbose=not args.quiet,
         swap_snapshot=not args.no_swap_snapshot,
         cascade_ratio=args.cascade_ratio, bank_capacity=args.bank_capacity,
-        async_paging=args.async_paging, predelay_side=args.predelay_side)
+        async_paging=args.async_paging, predelay_side=args.predelay_side,
+        fault_upload=args.fault_upload)
 
     v, b = model.engine.num_voices, model.block
     rings = []

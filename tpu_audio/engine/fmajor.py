@@ -193,7 +193,8 @@ class FMajorPartitionedConvolution:
                  max_predelay: int = 8192, backend: str = "auto",
                  ring: bool = True, mac_strategy: str = "allk",
                  num_irs: int | None = None, mac_dtype: str = "f32",
-                 swap_snapshot: bool = True, pv_mac: str = "dot"):
+                 swap_snapshot: bool = True, pv_mac: str = "dot",
+                 fault_upload: str = "dual"):
         self.num_voices = num_voices
         self.block = block
         self.partitions = partitions
@@ -244,6 +245,18 @@ class FMajorPartitionedConvolution:
         if pv_mac not in ("dot", "merged"):
             raise ValueError(f"unknown pv_mac {pv_mac!r}")
         self.pv_mac = pv_mac
+        # working-set fault uploads (ring + 'allk'): "dual" ships both the
+        # rhs2 MAC column and the spectra_rev2 slot — two layouts of the
+        # SAME doubled+reversed IR data; "derived" ships only rev2 and
+        # builds the MAC column on device (transposes + one negation — no
+        # reverse ops, the known remote-compiler hazard), halving the
+        # per-fault transfer (~6 -> ~3 MB f32 at 4 s; measured 378 ms
+        # median per sync fault on a tunneled chip, transfer-dominated).
+        # Bit-equal to "dual" (tested); default stays "dual" until the
+        # derived jit is timed on real hardware.
+        if fault_upload not in ("dual", "derived"):
+            raise ValueError(f"unknown fault_upload {fault_upload!r}")
+        self.fault_upload = fault_upload
         self.mac_dtype = jnp.float32 if mac_dtype == "f32" else jnp.bfloat16
         self._mac_prec = (jax.lax.Precision.HIGH if mac_dtype == "f32"
                           else jax.lax.Precision.DEFAULT)
@@ -377,17 +390,28 @@ class FMajorPartitionedConvolution:
                              "spectra into state at collapse)")
         from tpu_audio.utils.layouts import format_keyed_executable
 
-        mac_rhs, rhs2, planar, rev2 = self._pack_bank_host(
-            np.asarray(spectra_k))
         dt = self.mac_dtype
         ring = self.ring_mode
-        # ring mode: the planar leaf is a placeholder (never read) — no
-        # planar payload crosses the host boundary per fault
-        payloads = (jnp.asarray(rhs2 if ring else mac_rhs, dt),
-                    (jnp.zeros((1, 1, 1, 1, 1), jnp.float32) if ring
-                     else jnp.asarray(planar)),
-                    (jnp.asarray(rev2, dt) if ring
-                     else jnp.zeros((1, 1, 1, 1, 1), dt)))
+        derived = ring and self.fault_upload == "derived"
+        if derived:
+            # upload ONLY the rev2 slot; the rhs2 MAC column is the same
+            # doubled+reversed data in another axis order — rebuilt on
+            # device below (transposes + one negation, no reverse ops),
+            # and the host skips the pack_mac_rhs work per fault too
+            rev2 = pack_spectra_rev2(np.asarray(spectra_k), self.pp)
+            payloads = (jnp.zeros((1, 1, 1, 1), dt),
+                        jnp.zeros((1, 1, 1, 1, 1), jnp.float32),
+                        jnp.asarray(rev2, dt))
+        else:
+            mac_rhs, rhs2, planar, rev2 = self._pack_bank_host(
+                np.asarray(spectra_k))
+            # ring mode: the planar leaf is a placeholder (never read) — no
+            # planar payload crosses the host boundary per fault
+            payloads = (jnp.asarray(rhs2 if ring else mac_rhs, dt),
+                        (jnp.zeros((1, 1, 1, 1, 1), jnp.float32) if ring
+                         else jnp.asarray(planar)),
+                        (jnp.asarray(rev2, dt) if ring
+                         else jnp.zeros((1, 1, 1, 1, 1), dt)))
         fmt = jax.tree.map(lambda a: a.format, bank)
 
         def build():
@@ -395,6 +419,20 @@ class FMajorPartitionedConvolution:
                 from dataclasses import replace as _replace
                 col0 = k * 4
                 if ring:
+                    if derived:
+                        # rev2_p[0]: [F, O, d, 2Pp], d = (br, bi). The MAC
+                        # column wants [F, c, 2Pp, O*d] with plane c=0
+                        # carrying (br, bi) and c=1 carrying (-bi, br)
+                        # (pack_mac_rhs layout) — axis moves + a sign flip,
+                        # which commute exactly with the bf16 cast
+                        r = rev2_p[0]
+                        f2, q = r.shape[0], r.shape[-1]
+                        p0 = jnp.transpose(r, (0, 3, 1, 2))
+                        p1 = jnp.transpose(
+                            jnp.stack([-r[:, :, 1], r[:, :, 0]], axis=2),
+                            (0, 3, 1, 2))
+                        mac_p = jnp.stack([p0.reshape(f2, q, 4),
+                                           p1.reshape(f2, q, 4)], axis=1)
                     rhs2 = jax.lax.dynamic_update_slice(
                         bank.rhs2, mac_p, (0, 0, 0, col0))
                     rev = jax.lax.dynamic_update_slice(

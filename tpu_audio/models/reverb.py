@@ -84,7 +84,7 @@ class ConvolutionReverb:
                  mac_dtype: str = "f32", swap_snapshot: bool = True,
                  cascade_ratio: int = 16, bank_capacity: int | None = None,
                  async_paging: bool = False, predelay_side: str = "write",
-                 mac_strategy: str = "auto"):
+                 mac_strategy: str = "auto", fault_upload: str = "dual"):
         self.bank = bank
         self.block = block
         self.sample_rate = sample_rate
@@ -95,7 +95,8 @@ class ConvolutionReverb:
                 bank, num_voices, block, engine, max_predelay,
                 max_partitions, backend, cache_dir, mac_dtype,
                 cascade_ratio, min(bank_capacity, len(bank)),
-                swap_snapshot, sample_rate, async_paging, predelay_side)
+                swap_snapshot, sample_rate, async_paging, predelay_side,
+                fault_upload)
         if engine == "cascade":
             partitions = max_partitions or bank.max_partitions(block)
             ratio = _fit_cascade_ratio(cascade_ratio, num_voices, partitions)
@@ -131,7 +132,8 @@ class ConvolutionReverb:
                 self.engine = FMajorPartitionedConvolution(
                     num_voices, block, partitions, max_predelay=max_predelay,
                     backend=backend, mac_strategy=strategy, num_irs=len(bank),
-                    mac_dtype=mac_dtype, swap_snapshot=swap_snapshot)
+                    mac_dtype=mac_dtype, swap_snapshot=swap_snapshot,
+                    fault_upload=fault_upload)
                 # device bank is a pytree of MAC-ready real layouts
                 self.spectra = self.engine.prepare_bank(
                     spectra, cache_dir=cache_dir)
@@ -163,7 +165,7 @@ class ConvolutionReverb:
                           max_predelay, max_partitions, backend, cache_dir,
                           mac_dtype, cascade_ratio, capacity,
                           swap_snapshot, sample_rate, async_paging=False,
-                          predelay_side="write"):
+                          predelay_side="write", fault_upload="dual"):
         """Large banks at small-bank speed: the engine runs the fast all-K
         path over `capacity` resident IR slots; the full bank stays on the
         host and select events page IRs in on demand
@@ -200,7 +202,8 @@ class ConvolutionReverb:
             self.engine = FMajorPartitionedConvolution(
                 num_voices, block, partitions, max_predelay=max_predelay,
                 backend=backend, mac_strategy="allk", num_irs=capacity,
-                mac_dtype=mac_dtype, swap_snapshot=swap_snapshot)
+                mac_dtype=mac_dtype, swap_snapshot=swap_snapshot,
+                fault_upload=fault_upload)
             self.spectra = self.engine.prepare_bank(
                 full_spectra[residents], cache_dir=cache_dir)
             payload = lambda k: full_spectra[k: k + 1]
