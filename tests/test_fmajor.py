@@ -865,13 +865,15 @@ def test_update_bank_slot_matches_full_prepare(ring):
                                       err_msg=leaf)
 
 
+@pytest.mark.parametrize("ring", [True, False])
 @pytest.mark.parametrize("mac_dtype", ["f32", "bf16"])
-def test_fault_upload_derived_matches_dual(mac_dtype):
-    """fault_upload='derived' (ring mode: upload only the rev2 slot,
-    rebuild the rhs2 MAC column on device) must produce a bank bit-equal
-    to the dual-upload path in both MAC dtypes."""
-    _, _, spectra, _ = build(ring=True)
-    kw = dict(max_predelay=64, ring=True, mac_strategy="allk",
+def test_fault_upload_derived_matches_dual(mac_dtype, ring):
+    """fault_upload='derived' (upload only the spectra slot — rev2 in
+    ring mode, planar in roll mode — and rebuild the MAC column on
+    device) must produce a bank bit-equal to the dual-upload path in
+    both MAC dtypes and both delay-line modes."""
+    _, _, spectra, _ = build(ring=ring)
+    kw = dict(max_predelay=64, ring=ring, mac_strategy="allk",
               num_irs=spectra.shape[0], mac_dtype=mac_dtype)
     fm_dual = FMajorPartitionedConvolution(4, 32, spectra.shape[2], **kw)
     fm_drv = FMajorPartitionedConvolution(4, 32, spectra.shape[2],

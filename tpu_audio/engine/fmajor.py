@@ -245,15 +245,17 @@ class FMajorPartitionedConvolution:
         if pv_mac not in ("dot", "merged"):
             raise ValueError(f"unknown pv_mac {pv_mac!r}")
         self.pv_mac = pv_mac
-        # working-set fault uploads (ring + 'allk'): "dual" ships both the
-        # rhs2 MAC column and the spectra_rev2 slot — two layouts of the
-        # SAME doubled+reversed IR data; "derived" ships only rev2 and
-        # builds the MAC column on device (transposes + one negation — no
-        # reverse ops, the known remote-compiler hazard), halving the
-        # per-fault transfer (~6 -> ~3 MB f32 at 4 s; measured 378 ms
-        # median per sync fault on a tunneled chip, transfer-dominated).
-        # Bit-equal to "dual" (tested); default stays "dual" until the
-        # derived jit is timed on real hardware.
+        # working-set fault uploads ('allk'): "dual" ships both the MAC
+        # column (rhs2 / mac_rhs) and the spectra slot (rev2 / planar) —
+        # two layouts of the SAME IR data; "derived" ships only the
+        # spectra slot and builds the MAC column on device (transposes +
+        # one negation — no reverse ops, the known remote-compiler
+        # hazard), halving the per-fault transfer (~6 -> ~3 MB f32 at
+        # 4 s; measured 378 ms median per sync fault on a tunneled chip,
+        # transfer-dominated). Works in ring mode (single-chip) and roll
+        # mode (the multichip serving layout). Bit-equal to "dual"
+        # (tested); default stays "dual" until the derived jit is timed
+        # on real hardware (examples/probe_fault.py).
         if fault_upload not in ("dual", "derived"):
             raise ValueError(f"unknown fault_upload {fault_upload!r}")
         self.fault_upload = fault_upload
@@ -392,8 +394,8 @@ class FMajorPartitionedConvolution:
 
         dt = self.mac_dtype
         ring = self.ring_mode
-        derived = ring and self.fault_upload == "derived"
-        if derived:
+        derived = self.fault_upload == "derived"
+        if derived and ring:
             # upload ONLY the rev2 slot; the rhs2 MAC column is the same
             # doubled+reversed data in another axis order — rebuilt on
             # device below (transposes + one negation, no reverse ops),
@@ -402,6 +404,14 @@ class FMajorPartitionedConvolution:
             payloads = (jnp.zeros((1, 1, 1, 1), dt),
                         jnp.zeros((1, 1, 1, 1, 1), jnp.float32),
                         jnp.asarray(rev2, dt))
+        elif derived:
+            # roll mode (the multichip serving layout): planar is the
+            # read leaf; the mac_rhs column is the same data transposed —
+            # rebuilt on device below
+            planar = pack_planar_spectra(np.asarray(spectra_k), self.pp)
+            payloads = (jnp.zeros((1, 1, 1, 1), dt),
+                        jnp.asarray(planar),
+                        jnp.zeros((1, 1, 1, 1, 1), dt))
         else:
             mac_rhs, rhs2, planar, rev2 = self._pack_bank_host(
                 np.asarray(spectra_k))
@@ -438,6 +448,19 @@ class FMajorPartitionedConvolution:
                     rev = jax.lax.dynamic_update_slice(
                         bank.spectra_rev2, rev2_p, (k, 0, 0, 0, 0))
                     return _replace(bank, rhs2=rhs2, spectra_rev2=rev)
+                if derived:
+                    # planar_p[0]: [O, Pp, F, d], d = (br, bi) — same
+                    # plane construction as the ring branch, natural
+                    # partition order (pack_mac_rhs layout)
+                    pl = planar_p[0]
+                    ppad, f2 = pl.shape[1], pl.shape[2]
+                    p0 = jnp.transpose(pl, (2, 1, 0, 3))
+                    p1 = jnp.transpose(
+                        jnp.stack([-pl[..., 1], pl[..., 0]], axis=-1),
+                        (2, 1, 0, 3))
+                    mac_p = jnp.stack([p0.reshape(f2, ppad, 4),
+                                       p1.reshape(f2, ppad, 4)],
+                                      axis=1).astype(bank.mac_rhs.dtype)
                 mac = jax.lax.dynamic_update_slice(
                     bank.mac_rhs, mac_p, (0, 0, 0, col0))
                 return _replace(
