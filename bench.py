@@ -896,30 +896,45 @@ def _main(argv=None) -> int:
     else:
         ms_fgen = float("nan")  # span-only engine: no materialized path
     control.vsteps[:] = 0
+    dl_ms = deadline * 1e3
+
+    def record_engine_true():
+        PARTIAL.update(engine_steady_ms=round(ms_steady, 3),
+                       engine_steady_rtf=round(dl_ms / ms_steady, 3),
+                       engine_fade_indexed_ms=(None if np.isnan(ms_fidx)
+                                               else round(ms_fidx, 3)),
+                       engine_fade_general_ms=(None if np.isnan(ms_fgen)
+                                               else round(ms_fgen, 3)))
+
+    # crash-safe: the provisional readings land in PARTIAL BEFORE any
+    # consistency re-probe — a wedge during the re-probe (likely: it only
+    # fires on congested links) must not lose numbers measured minutes ago
+    record_engine_true()
+    # span fade == steady by design, so a large mismatch means ONE of the
+    # two windows caught a tunnel congestion burst (seen 2026-08-17:
+    # steady 8.84 vs fade 0.937 in one record — and the artifact can land
+    # on either side). Re-run the outlier's probe once and keep the
+    # better reading — a re-measure of the identical computation, not a
+    # substitution.
     if not np.isnan(ms_fidx) and ms_steady > 1.5 * ms_fidx:
-        # span fade == steady by design, so a steady reading far above the
-        # fade-indexed one means the steady window caught a tunnel
-        # congestion burst (seen 2026-08-17: steady 8.84 vs fade 0.937 in
-        # one record). Re-run the same probe once and keep the better
-        # reading — a re-measure of the identical computation, not a
-        # substitution.
         log(f"steady {ms_steady:.3f} ms inconsistent with fade-indexed "
             f"{ms_fidx:.3f} ms (equal by design); re-probing steady")
         ms_retry, _ = engine_true_ms(
             steady, fresh_state(), spectra, params, make_block,
             args.engine_blocks, reps=args.reps)
         ms_steady = min(ms_steady, ms_retry)
-    dl_ms = deadline * 1e3
+    elif not np.isnan(ms_fidx) and ms_fidx > 1.5 * ms_steady:
+        log(f"fade-indexed {ms_fidx:.3f} ms inconsistent with steady "
+            f"{ms_steady:.3f} ms (equal by design); re-probing fade")
+        ms_retry, _ = engine_true_ms(
+            fade_idx, fade_state(), spectra, params_fade,
+            make_block, args.engine_blocks, reps=args.reps)
+        ms_fidx = min(ms_fidx, ms_retry)
+    record_engine_true()
     log(f"engine-true ms/block (chained dispatch, best of {args.reps}): "
         f"steady {ms_steady:.3f} (RTF {dl_ms / ms_steady:.2f}) | "
         f"fade-indexed {ms_fidx:.3f} (RTF {dl_ms / ms_fidx:.2f}) | "
         f"fade-general {ms_fgen:.3f} (RTF {dl_ms / ms_fgen:.2f})")
-    PARTIAL.update(engine_steady_ms=round(ms_steady, 3),
-                   engine_steady_rtf=round(dl_ms / ms_steady, 3),
-                   engine_fade_indexed_ms=(None if np.isnan(ms_fidx)
-                                           else round(ms_fidx, 3)),
-                   engine_fade_general_ms=(None if np.isnan(ms_fgen)
-                                           else round(ms_fgen, 3)))
 
     # ---- end-to-end serving throughput -------------------------------------
     from tpu_audio.utils.wire import decode_pcm16, encode_pcm16

@@ -166,6 +166,32 @@ def test_session_warmup_precompiles_fault_path(fault_upload):
     assert model.spectra is ws.bank
 
 
+def test_warmup_failure_does_not_abort():
+    """warmup is an optimization: a transient backend failure during the
+    pre-compile must log and return, not propagate out of session
+    start-up (the fault path then compiles lazily on the first miss)."""
+    bank = make_bank()
+    eng, cp, ws, full = build_ws(bank)
+
+    class Boom:
+        def update_bank_slot(self, *a, **k):
+            raise RuntimeError("backend hiccup")
+
+    ws.engine = Boom()
+    ws.warmup()                      # must not raise
+    assert ws.warmups == 0
+
+
+def test_fault_upload_rejected_for_non_fmajor():
+    """fault_upload != 'dual' must be a loud error on engines without a
+    derivable fault payload — never silently inert."""
+    bank = make_bank()
+    with pytest.raises(ValueError, match="fault_upload"):
+        ConvolutionReverb(bank, num_voices=2, block=B, engine="cascade",
+                          max_predelay=64, bank_capacity=2,
+                          fault_upload="derived")
+
+
 def test_cascade_slot_update_matches_rebuild():
     """cascade.update_bank_slot == rebuilding the bank with that IR in
     place (bit-level on the packed tensors)."""

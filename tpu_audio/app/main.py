@@ -48,9 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "small-bank speed when few IRs sound at once")
     p.add_argument("--fault-upload", default="dual",
                    choices=["dual", "derived"],
-                   help="working-set fault payload (fmajor ring): 'derived' "
-                        "uploads only the rev2 slot and rebuilds the MAC "
-                        "column on device — half the per-fault bytes")
+                   help="working-set fault payload (fmajor, ring and roll "
+                        "modes): 'derived' uploads only the spectra slot "
+                        "and rebuilds the MAC column on device — half the "
+                        "per-fault bytes")
     p.add_argument("--async-paging", action="store_true",
                    help="working-set residency only: page bank misses in "
                         "on a background thread — a fault never stalls the "

@@ -425,42 +425,39 @@ class FMajorPartitionedConvolution:
         fmt = jax.tree.map(lambda a: a.format, bank)
 
         def build():
+            def mac_planes(re_, im_, out_dtype):
+                """(br, bi) as [F, q, O] -> the pack_mac_rhs column layout
+                [F, c, q, O*d]: plane c=0 carries (br, bi), c=1 carries
+                (-bi, br). The axis moves and the sign flip commute
+                exactly with the bf16 cast."""
+                f2, q = re_.shape[0], re_.shape[1]
+                p0 = jnp.stack([re_, im_], axis=-1).reshape(f2, q, 4)
+                p1 = jnp.stack([-im_, re_], axis=-1).reshape(f2, q, 4)
+                return jnp.stack([p0, p1], axis=1).astype(out_dtype)
+
             def upd(bank, mac_p, planar_p, rev2_p, k):
                 from dataclasses import replace as _replace
                 col0 = k * 4
                 if ring:
                     if derived:
-                        # rev2_p[0]: [F, O, d, 2Pp], d = (br, bi). The MAC
-                        # column wants [F, c, 2Pp, O*d] with plane c=0
-                        # carrying (br, bi) and c=1 carrying (-bi, br)
-                        # (pack_mac_rhs layout) — axis moves + a sign flip,
-                        # which commute exactly with the bf16 cast
+                        # rev2_p[0]: [F, O, d, 2Pp], d = (br, bi)
                         r = rev2_p[0]
-                        f2, q = r.shape[0], r.shape[-1]
-                        p0 = jnp.transpose(r, (0, 3, 1, 2))
-                        p1 = jnp.transpose(
-                            jnp.stack([-r[:, :, 1], r[:, :, 0]], axis=2),
-                            (0, 3, 1, 2))
-                        mac_p = jnp.stack([p0.reshape(f2, q, 4),
-                                           p1.reshape(f2, q, 4)], axis=1)
+                        mac_p = mac_planes(
+                            jnp.transpose(r[:, :, 0], (0, 2, 1)),
+                            jnp.transpose(r[:, :, 1], (0, 2, 1)),
+                            bank.rhs2.dtype)
                     rhs2 = jax.lax.dynamic_update_slice(
                         bank.rhs2, mac_p, (0, 0, 0, col0))
                     rev = jax.lax.dynamic_update_slice(
                         bank.spectra_rev2, rev2_p, (k, 0, 0, 0, 0))
                     return _replace(bank, rhs2=rhs2, spectra_rev2=rev)
                 if derived:
-                    # planar_p[0]: [O, Pp, F, d], d = (br, bi) — same
-                    # plane construction as the ring branch, natural
-                    # partition order (pack_mac_rhs layout)
+                    # planar_p[0]: [O, Pp, F, d] — natural partition order
                     pl = planar_p[0]
-                    ppad, f2 = pl.shape[1], pl.shape[2]
-                    p0 = jnp.transpose(pl, (2, 1, 0, 3))
-                    p1 = jnp.transpose(
-                        jnp.stack([-pl[..., 1], pl[..., 0]], axis=-1),
-                        (2, 1, 0, 3))
-                    mac_p = jnp.stack([p0.reshape(f2, ppad, 4),
-                                       p1.reshape(f2, ppad, 4)],
-                                      axis=1).astype(bank.mac_rhs.dtype)
+                    mac_p = mac_planes(
+                        jnp.transpose(pl[..., 0], (2, 1, 0)),
+                        jnp.transpose(pl[..., 1], (2, 1, 0)),
+                        bank.mac_rhs.dtype)
                 mac = jax.lax.dynamic_update_slice(
                     bank.mac_rhs, mac_p, (0, 0, 0, col0))
                 return _replace(

@@ -90,6 +90,16 @@ class ConvolutionReverb:
         self.sample_rate = sample_rate
         self.control = ControlPlane(num_voices, len(bank), max_predelay)
         self.working_set = None
+        if fault_upload != "dual" and engine != "fmajor":
+            # never silently ignore: a user comparing fault latencies must
+            # know the flag is inert here (cascade faults already upload
+            # raw IR samples — the minimal payload — and other engines
+            # have no working-set fault path)
+            raise ValueError(
+                f"fault_upload={fault_upload!r} applies to the fmajor "
+                f"engine's working-set faults; engine {engine!r} has "
+                f"nothing to derive (cascade faults upload raw samples "
+                f"already)")
         if bank_capacity is not None:
             return self._init_working_set(
                 bank, num_voices, block, engine, max_predelay,

@@ -138,9 +138,18 @@ class WorkingSetBank:
         run AFTER the session has placed/pinned the bank: the slot-update
         executable is keyed by the bank's layouts, and a pre-pin warmup
         would compile (and leave warm) the wrong variant. Sessions wire
-        this onto their pre_run_hooks (models/reverb.py:session)."""
-        self.bank = self.engine.update_bank_slot(
-            self.bank, 0, self.slot_payload(self.slot_to_full[0]))
+        this onto their pre_run_hooks (models/reverb.py:session).
+        Best-effort: a warmup failure (e.g. a transient backend hiccup)
+        must not abort session start-up — the fault path then just
+        compiles lazily on the first real miss, the pre-change
+        behavior."""
+        try:
+            self.bank = self.engine.update_bank_slot(
+                self.bank, 0, self.slot_payload(self.slot_to_full[0]))
+        except Exception as exc:  # noqa: BLE001 - optimization only
+            Log.warn("workset", "fault-path warmup failed (%s); the first "
+                     "real bank miss will pay the compile instead", exc)
+            return
         if self.async_paging and not self._pending:
             self._staged_bank = self.bank
         self.warmups += 1
