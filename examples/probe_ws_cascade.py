@@ -39,6 +39,10 @@ def main() -> int:
     ap.add_argument("--ratio", type=int, default=16)
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--faults", type=int, default=4)
+    ap.add_argument("--async", dest="async_paging", action="store_true",
+                    help="measure DEFERRED faults: the select-path stall "
+                         "(should be ~0: the pack+upload runs on a worker "
+                         "thread) and the drain time to publication")
     ap.add_argument("--cache-dir", default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (post-import config; the "
@@ -64,7 +68,7 @@ def main() -> int:
         bank, num_voices=args.voices, block=args.block, engine="cascade",
         max_predelay=8192, bank_capacity=args.capacity,
         cascade_ratio=args.ratio, mac_dtype=args.dtype,
-        cache_dir=args.cache_dir)
+        cache_dir=args.cache_dir, async_paging=args.async_paging)
     control, engine, ws = model.control, model.engine, model.working_set
     control.wet[:] = 0.7
     control.dry[:] = 0.2
@@ -108,28 +112,56 @@ def main() -> int:
     print(f"[probe] steady {ms:.3f} ms/block over {args.capacity} resident "
           f"slots (RTF {result['rtf']})", file=sys.stderr)
 
-    # real faults through the select path (remap + evict + pack + upload);
-    # a one-element readback forces completion (block_until_ready lies on
-    # the tunnel transport)
-    fault_ms = []
-    for i in range(args.faults):
-        full_idx = args.capacity + i
-        if full_idx >= args.num_irs:
-            break
-        t0 = time.perf_counter()
-        control.set_select(0, 0, full_idx)
-        slot = int(control.select[0, 0])
-        np.asarray(ws.bank.head_rhs2[0, 0, 0, slot * 4])
-        fault_ms.append((time.perf_counter() - t0) * 1e3)
-        control.vsteps[:] = 0
-    warm = fault_ms[1:] or fault_ms
-    result.update(
-        fault_ms=round(float(np.median(warm)), 1) if warm else None,
-        fault_compile_ms=round(fault_ms[0], 1) if fault_ms else None,
-        faults=ws.misses)
-    print(f"[probe] fault latency median {result['fault_ms']} ms "
-          f"(first incl. compile {result['fault_compile_ms']} ms)",
-          file=sys.stderr)
+    # real faults through the select path (remap + evict + pack + upload)
+    if args.async_paging:
+        # deferred: the select call must return immediately (the pack +
+        # upload runs on the pager thread); drain() waits for publication
+        ws.warmup()  # compile the slot update off the measured path
+        stall_ms, drain_ms = [], []
+        for i in range(args.faults):
+            full_idx = args.capacity + i
+            if full_idx >= args.num_irs:
+                break
+            t0 = time.perf_counter()
+            control.set_select(0, 0, full_idx)
+            stall_ms.append((time.perf_counter() - t0) * 1e3)
+            t0 = time.perf_counter()
+            ws.drain()
+            drain_ms.append((time.perf_counter() - t0) * 1e3)
+            control.vsteps[:] = 0
+        result.update(
+            async_stall_ms=(round(float(np.median(stall_ms)), 3)
+                            if stall_ms else None),
+            async_drain_ms=(round(float(np.median(drain_ms)), 1)
+                            if drain_ms else None),
+            faults=ws.misses, deferred=ws.deferred)
+        print(f"[probe] deferred fault: select-path stall median "
+              f"{result['async_stall_ms']} ms, drain-to-published median "
+              f"{result['async_drain_ms']} ms", file=sys.stderr)
+    else:
+        # a one-element readback forces completion (block_until_ready
+        # lies on the tunnel transport)
+        fault_ms = []
+        for i in range(args.faults):
+            full_idx = args.capacity + i
+            if full_idx >= args.num_irs:
+                break
+            t0 = time.perf_counter()
+            control.set_select(0, 0, full_idx)
+            slot = int(control.select[0, 0])
+            np.asarray(ws.bank.head_rhs2[0, 0, 0, slot * 4])
+            fault_ms.append((time.perf_counter() - t0) * 1e3)
+            control.vsteps[:] = 0
+        warm = fault_ms[1:] or fault_ms
+        result.update(
+            fault_ms=round(float(np.median(warm)), 1) if warm else None,
+            fault_compile_ms=round(fault_ms[0], 1) if fault_ms else None,
+            faults=ws.misses)
+        print(f"[probe] fault latency median {result['fault_ms']} ms "
+              f"(first incl. compile {result['fault_compile_ms']} ms)",
+              file=sys.stderr)
+    if args.async_paging:
+        ws.close()
     print(json.dumps(result))
     return 0
 
