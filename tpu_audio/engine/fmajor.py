@@ -628,7 +628,7 @@ class FMajorPartitionedConvolution:
 
     def step_coef(self, state: FMajorState, bank: FMajorBank,
                   params: VoiceParams, x: jax.Array, with_base: bool = True,
-                  indexed_base: bool = False):
+                  indexed_base: bool = False, stages=None):
         """Full step (fade-capable). Same semantics contract as
         PartitionedConvolution.step_coef, in f-major layout.
 
@@ -636,7 +636,13 @@ class FMajorPartitionedConvolution:
         voice whose fade still matters has a span snapshot, ``base ==
         sum_k base_g[k] * bank[k]`` — the base term is then a tiny
         K-contraction of the SAME all-K MAC instead of a separate
-        per-voice contraction (see step_coef_indexed)."""
+        per-voice contraction (see step_coef_indexed).
+
+        ``stages`` (DIAGNOSTIC ONLY, like cascade._step's): None runs the
+        production step; a subset of ("input", "mac", "finish") replaces
+        the omitted stage's output with zeros so the remaining stages'
+        chip cost can be timed in isolation (delay-line traffic is kept:
+        the fdl update always runs). Never used by sessions."""
         v, f, pp = self.num_voices, self.num_bins, self.pp
         k = bank.num_irs
         if (with_base and not indexed_base and not self.swap_snapshot):
@@ -644,7 +650,10 @@ class FMajorPartitionedConvolution:
                 "engine was built with swap_snapshot=False: there is no "
                 "materialized fade snapshot to read — fades ride "
                 "step_coef_indexed (span provenance)")
-        xn = self._input_spectrum(state, x)
+        if stages is not None and "input" not in stages:
+            xn = jnp.zeros((f, v * 2, 2, 1), self.mac_dtype)
+        else:
+            xn = self._input_spectrum(state, x)
 
         t = state.wptr  # block counter (mod t_modulus)
         if self.ring_mode:
@@ -717,7 +726,9 @@ class FMajorPartitionedConvolution:
 
         coef_sel = (c[..., None] * scale)                         # [V, I, O]
 
-        if self.mac_strategy == "selected":
+        if stages is not None and "mac" not in stages:
+            y = jnp.zeros((f, v, 2, 2), jnp.float32)
+        elif self.mac_strategy == "selected":
             tensors = [window(state.sel_spectra, 5).astype(self.mac_dtype)]
             if with_base:
                 tensors.append(window(state.base, 5).astype(self.mac_dtype))
@@ -762,9 +773,18 @@ class FMajorPartitionedConvolution:
                 y = y + jnp.einsum("fviod,vio->fvod", mb[0],
                                    a[..., None] * scale)
 
+        wptr_next = jax.lax.rem(t + 1, jnp.int32(self.t_modulus))
+        if stages is not None and "finish" not in stages:
+            # keep the MAC live under DCE: a full reduction of y rides the
+            # first output sample (y[0] alone would let XLA slice the MAC
+            # down to frequency bin 0 — every bin is independent)
+            tap = jnp.sum(y, axis=(0, 3)).astype(jnp.float32)     # [V, O]
+            out = jnp.zeros((v, 2, self.block),
+                            jnp.float32).at[:, :, 0].set(tap)
+            return (replace(state, prev_in=x, fdl=fdl, coef_a=a, coef_c=c,
+                            wptr=wptr_next), out)
         return self._finish(state, params, x, y, t,
-                            fdl=fdl, coef_a=a, coef_c=c,
-                            wptr=jax.lax.rem(t + 1, jnp.int32(self.t_modulus)))
+                            fdl=fdl, coef_a=a, coef_c=c, wptr=wptr_next)
 
     def step_coef_steady(self, state, bank, params, x):
         """Steady-state hot path: base term elided (coef_a ~ 0)."""
