@@ -53,9 +53,13 @@ def main() -> int:
     engine = FMajorPartitionedConvolution(
         args.voices, args.block, partitions, max_predelay=8192,
         mac_strategy="allk", num_irs=args.num_irs, mac_dtype=args.dtype)
-    spectra = engine.prepare_bank(
-        bank.partitioned_spectra(args.block, max_partitions=partitions),
-        cache_dir=args.cache_dir)
+    if args.cache_dir:
+        host_spec = bank.cached_partitioned_spectra(
+            args.block, args.cache_dir, max_partitions=partitions)
+    else:
+        host_spec = bank.partitioned_spectra(args.block,
+                                             max_partitions=partitions)
+    spectra = engine.prepare_bank(host_spec, cache_dir=args.cache_dir)
     control = ControlPlane(args.voices, args.num_irs)
     control.wet[:] = 0.7
     control.dry[:] = 0.2
