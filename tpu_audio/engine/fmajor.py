@@ -194,7 +194,7 @@ class FMajorPartitionedConvolution:
                  ring: bool = True, mac_strategy: str = "allk",
                  num_irs: int | None = None, mac_dtype: str = "f32",
                  swap_snapshot: bool = True, pv_mac: str = "dot",
-                 fault_upload: str = "dual"):
+                 fault_upload: str = "derived"):
         self.num_voices = num_voices
         self.block = block
         self.partitions = partitions
@@ -251,11 +251,13 @@ class FMajorPartitionedConvolution:
         # spectra slot and builds the MAC column on device (transposes +
         # one negation — no reverse ops, the known remote-compiler
         # hazard), halving the per-fault transfer (~6 -> ~3 MB f32 at
-        # 4 s; measured 378 ms median per sync fault on a tunneled chip,
-        # transfer-dominated). Works in ring mode (single-chip) and roll
-        # mode (the multichip serving layout). Bit-equal to "dual"
-        # (tested); default stays "dual" until the derived jit is timed
-        # on real hardware (examples/probe_fault.py).
+        # 4 s). Works in ring mode (single-chip) and roll mode (the
+        # multichip serving layout). Bit-equal to "dual" (tested).
+        # Default is "derived": the on-chip A/B (examples/probe_fault.py,
+        # 2026-08-18, 16-IR 4 s bank, 10 interleaved reps) measured warm
+        # fault medians 92.6 ms derived vs 317.5 ms dual (3.4x) and
+        # first-fault-incl-compile 0.73 s vs 12.8 s — the device rebuild
+        # is far cheaper than the extra host pack + tunnel bytes.
         if fault_upload not in ("dual", "derived"):
             raise ValueError(f"unknown fault_upload {fault_upload!r}")
         self.fault_upload = fault_upload

@@ -84,12 +84,21 @@ class ConvolutionReverb:
                  mac_dtype: str = "f32", swap_snapshot: bool = True,
                  cascade_ratio: int = 16, bank_capacity: int | None = None,
                  async_paging: bool = False, predelay_side: str = "write",
-                 mac_strategy: str = "auto", fault_upload: str = "dual"):
+                 mac_strategy: str = "auto",
+                 fault_upload: str | None = None):
         self.bank = bank
         self.block = block
         self.sample_rate = sample_rate
         self.control = ControlPlane(num_voices, len(bank), max_predelay)
         self.working_set = None
+        if fault_upload is None:
+            # per-engine resolution: fmajor working-set faults default to
+            # 'derived' (measured 3.4x faster warm fault on the tunneled
+            # chip — 92.6 vs 317.5 ms median, examples/probe_fault.py,
+            # 2026-08-18 — and bit-equal by test); other engines have no
+            # derived path, so the sentinel resolves to the inert 'dual'
+            # without tripping the explicit-flag guard below
+            fault_upload = "derived" if engine == "fmajor" else "dual"
         if fault_upload != "dual" and engine != "fmajor":
             # never silently ignore: a user comparing fault latencies must
             # know the flag is inert here (cascade faults already upload
