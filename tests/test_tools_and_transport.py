@@ -310,3 +310,50 @@ def test_jack_bridge_process_callback_logic():
     assert bridge._process(frames, None) == 0
     assert bridge.overruns == 1
     assert len(bridge.in_ring.written) == 2  # nothing new appended
+
+
+def test_jack_bridge_connects_settings_ports():
+    """start() wires the conv[n].input/output external ports from
+    settings like the reference (src/main.cu:86-89), falling back to
+    system capture/playback when unset."""
+    from tpu_audio.io.settings import Settings
+    from tpu_audio.runtime.jack_bridge import (JackRingBridge,
+                                               ports_from_settings)
+
+    s = Settings().parse(
+        "conv[0].input mic:left\n"
+        "conv[0].output speakers:left\n"
+        "conv[1].input mic:right\n"
+        "conv[1].output speakers:right\n", verbose=False)
+    ins, outs = ports_from_settings(s)
+    assert ins == ["mic:left", "mic:right"]
+    assert outs == ["speakers:left", "speakers:right"]
+    # missing keys fall back to the reference's own settings.txt wiring
+    ins2, outs2 = ports_from_settings(Settings())
+    assert ins2 == ["system:capture_1", "system:capture_2"]
+    assert outs2 == ["system:playback_1", "system:playback_2"]
+
+    class FakeLib:
+        def __init__(self):
+            self.connected = []
+
+        def jack_activate(self, client):
+            return 0
+
+        def jack_connect(self, client, src, dst):
+            self.connected.append((src.decode(), dst.decode()))
+            return 0
+
+    bridge = JackRingBridge.__new__(JackRingBridge)  # skip jackd handshake
+    bridge.lib = FakeLib()
+    bridge.client = object()
+    bridge.name = "tpu_audio"
+    bridge.connect_inputs = ins
+    bridge.connect_outputs = outs
+    bridge.start()
+    assert bridge.lib.connected == [
+        ("mic:left", "tpu_audio:in_0"),
+        ("tpu_audio:out_0", "speakers:left"),
+        ("mic:right", "tpu_audio:in_1"),
+        ("tpu_audio:out_1", "speakers:right"),
+    ]

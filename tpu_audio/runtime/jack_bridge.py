@@ -13,7 +13,9 @@ session already serves (csrc/blockio.cpp via runtime.native):
     StreamSession --> output NativeRing --process_cb--> jackd RT thread
 
 Run the bridge in its own process (`python -m tpu_audio.runtime.jack_bridge
---in-ring tpu_in --out-ring tpu_out`) next to a session started with
+--in-ring tpu_in --out-ring tpu_out [--settings settings.txt]`, where
+--settings wires the conv[n].input/output external ports exactly like the
+reference, src/main.cu:86-89) next to a session started with
 ``--input-ring tpu_in --output-ring tpu_out`` — the same topology as the
 three-process live-path test (tests/test_live_path.py), with jackd taking
 the producer/consumer role.
@@ -113,7 +115,8 @@ class JackRingBridge:
 
     def __init__(self, in_ring, out_ring, name: str = "tpu_audio",
                  server_may_start: bool = False,
-                 expect_block: int | None = None):
+                 expect_block: int | None = None,
+                 connect_inputs=None, connect_outputs=None):
         if not jack_available():
             raise RuntimeError("libjack not found on this host")
         self.lib = _LIB
@@ -144,6 +147,12 @@ class JackRingBridge:
         self.ports_out = [self.lib.jack_port_register(
             self.client, f"out_{i}".encode(), _JACK_DEFAULT_AUDIO_TYPE,
             _JackPortIsOutput, 0) for i in range(2)]
+        # external ports to wire at start(); per channel, like the
+        # reference's conv[n].input/output keys (src/main.cu:86-89)
+        self.connect_inputs = list(connect_inputs) if connect_inputs else [
+            f"system:capture_{i + 1}" for i in range(2)]
+        self.connect_outputs = list(connect_outputs) if connect_outputs else [
+            f"system:playback_{i + 1}" for i in range(2)]
         self.underruns = 0
         self.overruns = 0
         # keep a reference: ctypes callbacks are garbage-collected
@@ -181,20 +190,36 @@ class JackRingBridge:
         if self.lib.jack_activate(self.client):
             raise RuntimeError("jack_activate failed")
         if connect_system:
-            # reference wiring: system capture -> ins, outs -> playback
-            # (src/main.cu:86-89); failures are non-fatal, like the
-            # reference's unchecked jack_connect calls
+            # reference wiring: external input -> ins, outs -> external
+            # output per channel (src/main.cu:86-89, conv[n].input/output);
+            # failures are non-fatal, like the reference's unchecked
+            # jack_connect calls
             for i in range(2):
                 self.lib.jack_connect(
-                    self.client, f"system:capture_{i + 1}".encode(),
+                    self.client, self.connect_inputs[i].encode(),
                     f"{self.name}:in_{i}".encode())
                 self.lib.jack_connect(
                     self.client, f"{self.name}:out_{i}".encode(),
-                    f"system:playback_{i + 1}".encode())
+                    self.connect_outputs[i].encode())
 
     def stop(self) -> None:
         self.lib.jack_deactivate(self.client)
         self.lib.jack_client_close(self.client)
+
+
+def ports_from_settings(settings, pair: int = 0):
+    """Resolve the external JACK port names for one conv pair from a
+    parsed Settings, per the reference's conv[n].input/output keys
+    (src/main.cu:86-89, settings.txt). Missing keys fall back to the
+    system capture/playback defaults. Returns (inputs, outputs)."""
+    inputs, outputs = [], []
+    for i in range(2):
+        idx = pair * 2 + i
+        inputs.append(settings.str(
+            "conv[%d].input", idx, default=f"system:capture_{i + 1}"))
+        outputs.append(settings.str(
+            "conv[%d].output", idx, default=f"system:playback_{i + 1}"))
+    return inputs, outputs
 
 
 def main(argv=None) -> int:
@@ -213,10 +238,40 @@ def main(argv=None) -> int:
     ap.add_argument("--expect-block", type=int, default=None,
                     help="session block size; jackd's period must match "
                          "(the rings carry unframed f32)")
+    ap.add_argument("--connect-in", action="append", default=None,
+                    metavar="PORT",
+                    help="external port to wire into channel N's input "
+                         "(repeat twice; default system:capture_1/2)")
+    ap.add_argument("--connect-out", action="append", default=None,
+                    metavar="PORT",
+                    help="external port channel N's output feeds "
+                         "(repeat twice; default system:playback_1/2)")
+    ap.add_argument("--settings", default=None,
+                    help="settings.txt to read conv[n].input/output port "
+                         "names from (reference wiring, src/main.cu:86-89); "
+                         "explicit --connect-in/--connect-out win")
+    ap.add_argument("--pair", type=int, default=0,
+                    help="conv pair index inside --settings (pair n reads "
+                         "conv[2n]/conv[2n+1])")
     args = ap.parse_args(argv)
+    connect_in, connect_out = None, None
+    if args.settings:
+        from tpu_audio.io.settings import Settings
+        s = Settings().open(args.settings, verbose=False)
+        connect_in, connect_out = ports_from_settings(s, pair=args.pair)
+    if args.connect_in:
+        connect_in = args.connect_in
+    if args.connect_out:
+        connect_out = args.connect_out
+    for lst, flag in ((connect_in, "--connect-in"),
+                      (connect_out, "--connect-out")):
+        if lst is not None and len(lst) != 2:
+            ap.error(f"{flag} must be given exactly twice (stereo)")
     bridge = JackRingBridge(NativeRing.open(args.in_ring),
                             NativeRing.open(args.out_ring), name=args.name,
-                            expect_block=args.expect_block)
+                            expect_block=args.expect_block,
+                            connect_inputs=connect_in,
+                            connect_outputs=connect_out)
     bridge.start()
     try:
         while True:
