@@ -142,3 +142,128 @@ def test_native_framer_system_common_matches_python():
     nat = native.NativeMidiFramer()
     assert nat.feed(stream) == MidiFramer().feed(stream)
     nat.close()
+
+
+# ---------------------------------------------------------------------------
+# native C JACK bridge (csrc/jackbridge.cpp) driven end-to-end against the
+# deterministic stub jackd (csrc/jackstub.cpp) via TPU_AUDIO_LIBJACK
+
+
+def _build_jack_stub(tmp_path):
+    import os
+    import subprocess
+    csrc = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "csrc")
+    so = str(tmp_path / "libjackstub.so")
+    subprocess.run(
+        ["g++", "-O2", "-fPIC", "-std=c++17", "-shared",
+         os.path.join(csrc, "jackstub.cpp"), "-o", so, "-lpthread"],
+        check=True, capture_output=True, timeout=120)
+    return so
+
+
+def test_native_jack_bridge_end_to_end(tmp_path):
+    """Run the C bridge binary against the stub jackd: capture pattern
+    lands planar in the input ring, pre-queued output-ring audio reaches
+    the playback ports, jack_connect wires the reference port names, and
+    the underrun counter reflects the dry tail."""
+    import os
+    import re
+    import subprocess
+
+    exe = native.bridge_path()
+    assert exe, "bridge build failed"
+    stub = _build_jack_stub(tmp_path)
+
+    block, periods = 64, 6
+    tag = np.random.randint(1e9)
+    in_name, out_name = f"/tajb_in_{tag}", f"/tajb_out_{tag}"
+    in_ring = native.NativeRing(2 * block * (periods + 2), shm_name=in_name)
+    out_ring = native.NativeRing(2 * block * (periods + 2), shm_name=out_name)
+    # pre-queue playback audio for the first 4 periods; the last 2 underrun
+    queued = []
+    for p in range(4):
+        blk = np.concatenate([np.full(block, 1.0 + p, np.float32),
+                              np.full(block, -1.0 - p, np.float32)])
+        queued.append(blk)
+        assert out_ring.write(blk)
+
+    connect_log = tmp_path / "connects.txt"
+    dump = tmp_path / "playback.f32"
+    env = dict(os.environ,
+               TPU_AUDIO_LIBJACK=stub,
+               JACK_STUB_BLOCK=str(block),
+               JACK_STUB_PERIODS=str(periods),
+               JACK_STUB_PERIOD_US="2000",
+               JACK_STUB_CONNECT_LOG=str(connect_log),
+               JACK_STUB_DUMP=str(dump),
+               JACK_STUB_ASSIGNED_NAME="tpu_audio-01",  # server rename
+               JACK_STUB_RAISE_ON_DONE="1")
+    proc = subprocess.run(
+        [exe, "--in-ring", in_name, "--out-ring", out_name,
+         "--expect-block", str(block), "--max-seconds", "10",
+         "--connect-in", "mic:left", "--connect-in", "mic:right",
+         "--connect-out", "spk:left", "--connect-out", "spk:right"],
+        env=env, capture_output=True, text=True, timeout=60)
+    try:
+        assert proc.returncode == 0, proc.stderr
+        stats = re.search(r"periods=(\d+) underruns=(\d+) overruns=(\d+)",
+                          proc.stdout)
+        assert stats, proc.stdout
+        assert int(stats.group(1)) == periods
+        assert int(stats.group(2)) == periods - 4  # 2 dry periods
+        assert int(stats.group(3)) == 0
+
+        # capture -> input ring: planar [L..., R...] per period, the stub's
+        # exact pattern (0.25+p / -0.5-p)
+        for p in range(periods):
+            got = in_ring.read(2 * block)
+            assert got is not None, f"period {p} missing from input ring"
+            got = got.reshape(2, block)
+            np.testing.assert_array_equal(got[0], np.float32(0.25 + p))
+            np.testing.assert_array_equal(got[1], np.float32(-0.5 - p))
+        assert in_ring.read(1) is None  # nothing extra
+
+        # output ring -> playback ports: queued blocks verbatim, then silence
+        played = np.fromfile(dump, np.float32).reshape(periods, 2 * block)
+        for p in range(4):
+            np.testing.assert_array_equal(played[p], queued[p])
+        np.testing.assert_array_equal(played[4:], 0.0)
+
+        # reference wiring under the ASSIGNED client name (main.cu:86-89)
+        lines = connect_log.read_text().strip().splitlines()
+        assert lines == [
+            "mic:left -> tpu_audio-01:in_0",
+            "tpu_audio-01:out_0 -> spk:left",
+            "mic:right -> tpu_audio-01:in_1",
+            "tpu_audio-01:out_1 -> spk:right",
+        ]
+    finally:
+        in_ring.close(unlink=True)
+        out_ring.close(unlink=True)
+
+
+def test_native_jack_bridge_block_mismatch_refuses(tmp_path):
+    """--expect-block != jackd's period must exit nonzero with the
+    channel-garbling explanation (same contract as the Python bridge)."""
+    import os
+    import subprocess
+
+    exe = native.bridge_path()
+    assert exe, "bridge build failed"
+    stub = _build_jack_stub(tmp_path)
+    tag = np.random.randint(1e9)
+    in_name, out_name = f"/tajbm_in_{tag}", f"/tajbm_out_{tag}"
+    in_ring = native.NativeRing(1024, shm_name=in_name)
+    out_ring = native.NativeRing(1024, shm_name=out_name)
+    try:
+        env = dict(os.environ, TPU_AUDIO_LIBJACK=stub, JACK_STUB_BLOCK="128")
+        proc = subprocess.run(
+            [exe, "--in-ring", in_name, "--out-ring", out_name,
+             "--expect-block", "256", "--max-seconds", "1"],
+            env=env, capture_output=True, text=True, timeout=30)
+        assert proc.returncode == 6
+        assert "garbles" in proc.stderr
+    finally:
+        in_ring.close(unlink=True)
+        out_ring.close(unlink=True)

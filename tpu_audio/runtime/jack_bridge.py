@@ -22,10 +22,13 @@ the producer/consumer role.
 
 Honesty note: the ctypes process callback re-enters Python and therefore
 acquires the GIL — fine for a bridge host whose only job is two memcpys
-per period, but not hard-RT-proof under arbitrary Python load; a C
-implementation of just this file is the production hardening step. This
-environment has no JACK server or library, so the bridge is gated on
-``jack_available()`` and exercised only for its pure-Python parts in CI.
+per period, but not hard-RT-proof under arbitrary Python load. The
+production hardening step exists: ``--native`` execs the C implementation
+(csrc/jackbridge.cpp, same rings, same policies, RT callback never touches
+the interpreter), driven end-to-end in CI against a deterministic stub
+jackd (csrc/jackstub.cpp, tests/test_native.py). This environment has no
+JACK server or library, so the ctypes path is gated on
+``jack_available()`` and exercised for its pure-Python parts in CI.
 """
 
 from __future__ import annotations
@@ -253,6 +256,10 @@ def main(argv=None) -> int:
     ap.add_argument("--pair", type=int, default=0,
                     help="conv pair index inside --settings (pair n reads "
                          "conv[2n]/conv[2n+1])")
+    ap.add_argument("--native", action="store_true",
+                    help="exec the C bridge (csrc/jackbridge.cpp) instead: "
+                         "the JACK RT callback stays pure C (no GIL), the "
+                         "production-hardened path")
     args = ap.parse_args(argv)
     connect_in, connect_out = None, None
     if args.settings:
@@ -267,6 +274,21 @@ def main(argv=None) -> int:
                       (connect_out, "--connect-out")):
         if lst is not None and len(lst) != 2:
             ap.error(f"{flag} must be given exactly twice (stereo)")
+    if args.native:
+        import os
+        from tpu_audio.runtime.native import bridge_path
+        exe = bridge_path()
+        if exe is None:
+            ap.error("--native: C bridge build failed (g++/toolchain?)")
+        argv_c = [exe, "--in-ring", args.in_ring,
+                  "--out-ring", args.out_ring, "--name", args.name]
+        if args.expect_block is not None:
+            argv_c += ["--expect-block", str(args.expect_block)]
+        for p in connect_in or []:
+            argv_c += ["--connect-in", p]
+        for p in connect_out or []:
+            argv_c += ["--connect-out", p]
+        os.execv(exe, argv_c)  # replaces this process; no return
     bridge = JackRingBridge(NativeRing.open(args.in_ring),
                             NativeRing.open(args.out_ring), name=args.name,
                             expect_block=args.expect_block,

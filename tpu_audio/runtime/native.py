@@ -124,6 +124,44 @@ def native_available() -> bool:
     return _load() is not None
 
 
+_BRIDGE_PATH = os.path.join(_CSRC, "tpuaudio_jackbridge")
+_BRIDGE_STAMP = _BRIDGE_PATH + ".src.sha256"
+_BRIDGE_SOURCES = ("jackbridge.cpp", "blockio.cpp", "blockio.h")
+
+
+def bridge_path() -> str | None:
+    """Build (content-hash cached, like the .so) and return the native
+    JACK bridge executable (csrc/jackbridge.cpp) — the no-GIL RT sibling
+    of runtime/jack_bridge.py. None when the toolchain is unavailable."""
+    h = hashlib.sha256()
+    for fname in _BRIDGE_SOURCES:
+        src = os.path.join(_CSRC, fname)
+        if not os.path.exists(src):
+            return None
+        with open(src, "rb") as fh:
+            h.update(fh.read())
+    src_hash = h.hexdigest()
+    stamp = None
+    if os.path.exists(_BRIDGE_STAMP) and os.path.exists(_BRIDGE_PATH):
+        with open(_BRIDGE_STAMP) as fh:
+            stamp = fh.read().strip()
+    if stamp == src_hash:
+        return _BRIDGE_PATH
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17",
+             os.path.join(_CSRC, "jackbridge.cpp"),
+             os.path.join(_CSRC, "blockio.cpp"),
+             "-o", _BRIDGE_PATH, "-ldl", "-lrt", "-lpthread"],
+            check=True, capture_output=True, timeout=120)
+    except (subprocess.SubprocessError, FileNotFoundError) as exc:
+        Log.warn("native", "jack bridge build failed: %s", exc)
+        return None
+    with open(_BRIDGE_STAMP, "w") as fh:
+        fh.write(src_hash)
+    return _BRIDGE_PATH
+
+
 class NativeRing:
     """SPSC float ring buffer; shared-memory backed when `shm_name` given."""
 
