@@ -267,3 +267,45 @@ def test_native_jack_bridge_block_mismatch_refuses(tmp_path):
     finally:
         in_ring.close(unlink=True)
         out_ring.close(unlink=True)
+
+
+def test_native_launcher_execs_c_bridge(tmp_path):
+    """jack_bridge.py --native resolves ports from settings and execs the
+    C binary (one process end to end, reference main.cu:86-89 wiring)."""
+    import os
+    import subprocess
+    import sys
+
+    stub = _build_jack_stub(tmp_path)
+    tag = np.random.randint(1e9)
+    in_name, out_name = f"/tajl_in_{tag}", f"/tajl_out_{tag}"
+    in_ring = native.NativeRing(4096, shm_name=in_name)
+    out_ring = native.NativeRing(4096, shm_name=out_name)
+    settings = tmp_path / "settings.txt"
+    settings.write_text("conv[0].input mic:l\nconv[0].output spk:l\n"
+                        "conv[1].input mic:r\nconv[1].output spk:r\n")
+    connect_log = tmp_path / "connects.txt"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               TPU_AUDIO_LIBJACK=stub,
+               JACK_STUB_BLOCK="256", JACK_STUB_PERIODS="2",
+               JACK_STUB_RAISE_ON_DONE="1",
+               JACK_STUB_CONNECT_LOG=str(connect_log),
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "tpu_audio.runtime.jack_bridge",
+             "--native", "--in-ring", in_name, "--out-ring", out_name,
+             "--settings", str(settings), "--expect-block", "256"],
+            env=env, capture_output=True, text=True, timeout=60)
+        assert proc.returncode == 0, proc.stderr
+        assert "periods=2" in proc.stdout
+        assert connect_log.read_text().splitlines() == [
+            "mic:l -> tpu_audio:in_0",
+            "tpu_audio:out_0 -> spk:l",
+            "mic:r -> tpu_audio:in_1",
+            "tpu_audio:out_1 -> spk:r",
+        ]
+    finally:
+        in_ring.close(unlink=True)
+        out_ring.close(unlink=True)
