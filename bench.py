@@ -263,10 +263,20 @@ def run_ws_leg(args, make_block):
     log(f"ws leg: steady {ms:.3f} ms/block over {args.ws_capacity} "
         f"resident slots")
 
+    # Pre-compile the fault path exactly as every production session does
+    # (StreamSession.pre_run_hooks -> WorkingSetBank.warmup): without it
+    # the first fault charged ~1.7-2.3 s of jit compile to "fault latency"
+    # (BENCH_r02/early r03 records). The warmup cost is real start-up work,
+    # so it is timed and reported, just not billed to the fault burst.
+    t0 = time.perf_counter()
+    ws.warmup()
+    warmup_ms = (time.perf_counter() - t0) * 1e3
+    log(f"ws leg: fault-path warmup {warmup_ms:.0f} ms")
+
     # fault burst: page non-resident IRs in through the REAL select path;
     # a tiny readback of the touched column forces completion (async
-    # dispatch would otherwise hide the upload). First fault absorbs the
-    # slot-update compile and is reported separately.
+    # dispatch would otherwise hide the upload). First fault is reported
+    # separately (residual executable-load / first-dispatch cost).
     fault_ms = []
     cap = args.ws_capacity
     for i in range(args.ws_faults):
@@ -289,11 +299,12 @@ def run_ws_leg(args, make_block):
         "fault_ms": round(float(np.median(warm)), 1) if warm else None,
         # None, not NaN, when no fault ran: a bare NaN in the JSON line is
         # invalid strict JSON and non-Python parsers reject the record
-        "fault_compile_ms": (round(fault_ms[0], 1) if fault_ms else None),
+        "fault_first_ms": (round(fault_ms[0], 1) if fault_ms else None),
+        "warmup_ms": round(warmup_ms, 1),
         "faults": ws.misses,
     }
     log(f"ws leg: fault latency median {leg['fault_ms']} ms "
-        f"(first incl. compile {leg['fault_compile_ms']} ms, "
+        f"(first {leg['fault_first_ms']} ms, "
         f"{ws.misses} faults)")
     return leg
 
@@ -312,7 +323,8 @@ def run_cascade_leg(args, deadline_ms, voices=None, dtype=None,
     from tpu_audio.engine.cascade import CascadeConvolution
     from tpu_audio.models.reverb import _fit_cascade_ratio
     from tpu_audio.utils.layouts import (backend_supports_layouts,
-                                         compile_auto_layout, pinned_init)
+                                         compile_auto_layout,
+                                         pinned_init, place_in_formats)
 
     v = voices or args.cascade_voices
     dtype = dtype or args.cascade_dtype
@@ -324,7 +336,11 @@ def run_cascade_leg(args, deadline_ms, voices=None, dtype=None,
         num_irs=args.num_irs, mac_dtype=dtype,
         predelay_side=(predelay_side
                        or getattr(args, "predelay_side", "write")))
-    spectra = engine.prepare_bank(bank, cache_dir=args.pack_cache)
+    # HOST leaves: the pinned path lowers against ShapeDtypeStructs and
+    # uploads the bank DIRECTLY into the compiler-chosen formats — one
+    # h2d transfer, no device-side relayout (utils/layouts.py notes)
+    spectra = engine.prepare_bank(bank, cache_dir=args.pack_cache,
+                                  device=False)
     control = ControlPlane(v, args.num_irs)
     control.wet[:] = 0.7
     control.dry[:] = 0.2
@@ -344,10 +360,12 @@ def run_cascade_leg(args, deadline_ms, voices=None, dtype=None,
         steady, state_fmt = compile_auto_layout(
             engine.step_coef_steady,
             (state_shape, spectra, params, pool[0]))
-        spectra = jax.device_put(spectra, steady.input_formats[0][1])
+        spectra = place_in_formats(spectra, steady.input_formats[0][1],
+                                   "cascade bank")  # pure host->device
         state = pinned_init(
             lambda: engine.init_converged(spectra, params), state_fmt)
     else:
+        spectra = jax.tree.map(jnp.asarray, spectra)
         steady = jax.jit(engine.step_coef_steady, donate_argnums=(0,))
         state = engine.init_converged(spectra, params)
     log("cascade leg: steady step compiled (pinned layouts)")
@@ -379,7 +397,8 @@ def run_selected_leg(args, deadline_ms):
     from tpu_audio.engine import ControlPlane
     from tpu_audio.engine.cascade import CascadeConvolution
     from tpu_audio.models.reverb import _fit_cascade_ratio
-    from tpu_audio.utils.layouts import pin_engine_steps, pinned_init
+    from tpu_audio.utils.layouts import (pin_engine_steps, pinned_init,
+                                         place_in_formats)
 
     k = args.ws_irs
     bank = make_bank(k, args.ir_seconds, args.sample_rate)
@@ -388,7 +407,10 @@ def run_selected_leg(args, deadline_ms):
     engine = CascadeConvolution(
         args.voices, args.block, partitions, ratio=ratio, max_predelay=8192,
         num_irs=k, mac_dtype=args.mac_dtype, mac_strategy="selected")
-    spectra = engine.prepare_bank(bank, cache_dir=args.pack_cache)
+    # HOST leaves: uploaded directly into the pinned formats below (one
+    # h2d transfer for the ~2 GB bank, no device-side relayout)
+    spectra = engine.prepare_bank(bank, cache_dir=args.pack_cache,
+                                  device=False)
     control = ControlPlane(args.voices, k)
     control.wet[:] = 0.7
     control.dry[:] = 0.2
@@ -410,14 +432,17 @@ def run_selected_leg(args, deadline_ms):
     if pinned:
         steady, fade, collapse = (pinned["steady"], pinned["full"],
                                   pinned["collapse"])
-        spectra = jax.device_put(spectra, pinned["bank_format"])
+        spectra = place_in_formats(spectra, pinned["bank_format"],
+                                   "sel152 bank")
         # NOT pinned_init: compiling the 'selected' init (large bank
         # gathers) under pinned out_shardings wedges the remote compiler
-        # for >20 min (measured, twice); plain-jit init + device_put
+        # for >20 min (measured, twice); plain-jit init + verified
         # relayout takes seconds at this 64v scale
-        fresh = lambda: jax.device_put(
-            engine.init_converged(spectra, params), pinned["state_format"])
+        fresh = lambda: place_in_formats(
+            engine.init_converged(spectra, params), pinned["state_format"],
+            "sel152 state")
     else:
+        spectra = jax.tree.map(jnp.asarray, spectra)
         steady = jax.jit(engine.step_coef_steady, donate_argnums=(0,))
         fade = jax.jit(engine.step_coef, donate_argnums=(0,))
         collapse = jax.jit(engine.collapse)
@@ -815,7 +840,8 @@ def _main(argv=None) -> int:
         # create states directly in those layouts (a default-layout init
         # + relayout transiently double-holds the state — OOM at >1k
         # voices)
-        from tpu_audio.utils.layouts import pin_engine_steps, pinned_init
+        from tpu_audio.utils.layouts import (pin_engine_steps, pinned_init,
+                                             place_in_formats)
 
         pinned = pin_engine_steps(
             engine, spectra, params, jax.eval_shape(fresh_state), pool[0],
@@ -831,7 +857,8 @@ def _main(argv=None) -> int:
                 pinned_collapse = pinned["collapse"]
             # bank in the compiler-chosen layout ONCE (else every call
             # relayouts it)
-            spectra = jax.device_put(spectra, pinned["bank_format"])
+            spectra = place_in_formats(spectra, pinned["bank_format"],
+                                       "cascade bank")
             base_fresh = lambda: engine.init_converged(spectra, params)
             if has_indexed:
                 fresh_state = lambda: pinned_init(base_fresh,
@@ -839,10 +866,10 @@ def _main(argv=None) -> int:
             else:
                 # 'selected': compiling the gather-heavy init under pinned
                 # out_shardings wedges the remote compiler (>20 min,
-                # measured twice) — plain init + device_put relayout; the
+                # measured twice) — plain init + verified relayout; the
                 # transient double-hold is fine at selected voice counts
-                fresh_state = lambda: jax.device_put(
-                    base_fresh(), pinned["state_format"])
+                fresh_state = lambda: place_in_formats(
+                    base_fresh(), pinned["state_format"], "cascade state")
         state = fresh_state()
 
     # ---- engine-true (chained dispatch, chip-side cost) --------------------

@@ -53,7 +53,8 @@ def main() -> int:
     from tpu_audio.engine.cascade import CascadeConvolution
     from tpu_audio.models.reverb import _fit_cascade_ratio
     from tpu_audio.utils.layouts import (backend_supports_layouts,
-                                         compile_auto_layout, pinned_init)
+                                         compile_auto_layout, pinned_init,
+                                         place_in_formats)
 
     t_start = time.time()
     bank = bench.make_bank(args.num_irs, args.ir_seconds, 44100)
@@ -89,7 +90,7 @@ def main() -> int:
     if backend_supports_layouts():
         steady, state_fmt = compile_auto_layout(
             step_fn, (state_shape, spectra, params, pool[0]))
-        spectra = jax.device_put(spectra, steady.input_formats[0][1])
+        spectra = place_in_formats(spectra, steady.input_formats[0][1], 'bank')
         state = pinned_init(
             lambda: engine.init_converged(spectra, params), state_fmt)
         compiled = steady
@@ -158,7 +159,7 @@ def main() -> int:
                     engine.step_coef_steady,
                     (state_shape, jax.tree.map(sds, spectra),
                      jax.tree.map(sds, params), sds(pool[0])))
-                spectra_p = jax.device_put(spectra, fn.input_formats[0][1])
+                spectra_p = place_in_formats(spectra, fn.input_formats[0][1], 'bank')
                 s = pinned_init(
                     lambda: engine.init_converged(spectra_p, params), st_fmt)
                 s, o = fn(s, spectra_p, params, pool[0])

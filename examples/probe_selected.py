@@ -93,7 +93,7 @@ def main() -> int:
 
     pinned_fmt = None
     if not args.no_pin and backend_supports_layouts():
-        from tpu_audio.utils.layouts import pin_engine_steps
+        from tpu_audio.utils.layouts import pin_engine_steps, place_in_formats
 
         stage("pin steady/full/collapse (AUTO layouts)")
         pinned = pin_engine_steps(engine, spectra, params,
@@ -101,10 +101,10 @@ def main() -> int:
         steady, fade, collapse = (pinned["steady"], pinned["full"],
                                   pinned["collapse"])
         stage("bank relayout to pinned format")
-        spectra = jax.device_put(spectra, pinned["bank_format"])
+        spectra = place_in_formats(spectra, pinned["bank_format"], "bank")
         np.asarray(spectra.head_rhs2[0, 0, 0, :2])
         stage("state relayout to pinned format")
-        state = jax.device_put(state, pinned["state_format"])
+        state = place_in_formats(state, pinned["state_format"], "state")
         np.asarray(state.coef_a[:1, 0])
         pinned_fmt = pinned["state_format"]
     else:

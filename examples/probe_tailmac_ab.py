@@ -48,7 +48,8 @@ def main() -> int:
     from tpu_audio.engine.cascade import CascadeConvolution
     from tpu_audio.models.reverb import _fit_cascade_ratio
     from tpu_audio.utils.layouts import (backend_supports_layouts,
-                                         compile_auto_layout, pinned_init)
+                                         compile_auto_layout, pinned_init,
+                                         place_in_formats)
 
     t0 = time.time()
     bank = bench.make_bank(args.num_irs, args.ir_seconds, 44100)
@@ -77,7 +78,7 @@ def main() -> int:
             fn, st_fmt = compile_auto_layout(
                 engine.step_coef_steady,
                 (state_shape, spectra, params, pool[0]))
-            spectra = jax.device_put(spectra, fn.input_formats[0][1])
+            spectra = place_in_formats(spectra, fn.input_formats[0][1], 'bank')
             state = pinned_init(
                 lambda: engine.init_converged(spectra, params), st_fmt)
         else:

@@ -58,7 +58,8 @@ def main() -> int:
     import bench
     from tpu_audio.models.reverb import ConvolutionReverb
     from tpu_audio.utils.layouts import (backend_supports_layouts,
-                                         compile_auto_layout, pinned_init)
+                                         compile_auto_layout, pinned_init,
+                                         place_in_formats)
 
     t_start = time.time()
     bank = bench.make_bank(args.num_irs, args.ir_seconds, 44100)
@@ -89,7 +90,7 @@ def main() -> int:
     if backend_supports_layouts():
         steady, state_fmt = compile_auto_layout(
             engine.step_coef_steady, (state_shape, spectra, params, pool[0]))
-        spectra = jax.device_put(spectra, steady.input_formats[0][1])
+        spectra = place_in_formats(spectra, steady.input_formats[0][1], 'bank')
         # future slot updates must start from (and emit) the pinned
         # formats — exactly what sessions do via on_bank_pinned
         ws.bank = spectra

@@ -79,6 +79,10 @@ def test_bench_extra_legs(capsys):
     assert rec["legs"]["ws"]["faults"] == 2
     assert rec["legs"]["ws"]["steady_ms"] > 0
     assert rec["legs"]["ws"]["fault_ms"] > 0
+    # fault path is pre-compiled (session warmup semantics): the warmup
+    # cost is reported on its own, not billed to the fault burst
+    assert rec["legs"]["ws"]["warmup_ms"] > 0
+    assert rec["legs"]["ws"]["fault_first_ms"] > 0
     assert rec["legs"]["cascade_hv"]["steady_ms"] > 0
     assert rec["legs"]["cascade_hv"]["voices"] == 4
     assert rec["legs"]["sel152"]["strategy"] == "selected"

@@ -1,0 +1,163 @@
+"""Guards around jax-0.9 layout plumbing (utils/layouts.py).
+
+Two empirically-confirmed backend bugs motivate these (see the module
+docstring of tpu_audio/utils/layouts.py; both reproduced on the TPU
+backend 2026-08-18):
+
+  1. the persistent compilation cache key omits in_/out_shardings layout
+     constraints, so a pinned compile can silently load an entry compiled
+     under different layouts;
+  2. jax.device_put(arr, format) can silently keep the old layout.
+
+The repair paths themselves need a TPU to trigger; what CPU tests can
+pin down is the host-side logic: AUTO/None exemption, leafwise format
+comparison, the no-op fast path of place_in_formats, the cache-disable
+context, and the verify-then-recompile control flow (via monkeypatch).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_audio.utils import layouts
+
+
+def _cpu_format(arr):
+    return arr.format
+
+
+def test_is_concrete_none_and_auto():
+    from jax.experimental.layout import Format, Layout
+
+    assert not layouts._is_concrete(None)
+    assert not layouts._is_concrete(Format(Layout.AUTO))
+    a = jnp.zeros((4, 8))
+    assert layouts._is_concrete(a.format)
+
+
+def test_formats_agree_skips_auto_and_none():
+    from jax.experimental.layout import Format, Layout
+
+    a = jnp.zeros((4, 8))
+    b = jnp.zeros((2, 2, 128))
+    got = (a.format, b.format)
+    assert layouts.formats_agree((a.format, b.format), got)
+    # AUTO and None placeholders match anything
+    assert layouts.formats_agree((Format(Layout.AUTO), None), got)
+    # a concrete mismatch is caught (different shapes -> different str)
+    assert not layouts.formats_agree((b.format, a.format), got)
+    # leaf-count mismatch is a disagreement, not an error
+    assert not layouts.formats_agree((a.format,), got)
+
+
+def test_place_in_formats_noop_fast_path():
+    """Leaves already in the right format pass through IDENTICALLY (no
+    transfer, no copy) — the hot path when nothing is poisoned."""
+    tree = {"x": jnp.arange(8.0), "y": jnp.ones((2, 3))}
+    fmt = jax.tree.map(_cpu_format, tree)
+    out = layouts.place_in_formats(tree, fmt, "t")
+    assert out["x"] is tree["x"] and out["y"] is tree["y"]
+
+
+def test_place_in_formats_none_and_count_check():
+    tree = {"x": jnp.arange(8.0)}
+    out = layouts.place_in_formats(tree, {"x": None}, "t")
+    assert out["x"] is tree["x"]
+    with pytest.raises(ValueError, match="leaves"):
+        layouts.place_in_formats({"x": jnp.zeros(3), "y": jnp.zeros(3)},
+                                 {"x": None}, "t")
+
+
+def test_compilation_cache_disabled_restores():
+    before = jax.config.jax_enable_compilation_cache
+    with layouts.compilation_cache_disabled():
+        assert jax.config.jax_enable_compilation_cache is False
+    assert jax.config.jax_enable_compilation_cache == before
+    # and restores even when the body raises
+    with pytest.raises(RuntimeError):
+        with layouts.compilation_cache_disabled():
+            raise RuntimeError("boom")
+    assert jax.config.jax_enable_compilation_cache == before
+
+
+def test_compile_pinned_honored_on_cpu():
+    """CPU formats are all default row-major, so a pinned compile is
+    trivially honored — the verification must PASS (no spurious
+    recompiles) and the executable must run."""
+    x = jnp.ones((4, 8))
+    fmt = x.format
+    fn = layouts.compile_pinned(lambda a: a * 2, (x,), (fmt,), fmt)
+    np.testing.assert_allclose(np.asarray(fn(x)), 2.0)
+
+
+def _observe_cache_flag_during_jit(monkeypatch, flags):
+    orig_jit = jax.jit
+
+    def spy_jit(*a, **kw):
+        flags.append(jax.config.jax_enable_compilation_cache)
+        return orig_jit(*a, **kw)
+
+    monkeypatch.setattr(layouts.jax, "jit", spy_jit)
+
+
+def test_compile_pinned_bypasses_cache_for_concrete_formats(monkeypatch):
+    """Concretely-pinned compiles must run with the persistent cache
+    DISABLED (the cache key omits layout constraints and cache-loaded
+    metadata echoes the request — a collision is neither avoidable nor
+    detectable after the fact)."""
+    x = jnp.ones((4, 8))
+    fmt = x.format
+    flags = []
+    _observe_cache_flag_during_jit(monkeypatch, flags)
+    fn = layouts.compile_pinned(lambda a: a * 2, (x,), (fmt,), fmt)
+    np.testing.assert_allclose(np.asarray(fn(x)), 2.0)
+    assert flags == [False]
+    assert jax.config.jax_enable_compilation_cache  # restored
+
+
+def test_compile_pinned_bypasses_cache_for_auto_too(monkeypatch):
+    """AUTO compiles must ALSO bypass the persistent cache: a cache-loaded
+    executable's format metadata reports phantom layouts (observed: an
+    AUTO cache hit claimed a layout no primitive — not even host->device
+    device_put — could construct), and pinning reads its truth from that
+    metadata."""
+    from jax.experimental.layout import Format, Layout
+
+    x = jnp.ones((4, 8))
+    auto = Format(Layout.AUTO)
+    flags = []
+    _observe_cache_flag_during_jit(monkeypatch, flags)
+    fn = layouts.compile_pinned(lambda a: a * 3, (x,), (auto,), auto)
+    np.testing.assert_allclose(np.asarray(fn(x)), 3.0)
+    assert flags == [False]
+
+
+def test_pinned_init_bypasses_cache_and_truth_checks(monkeypatch):
+    """pinned_init compiles with the cache disabled and checks the ACTUAL
+    buffer formats of the created state (cache-loaded executables'
+    output_formats metadata echoes the request, so only buffer truth
+    counts)."""
+    fmt = jnp.zeros((3, 5)).format
+    flags = []
+    _observe_cache_flag_during_jit(monkeypatch, flags)
+    state = layouts.pinned_init(lambda: jnp.ones((3, 5)), fmt)
+    np.testing.assert_allclose(np.asarray(state), 1.0)
+    assert flags == [False]
+    assert jax.config.jax_enable_compilation_cache
+
+
+def test_pinned_init_repairs_off_format_leaves(monkeypatch):
+    """If the created state's buffer formats deviate from the request,
+    pinned_init routes it through place_in_formats."""
+    fmt = jnp.zeros((3, 5)).format
+    calls = []
+    monkeypatch.setattr(layouts, "formats_agree", lambda req, act: False)
+    real_place = layouts.place_in_formats
+    monkeypatch.setattr(
+        layouts, "place_in_formats",
+        lambda tree, f, label: calls.append(label) or real_place(
+            tree, f, label))
+    state = layouts.pinned_init(lambda: jnp.ones((3, 5)), fmt)
+    assert state.shape == (3, 5)
+    assert calls == ["pinned init state"]

@@ -281,12 +281,20 @@ class CascadeConvolution:
         rhs[1, ..., 1, :] = br
         return head_rhs2, rhs.reshape(2, p2, k * o * 2, f)
 
-    def prepare_bank(self, bank, cache_dir=None) -> CascadeBank:
+    def prepare_bank(self, bank, cache_dir=None,
+                     device=True) -> CascadeBank:
         """IRBank (time-domain) -> device CascadeBank: the head takes the
         IRs' first 2*B2 samples at block granularity, the tail the rest at
         B2 granularity (reference `prepare` builds one monolithic spectrum,
         src/conv.cu:207-253; here two partition resolutions). cache_dir
-        enables the bank's content-addressed spectra disk cache."""
+        enables the bank's content-addressed spectra disk cache.
+
+        device=False returns HOST (numpy) leaves instead of uploading:
+        layout-pinning callers lower against ShapeDtypeStructs and then
+        device_put the host bank DIRECTLY into the compiler-chosen
+        formats — one upload, no device-side relayout (host->device
+        device_put is the one primitive that honors arbitrary Formats on
+        this backend; see utils/layouts.py workaround notes)."""
         # NOTE the tail spectra are computed at the bank's natural length
         # and truncated to tail_parts below — at the default geometry
         # (partitions == bank.max_partitions) nothing is wasted, and
@@ -333,6 +341,12 @@ class CascadeConvolution:
                 from tpu_audio.utils import diskcache
                 diskcache.store(cache_dir, base,
                                 {"head": head_rhs2, "tail": tail_rhs2})
+        if not device:
+            # numpy .astype: jnp.bfloat16 is ml_dtypes-backed, so host
+            # leaves can carry the MAC dtype exactly
+            return CascadeBank(
+                head_rhs2=np.asarray(head_rhs2).astype(self.mac_dtype),
+                tail_rhs2=np.asarray(tail_rhs2).astype(self.mac_dtype))
         return CascadeBank(
             head_rhs2=jnp.asarray(head_rhs2, self.mac_dtype),
             tail_rhs2=jnp.asarray(tail_rhs2, self.mac_dtype))
@@ -361,9 +375,13 @@ class CascadeConvolution:
         head_rhs2, tail_rhs2 = self._pack_bank_host(
             spec(0, self.block, self.head_parts),
             spec(2 * self.b2, self.b2, self.tail_parts))
-        from tpu_audio.utils.layouts import format_keyed_executable
+        from tpu_audio.utils.layouts import (compile_pinned,
+                                             format_keyed_executable)
 
         fmt = jax.tree.map(lambda a: a.format, bank)
+        head_p = jnp.asarray(head_rhs2, self.mac_dtype)
+        tail_p = jnp.asarray(tail_rhs2, self.mac_dtype)
+        k = jnp.int32(slot)
 
         def build():
             def upd(bank, head_p, tail_p, k):
@@ -374,14 +392,15 @@ class CascadeConvolution:
                     tail_rhs2=jax.lax.dynamic_update_slice(
                         bank.tail_rhs2, tail_p, (0, 0, k * 4, 0)))
 
-            return jax.jit(upd, in_shardings=(fmt, None, None, None),
-                           out_shardings=fmt)
+            # compile_pinned (not plain jit): VERIFIES the executable
+            # honors the bank layouts — a persistent-cache collision that
+            # silently dropped them would emit a wrong-layout bank and
+            # crash every pinned step after the first fault
+            return compile_pinned(upd, (bank, head_p, tail_p, k),
+                                  (fmt, None, None, None), fmt)
 
         fn = format_keyed_executable(self, fmt, build)
-        return fn(bank,
-                  jnp.asarray(head_rhs2, self.mac_dtype),
-                  jnp.asarray(tail_rhs2, self.mac_dtype),
-                  jnp.int32(slot))
+        return fn(bank, head_p, tail_p, k)
 
     # -- state ---------------------------------------------------------------------
 

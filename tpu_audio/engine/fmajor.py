@@ -469,12 +469,18 @@ class FMajorPartitionedConvolution:
 
             # preserve the bank's (possibly compiler-pinned) layouts:
             # producing the update in default layouts would make every
-            # subsequent pinned step relayout the whole bank per block
-            return jax.jit(upd, in_shardings=(fmt, None, None, None, None),
-                           out_shardings=fmt)
+            # subsequent pinned step relayout the whole bank per block.
+            # compile_pinned (not plain jit) VERIFIES the executable
+            # honors them — a persistent-cache collision that silently
+            # dropped the pinning would emit a wrong-layout bank and
+            # crash every pinned step after the first fault
+            from tpu_audio.utils.layouts import compile_pinned
+            return compile_pinned(upd, (bank, *payloads, slot_idx),
+                                  (fmt, None, None, None, None), fmt)
 
+        slot_idx = jnp.int32(slot)
         fn = format_keyed_executable(self, fmt, build)
-        return fn(bank, *payloads, jnp.int32(slot))
+        return fn(bank, *payloads, slot_idx)
 
     # -- state ---------------------------------------------------------------------
 

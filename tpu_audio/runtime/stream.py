@@ -415,14 +415,20 @@ class StreamSession:
         'selected' scale only to discard the result."""
         fn = getattr(self.engine, "materialize_base", None)
         if fn is not None:
+            fmt = getattr(self, "_pinned_state_fmt", None)
             if self._materialize is None:
                 # pinned sessions: results must come back in the pinned
                 # layouts or every later step relayouts the state
-                fmt = getattr(self, "_pinned_state_fmt", None)
                 self._materialize = jax.jit(
                     fn, **({"out_shardings": fmt} if fmt is not None
                            else {}))
             state = self._materialize(state, self.bank)
+            if fmt is not None:
+                # verify/repair: a persistent-cache collision can silently
+                # drop the out_shardings pinning (utils/layouts.py) — a
+                # default-layout state would crash the next pinned step
+                from tpu_audio.utils.layouts import place_in_formats
+                state = place_in_formats(state, fmt, "materialized state")
         else:
             no_change = jnp.zeros((self.engine.num_voices, 2), jnp.bool_)
             sel_now = jnp.asarray(self.control.select)
@@ -509,7 +515,9 @@ class StreamSession:
         # call (the documented 10x gotcha), mesh sessions would re-place
         # it per dispatch
         if getattr(self, "_pinned_bank_fmt", None) is not None:
-            new_bank = jax.device_put(new_bank, self._pinned_bank_fmt)
+            from tpu_audio.utils.layouts import place_in_formats
+            new_bank = place_in_formats(new_bank, self._pinned_bank_fmt,
+                                        "swapped-in bank")
         elif self.mesh is not None and self._mesh_bank_placed:
             new_bank = self._place_bank(new_bank)
         if self._is_coef and hasattr(state, "base_pure"):
@@ -541,10 +549,14 @@ class StreamSession:
                            else {}))
                 state = self._regather(state, new_bank,
                                        jnp.asarray(self.control.select))
+                if getattr(self, "_pinned_state_fmt", None) is not None:
+                    from tpu_audio.utils.layouts import place_in_formats
+                    state = place_in_formats(
+                        state, self._pinned_state_fmt, "regathered state")
         self.bank = new_bank
         return state
 
-    def _maybe_pin_layouts(self, state) -> None:
+    def _maybe_pin_layouts(self, state):
         """Layout-sensitive engines (the cascade: engine.layout_sensitive)
         get their step functions recompiled ONCE with compiler-chosen
         boundary layouts, pinned consistently so state never relayouts
@@ -559,7 +571,7 @@ class StreamSession:
                 or not getattr(self.engine, "layout_sensitive", False)
                 or not self._is_coef
                 or (self._step_indexed is None and not selected)):
-            return
+            return state
         self._layouts_pinned = True
         from tpu_audio.utils.layouts import pin_engine_steps
 
@@ -582,9 +594,18 @@ class StreamSession:
             # the default-layout bank relayouts ~100 MB on every step call
             self._pinned_state_fmt = pinned["state_format"]
             self._pinned_bank_fmt = pinned["bank_format"]
-            self.bank = jax.device_put(self.bank, pinned["bank_format"])
+            from tpu_audio.utils.layouts import place_in_formats
+            self.bank = place_in_formats(self.bank, pinned["bank_format"],
+                                         "pinned bank")
+            # the state was created BEFORE pinning: a committed default-
+            # layout state strictly crashes the first pinned step (AOT
+            # executables only silently relayout UNCOMMITTED args) — place
+            # it into the compiler-chosen formats once here
+            state = place_in_formats(state, pinned["state_format"],
+                                     "pinned state")
             if getattr(self, "on_bank_pinned", None) is not None:
                 self.on_bank_pinned(self.bank)
+        return state
 
     def run(self, state, max_blocks: int | None = None,
             midi: MidiSchedule | None = None, live_midi=None,
@@ -602,7 +623,7 @@ class StreamSession:
         import collections
         import time
 
-        self._maybe_pin_layouts(state)
+        state = self._maybe_pin_layouts(state)
         if self.mesh is not None:
             # (re-)place the state on the mesh: fresh inits and checkpoint-
             # restored host states alike land on the serving shardings

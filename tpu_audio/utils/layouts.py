@@ -20,6 +20,8 @@ fall back to plain jit (same semantics, no pinning).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import jax
 
 from tpu_audio.utils.log import Log
@@ -30,6 +32,121 @@ def backend_supports_layouts() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # noqa: BLE001 - no devices at all
         return False
+
+
+# --------------------------------------------------------------------------
+# jax-0.9 layout-plumbing workarounds (all empirically confirmed on the TPU
+# backend 2026-08-18; see tests/test_layout_guards.py for the host-side
+# logic):
+#
+#   1. The PERSISTENT compilation cache key omits in_/out_shardings layout
+#      constraints: a pinned compile can silently load a cache entry that
+#      was compiled under DIFFERENT layouts (e.g. a plain-jit variant of
+#      the same HLO written by an earlier process). The loaded executable
+#      then strictly enforces the WRONG layouts — the "Computation was
+#      compiled for input layouts that disagree" crash, or a silently
+#      unpinned (up to 10x slower) session. WORSE: the loaded executable's
+#      input_formats/output_formats METADATA ECHOES THE REQUEST rather
+#      than the binary (a pinned init "verified" clean via output_formats,
+#      then emitted default-layout leaves), so verification-after-compile
+#      cannot catch a collision. The only safe play is to compile every
+#      concretely-pinned function with the persistent cache DISABLED —
+#      honest compiles honor entry layouts (measured across the full leg
+#      set), and skipping the WRITE also stops pinned entries from
+#      poisoning plain-jit users of the same HLO.
+#   2. jax.device_put(arr, format) honors the Format for host arrays and
+#      COMMITTED device arrays, but silently KEEPS the old layout for
+#      UNCOMMITTED device-resident arrays — the array comes back
+#      bit-identical but row-major. Repair: commit first (device_put to
+#      the Format's sharding), then relayout.
+#   3. A jitted identity with out_shardings=fmt NORMALIZES exotic
+#      layouts (observed: requested tiling (8,128) on a 6-D leaf came
+#      back (4,128) with two axes swapped) — usable only as a last
+#      resort, never as the primary relayout path.
+# --------------------------------------------------------------------------
+
+
+@contextmanager
+def compilation_cache_disabled():
+    """Temporarily disable jax's persistent compilation cache (workaround
+    #1 above: its key omits layout constraints, so only a cache-bypassing
+    compile is guaranteed to honor pinned formats)."""
+    old = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_compilation_cache", old)
+
+
+def _is_concrete(fmt) -> bool:
+    """True for a fully-specified Format (participates in verification);
+    False for None / AUTO placeholders (the compiler's choice is truth)."""
+    if fmt is None:
+        return False
+    lay = getattr(fmt, "layout", None)
+    return lay is not None and "AUTO" not in str(lay)
+
+
+def formats_agree(requested, actual) -> bool:
+    """Leafwise string comparison of two Format pytrees, skipping
+    non-concrete requested leaves (None / AUTO)."""
+    req = jax.tree.leaves(requested, is_leaf=lambda x: x is None)
+    act = jax.tree.leaves(actual, is_leaf=lambda x: x is None)
+    if len(req) != len(act):
+        return False
+    return all(not _is_concrete(r) or str(r) == str(a)
+               for r, a in zip(req, act))
+
+
+def tree_formats(tree):
+    """Pytree of the concrete Formats of a tree of device arrays."""
+    return jax.tree.map(lambda a: a.format, tree)
+
+
+def place_in_formats(tree, fmt, label: str = "tree"):
+    """Relayout `tree` into the concrete Formats `fmt`, defending against
+    workaround #2 above: each leaf is device_put and VERIFIED against the
+    actual buffer format (the one source of truth). A silently-kept old
+    layout (the uncommitted-device-array no-op) is repaired via a
+    cache-bypassing jitted identity — a real device computation whose
+    output buffers are always honest. Leaves already in the right Format
+    pass through untouched (no transfer, no copy); repair is per-leaf so
+    transient double-buffering is bounded by the largest leaf, never the
+    whole tree. Raises rather than returning off-format leaves (a
+    committed mismatching leaf strictly crashes pinned executables
+    mid-serving — better to fail here, at placement time)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    fmts = jax.tree.leaves(fmt, is_leaf=lambda x: x is None)
+    if len(leaves) != len(fmts):
+        raise ValueError(f"place_in_formats({label}): tree has "
+                         f"{len(leaves)} leaves but formats {len(fmts)}")
+    out, repaired = [], 0
+    for a, f in zip(leaves, fmts):
+        if not _is_concrete(f) or str(getattr(a, "format", None)) == str(f):
+            out.append(a)
+            continue
+        b = jax.device_put(a, f)
+        if str(b.format) != str(f):
+            repaired += 1
+            with compilation_cache_disabled():
+                b = jax.jit(lambda t: t, out_shardings=f)(a)
+        if str(b.format) != str(f):
+            # identity-jit NORMALIZES some exotic layouts (workaround #3);
+            # host->device device_put is the one primitive validated to
+            # honor arbitrary Formats — pay the round-trip for this leaf
+            import numpy as _np
+            b = jax.device_put(_np.asarray(a), f)
+            if str(b.format) != str(f):
+                raise RuntimeError(
+                    f"place_in_formats({label}): backend refuses to "
+                    f"relayout {a.shape} {a.dtype} to {f} (got {b.format})")
+        out.append(b)
+    if repaired:
+        Log.warn("layouts", "device_put silently kept old layouts on %d "
+                 "leaf/leaves of %s; repaired via jitted identity",
+                 repaired, label)
+    return jax.tree.unflatten(treedef, out)
 
 
 def compile_auto_layout(fn, example_args, donate_state: bool = True,
@@ -63,12 +180,32 @@ def compile_auto_layout(fn, example_args, donate_state: bool = True,
                               for o in out_struct[1:]))
     else:
         out_sh = in_sh[0]
-    compiled = jax.jit(
-        fn, donate_argnums=(0,) if donate_state else (),
-        in_shardings=in_sh, out_shardings=out_sh,
-    ).lower(*example_args).compile()
+    compiled = compile_pinned(fn, example_args, in_sh, out_sh,
+                              donate_argnums=(0,) if donate_state else ())
     got_state_fmt = compiled.input_formats[0][0]
     return compiled, got_state_fmt
+
+
+def compile_pinned(fn, example_args, in_shardings, out_shardings,
+                   donate_argnums=()):
+    """AOT-compile ``fn`` with layout-constrained (AUTO or concrete)
+    in/out formats, ALWAYS bypassing the persistent compilation cache:
+    the cache key omits layout constraints (a pinned compile can load a
+    plain-jit twin and vice versa) AND a cache-loaded executable's
+    input_/output_formats metadata is untrustworthy — observed echoing
+    the request on pinned compiles and reporting PHANTOM layouts on AUTO
+    compiles (a layout no primitive — not even host->device device_put —
+    could construct, because the binary's real layout was the canonical
+    one all repair rungs kept producing). Layout pinning is built
+    entirely on that metadata, so every compile it reads from must be
+    fresh (module docstring, workaround #1). Skipping the cache WRITE
+    also stops layout-constrained entries from poisoning plain-jit users
+    of the same HLO."""
+    with compilation_cache_disabled():
+        return jax.jit(
+            fn, donate_argnums=donate_argnums,
+            in_shardings=in_shardings, out_shardings=out_shardings,
+        ).lower(*example_args).compile()
 
 
 def pinned_init(init_fn, state_fmt):
@@ -78,8 +215,23 @@ def pinned_init(init_fn, state_fmt):
     the whole state (default + relayouted copy) — at ~5 GB of cascade
     state (1280 voices x 4 s) that is an HBM OOM. Jitting the init with
     ``out_shardings=state_fmt`` materializes it once, already laid out.
-    """
-    return jax.jit(init_fn, out_shardings=state_fmt)()
+
+    Compiled with the persistent cache BYPASSED: a cache key collision
+    (module docstring, workaround #1) can silently load a plain-init
+    entry that ignores ``out_shardings`` — and the loaded executable's
+    output_formats metadata echoes the request, so the collision is
+    undetectable before execution (observed: a "verified" init emitted
+    default-layout leaves that crashed every pinned step). The created
+    state's ACTUAL buffer formats (the one source of truth) are checked
+    afterwards and repaired via place_in_formats if the backend still
+    deviated."""
+    with compilation_cache_disabled():
+        state = jax.jit(init_fn, out_shardings=state_fmt)()
+    if not formats_agree(state_fmt, tree_formats(state)):
+        Log.warn("layouts", "pinned init emitted off-format leaves despite "
+                 "a cache-bypassing compile; repairing via place_in_formats")
+        state = place_in_formats(state, state_fmt, "pinned init state")
+    return state
 
 
 def pin_engine_steps(engine, bank, params, state, x, donate: bool = True,
