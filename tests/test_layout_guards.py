@@ -81,6 +81,61 @@ def test_compilation_cache_disabled_restores():
     assert jax.config.jax_enable_compilation_cache == before
 
 
+def test_compilation_cache_disabled_overrides_memoized_decision():
+    """jax 0.9's compilation_cache.is_cache_used() memoizes its verdict in
+    module globals on the first compile of the process — toggling the
+    config flag afterwards is a NO-OP for cache reads (the leak behind
+    every phantom-layout bench failure of 2026-08-18). The context must
+    force the memoized pair to (checked, unused) and restore it."""
+    from jax._src import compilation_cache as cc
+
+    with cc._cache_initialized_mutex:
+        saved = (cc._cache_checked, cc._cache_used)
+        # simulate a process whose first compile ran with the cache on
+        cc._cache_checked, cc._cache_used = True, True
+    try:
+        with layouts.compilation_cache_disabled():
+            assert cc._cache_checked is True
+            assert cc._cache_used is False
+            assert not cc.is_cache_used(object())  # memoized short-circuit
+        assert (cc._cache_checked, cc._cache_used) == (True, True)
+        # restored on raise too
+        with pytest.raises(RuntimeError):
+            with layouts.compilation_cache_disabled():
+                raise RuntimeError("boom")
+        assert (cc._cache_checked, cc._cache_used) == (True, True)
+    finally:
+        with cc._cache_initialized_mutex:
+            cc._cache_checked, cc._cache_used = saved
+
+
+def test_place_in_formats_places_under_disabled_cache(monkeypatch):
+    """Format placement lowers a relayout program whose persistent-cache
+    key omits the target layout (workaround #4) — the device_put rungs
+    must run inside compilation_cache_disabled()."""
+    import numpy as _np
+
+    # a HOST leaf (no .format attribute) forces the placement path even
+    # though the target format is the CPU default
+    tree = {"x": _np.arange(8.0, dtype=_np.float32)}
+    fmt = {"x": jnp.arange(8.0).format}
+    seen = []
+    orig_put = jax.device_put
+
+    def spy_put(a, f=None, **kw):
+        seen.append(jax.config.jax_enable_compilation_cache)
+        return orig_put(a, f, **kw)
+
+    monkeypatch.setattr(layouts.jax, "device_put", spy_put)
+    out = layouts.place_in_formats(tree, fmt, "t")
+    # CPU formats match after the first device_put, so exactly one
+    # placement happened — and it ran with the cache disabled
+    assert seen and all(s is False for s in seen)
+    _np.testing.assert_allclose(_np.asarray(out["x"]),
+                                _np.asarray(tree["x"]))
+    assert jax.config.jax_enable_compilation_cache  # restored
+
+
 def test_compile_pinned_honored_on_cpu():
     """CPU formats are all default row-major, so a pinned compile is
     trivially honored — the verification must PASS (no spurious

@@ -63,6 +63,18 @@ def backend_supports_layouts() -> bool:
 #      layouts (observed: requested tiling (8,128) on a 6-D leaf came
 #      back (4,128) with two axes swapped) — usable only as a last
 #      resort, never as the primary relayout path.
+#   4. device_put with a concrete Format lowers a RELAYOUT PROGRAM
+#      through compile_or_get_cached — and the cache key omits layout
+#      constraints (#1), so relayout programs targeting DIFFERENT
+#      layouts of the same shape/dtype collide on one key. With a
+#      persistent cache dir configured, device_put loads whichever
+#      entry was written first and emits ITS layout, not the requested
+#      one — the "backend refuses to relayout" failures of 2026-08-18
+#      (bisect: the same device_put honors the same Format perfectly in
+#      a process with no cache dir). All format placements must
+#      therefore run under compilation_cache_disabled() from the FIRST
+#      placement of that (shape, layout) in the process (the in-process
+#      executable cache would pin a poisoned program for later calls).
 # --------------------------------------------------------------------------
 
 
@@ -70,13 +82,38 @@ def backend_supports_layouts() -> bool:
 def compilation_cache_disabled():
     """Temporarily disable jax's persistent compilation cache (workaround
     #1 above: its key omits layout constraints, so only a cache-bypassing
-    compile is guaranteed to honor pinned formats)."""
+    compile is guaranteed to honor pinned formats).
+
+    Toggling ``jax_enable_compilation_cache`` alone is NOT enough on
+    jax 0.9: ``compilation_cache.is_cache_used()`` memoizes its decision
+    in module globals (``_cache_checked``/``_cache_used``) on the FIRST
+    compile of the process. Any earlier cache-enabled compile memoizes
+    True, after which the flag is never consulted again — the "disabled"
+    compile silently reads (and writes) the persistent cache anyway.
+    That leak produced every phantom-layout failure of 2026-08-18: the
+    "fresh" AUTO compiles inside bench were loading stale entries whose
+    metadata claimed layouts no primitive could construct, while the
+    same compile in a clean process (no cache dir) was honest. So this
+    context manager also overrides the memoized pair under the module's
+    own mutex, restoring both on exit."""
     old = jax.config.jax_enable_compilation_cache
     jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        from jax._src import compilation_cache as _cc
+        mutex, have_cc = _cc._cache_initialized_mutex, True
+    except (ImportError, AttributeError):  # private API moved: flag-only
+        have_cc = False
+    if have_cc:
+        with mutex:
+            saved = (_cc._cache_checked, _cc._cache_used)
+            _cc._cache_checked, _cc._cache_used = True, False
     try:
         yield
     finally:
         jax.config.update("jax_enable_compilation_cache", old)
+        if have_cc:
+            with mutex:
+                _cc._cache_checked, _cc._cache_used = saved
 
 
 def _is_concrete(fmt) -> bool:
@@ -126,21 +163,25 @@ def place_in_formats(tree, fmt, label: str = "tree"):
         if not _is_concrete(f) or str(getattr(a, "format", None)) == str(f):
             out.append(a)
             continue
-        b = jax.device_put(a, f)
-        if str(b.format) != str(f):
-            repaired += 1
-            with compilation_cache_disabled():
-                b = jax.jit(lambda t: t, out_shardings=f)(a)
-        if str(b.format) != str(f):
-            # identity-jit NORMALIZES some exotic layouts (workaround #3);
-            # host->device device_put is the one primitive validated to
-            # honor arbitrary Formats — pay the round-trip for this leaf
-            import numpy as _np
-            b = jax.device_put(_np.asarray(a), f)
+        # EVERY rung under the (truly) disabled persistent cache: the
+        # relayout program device_put lowers collides across target
+        # layouts in the cache key (workaround #4) — an enabled
+        # placement can load a wrong-layout transfer program and "refuse"
+        with compilation_cache_disabled():
+            b = jax.device_put(a, f)
             if str(b.format) != str(f):
-                raise RuntimeError(
-                    f"place_in_formats({label}): backend refuses to "
-                    f"relayout {a.shape} {a.dtype} to {f} (got {b.format})")
+                repaired += 1
+                b = jax.jit(lambda t: t, out_shardings=f)(a)
+            if str(b.format) != str(f):
+                # identity-jit NORMALIZES some exotic layouts (#3);
+                # host->device device_put honors arbitrary Formats when
+                # cache-bypassed — pay the round-trip for this leaf
+                import numpy as _np
+                b = jax.device_put(_np.asarray(a), f)
+        if str(b.format) != str(f):
+            raise RuntimeError(
+                f"place_in_formats({label}): backend refuses to "
+                f"relayout {a.shape} {a.dtype} to {f} (got {b.format})")
         out.append(b)
     if repaired:
         Log.warn("layouts", "device_put silently kept old layouts on %d "
@@ -195,12 +236,14 @@ def compile_pinned(fn, example_args, in_shardings, out_shardings,
     input_/output_formats metadata is untrustworthy — observed echoing
     the request on pinned compiles and reporting PHANTOM layouts on AUTO
     compiles (a layout no primitive — not even host->device device_put —
-    could construct, because the binary's real layout was the canonical
-    one all repair rungs kept producing). Layout pinning is built
-    entirely on that metadata, so every compile it reads from must be
-    fresh (module docstring, workaround #1). Skipping the cache WRITE
-    also stops layout-constrained entries from poisoning plain-jit users
-    of the same HLO."""
+    could construct; a genuinely fresh compile of the same fn in a clean
+    process claims constructible layouts and runs at full speed, probe
+    2026-08-18). Layout pinning is built entirely on that metadata, so
+    every compile it reads from must be fresh (module docstring,
+    workaround #1) — and "bypassing" must defeat ``is_cache_used``'s
+    process-global memoization, see compilation_cache_disabled. Skipping
+    the cache WRITE also stops layout-constrained entries from poisoning
+    plain-jit users of the same HLO."""
     with compilation_cache_disabled():
         return jax.jit(
             fn, donate_argnums=donate_argnums,
