@@ -22,6 +22,12 @@
 // Built as a plain C ABI shared library; Python binds via ctypes
 // (tpu_audio/runtime/native.py).
 
+// The ABI header is included so any signature drift between this
+// implementation and the hand-maintained mirror consumed by
+// jackbridge.cpp/ctypes fails the BUILD (extern "C" would otherwise
+// link a mismatched signature cleanly and corrupt at runtime).
+#include "blockio.h"
+
 #include <atomic>
 #include <cstdint>
 #include <cstring>

@@ -180,9 +180,14 @@ int main(int argc, char** argv) {
         else if (want("--expect-block")) expect_block = atol(argv[++i]);
         else if (want("--max-seconds")) max_seconds = atof(argv[++i]);
         else if (want("--connect-in")) {
-            if (n_in < 2) connect_in[n_in++] = argv[++i]; else ++i;
+            // count EVERY occurrence so a third one trips the stereo
+            // check below instead of being silently dropped (the Python
+            // launcher hard-errors on the same input)
+            if (n_in < 2) connect_in[n_in] = argv[i + 1];
+            ++n_in; ++i;
         } else if (want("--connect-out")) {
-            if (n_out < 2) connect_out[n_out++] = argv[++i]; else ++i;
+            if (n_out < 2) connect_out[n_out] = argv[i + 1];
+            ++n_out; ++i;
         } else if (strcmp(argv[i], "--no-connect") == 0) do_connect = 0;
         else {
             fprintf(stderr, "jackbridge: unknown arg %s\n", argv[i]);

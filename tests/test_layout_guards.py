@@ -109,6 +109,30 @@ def test_compilation_cache_disabled_overrides_memoized_decision():
             cc._cache_checked, cc._cache_used = saved
 
 
+def test_compilation_cache_disabled_is_reentrant():
+    """Overlapping uses (async-paging worker + session thread) must keep
+    the cache disabled until the OUTERMOST user exits — a first-exit
+    restore would re-enable the persistent cache mid-pinned-compile."""
+    from jax._src import compilation_cache as cc
+
+    with cc._cache_initialized_mutex:
+        saved = (cc._cache_checked, cc._cache_used)
+        cc._cache_checked, cc._cache_used = True, True
+    try:
+        with layouts.compilation_cache_disabled():
+            with layouts.compilation_cache_disabled():
+                assert cc._cache_used is False
+                assert jax.config.jax_enable_compilation_cache is False
+            # inner exit: still disabled (outer user still active)
+            assert cc._cache_used is False
+            assert jax.config.jax_enable_compilation_cache is False
+        assert (cc._cache_checked, cc._cache_used) == (True, True)
+        assert jax.config.jax_enable_compilation_cache
+    finally:
+        with cc._cache_initialized_mutex:
+            cc._cache_checked, cc._cache_used = saved
+
+
 def test_place_in_formats_places_under_disabled_cache(monkeypatch):
     """Format placement lowers a relayout program whose persistent-cache
     key omits the target layout (workaround #4) — the device_put rungs

@@ -269,6 +269,21 @@ def test_native_jack_bridge_block_mismatch_refuses(tmp_path):
         out_ring.close(unlink=True)
 
 
+def test_native_jack_bridge_rejects_extra_connect_ports():
+    """A third --connect-in must error like the Python launcher does —
+    it used to be silently discarded (only the first two were wired)."""
+    import subprocess
+
+    exe = native.bridge_path()
+    assert exe, "bridge build failed"
+    proc = subprocess.run(
+        [exe, "--in-ring", "a", "--out-ring", "b",
+         "--connect-in", "x", "--connect-in", "y", "--connect-in", "z"],
+        capture_output=True, text=True, timeout=30)
+    assert proc.returncode == 2
+    assert "exactly twice" in proc.stderr
+
+
 def test_native_launcher_execs_c_bridge(tmp_path):
     """jack_bridge.py --native resolves ports from settings and execs the
     C binary (one process end to end, reference main.cu:86-89 wiring)."""

@@ -343,10 +343,15 @@ class CascadeConvolution:
                                 {"head": head_rhs2, "tail": tail_rhs2})
         if not device:
             # numpy .astype: jnp.bfloat16 is ml_dtypes-backed, so host
-            # leaves can carry the MAC dtype exactly
+            # leaves can carry the MAC dtype exactly. copy=False keeps
+            # the mmap-backed disk-cache arrays zero-copy when the dtype
+            # already matches (the ~2 GB sel152 bank would otherwise be
+            # materialized in RAM just to be re-read once for upload)
             return CascadeBank(
-                head_rhs2=np.asarray(head_rhs2).astype(self.mac_dtype),
-                tail_rhs2=np.asarray(tail_rhs2).astype(self.mac_dtype))
+                head_rhs2=np.asarray(head_rhs2).astype(self.mac_dtype,
+                                                       copy=False),
+                tail_rhs2=np.asarray(tail_rhs2).astype(self.mac_dtype,
+                                                       copy=False))
         return CascadeBank(
             head_rhs2=jnp.asarray(head_rhs2, self.mac_dtype),
             tail_rhs2=jnp.asarray(tail_rhs2, self.mac_dtype))
@@ -392,15 +397,23 @@ class CascadeConvolution:
                     tail_rhs2=jax.lax.dynamic_update_slice(
                         bank.tail_rhs2, tail_p, (0, 0, k * 4, 0)))
 
-            # compile_pinned (not plain jit): VERIFIES the executable
-            # honors the bank layouts — a persistent-cache collision that
-            # silently dropped them would emit a wrong-layout bank and
-            # crash every pinned step after the first fault
+            # compile_pinned (not plain jit): bypasses the persistent
+            # cache, whose layout-blind key could load a same-HLO entry
+            # compiled under different layouts — a wrong-layout bank
+            # would crash every pinned step after the first fault (the
+            # emitted bank's buffer formats are re-verified below)
             return compile_pinned(upd, (bank, head_p, tail_p, k),
                                   (fmt, None, None, None), fmt)
 
         fn = format_keyed_executable(self, fmt, build)
-        return fn(bank, head_p, tail_p, k)
+        new_bank = fn(bank, head_p, tail_p, k)
+        from tpu_audio.utils.layouts import (formats_agree, place_in_formats,
+                                             tree_formats)
+        if not formats_agree(fmt, tree_formats(new_bank)):
+            # buffer truth is the only trustworthy source — repair rather
+            # than hand a wrong-layout bank to strict pinned steps
+            new_bank = place_in_formats(new_bank, fmt, "slot-updated bank")
+        return new_bank
 
     # -- state ---------------------------------------------------------------------
 

@@ -470,17 +470,26 @@ class FMajorPartitionedConvolution:
             # preserve the bank's (possibly compiler-pinned) layouts:
             # producing the update in default layouts would make every
             # subsequent pinned step relayout the whole bank per block.
-            # compile_pinned (not plain jit) VERIFIES the executable
-            # honors them — a persistent-cache collision that silently
-            # dropped the pinning would emit a wrong-layout bank and
-            # crash every pinned step after the first fault
+            # compile_pinned (not plain jit) bypasses the persistent
+            # cache, whose layout-blind key could load a same-HLO entry
+            # compiled under different layouts — a wrong-layout bank
+            # would crash every pinned step after the first fault
+            # (honest fresh compiles honor entry layouts; the emitted
+            # bank's buffer formats are re-verified below either way)
             from tpu_audio.utils.layouts import compile_pinned
             return compile_pinned(upd, (bank, *payloads, slot_idx),
                                   (fmt, None, None, None, None), fmt)
 
         slot_idx = jnp.int32(slot)
         fn = format_keyed_executable(self, fmt, build)
-        return fn(bank, *payloads, slot_idx)
+        new_bank = fn(bank, *payloads, slot_idx)
+        from tpu_audio.utils.layouts import formats_agree, tree_formats
+        if not formats_agree(fmt, tree_formats(new_bank)):
+            # buffer truth is the only trustworthy source — repair rather
+            # than hand a wrong-layout bank to strict pinned steps
+            from tpu_audio.utils.layouts import place_in_formats
+            new_bank = place_in_formats(new_bank, fmt, "slot-updated bank")
+        return new_bank
 
     # -- state ---------------------------------------------------------------------
 

@@ -47,19 +47,39 @@ def _src_hash() -> str | None:
         return hashlib.sha256(fh.read()).hexdigest()
 
 
+def _atomic_compile(cmd_for, out_path: str, stamp_path: str,
+                    src_hash: str, what: str) -> bool:
+    """Compile to a pid-unique tmp file and os.replace() into place —
+    concurrent launches (two --native processes after a source edit)
+    never exec/dlopen a half-written binary, the same tmp+rename
+    convention utils/diskcache.py uses. ``cmd_for(tmp)`` returns the
+    compiler argv targeting ``tmp``. Stamps are written the same way,
+    AFTER the binary is in place."""
+    tmp = f"{out_path}.tmp.{os.getpid()}"
+    try:
+        subprocess.run(cmd_for(tmp), check=True, capture_output=True,
+                       timeout=120)
+        os.replace(tmp, out_path)
+    except (subprocess.SubprocessError, FileNotFoundError, OSError) as exc:
+        Log.warn("native", "%s build failed: %s", what, exc)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return False
+    stamp_tmp = f"{stamp_path}.tmp.{os.getpid()}"
+    with open(stamp_tmp, "w") as fh:
+        fh.write(src_hash)
+    os.replace(stamp_tmp, stamp_path)
+    return True
+
+
 def _build(src_hash: str) -> bool:
     src = os.path.join(_CSRC, "blockio.cpp")
-    try:
-        subprocess.run(
-            ["g++", "-O2", "-fPIC", "-std=c++17", "-shared", src,
-             "-o", _LIB_PATH, "-lrt"],
-            check=True, capture_output=True, timeout=120)
-    except (subprocess.SubprocessError, FileNotFoundError) as exc:
-        Log.warn("native", "native build failed: %s", exc)
-        return False
-    with open(_STAMP_PATH, "w") as fh:
-        fh.write(src_hash)
-    return True
+    return _atomic_compile(
+        lambda tmp: ["g++", "-O2", "-fPIC", "-std=c++17", "-shared", src,
+                     "-o", tmp, "-lrt"],
+        _LIB_PATH, _STAMP_PATH, src_hash, "native library")
 
 
 def _load():
@@ -147,18 +167,13 @@ def bridge_path() -> str | None:
             stamp = fh.read().strip()
     if stamp == src_hash:
         return _BRIDGE_PATH
-    try:
-        subprocess.run(
-            ["g++", "-O2", "-std=c++17",
-             os.path.join(_CSRC, "jackbridge.cpp"),
-             os.path.join(_CSRC, "blockio.cpp"),
-             "-o", _BRIDGE_PATH, "-ldl", "-lrt", "-lpthread"],
-            check=True, capture_output=True, timeout=120)
-    except (subprocess.SubprocessError, FileNotFoundError) as exc:
-        Log.warn("native", "jack bridge build failed: %s", exc)
+    if not _atomic_compile(
+            lambda tmp: ["g++", "-O2", "-std=c++17",
+                         os.path.join(_CSRC, "jackbridge.cpp"),
+                         os.path.join(_CSRC, "blockio.cpp"),
+                         "-o", tmp, "-ldl", "-lrt", "-lpthread"],
+            _BRIDGE_PATH, _BRIDGE_STAMP, src_hash, "jack bridge"):
         return None
-    with open(_BRIDGE_STAMP, "w") as fh:
-        fh.write(src_hash)
     return _BRIDGE_PATH
 
 

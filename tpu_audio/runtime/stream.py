@@ -422,13 +422,22 @@ class StreamSession:
                 self._materialize = jax.jit(
                     fn, **({"out_shardings": fmt} if fmt is not None
                            else {}))
-            state = self._materialize(state, self.bank)
             if fmt is not None:
-                # verify/repair: a persistent-cache collision can silently
-                # drop the out_shardings pinning (utils/layouts.py) — a
+                # layout-constrained compiles must bypass the persistent
+                # cache (layout-blind key, utils/layouts.py workaround
+                # #1); the jit compiles at first CALL, so the call sits
+                # inside the disabled context (later calls are in-process
+                # cache hits — the flag flip is negligible per re-select)
+                from tpu_audio.utils.layouts import (
+                    compilation_cache_disabled, place_in_formats)
+                with compilation_cache_disabled():
+                    state = self._materialize(state, self.bank)
+                # verify/repair: the out_shardings pinning is only as
+                # trustworthy as the buffers it actually produced — a
                 # default-layout state would crash the next pinned step
-                from tpu_audio.utils.layouts import place_in_formats
                 state = place_in_formats(state, fmt, "materialized state")
+            else:
+                state = self._materialize(state, self.bank)
         else:
             no_change = jnp.zeros((self.engine.num_voices, 2), jnp.bool_)
             sel_now = jnp.asarray(self.control.select)
@@ -547,12 +556,21 @@ class StreamSession:
                         self.engine.regather_selection,
                         **({"out_shardings": fmt} if fmt is not None
                            else {}))
-                state = self._regather(state, new_bank,
-                                       jnp.asarray(self.control.select))
                 if getattr(self, "_pinned_state_fmt", None) is not None:
-                    from tpu_audio.utils.layouts import place_in_formats
+                    # layout-constrained compile at first call: bypass
+                    # the layout-blind persistent cache, then trust only
+                    # the produced buffers (utils/layouts.py #1)
+                    from tpu_audio.utils.layouts import (
+                        compilation_cache_disabled, place_in_formats)
+                    with compilation_cache_disabled():
+                        state = self._regather(
+                            state, new_bank,
+                            jnp.asarray(self.control.select))
                     state = place_in_formats(
                         state, self._pinned_state_fmt, "regathered state")
+                else:
+                    state = self._regather(state, new_bank,
+                                           jnp.asarray(self.control.select))
         self.bank = new_bank
         return state
 

@@ -78,6 +78,34 @@ def backend_supports_layouts() -> bool:
 # --------------------------------------------------------------------------
 
 
+# Reentrancy/thread-safety for compilation_cache_disabled: the config
+# flag and the memoized pair are PROCESS-GLOBAL, so overlapping uses
+# (async-paging worker compiling a slot update while the session thread
+# runs place_in_formats) must not restore cache-enabled state while the
+# other's "bypassed" compile is still in flight. A depth counter under
+# one lock: the first entry saves + disables, only the LAST exit
+# restores. Threads that never use this context can still race the
+# global flag — pinned-compile users must route through here.
+import threading as _threading
+
+_disable_lock = _threading.Lock()
+_disable_depth = 0
+_disable_saved = None  # (flag, have_cc, checked, used)
+
+
+def _cc_module():
+    """The private compilation_cache module, or None if the memoized
+    globals this workaround patches no longer exist (jax upgrade)."""
+    try:
+        from jax._src import compilation_cache as _cc
+        _cc._cache_initialized_mutex  # noqa: B018 - attribute probes
+        _cc._cache_checked
+        _cc._cache_used
+        return _cc
+    except (ImportError, AttributeError):
+        return None
+
+
 @contextmanager
 def compilation_cache_disabled():
     """Temporarily disable jax's persistent compilation cache (workaround
@@ -94,26 +122,37 @@ def compilation_cache_disabled():
     "fresh" AUTO compiles inside bench were loading stale entries whose
     metadata claimed layouts no primitive could construct, while the
     same compile in a clean process (no cache dir) was honest. So this
-    context manager also overrides the memoized pair under the module's
-    own mutex, restoring both on exit."""
-    old = jax.config.jax_enable_compilation_cache
-    jax.config.update("jax_enable_compilation_cache", False)
-    try:
-        from jax._src import compilation_cache as _cc
-        mutex, have_cc = _cc._cache_initialized_mutex, True
-    except (ImportError, AttributeError):  # private API moved: flag-only
-        have_cc = False
-    if have_cc:
-        with mutex:
-            saved = (_cc._cache_checked, _cc._cache_used)
-            _cc._cache_checked, _cc._cache_used = True, False
+    context manager also overrides the memoized pair, and is reentrant
+    across threads (depth-counted: the cache stays disabled until the
+    outermost user exits). All state probing happens BEFORE any global
+    is flipped, so a moved private API degrades to flag-only disabling
+    instead of leaving the process wedged."""
+    global _disable_depth, _disable_saved
+    _cc = _cc_module()
+    with _disable_lock:
+        _disable_depth += 1
+        if _disable_depth == 1:
+            flag = jax.config.jax_enable_compilation_cache
+            if _cc is not None:
+                with _cc._cache_initialized_mutex:
+                    _disable_saved = (flag, True, _cc._cache_checked,
+                                      _cc._cache_used)
+                    _cc._cache_checked, _cc._cache_used = True, False
+            else:
+                _disable_saved = (flag, False, None, None)
+            jax.config.update("jax_enable_compilation_cache", False)
     try:
         yield
     finally:
-        jax.config.update("jax_enable_compilation_cache", old)
-        if have_cc:
-            with mutex:
-                _cc._cache_checked, _cc._cache_used = saved
+        with _disable_lock:
+            _disable_depth -= 1
+            if _disable_depth == 0:
+                flag, have_cc, checked, used = _disable_saved
+                _disable_saved = None
+                jax.config.update("jax_enable_compilation_cache", flag)
+                if have_cc and _cc is not None:
+                    with _cc._cache_initialized_mutex:
+                        _cc._cache_checked, _cc._cache_used = checked, used
 
 
 def _is_concrete(fmt) -> bool:
