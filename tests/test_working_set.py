@@ -33,7 +33,7 @@ def make_bank(seed=0, k=KFULL):
     return bank
 
 
-def build_ws(bank, min_age_blocks=0):
+def build_ws(bank, min_age_blocks=0, **kw):
     p = bank.max_partitions(B)
     eng = FMajorPartitionedConvolution(V, B, p, max_predelay=64,
                                        num_irs=CAP, mac_strategy="allk")
@@ -43,7 +43,8 @@ def build_ws(bank, min_age_blocks=0):
     cp.dry[:] = 0.1
     dev = eng.prepare_bank(full[list(range(CAP))])
     ws = WorkingSetBank(eng, cp, lambda k: full[k: k + 1], dev,
-                        list(range(CAP)), min_age_blocks=min_age_blocks)
+                        list(range(CAP)), min_age_blocks=min_age_blocks,
+                        **kw)
     return eng, cp, ws, full
 
 
@@ -67,7 +68,8 @@ def test_hit_miss_and_eviction_order():
 
 def test_exhaustion_raises():
     bank = make_bank()
-    eng, cp, ws, full = build_ws(bank, min_age_blocks=100)
+    eng, cp, ws, full = build_ws(bank, min_age_blocks=100,
+                                 on_exhausted="raise")
     cp.set_mapping(0, 0, CCMapping(message=0xB0, select=0x15))
     cp.set_mapping(0, 1, CCMapping(message=0xB0, select=0x16))
     cp.set_mapping(1, 0, CCMapping(message=0xB0, select=0x17))
@@ -87,6 +89,71 @@ def test_exhaustion_raises():
     assert cp.apply_cc(0, 0, 0xB0, 0x15, 100)
     assert ws.misses == 1
     assert ws.slot_to_full[int(cp.select[0, 0])] == 100 * KFULL // 128
+
+
+def test_exhaustion_defers_and_applies():
+    """Default policy: a select with no eviction victim parks as a host
+    intent (the voice keeps its current IR — no crash) and auto-applies
+    via the block hook once a slot ages out of fade protection."""
+    bank = make_bank()
+    eng, cp, ws, full = build_ws(bank, min_age_blocks=100)
+    cp.set_mapping(0, 0, CCMapping(message=0xB0, select=0x15))
+    cp.set_mapping(0, 1, CCMapping(message=0xB0, select=0x16))
+    cp.set_mapping(1, 0, CCMapping(message=0xB0, select=0x17))
+    cp.set_mapping(1, 1, CCMapping(message=0xB0, select=0x18))
+    cp.apply_cc(0, 0, 0xB0, 0x15, 0)    # full 0
+    cp.apply_cc(0, 1, 0xB0, 0x16, 15)   # full 1
+    cp.apply_cc(1, 0, 0xB0, 0x17, 29)   # full 2
+    cp.apply_cc(1, 1, 0xB0, 0x18, 43)   # full 3
+    # a 5th distinct IR: no victim -> deferred, selection unchanged
+    assert cp.apply_cc(0, 0, 0xB0, 0x15, 100)
+    assert ws.starved == 1 and ws.misses == 0
+    assert ws.slot_to_full[int(cp.select[0, 0])] == 0  # still full 0
+    # the deferred event still restarted the fade clock (wet re-slew)
+    assert cp.vsteps[0, 0] > 0
+    # converge (1,1) onto full 2 so full-3's slot can age out; the intent
+    # applies AUTOMATICALLY from the between-blocks poll
+    cp.apply_cc(1, 1, 0xB0, 0x18, 29)
+    for _ in range(500):
+        cp.end_block()
+        if ws.misses:
+            break
+    assert ws.misses == 1 and not ws._starved
+    assert ws.slot_to_full[int(cp.select[0, 0])] == 100 * KFULL // 128
+    # a crossfade started when it applied
+    assert cp.vsteps[0, 0] > 0
+
+
+def test_starved_intent_survives_checkpoint_restore():
+    """A checkpoint taken while exhausted carries the parked intents in
+    control.aux; restoring re-issues them (typically re-parking until a
+    slot frees) instead of dropping the events."""
+    bank = make_bank()
+    eng, cp, ws, full = build_ws(bank, min_age_blocks=100)
+    for (v, c), f in [((0, 0), 0), ((0, 1), 1), ((1, 0), 2), ((1, 1), 3)]:
+        cp.set_select(v, c, f)
+    cp.set_select(0, 0, 7)                      # parks (no victim)
+    assert ws.starved == 1
+    st = np.asarray(cp.aux["ws_starved"])
+    assert st.tolist() == [[0, 0, 7]]
+    # simulate a restore into a fresh residency manager: install the
+    # checkpointed aux and invoke the restore hook
+    eng2, cp2, ws2, _ = build_ws(bank, min_age_blocks=100)
+    for (v, c), f in [((0, 0), 0), ((0, 1), 1), ((1, 0), 2), ((1, 1), 3)]:
+        cp2.set_select(v, c, f)
+    cp2.aux["ws_slot_to_full"] = np.asarray(ws.slot_to_full, np.int64)
+    cp2.aux["ws_starved"] = st
+    ws2._restore_residency()
+    # everything is protected right after restore -> the intent re-parks
+    assert ws2._starved == {(0, 0): 7}
+    # converge (1,1) onto full 2 so full-3's slot can age out of both the
+    # selected set and its fade-span window, then the intent auto-applies
+    cp2.set_select(1, 1, 2)
+    for _ in range(500):
+        cp2.end_block()
+        if ws2.misses:
+            break
+    assert ws2.slot_to_full[int(cp2.select[0, 0])] == 7
 
 
 def test_session_output_equals_full_bank():
@@ -312,7 +379,8 @@ def test_slow_fade_reselect_chain_protects_span_slots():
     stay protected until the analytic decay bound passes — eviction
     pressure then raises instead of rewriting columns still in the mix."""
     bank = make_bank()
-    eng, cp, ws, full = build_ws(bank, min_age_blocks=10)
+    eng, cp, ws, full = build_ws(bank, min_age_blocks=10,
+                                 on_exhausted="raise")
     cp.speed[:] = 1016  # CC speed 127 (the slowest reachable fade)
 
     cp.set_select(0, 0, 4)           # fault; old slot 0 enters the span

@@ -53,6 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "and rebuilds the MAC column on device — half the "
                         "per-fault bytes, measured 3.4x faster per fault "
                         "(default: derived for fmajor, dual elsewhere)")
+    p.add_argument("--ws-exhausted", default="defer",
+                   choices=["defer", "raise"],
+                   help="working-set policy when every resident slot is "
+                        "fade-protected: 'defer' parks the select and "
+                        "applies it once a slot frees (serving never "
+                        "crashes on hot MIDI); 'raise' keeps the strict "
+                        "capacity-sizing contract")
     p.add_argument("--async-paging", action="store_true",
                    help="working-set residency only: page bank misses in "
                         "on a background thread — a fault never stalls the "
@@ -171,7 +178,7 @@ def main(argv=None) -> int:
         swap_snapshot=not args.no_swap_snapshot,
         cascade_ratio=args.cascade_ratio, bank_capacity=args.bank_capacity,
         async_paging=args.async_paging, predelay_side=args.predelay_side,
-        fault_upload=args.fault_upload)
+        fault_upload=args.fault_upload, ws_exhausted=args.ws_exhausted)
 
     v, b = model.engine.num_voices, model.block
     rings = []

@@ -85,7 +85,8 @@ class ConvolutionReverb:
                  cascade_ratio: int = 16, bank_capacity: int | None = None,
                  async_paging: bool = False, predelay_side: str = "write",
                  mac_strategy: str = "auto",
-                 fault_upload: str | None = None):
+                 fault_upload: str | None = None,
+                 ws_exhausted: str = "defer"):
         self.bank = bank
         self.block = block
         self.sample_rate = sample_rate
@@ -115,7 +116,7 @@ class ConvolutionReverb:
                 max_partitions, backend, cache_dir, mac_dtype,
                 cascade_ratio, min(bank_capacity, len(bank)),
                 swap_snapshot, sample_rate, async_paging, predelay_side,
-                fault_upload)
+                fault_upload, ws_exhausted)
         if engine == "cascade":
             partitions = max_partitions or bank.max_partitions(block)
             ratio = _fit_cascade_ratio(cascade_ratio, num_voices, partitions)
@@ -184,7 +185,8 @@ class ConvolutionReverb:
                           max_predelay, max_partitions, backend, cache_dir,
                           mac_dtype, cascade_ratio, capacity,
                           swap_snapshot, sample_rate, async_paging=False,
-                          predelay_side="write", fault_upload="dual"):
+                          predelay_side="write", fault_upload="dual",
+                          ws_exhausted="defer"):
         """Large banks at small-bank speed: the engine runs the fast all-K
         path over `capacity` resident IR slots; the full bank stays on the
         host and select events page IRs in on demand
@@ -236,7 +238,8 @@ class ConvolutionReverb:
 
         self.working_set = WorkingSetBank(
             self.engine, self.control, payload, self.spectra, residents,
-            min_age_blocks=CC_MAX_SPEED + 64, async_paging=async_paging)
+            min_age_blocks=CC_MAX_SPEED + 64, async_paging=async_paging,
+            on_exhausted=ws_exhausted)
         self.working_set.on_update = self._publish_bank
         self._live_session = None
         Log.info("reverb", "%d voice(s), %d-IR bank with %d resident "

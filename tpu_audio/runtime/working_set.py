@@ -20,9 +20,17 @@ blocks — longer than any crossfade — so replaced slots are provably
 inert. The clock is the control plane's block counter, NOT wall time:
 sessions run slower than real time on high-RTT links and faster offline,
 and fades decay in block time either way. Slots never selected since
-startup are reclaimable immediately. If every slot is protected, the
-miss raises: capacity must exceed the number of concurrently sounding
-IRs (plus those still fading out), a configuration error.
+startup are reclaimable immediately.
+
+Exhaustion (every slot protected) is a WORKLOAD BURST, not necessarily a
+configuration error: a CC sweep that selects new IRs faster than one per
+fade window protects slots faster than they age out. The default policy
+(``on_exhausted='defer'``) therefore parks the select as a host-side
+intent — the voice keeps playing its current IR, exactly like an
+async-paging deferral — and re-issues it between blocks once a slot
+frees; a serving session never crashes on hot MIDI. ``'raise'`` restores
+the strict contract (capacity must exceed concurrently sounding IRs plus
+fading tails) for deployments that prefer loud sizing errors.
 
 The reference has no analogue (its GPU holds the whole bank; at TPU
 voice counts and IR lengths that is the thing that stops scaling).
@@ -35,6 +43,11 @@ from typing import Callable
 import numpy as np
 
 from tpu_audio.utils.log import Log
+
+
+class WorkingSetExhausted(RuntimeError):
+    """Every resident slot is selected, span-referenced, reserved, or
+    inside its fade-protection window — no eviction victim exists."""
 
 
 class WorkingSetBank:
@@ -58,7 +71,8 @@ class WorkingSetBank:
 
     def __init__(self, engine, control, slot_payload: Callable[[int], object],
                  bank, residents: list[int], min_age_blocks: int = 1100,
-                 full_size: int | None = None, async_paging: bool = False):
+                 full_size: int | None = None, async_paging: bool = False,
+                 on_exhausted: str = "defer"):
         self.engine = engine
         self.control = control
         self.slot_payload = slot_payload
@@ -108,6 +122,18 @@ class WorkingSetBank:
         self._deferred_target: dict[tuple[int, int], int] = {}
         self._queue = None
         self._worker = None
+        # -- exhaustion policy -------------------------------------------------
+        # 'defer' (default): a select that cannot find an eviction victim
+        # parks as a host intent ((voice, ch) -> full index, insertion-
+        # ordered) and is re-issued by poll() once a slot frees — the
+        # async-paging semantics applied to capacity instead of upload
+        # latency. 'raise' keeps the strict sizing contract.
+        if on_exhausted not in ("defer", "raise"):
+            raise ValueError(f"on_exhausted must be 'defer' or 'raise', "
+                             f"got {on_exhausted!r}")
+        self.on_exhausted = on_exhausted
+        self.starved = 0             # exhaustion-deferral counter (stats)
+        self._starved: dict[tuple[int, int], int] = {}
         if self.async_paging:
             import queue
             import threading
@@ -117,6 +143,10 @@ class WorkingSetBank:
             self._worker = threading.Thread(
                 target=self._worker_loop, name="workset-pager", daemon=True)
             self._worker.start()
+            control.block_hooks.append(self.poll)
+        elif self.on_exhausted == "defer":
+            # sync mode still needs the between-blocks poll to retry
+            # starved selects once a slot ages out of protection
             control.block_hooks.append(self.poll)
             # a deferred select lives only in host memory until poll()
             # publishes it: sessions fire these hooks before writing a
@@ -159,6 +189,11 @@ class WorkingSetBank:
     def _sync_aux(self) -> None:
         self.control.aux["ws_slot_to_full"] = np.asarray(
             self.slot_to_full, np.int64)
+        # starved intents are session state too: a checkpoint taken while
+        # exhausted must re-issue them after restore, not drop the events
+        self.control.aux["ws_starved"] = np.asarray(
+            [[v, c, f] for (v, c), f in self._starved.items()],
+            np.int64).reshape(-1, 3)
 
     def _restore_residency(self) -> None:
         """Rebuild device residency from a restored checkpoint: re-page
@@ -186,6 +221,15 @@ class WorkingSetBank:
             self._staged_bank = self.bank
         if self.on_update is not None:
             self.on_update(self.bank)
+        # restore starved intents (newest-wins per voice/ch, like live):
+        # everything was just protected for one fade window above, so
+        # these typically re-park and apply as slots age out — the same
+        # deferred semantics the checkpoint interrupted
+        st = self.control.aux.get("ws_starved")
+        self._starved.clear()
+        if st is not None and self.on_exhausted == "defer":
+            for v, c, f in np.asarray(st).reshape(-1, 3):
+                self.control.set_select(int(v), int(c), int(f))
 
     # -- the remap hook (runs on the host between blocks) -----------------------
 
@@ -226,16 +270,24 @@ class WorkingSetBank:
                      full_idx, self.full_size)
             full_idx = min(max(full_idx, 0), self.full_size - 1)
         now = self.control.blocks
+        # any new select supersedes a starved intent for this (voice, ch);
+        # if this one starves too it re-parks itself below
+        self._starved.pop((voice, ch), None)
         slot = self.full_to_slot.get(full_idx)
         if slot is None and self.async_paging:
             # deferred fault: selection stays put until the IR is resident
             return self._defer(voice, ch, full_idx, now)
         self._deferred_target.pop((voice, ch), None)  # superseded if pending
         if slot is None:
-            # may raise (exhausted / payload failure): the select then never
-            # applies, so nothing is re-timed — the span keeps its previous
-            # (possibly expired) window
-            slot = self._fault(full_idx, now)
+            # may raise (exhausted under 'raise' policy / payload failure):
+            # the select then never applies, so nothing is re-timed — the
+            # span keeps its previous (possibly expired) window
+            try:
+                slot = self._fault(full_idx, now)
+            except WorkingSetExhausted:
+                if self.on_exhausted != "defer":
+                    raise
+                return self._starve(voice, ch, full_idx, now)
         else:
             self.hits += 1
         span = self._retime_span(voice, ch, now)
@@ -243,17 +295,20 @@ class WorkingSetBank:
         self.last_used[slot] = now
         return slot
 
-    def _choose_victim(self, now: float) -> int:
+    def _victims(self, now: float) -> list[int]:
         selected = {int(s) for s in self.control.select.ravel()}
         # never evict a slot a live (undecayed) fade span references, even
         # under a custom min_age_blocks shorter than the fade window; nor
         # one reserved by an in-flight asynchronous upload
         protected = selected | self._live_span_slots(now) | self._reserved
-        victims = [s for s in range(self.capacity)
-                   if s not in protected
-                   and now - self.last_used[s] >= self.min_age_blocks]
+        return [s for s in range(self.capacity)
+                if s not in protected
+                and now - self.last_used[s] >= self.min_age_blocks]
+
+    def _choose_victim(self, now: float) -> int:
+        victims = self._victims(now)
         if not victims:
-            raise RuntimeError(
+            raise WorkingSetExhausted(
                 f"working set exhausted: all {self.capacity} resident IR "
                 f"slots are selected or were used within the last "
                 f"{self.min_age_blocks} blocks (fade protection); raise "
@@ -295,7 +350,14 @@ class WorkingSetBank:
                 self._staged_bank = self.bank
             import threading
 
-            victim = self._choose_victim(now)
+            try:
+                victim = self._choose_victim(now)
+            except WorkingSetExhausted:
+                if self.on_exhausted != "defer":
+                    raise
+                # no slot to reserve yet: park the intent; poll() enqueues
+                # the real deferred fault once a victim ages out
+                return self._starve(voice, ch, full_idx, now)
             old_full = self.slot_to_full[victim]
             self.full_to_slot.pop(old_full, None)
             self.slot_to_full[victim] = full_idx
@@ -315,6 +377,24 @@ class WorkingSetBank:
         self._retime_span(voice, ch, now)
         self._deferred_target[(voice, ch)] = full_idx
         self.deferred += 1
+        return int(self.control.select[voice, ch])
+
+    def _starve(self, voice: int, ch: int, full_idx: int, now: float) -> int:
+        """Exhaustion deferral ('defer' policy): park the select as a host
+        intent and keep the voice on its current IR. Same observable
+        semantics as an async-paging deferral — the event re-slews wet and
+        restarts the fade clock, the real select (with its crossfade) is
+        re-issued by poll() once an eviction victim exists. Newest select
+        per (voice, ch) wins; intents are checkpointed via control.aux."""
+        key = (voice, ch)
+        Log.warn("workset", "working set exhausted: select IR %d (voice %d "
+                 "ch %d) deferred until a slot leaves fade protection "
+                 "(%d starved so far)", full_idx, voice, ch,
+                 self.starved + 1)
+        self._retime_span(voice, ch, now)
+        self._starved[key] = full_idx
+        self.starved += 1
+        self._sync_aux()
         return int(self.control.select[voice, ch])
 
     def _worker_loop(self) -> None:
@@ -370,6 +450,22 @@ class WorkingSetBank:
                 if want == rec["full"]:
                     del self._deferred_target[(v, c)]
                     self.control.set_select(v, c, rec["full"])
+        # retry starved selects (exhaustion deferrals) in arrival order.
+        # An intent is retried once its IR is already resident (another
+        # voice faulted it in — a plain hit, no victim needed) or an
+        # eviction victim exists; set_select re-enters _remap, which may
+        # hit, fault, async-defer, or re-park if capacity vanished again
+        # (re-parking under _starve keeps the intent, so nothing is lost)
+        if self._starved:
+            now = self.control.blocks
+            for key in list(self._starved):
+                full = self._starved.get(key)
+                if full is None:
+                    continue  # superseded while iterating
+                if full in self.full_to_slot or self._victims(now):
+                    del self._starved[key]
+                    self.control.set_select(key[0], key[1], full)
+            self._sync_aux()
 
     def drain(self, timeout: float | None = None) -> None:
         """Block until every in-flight background upload has completed,
