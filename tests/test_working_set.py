@@ -91,6 +91,24 @@ def test_exhaustion_raises():
     assert ws.slot_to_full[int(cp.select[0, 0])] == 100 * KFULL // 128
 
 
+def test_hook_registration_by_mode():
+    """Async paging AND the defer policy each need the between-blocks
+    poll and the pre-checkpoint drain; sync+raise registers neither (the
+    hot loop pays no hook). Regression: moving the drain registration
+    into a defer-only branch silently dropped async checkpoint draining."""
+    bank = make_bank()
+    _, cp, ws, _ = build_ws(bank, async_paging=True, on_exhausted="raise")
+    assert ws.poll in cp.block_hooks
+    assert ws.drain in cp.pre_checkpoint_hooks
+    ws.close()
+    _, cp, ws, _ = build_ws(bank)  # sync + defer (defaults)
+    assert ws.poll in cp.block_hooks
+    assert ws.drain in cp.pre_checkpoint_hooks
+    _, cp, ws, _ = build_ws(bank, on_exhausted="raise")  # sync + raise
+    assert ws.poll not in cp.block_hooks
+    assert ws.drain not in cp.pre_checkpoint_hooks
+
+
 def test_exhaustion_defers_and_applies():
     """Default policy: a select with no eviction victim parks as a host
     intent (the voice keeps its current IR — no crash) and auto-applies

@@ -143,15 +143,18 @@ class WorkingSetBank:
             self._worker = threading.Thread(
                 target=self._worker_loop, name="workset-pager", daemon=True)
             self._worker.start()
-            control.block_hooks.append(self.poll)
-        elif self.on_exhausted == "defer":
-            # sync mode still needs the between-blocks poll to retry
-            # starved selects once a slot ages out of protection
+        if self.async_paging or self.on_exhausted == "defer":
+            # the between-blocks poll publishes completed background
+            # uploads (async mode) and retries starved selects once a
+            # slot ages out of protection (defer policy); sync+raise
+            # needs neither, so the hot loop pays no hook there
             control.block_hooks.append(self.poll)
             # a deferred select lives only in host memory until poll()
             # publishes it: sessions fire these hooks before writing a
-            # checkpoint, so drain() lands the upload + re-issues the
-            # select and the checkpoint captures a consistent world
+            # checkpoint, so drain() lands any in-flight upload + re-
+            # issues applicable selects and the checkpoint captures a
+            # consistent world (starved intents that still have no
+            # victim stay parked and checkpoint via aux['ws_starved'])
             control.pre_checkpoint_hooks.append(self.drain)
         control.select_remap = self._remap
         # residency is checkpointable state: without it a restored
