@@ -545,6 +545,126 @@ def test_async_paging_output_matches_effective_time_replay():
     assert np.abs(sink.data).max() > 1e-3
 
 
+@pytest.mark.parametrize("fuzz_seed", [31, 200, 301])
+def test_defer_fuzz_output_matches_effective_time_replay(fuzz_seed):
+    """Randomized hot select storm against a capacity-starved working set
+    under the default 'defer' exhaustion policy: the session must survive
+    (no WorkingSetExhausted), and the audio must equal a FULL-bank run
+    driven with the EFFECTIVE event schedule — a starved original event
+    becomes a same-select (fade restart, IR unchanged) and the parked
+    intent's eventual poll() application becomes a real select at the
+    block it landed."""
+    bank = make_bank(seed=3)
+    rng = np.random.default_rng(fuzz_seed)
+    n_blocks = 260
+    x = (rng.standard_normal((V, 2, B * n_blocks)) * 0.05).astype(np.float32)
+    events = []
+    used_blocks = set()
+    for _ in range(14):
+        blk = int(rng.integers(1, 180))
+        while blk in used_blocks:       # one event per block: keeps the
+            blk += 1                    # effective-schedule replay unambiguous
+        used_blocks.add(blk)
+        v = int(rng.integers(V))
+        ch = int(rng.integers(2))
+        cc = [0x15, 0x16][ch] + 2 * v
+        events.append((blk, "", bytes([0xB0, cc, int(rng.integers(128))])))
+    events.sort()
+
+    def value_for(idx):
+        for val in range(128):
+            if val * KFULL // 128 == idx:
+                return val
+        raise AssertionError(f"no CC value maps to IR {idx}")
+
+    def setup(model):
+        model.control.wet[:] = 0.8
+        model.control.dry[:] = 0.1
+        model.control.speed[:] = 5
+        for v in range(V):
+            for ch in range(2):
+                model.control.set_mapping(v, ch, CCMapping(
+                    message=0xB0, select=[0x15, 0x16][ch] + 2 * v))
+
+    # --- working-set run, recording the effective schedule ------------------
+    model = ConvolutionReverb(bank, num_voices=V, block=B, max_predelay=64,
+                              engine="fmajor", bank_capacity=6)
+    ws = model.working_set
+    ws.min_age_blocks = 45              # > speed-5 fade decay
+    setup(model)
+    starve_log = []                     # (blocks, voice, ch, full)
+    orig_starve = ws._starve
+
+    def rec_starve(voice, ch, full_idx, now):
+        starve_log.append((int(now), voice, ch, full_idx))
+        return orig_starve(voice, ch, full_idx, now)
+
+    ws._starve = rec_starve
+    reissues = []                       # poll() re-issues (blocks, v, ch, full)
+    orig_set = model.control.set_select
+
+    def rec_set(voice, ch, idx):
+        reissues.append((int(model.control.blocks), voice, ch, idx))
+        return orig_set(voice, ch, idx)
+
+    model.control.set_select = rec_set
+    applied = []                        # every actual selection change
+    sink = WavSink("/dev/null", keep_data=True)
+    sess = model.session(WavSource(x, V, B), sink, warmup=0, donate=False)
+    orig_cb = model.control.on_select_change
+
+    def note(voice, ch, old, new):
+        applied.append((int(model.control.blocks), voice, ch,
+                        ws.slot_to_full[int(new)]))
+        orig_cb(voice, ch, old, new)
+
+    model.control.on_select_change = note
+    sess.run(model.init_state(), midi=MidiSchedule(list(events)))
+    got = sink.data
+
+    assert ws.starved >= 1, "fuzz never hit exhaustion; tighten capacity"
+    assert ws.misses >= 1, "fuzz never faulted; widen the select range"
+
+    # --- effective schedule -------------------------------------------------
+    # selection timeline from the recorded changes (everything starts at 0)
+    def sel_at(voice, ch, blk):
+        cur = 0
+        for b, v, c, full in applied:
+            if (v, c) == (voice, ch) and b <= blk:
+                cur = full
+        return cur
+
+    starved_keys = {(b, v, c) for b, v, c, _ in starve_log}
+    # a poll() re-issue recorded at block N fires from the END of block
+    # N-1, i.e. BEFORE block N's MIDI events — order it first at a tie
+    tagged = []
+    for blk, v, ch, idx in reissues:    # poll() re-issues (incl. re-parks,
+        cc = [0x15, 0x16][ch] + 2 * v   # which are same-select fade restarts)
+        eff = (sel_at(v, ch, blk) if (blk, v, ch) in starved_keys else idx)
+        tagged.append((blk, 0, "", bytes([0xB0, cc, value_for(eff)])))
+    for blk, _, data in events:
+        cc, val = data[1], data[2]
+        v, ch = (cc - 0x15) // 2, (cc - 0x15) % 2
+        if (blk, v, ch) in starved_keys:
+            # parked: the event only restarted the fade on the CURRENT IR
+            tagged.append((blk, 1, "", bytes(
+                [0xB0, cc, value_for(sel_at(v, ch, blk))])))
+        else:
+            tagged.append((blk, 1, "", bytes([0xB0, cc, val])))
+    tagged.sort(key=lambda e: (e[0], e[1]))
+    replay = [(blk, dev, data) for blk, _, dev, data in tagged]
+
+    model_fb = ConvolutionReverb(bank, num_voices=V, block=B,
+                                 max_predelay=64, engine="fmajor")
+    setup(model_fb)
+    sink_fb = WavSink("/dev/null", keep_data=True)
+    sess_fb = model_fb.session(WavSource(x, V, B), sink_fb, warmup=0,
+                               donate=False)
+    sess_fb.run(model_fb.init_state(), midi=MidiSchedule(replay))
+    np.testing.assert_allclose(got, sink_fb.data, atol=1e-6)
+    assert np.abs(sink_fb.data).max() > 1e-3
+
+
 def test_deferred_select_retimes_span_protection():
     """A DEFERRED select still restarts the fade clock (the event re-slews
     wet with the new vsteps), so the span's analytic decay window must be
