@@ -933,3 +933,48 @@ def test_materialize_base_guard_span_only():
     st = fm.init_state()
     with pytest.raises(ValueError, match="swap_snapshot"):
         fm.materialize_base(st, bank)
+
+
+def test_pack_cache_hit_and_legacy_npz_migration(tmp_path):
+    """prepare_bank's packed-tensor disk cache: a warm hit reproduces the
+    uncached bank bit-for-bit, and a legacy .npz entry (pre round-3) is
+    migrated once to raw .npy (zipfile reads multi-GB entries at ~5 MB/s;
+    np.load+mmap is instant) and produces the same bank."""
+    import glob
+    import os
+
+    from tpu_audio.utils import diskcache
+
+    _, fm, spectra, _ = build()
+    want = fm.prepare_bank(spectra)                       # no cache
+    leaves_want = [np.asarray(x) for x in jax.tree.leaves(want)]
+
+    fm2 = FMajorPartitionedConvolution(4, 32, fm.partitions, max_predelay=64)
+    got_cold = fm2.prepare_bank(spectra, cache_dir=tmp_path)  # cold: stores
+    base = "pack_" + diskcache.content_key(
+        "fmajor-pack", (fm2.pp, fm2.ring_mode, fm2.mac_strategy,
+                        spectra.shape), np.asarray(spectra))
+    assert os.path.exists(tmp_path / f"{base}.ok")
+    fm3 = FMajorPartitionedConvolution(4, 32, fm.partitions, max_predelay=64)
+    got_warm = fm3.prepare_bank(spectra, cache_dir=tmp_path)  # warm hit
+    for g_cold, g_warm, w in zip(jax.tree.leaves(got_cold),
+                                 jax.tree.leaves(got_warm),
+                                 leaves_want):
+        np.testing.assert_array_equal(np.asarray(g_cold), w)
+        np.testing.assert_array_equal(np.asarray(g_warm), w)
+
+    # legacy migration: move the stored fields into one .npz, drop the
+    # npy entry, and prepare again — must migrate AND re-store as npy
+    fields = {}
+    for p in glob.glob(str(tmp_path / f"{base}_*.npy")):
+        name = os.path.basename(p)[len(base) + 1:-4]
+        fields[name] = np.load(p)
+        os.remove(p)
+    os.remove(tmp_path / f"{base}.ok")
+    np.savez(tmp_path / f"{base}.npz", **fields)
+    fm4 = FMajorPartitionedConvolution(4, 32, fm.partitions, max_predelay=64)
+    got_legacy = fm4.prepare_bank(spectra, cache_dir=tmp_path)
+    for g, w in zip(jax.tree.leaves(got_legacy), leaves_want):
+        np.testing.assert_array_equal(np.asarray(g), w)
+    assert os.path.exists(tmp_path / f"{base}.ok")        # migrated
+    assert glob.glob(str(tmp_path / f"{base}_*.npy"))

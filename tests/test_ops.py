@@ -243,3 +243,13 @@ def test_monolithic_spectrum_truncation():
     assert spec.shape == (fft_size,)
     want = np.fft.fft(np.concatenate([ir[:fft_size - reserve], np.zeros(reserve)]))
     np.testing.assert_allclose(spec, want.astype(np.complex64), atol=1e-3)
+
+
+def test_full_spectrum_validation_errors():
+    from tpu_audio.ops.hermitian import full_spectrum_from_half
+
+    half = jnp.zeros((5,), jnp.complex64)
+    with pytest.raises(ValueError, match="even"):
+        full_spectrum_from_half(half, 9)
+    with pytest.raises(ValueError, match="bins"):
+        full_spectrum_from_half(half, 16)

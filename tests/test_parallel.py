@@ -101,6 +101,28 @@ def test_mesh_validation():
             shard_partitioned_step(eng, mesh)
 
 
+@requires_8
+def test_mesh_partition_axis_validation():
+    """Both step factories reject a part axis that doesn't divide the
+    engine's (padded) partition count — a silent uneven shard would
+    misindex the delay line."""
+    from tpu_audio.engine.fmajor import FMajorPartitionedConvolution
+    from tpu_audio.parallel.mesh import shard_fmajor_step
+
+    eng, spectra, cp, _ = build(num_voices=4, block=32)
+    # partitioned engine: partitions not divisible by part axis
+    if eng.partitions % 2:
+        with pytest.raises(ValueError, match="partitions"):
+            shard_partitioned_step(eng, make_mesh(8, part=2))
+    # fmajor roll mode: padded pp is a multiple of 8, so use part=3
+    # (8-device mesh can't make part=3; build a 2x3 mesh from 6 devices)
+    fm = FMajorPartitionedConvolution(6, 32, 9, max_predelay=64, ring=False)
+    with pytest.raises(ValueError, match="part axis"):
+        shard_fmajor_step(fm, make_mesh(6, part=3))
+    with pytest.raises(ValueError, match="voices"):
+        shard_fmajor_step(fm, make_mesh(8, part=2))
+
+
 def test_single_device_mesh_degenerate():
     """1-device mesh must work and equal the plain step (the laptop case)."""
     eng, spectra, cp, _ = build(num_voices=2, block=32)

@@ -890,3 +890,19 @@ def test_wav_source_broadcast_is_lazy():
     assert blk.shape == (512, 2, 64)
     np.testing.assert_array_equal(blk[0], blk[511])
     np.testing.assert_array_equal(blk[0], x[:, :64])
+
+
+def test_checkpoint_leaf_count_and_shape_mismatches_rejected(tmp_path):
+    """Distinct mismatch classes fail with distinct, loud messages:
+    a different ENGINE (leaf count), and the same engine at a different
+    geometry (per-leaf shape) — never a silent mis-restore."""
+    model = small_model(num_voices=2)
+    save_checkpoint(tmp_path / "c.npz", model.init_state(), model.control)
+    other_engine = small_model(num_voices=2, engine="fmajor")
+    with pytest.raises(ValueError, match="state leaves"):
+        load_checkpoint(tmp_path / "c.npz", other_engine.engine.init_state(),
+                        other_engine.control)
+    other_geom = small_model(num_voices=2, block=32)
+    with pytest.raises(ValueError, match="shape"):
+        load_checkpoint(tmp_path / "c.npz", other_geom.engine.init_state(),
+                        other_geom.control)

@@ -86,3 +86,47 @@ def test_zero_padded_decimal_parses_like_stoi():
     assert s.u32("a") == 10
     assert s.u32("b") == 0x1F  # explicit-prefix extension still works
     assert s.u8("c") == 8
+
+
+def test_settings_dict_protocol_and_save(tmp_path):
+    from tpu_audio.io.settings import Setting, Settings
+
+    s = Settings()
+    s["a.b"] = 3
+    s["c"] = Setting("c", "hello")
+    assert "a.b" in s and len(s) == 2
+    assert set(iter(s)) == {"a.b", "c"}
+    assert set(s.keys()) == {"a.b", "c"}
+    assert dict(s.items())["c"].str() == "hello"
+    assert "hello" in repr(s["c"])
+    p = tmp_path / "out.txt"
+    s.save(p)
+    s2 = Settings().open(p, verbose=False)
+    assert s2.str("c") == "hello"
+    assert s2.u32("a.b") == 3
+
+
+def test_settings_odd_token_count_drops_last_key(tmp_path):
+    """A trailing key with no value parses the rest and warns (the
+    reference's token-stream loop would read past the end)."""
+    from tpu_audio.io.settings import Settings
+
+    p = tmp_path / "odd.txt"
+    p.write_text("x 1\ndangling")
+    s = Settings().open(p, verbose=False)
+    assert s.u32("x") == 1
+    assert "dangling" not in s
+
+
+def test_settings_bad_value_raises_loudly(tmp_path):
+    from tpu_audio.io.settings import Settings
+    import pytest
+
+    p = tmp_path / "bad.txt"
+    p.write_text("n notanumber")
+    s = Settings().open(p, verbose=False)
+    with pytest.raises(ValueError):
+        s.u32("n")
+    with pytest.raises(KeyError):
+        s.u32("missing")
+    assert s.u32("missing", default=7) == 7

@@ -1,6 +1,8 @@
 import io
 import sys
 
+import numpy as np
+
 from tpu_audio.utils.log import Log
 from tpu_audio.utils.profiling import BlockTimer
 
@@ -79,3 +81,78 @@ def test_wire_pcm16_roundtrip_within_one_lsb():
 
 def test_engine_package_exports_flagship():
     from tpu_audio.engine import FMajorPartitionedConvolution  # noqa: F401
+
+
+def test_diskcache_roundtrip_and_torn_entries(tmp_path):
+    """utils/diskcache: atomic multi-tensor entries — manifest-gated
+    loads, None fields recorded absent, torn entries are misses, and
+    pre-manifest (legacy) entries load when every file exists."""
+    import numpy as np
+    from tpu_audio.utils import diskcache
+
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    diskcache.store(tmp_path, "e1", {"head": a, "tail": a * 2, "opt": None})
+    got = diskcache.load(tmp_path, "e1", ["head", "tail", "opt"])
+    assert got is not None
+    np.testing.assert_array_equal(np.asarray(got["head"]), a)
+    np.testing.assert_array_equal(np.asarray(got["tail"]), a * 2)
+    assert got["opt"] is None
+    # missing entry -> miss
+    assert diskcache.load(tmp_path, "nope", ["head"]) is None
+    # torn entry (manifest names a deleted file) -> miss, not a crash
+    (tmp_path / "e1_tail.npy").unlink()
+    assert diskcache.load(tmp_path, "e1", ["head", "tail"]) is None
+    # legacy entry: files but no manifest -> hit when all requested exist
+    np.save(tmp_path / "leg_head.npy", a)
+    got = diskcache.load(tmp_path, "leg", ["head"])
+    np.testing.assert_array_equal(np.asarray(got["head"]), a)
+    assert diskcache.load(tmp_path, "leg", ["head", "tail"]) is None
+
+
+def test_log_env_level_and_format_fallback(monkeypatch, capsys):
+    from tpu_audio.utils.log import Log, _env_level
+
+    monkeypatch.setenv("TPU_AUDIO_LOG", "debug")
+    assert _env_level() == 4
+    monkeypatch.setenv("TPU_AUDIO_LOG", "2")
+    assert _env_level() == 2
+    monkeypatch.setenv("TPU_AUDIO_LOG", "bogus")
+    assert _env_level() == 3  # info default
+    # a bad printf template degrades to repr, never raises mid-stream
+    old_level, old_color = Log.level, Log.force_color
+    Log.level, Log.force_color = 4, False
+    try:
+        Log.debug("t", "only %d fits", 1, 2)
+        out = capsys.readouterr().out
+        assert "only %d fits" in out and "(1, 2)" in out
+        Log.force_color = True          # exercise the ANSI branch
+        Log.debug("t", "colored %s", "msg")
+        assert "\x1b[" in capsys.readouterr().out
+    finally:
+        Log.level, Log.force_color = old_level, old_color
+
+
+def test_transfer_complex_with_explicit_sharding():
+    """device_put_maybe_complex with a sharding arg: complex leaves stage
+    as f32 pairs and come back complex ON THE REQUESTED SHARDING, for
+    host numpy AND already-device-resident inputs."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpu_audio.parallel.mesh import make_mesh
+    from tpu_audio.utils.transfer import (device_put_maybe_complex,
+                                          to_host_maybe_complex)
+
+    mesh = make_mesh(min(2, len(jax.devices())))
+    sh = NamedSharding(mesh, P("voice"))
+    x = (np.arange(8, dtype=np.float32)
+         + 1j * np.ones(8, np.float32)).astype(np.complex64)
+    dev = device_put_maybe_complex(x, sh)
+    assert dev.sharding.is_equivalent_to(sh, dev.ndim)
+    np.testing.assert_array_equal(to_host_maybe_complex(dev), x)
+    # device-resident complex re-placement
+    dev2 = device_put_maybe_complex(dev, sh)
+    np.testing.assert_array_equal(to_host_maybe_complex(dev2), x)
+    # real leaves pass straight through with the sharding honored
+    r = device_put_maybe_complex(np.ones(8, np.float32), sh)
+    assert r.sharding.is_equivalent_to(sh, r.ndim)

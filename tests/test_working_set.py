@@ -692,3 +692,145 @@ def test_deferred_select_retimes_span_protection():
         ws.drain(timeout=10)
     finally:
         ws.close()
+
+
+def test_restore_capacity_mismatch_raises():
+    """A checkpoint whose residency table disagrees with the configured
+    capacity is a configuration error, not something to guess around."""
+    bank = make_bank()
+    eng, cp, ws, full = build_ws(bank)
+    cp.aux["ws_slot_to_full"] = np.arange(CAP + 2, dtype=np.int64)
+    with pytest.raises(ValueError, match="slots"):
+        ws._restore_residency()
+
+
+def test_out_of_range_select_clamps():
+    """Out-of-range full indices (malformed >7-bit CC scalings) clamp to
+    the bank edge like the plain engines' gathers — never page garbage."""
+    bank = make_bank()
+    eng, cp, ws, full = build_ws(bank)
+    slot = ws._remap(0, 0, KFULL + 5)
+    assert ws.slot_to_full[slot] == KFULL - 1
+    slot = ws._remap(0, 0, -3)
+    assert ws.slot_to_full[slot] == 0
+
+
+def test_async_exhaustion_also_defers():
+    """async paging + defer policy compose: when no victim slot can be
+    RESERVED for the background upload, the select parks as a starved
+    intent (not an async deferral) and applies once a slot frees."""
+    bank = make_bank()
+    eng, cp, ws, full = build_ws_async(bank)
+    try:
+        ws.min_age_blocks = 100
+        for (v, c), f in [((0, 0), 0), ((0, 1), 1), ((1, 0), 2),
+                          ((1, 1), 3)]:
+            cp.set_select(v, c, f)
+        ws.drain(timeout=10)
+        cp.set_select(0, 0, 7)          # all 4 slots protected -> parks
+        assert ws.starved == 1 and not ws._pending
+        # free a slot (converge (1,1) onto full 2), age it out, and the
+        # intent must re-issue through the ASYNC fault path
+        cp.set_select(1, 1, 2)
+        ws.drain(timeout=10)
+        import time as _time
+        for _ in range(2000):
+            cp.end_block()
+            if ws.slot_to_full[int(cp.select[0, 0])] == 7:
+                break
+            _time.sleep(0.002)
+        assert ws.slot_to_full[int(cp.select[0, 0])] == 7
+        assert not ws._starved
+    finally:
+        ws.close()
+
+
+def test_async_upload_failure_rolls_back_residency():
+    """A background payload failure must surface on the NEXT poll() and
+    roll back the victim slot's residency claim — the slot still holds
+    the evicted IR, and the deferred select never applies."""
+    bank = make_bank()
+    eng, cp, ws, full = build_ws_async(bank)
+    base_payload = ws.slot_payload
+    boom = {7}
+
+    def payload(k):
+        if k in boom:
+            raise RuntimeError("payload exploded")
+        return base_payload(k)
+
+    ws.slot_payload = payload
+    try:
+        cp.set_select(0, 0, 7)          # deferred fault; upload will fail
+        import time as _time
+        deadline = _time.time() + 10
+        while not ws._pending_order[0]["ready"].is_set():
+            assert _time.time() < deadline
+            _time.sleep(0.01)
+        with pytest.raises(RuntimeError, match="payload exploded"):
+            cp.end_block()              # poll() publishes the failure
+        # rollback: slot still maps to its previous IR, nothing pending
+        assert 7 not in ws.full_to_slot
+        assert not ws._pending and not ws._deferred_target
+        assert int(cp.select[0, 0]) == 0   # selection never moved
+        # the victim slot still holds (and is findable under) the old IR
+        assert sorted(ws.slot_to_full) == [0, 1, 2, 3]
+        assert all(ws.full_to_slot[f] == s
+                   for s, f in enumerate(ws.slot_to_full))
+        # the manager still works after the failure
+        boom.clear()
+        cp.set_select(0, 0, 7)
+        ws.drain(timeout=10)
+        for _ in range(100):
+            cp.end_block()
+            if ws.slot_to_full[int(cp.select[0, 0])] == 7:
+                break
+        assert ws.slot_to_full[int(cp.select[0, 0])] == 7
+    finally:
+        ws.close()
+
+
+def test_drain_timeout_raises():
+    bank = make_bank()
+    eng, cp, ws, full = build_ws_async(bank, payload_delay=5.0)
+    try:
+        cp.set_select(0, 0, 7)
+        with pytest.raises(TimeoutError, match="did not complete"):
+            ws.drain(timeout=0.05)
+    finally:
+        ws.close()
+
+
+def test_cascade_session_output_equals_full_bank():
+    """Working-set residency over the CASCADE engine (model wiring at
+    models/reverb.py:198-215): a select sweep with misses/evictions is
+    bit-identical to the fully-resident cascade engine."""
+    bank = make_bank()
+    rng = np.random.default_rng(9)
+    x = (rng.standard_normal((V, 2, B * 90)) * 0.05).astype(np.float32)
+    events = [(10, "", bytes([0xB0, 0x15, 75])),    # full 5
+              (40, "", bytes([0xB0, 0x15, 120])),   # full 8
+              (70, "", bytes([0xB0, 0x15, 30]))]    # full 2
+
+    def run(capacity):
+        model = ConvolutionReverb(
+            bank, num_voices=V, block=B, max_predelay=64, engine="cascade",
+            **({"bank_capacity": capacity} if capacity else {}))
+        if model.working_set is not None:
+            model.working_set.min_age_blocks = 20
+        model.control.wet[:] = 0.8
+        model.control.dry[:] = 0.1
+        model.control.speed[:] = 6
+        model.control.set_mapping(0, 0, CCMapping(message=0xB0,
+                                                  select=0x15))
+        sink = WavSink("/dev/null", keep_data=True)
+        sess = model.session(WavSource(x, V, B), sink, warmup=0,
+                             donate=False)
+        sess.run(model.init_state(), midi=MidiSchedule(list(events)))
+        return sink.data, model
+
+    got, m_ws = run(CAP)
+    assert m_ws.working_set.misses >= 1
+    want, _ = run(None)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert np.abs(want).max() > 1e-3
