@@ -324,3 +324,91 @@ def test_native_launcher_execs_c_bridge(tmp_path):
     finally:
         in_ring.close(unlink=True)
         out_ring.close(unlink=True)
+
+
+# ---------------------------------------------------------------------------
+# ctypes JACK bridge (runtime/jack_bridge.py) driven IN-PROCESS against the
+# same stub jackd: TPU_AUDIO_LIBJACK overrides discovery exactly like the
+# C bridge, so the Python bridge is testable (and deployable against
+# non-standard libjack paths) without a real JACK install.
+
+
+def _fresh_jack(monkeypatch, stub, **env):
+    from tpu_audio.runtime import jack_bridge as jb
+
+    monkeypatch.setenv("TPU_AUDIO_LIBJACK", stub)
+    for k, v in env.items():
+        monkeypatch.setenv(k, str(v))
+    monkeypatch.setattr(jb, "_LIB", None)
+    monkeypatch.setattr(jb, "_LIB_TRIED", False)
+    assert jb.jack_available()
+    return jb
+
+
+def test_ctypes_jack_bridge_end_to_end(tmp_path, monkeypatch):
+    """JackRingBridge against the stub jackd, in-process: the capture
+    pattern lands planar in the input ring, pre-queued output audio
+    reaches the playback ports (then silence + underrun counts), and
+    jack_connect wires the server-ASSIGNED client name."""
+    import time
+
+    stub = _build_jack_stub(tmp_path)
+    block, periods = 64, 5
+    dump = tmp_path / "dump.f32"
+    clog = tmp_path / "connect.log"
+    jb = _fresh_jack(monkeypatch, stub,
+                     JACK_STUB_BLOCK=block, JACK_STUB_PERIODS=periods,
+                     JACK_STUB_PERIOD_US=2000,
+                     JACK_STUB_DUMP=dump, JACK_STUB_CONNECT_LOG=clog,
+                     JACK_STUB_ASSIGNED_NAME="tpu_audio-01")
+    in_ring = native.NativeRing(2 * block * (periods + 2))
+    out_ring = native.NativeRing(2 * block * (periods + 2))
+    # pre-queue 2 periods of output; the remaining 3 underrun to silence
+    queued = [np.concatenate([np.full(block, 0.5 + p, np.float32),
+                              np.full(block, -1.0 - p, np.float32)])
+              for p in range(2)]
+    for q in queued:
+        assert out_ring.write(q)
+
+    bridge = jb.JackRingBridge(in_ring, out_ring, expect_block=block,
+                               connect_inputs=["ext:cap_1", "ext:cap_2"],
+                               connect_outputs=["ext:play_1", "ext:play_2"])
+    assert bridge.name == "tpu_audio-01"    # server-assigned, not requested
+    bridge.start()
+    deadline = time.time() + 10
+    while in_ring.readable < 2 * block * periods and time.time() < deadline:
+        time.sleep(0.01)
+    bridge.stop()
+
+    # capture pattern, planar per period: in_0 = 0.25+p, in_1 = -0.5-p
+    for p in range(periods):
+        got = in_ring.read(2 * block).reshape(2, block)
+        np.testing.assert_array_equal(got[0], np.float32(0.25 + p))
+        np.testing.assert_array_equal(got[1], np.float32(-0.5 - p))
+    assert bridge.underruns == periods - 2 and bridge.overruns == 0
+
+    # playback dump: the queued audio first, then silence
+    played = np.fromfile(dump, np.float32).reshape(periods, 2, block)
+    np.testing.assert_array_equal(played[0].ravel(), queued[0])
+    np.testing.assert_array_equal(played[1].ravel(), queued[1])
+    np.testing.assert_array_equal(played[2:], 0.0)
+
+    # reference wiring through the ASSIGNED name (src/main.cu:86-89)
+    lines = clog.read_text().strip().splitlines()
+    assert "ext:cap_1 -> tpu_audio-01:in_0" in lines
+    assert "tpu_audio-01:out_1 -> ext:play_2" in lines
+    in_ring.close()
+    out_ring.close()
+
+
+def test_ctypes_jack_bridge_block_mismatch_refuses(tmp_path, monkeypatch):
+    """A jackd period != the session block garbles unframed rings; the
+    bridge must refuse loudly at construction."""
+    stub = _build_jack_stub(tmp_path)
+    jb = _fresh_jack(monkeypatch, stub, JACK_STUB_BLOCK=128)
+    in_ring = native.NativeRing(1024)
+    out_ring = native.NativeRing(1024)
+    with pytest.raises(RuntimeError, match="128 frames/period"):
+        jb.JackRingBridge(in_ring, out_ring, expect_block=64)
+    in_ring.close()
+    out_ring.close()

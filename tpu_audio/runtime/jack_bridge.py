@@ -47,7 +47,13 @@ _JackNoStartServer = 0x01
 
 
 def _load_libjack():
-    name = ctypes.util.find_library("jack")
+    # TPU_AUDIO_LIBJACK overrides discovery — same contract as the C
+    # bridge (csrc/jackbridge.cpp load_jack): non-standard install paths
+    # in deployment, and the deterministic stub jackd in tests
+    import os
+
+    name = os.environ.get("TPU_AUDIO_LIBJACK") or \
+        ctypes.util.find_library("jack")
     if not name:
         return None
     try:
