@@ -357,3 +357,41 @@ def test_jack_bridge_connects_settings_ports():
         ("mic:right", "tpu_audio:in_1"),
         ("tpu_audio:out_1", "speakers:right"),
     ]
+
+
+def test_midi_byte_stream_from_fd_and_read_error():
+    """MidiByteStream accepts a raw fd (ALSA rawmidi opened elsewhere);
+    a transport read error logs a warning and returns what was framed,
+    never raising into the audio loop."""
+    import os
+
+    from tpu_audio.runtime.midi_transport import MidiByteStream
+
+    r, w = os.pipe()
+    stream = MidiByteStream(r, device="fd")
+    os.write(w, bytes([0xB0, 0x15, 0x40]))
+    events = stream.poll()
+    assert events == [("fd", bytes([0xB0, 0x15, 0x40]))]
+    os.close(w)
+    os.close(r)                      # poisoned fd: read raises OSError
+    assert stream.poll() == []       # warned, not raised
+
+
+def test_resolve_index_joins_root(tmp_path):
+    """conv[n].index paths resolve against --root when not found as-is
+    (reference indices are repo-root-relative, src/main.cu:72)."""
+    from tpu_audio.io.settings import Settings
+    from tpu_audio.models.reverb import _resolve_index
+
+    (tmp_path / "ir").mkdir()
+    (tmp_path / "ir" / "all.index").write_text("1\nx.wav\n")
+    s = Settings()
+    s["conv[0].index"] = "ir/all.index"
+    got = _resolve_index(s, 0, str(tmp_path))
+    assert got == str(tmp_path / "ir" / "all.index")
+    # found as-is: returned untouched; missing everywhere: passthrough
+    s["conv[1].index"] = str(tmp_path / "ir" / "all.index")
+    assert _resolve_index(s, 1, str(tmp_path)) == str(
+        tmp_path / "ir" / "all.index")
+    s["conv[2].index"] = "nowhere/else.index"
+    assert _resolve_index(s, 2, str(tmp_path)) == "nowhere/else.index"
