@@ -320,3 +320,61 @@ def test_reverb_groups_split_on_max_predelay(tmp_path):
     groups = ReverbGroups.from_settings(str(sfile), block=64, verbose=False)
     assert len(groups.models) == 2
     assert sorted(m.engine.max_predelay for m in groups.models) == [128, 512]
+
+
+def _write_hetero_settings(tmp_path, rng):
+    banks = []
+    for g in range(2):
+        paths = []
+        for k in range(2):
+            ir = rng.uniform(-0.3, 0.3, (120 + 60 * g, 2)).astype(np.float32)
+            p = tmp_path / f"hg{g}_ir{k}.wav"
+            write_wav(p, ir, 44100)
+            paths.append(str(p))
+        idx = tmp_path / f"hg{g}.index"
+        write_index(idx, paths)
+        banks.append(str(idx))
+    lines = ["conv.count 4"]
+    for n, (fft, idx) in enumerate([(1024, banks[0]), (1024, banks[0]),
+                                    (2048, banks[1]), (2048, banks[1])]):
+        lines += [f"conv[{n}].fftSize {fft}",
+                  f"conv[{n}].maxPredelay 128",
+                  f"conv[{n}].index {idx}",
+                  f"conv[{n}].value.select {n % 2}",
+                  f"conv[{n}].value.dry 0.3",
+                  f"conv[{n}].value.wet 0.7"]
+    sfile = tmp_path / "hetero_cli.txt"
+    sfile.write_text("\n".join(lines) + "\n")
+    return sfile
+
+
+def test_from_settings_refuses_heterogeneous_pairs(tmp_path):
+    """A multi-geometry settings file must NOT silently collapse to pair
+    0's fftSize/bank in a single batched model (the reference builds one
+    instance per pair, src/main.cu:31-39) — loud redirect to ReverbGroups."""
+    rng = np.random.default_rng(13)
+    sfile = _write_hetero_settings(tmp_path, rng)
+    with pytest.raises(ValueError, match="ReverbGroups"):
+        ConvolutionReverb.from_settings(str(sfile), block=64, verbose=False)
+
+
+def test_cli_routes_heterogeneous_settings_to_groups(tmp_path):
+    """The app auto-detects heterogeneous conv pairs and serves them via
+    the groups path: summed stereo output written, per-group stats
+    printed; live-ring modes refuse with a clear message."""
+    from tpu_audio.app.main import main
+
+    rng = np.random.default_rng(13)
+    sfile = _write_hetero_settings(tmp_path, rng)
+    out = tmp_path / "hetero_out.wav"
+    rc = main(["--settings", str(sfile), "--signal", "noise",
+               "--blocks", "20", "--block-size", "64",
+               "--output", str(out), "--quiet"])
+    assert rc == 0
+    w = read_wav(out, verbose=False)
+    assert w.num_channels == 2 and w.num_frames == 20 * 64
+    assert np.abs(w.frames).max() > 1e-4
+    # live rings are one-process-per-geometry: loud refusal, not garbage
+    rc = main(["--settings", str(sfile), "--input-ring", "hetero_in",
+               "--quiet"])
+    assert rc == 2

@@ -168,6 +168,16 @@ def main(argv=None) -> int:
         Log.error("app", "settings file not found: %s", args.settings)
         return 2
 
+    # heterogeneous settings (pairs with different fftSize/maxPredelay/
+    # banks, reference src/main.cu:31-39 builds independent instances):
+    # route to the engine-groups path — one batched engine per distinct
+    # geometry, outputs summed like the reference's JACK playback wiring
+    from tpu_audio.io.settings import Settings
+    from tpu_audio.models.reverb import pair_geometry_keys
+    parsed = Settings().open(args.settings, verbose=False)
+    if len(set(pair_geometry_keys(parsed, args.root))) > 1:
+        return _run_groups(args)
+
     model = ConvolutionReverb.from_settings(
         args.settings, engine=args.engine, root=args.root,
         num_voices=args.voices, max_ir_seconds=args.max_ir_seconds,
@@ -195,6 +205,63 @@ def main(argv=None) -> int:
         # crashed server must not strand /dev/shm segments
         for ring in rings:
             ring.close(unlink=True)
+
+
+def _run_groups(args) -> int:
+    """Heterogeneous-settings path: count/2 conv pairs grouped by engine
+    geometry (reference src/main.cu:31-39), every pair fed the same
+    stereo input, outputs summed (the JACK playback mix, main.cu:86-89).
+    Offline processing only — live rings/FIFOs serve one engine group per
+    process (run one `python -m tpu_audio.app` per group, same topology
+    as the reference's independent Convolution instances)."""
+    import numpy as np
+
+    from tpu_audio.models.reverb import ReverbGroups
+
+    if args.input_ring or args.output_ring or args.midi_fifo:
+        Log.error("app", "heterogeneous conv pairs run the offline groups "
+                  "path; for live rings start one app process per "
+                  "geometry (split the settings file)")
+        return 2
+    groups = ReverbGroups.from_settings(
+        args.settings, engine=args.engine, root=args.root,
+        max_ir_seconds=args.max_ir_seconds, verbose=not args.quiet,
+        variant=args.variant, block=args.block_size,
+        sample_rate=args.sample_rate, cache_dir=args.cache_dir,
+        mac_dtype=args.mac_dtype)
+
+    b = args.block_size
+    if args.input:
+        from tpu_audio.io.wav import read_wav
+        wav = read_wav(args.input, verbose=not args.quiet)
+        x = wav.stereo().T.astype(np.float32)        # [2, T]
+        sample_rate = wav.sample_rate
+    else:
+        n = args.blocks or 400
+        rng = np.random.default_rng(0)
+        x = {"impulse": np.zeros((2, n * b), np.float32),
+             "noise": (rng.standard_normal((2, n * b)) * 0.1
+                       ).astype(np.float32),
+             "silence": np.zeros((2, n * b), np.float32)}[args.signal]
+        if args.signal == "impulse":
+            x[:, 0] = 1.0
+        sample_rate = args.sample_rate
+
+    midi = None
+    if args.midi:
+        with open(args.midi) as fh:
+            midi = MidiSchedule.parse(fh.read())
+
+    total, summaries = groups.process(x, midi=midi, max_blocks=args.blocks)
+    for pairs, s in zip(groups.pair_ids, summaries):
+        print(f"group pairs {pairs}: {s['blocks_streamed']} blocks | "
+              f"avg {s.get('avg_ms', 0):.3f} ms | "
+              f"p99 {s.get('p99_ms', 0):.3f} | rtf {s.get('rtf', 0):.2f}")
+    if args.output:
+        from tpu_audio.io.wav import write_wav
+        write_wav(args.output, total.T, sample_rate)
+        Log.info("app", "wrote %s", args.output)
+    return 0
 
 
 def _stream(args, model, rings, v, b) -> int:

@@ -41,6 +41,32 @@ def _fit_cascade_ratio(requested: int, num_voices: int, partitions: int) -> int:
         f"awkward voice counts don't benefit from the cascade)")
 
 
+def pair_geometry_keys(settings: Settings, root: str | None) -> list[tuple]:
+    """One engine-geometry key per conv pair: (fftSize, maxPredelay,
+    index0, index1). The reference builds count/2 independent instances,
+    each with its own geometry (src/main.cu:31-39, paired fftSizes
+    asserted equal at main.cu:36); homogeneous files (every key equal)
+    serve through one batched ConvolutionReverb, heterogeneous ones need
+    ReverbGroups (one batched engine per distinct key)."""
+    count = settings.u32("conv.count", default=2)
+    if count % 2:
+        raise ValueError("conv.count must be a multiple of 2 (main.cu:26)")
+    keys = []
+    for n in range(count // 2):
+        fft = settings.u32("conv[%d].fftSize", 2 * n, default=131072)
+        fft2 = settings.u32("conv[%d].fftSize", 2 * n + 1, default=fft)
+        if fft != fft2:
+            raise ValueError(f"convolution pair {n} needs identical fft "
+                             f"sizes (main.cu:36): {fft} != {fft2}")
+        # every engine-constructor input must be part of the key — pairs
+        # differing in maxPredelay must not merge (the CC scaling
+        # value*maxpd//128 would silently use the other pair's range)
+        max_pd = settings.u32("conv[%d].maxPredelay", 2 * n, default=8192)
+        keys.append((fft, max_pd, _resolve_index(settings, 2 * n, root),
+                     _resolve_index(settings, 2 * n + 1, root)))
+    return keys
+
+
 def _resolve_index(settings: Settings, idx_ch: int,
                    root: str | None) -> str:
     """conv[idx_ch].index resolved against `root` when not found as-is
@@ -278,12 +304,19 @@ class ConvolutionReverb:
         if count % 2:
             raise ValueError("conv.count must be a multiple of 2 (main.cu:26)")
         v = num_voices if num_voices is not None else count // 2
-        fft_size = settings.u32("conv[%d].fftSize", 0, default=131072)
-        fs2 = settings.u32("conv[%d].fftSize", 1, default=fft_size)
-        if fft_size != fs2:
-            raise ValueError("convolution pair needs identical fft sizes "
-                             "(main.cu:36)")
-        max_pd = settings.u32("conv[%d].maxPredelay", 0, default=8192)
+        # a single batched engine shares one geometry across its voices: a
+        # heterogeneous file (pairs with different fftSize/maxPredelay/
+        # banks) must not silently collapse to pair 0's — that is
+        # ReverbGroups' job (one batched engine per distinct geometry)
+        keys = pair_geometry_keys(settings, root)
+        if len(set(keys)) > 1:
+            raise ValueError(
+                f"settings file has {len(set(keys))} distinct conv-pair "
+                f"geometries (fftSize/maxPredelay/index); a single "
+                f"ConvolutionReverb would silently serve them all with "
+                f"pair 0's — build ReverbGroups.from_settings instead "
+                f"(the CLI routes there automatically)")
+        fft_size, max_pd, _, _ = keys[0]
         bank, windows = _merged_bank(
             _resolve_index(settings, 0, root),
             _resolve_index(settings, 1, root), root, max_ir_seconds, verbose)
@@ -386,24 +419,8 @@ class ReverbGroups:
         if not isinstance(settings, Settings):
             settings = Settings().open(settings, verbose=verbose)
         count = settings.u32("conv.count", default=2)
-        if count % 2:
-            raise ValueError("conv.count must be a multiple of 2 (main.cu:26)")
-        resolve = lambda idx_ch: _resolve_index(settings, idx_ch, root)
-
         groups: dict[tuple, list[int]] = {}
-        for n in range(count // 2):
-            fft = settings.u32("conv[%d].fftSize", 2 * n, default=131072)
-            fft2 = settings.u32("conv[%d].fftSize", 2 * n + 1, default=fft)
-            if fft != fft2:
-                raise ValueError(f"convolution pair {n} needs identical fft "
-                                 f"sizes (main.cu:36): {fft} != {fft2}")
-            # a group shares ONE engine, so every engine-constructor input
-            # must be part of the key — pairs differing in maxPredelay must
-            # not merge (the CC scaling value*maxpd//128 would silently use
-            # the other pair's range)
-            max_pd = settings.u32("conv[%d].maxPredelay", 2 * n,
-                                  default=8192)
-            key = (fft, max_pd, resolve(2 * n), resolve(2 * n + 1))
+        for n, key in enumerate(pair_geometry_keys(settings, root)):
             groups.setdefault(key, []).append(n)
 
         models, pair_ids = [], []
