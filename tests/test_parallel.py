@@ -542,7 +542,8 @@ def test_cascade_shard_validation():
 
 @requires_8
 @pytest.mark.parametrize("engine_kind", ["fmajor", "fmajor-async",
-                                         "cascade", "cascade-selected"])
+                                         "cascade", "cascade-selected",
+                                         "partitioned"])
 def test_mesh_session_matches_single_device(engine_kind, tmp_path):
     """StreamSession(mesh=...) must serve bit-compatible audio with the
     single-device session THROUGH the full runtime: MIDI re-selects

@@ -834,3 +834,59 @@ def test_cascade_session_output_equals_full_bank():
     want, _ = run(None)
     np.testing.assert_allclose(got, want, atol=1e-6)
     assert np.abs(want).max() > 1e-3
+
+
+@pytest.mark.parametrize("fuzz_seed", [5, 42])
+def test_fuzz_all_cc_types_equal_full_bank(fuzz_seed):
+    """Randomized streams over EVERY mapped controller — select,
+    predelay, dry, wet, speed, panDry, panWet, level — through misses
+    and evictions: the working set stays bit-identical to the full bank
+    (remap touches only selects; the other CCs must be transparent to
+    residency, including predelay edits racing fades and slot uploads)."""
+    bank = make_bank(seed=7)
+    rng = np.random.default_rng(fuzz_seed)
+    n_blocks = 140
+    x = (rng.standard_normal((V, 2, B * n_blocks)) * 0.05).astype(np.float32)
+    # controller layout per (v, ch): base + 0..7 for the 8 functions
+    base = {(v, ch): 0x10 + 16 * (2 * v + ch)
+            for v in range(V) for ch in range(2)}
+    events = []
+    for _ in range(28):
+        blk = int(rng.integers(1, n_blocks - 10))
+        v, ch = int(rng.integers(V)), int(rng.integers(2))
+        fn = int(rng.integers(8))
+        events.append((blk, "", bytes([0xB0, base[(v, ch)] + fn,
+                                       int(rng.integers(128))])))
+    events.sort()
+
+    def run(capacity):
+        model = ConvolutionReverb(
+            bank, num_voices=V, block=B, max_predelay=64, engine="fmajor",
+            **({"bank_capacity": capacity,
+                # starvation would legitimately diverge from the full
+                # bank (deferred application); this fuzz sizes capacity
+                # to avoid it and 'raise' makes a violation loud
+                "ws_exhausted": "raise"} if capacity else {}))
+        if model.working_set is not None:
+            model.working_set.min_age_blocks = 45
+        model.control.wet[:] = 0.8
+        model.control.dry[:] = 0.1
+        model.control.speed[:] = 5
+        for v in range(V):
+            for ch in range(2):
+                c = base[(v, ch)]
+                model.control.set_mapping(v, ch, CCMapping(
+                    message=0xB0, select=c, predelay=c + 1, dry=c + 2,
+                    wet=c + 3, speed=c + 4, pan_dry=c + 5, pan_wet=c + 6,
+                    level=c + 7))
+        sink = WavSink("/dev/null", keep_data=True)
+        sess = model.session(WavSource(x, V, B), sink, warmup=0,
+                             donate=False)
+        sess.run(model.init_state(), midi=MidiSchedule(list(events)))
+        return sink.data, model
+
+    got, m_ws = run(8)
+    want, _ = run(None)
+    assert m_ws.working_set.misses >= 1, "fuzz never faulted"
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert np.abs(want).max() > 1e-3
