@@ -378,3 +378,21 @@ def test_cli_routes_heterogeneous_settings_to_groups(tmp_path):
     rc = main(["--settings", str(sfile), "--input-ring", "hetero_in",
                "--quiet"])
     assert rc == 2
+
+
+def test_quickstart_example_runs():
+    """examples/quickstart.py is the user-facing API tour — it must keep
+    running end-to-end (subprocess: it manages its own platform forcing
+    and the scenes exercise process/MIDI/settings/checkpoint/mesh)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", TPU_AUDIO_LOG="warn",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               PYTHONPATH=repo + ":" + os.environ.get("PYTHONPATH", ""))
+    p = subprocess.run([sys.executable,
+                        os.path.join(repo, "examples", "quickstart.py")],
+                       env=env, capture_output=True, text=True, timeout=570)
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "quickstart complete" in p.stdout
