@@ -396,3 +396,40 @@ def test_quickstart_example_runs():
                        env=env, capture_output=True, text=True, timeout=570)
     assert p.returncode == 0, p.stderr[-2000:]
     assert "quickstart complete" in p.stdout
+
+
+def test_from_settings_resamples_bank_to_session_rate(tmp_path):
+    """The reference's alternate operating point runs jackd at 48 kHz
+    (run_x64_86.sh:4) while its IRs are 44.1 kHz recordings — served
+    verbatim they play ~8.8% short/bright (the reference has no rate
+    handling, src/wav.cu). from_settings resamples the bank to the
+    session rate on load."""
+    rng = np.random.default_rng(4)
+    ir = rng.uniform(-0.3, 0.3, (4410, 2)).astype(np.float32)  # 0.1 s @44k1
+    write_wav(tmp_path / "ir.wav", ir, 44100)
+    write_index(tmp_path / "a.index", [str(tmp_path / "ir.wav")])
+    sfile = tmp_path / "s.txt"
+    sfile.write_text(f"conv.count 2\nconv[0].fftSize 2048\n"
+                     f"conv[0].index {tmp_path / 'a.index'}\n")
+    m48 = ConvolutionReverb.from_settings(str(sfile), block=64,
+                                          sample_rate=48000, verbose=False)
+    assert m48.bank.sample_rate == 48000
+    assert abs(m48.bank.ir(0).shape[-1] - 4800) <= 2   # 0.1 s @ 48 kHz
+    m44 = ConvolutionReverb.from_settings(str(sfile), block=64,
+                                          verbose=False)
+    assert m44.bank.ir(0).shape[-1] == 4410            # untouched at 44.1
+
+    # direct construction with a mismatched bank warns loudly
+    from tpu_audio.engine import IRBank
+    from tpu_audio.utils.log import Log
+    bank = IRBank(sample_rate=44100)
+    bank.append(ir.T)
+    warned = []
+    orig = Log.warn
+    Log.warn = classmethod(
+        lambda cls, ident, fmt, *a: warned.append((ident, fmt % a)))
+    try:
+        ConvolutionReverb(bank, num_voices=1, block=64, sample_rate=48000)
+    finally:
+        Log.warn = orig
+    assert any("sample rate" in msg for _, msg in warned)

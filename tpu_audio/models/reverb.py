@@ -80,20 +80,27 @@ def _resolve_index(settings: Settings, idx_ch: int,
 
 
 def _merged_bank(index0: str, index1: str, root, max_ir_seconds,
-                 verbose) -> tuple:
+                 verbose, sample_rate: int = 44100) -> tuple:
     """Build a conv pair's bank + per-channel select windows (reference
     src/main.cu:72-81 loads both indexes into ONE shared map, letting
     channel 1 silently overwrite channel 0 — here differing indexes
     concatenate along the bank axis and each channel addresses its own
     window). Shared by ConvolutionReverb.from_settings and
-    ReverbGroups.from_settings."""
+    ReverbGroups.from_settings.
+
+    sample_rate: the SESSION rate — IRs recorded at another rate are
+    resampled on load (a 44.1 kHz IR served verbatim at 48 kHz plays
+    ~8.8% short/bright; the reference has no rate handling at all,
+    src/wav.cu)."""
     bank = (IRBank.from_index(index0, root=root, verbose=verbose,
-                              max_seconds=max_ir_seconds)
-            if index0 else IRBank())
+                              max_seconds=max_ir_seconds,
+                              sample_rate=sample_rate)
+            if index0 else IRBank(sample_rate=sample_rate))
     windows = [(0, len(bank))]
     if index1 and index1 != index0:
         bank1 = IRBank.from_index(index1, root=root, verbose=verbose,
-                                  max_seconds=max_ir_seconds)
+                                  max_seconds=max_ir_seconds,
+                                  sample_rate=sample_rate)
         offset = bank.extend(bank1)
         windows = [(0, offset), (offset, len(bank1))]
     return bank, windows
@@ -116,6 +123,16 @@ class ConvolutionReverb:
         self.bank = bank
         self.block = block
         self.sample_rate = sample_rate
+        if getattr(bank, "sample_rate", sample_rate) != sample_rate:
+            # from_settings/from_index resample on load; a directly-built
+            # bank at another rate would convolve sample-for-sample and
+            # play every IR detuned — loud, because it is always a mistake
+            Log.warn("reverb", "bank sample rate %d != session rate %d: "
+                     "IRs will play %.1f%% off — load the bank with "
+                     "sample_rate=%d to resample",
+                     bank.sample_rate, sample_rate,
+                     abs(1 - bank.sample_rate / sample_rate) * 100,
+                     sample_rate)
         self.control = ControlPlane(num_voices, len(bank), max_predelay)
         self.working_set = None
         if fault_upload is None:
@@ -319,7 +336,8 @@ class ConvolutionReverb:
         fft_size, max_pd, _, _ = keys[0]
         bank, windows = _merged_bank(
             _resolve_index(settings, 0, root),
-            _resolve_index(settings, 1, root), root, max_ir_seconds, verbose)
+            _resolve_index(settings, 1, root), root, max_ir_seconds, verbose,
+            sample_rate=kwargs.get("sample_rate", 44100))
         if normalize_bank:
             bank.normalize(mode=normalize_bank)
         model = cls(bank, num_voices=v, engine=engine, fft_size=fft_size,
@@ -425,8 +443,9 @@ class ReverbGroups:
 
         models, pair_ids = [], []
         for (fft, max_pd, index0, index1), pairs in groups.items():
-            bank, windows = _merged_bank(index0, index1, root,
-                                         max_ir_seconds, verbose)
+            bank, windows = _merged_bank(
+                index0, index1, root, max_ir_seconds, verbose,
+                sample_rate=kwargs.get("sample_rate", 44100))
             model = ConvolutionReverb(bank, num_voices=len(pairs),
                                       engine=engine, fft_size=fft,
                                       max_predelay=max_pd, **kwargs)
