@@ -238,3 +238,18 @@ def test_writer_riff_payload_clamp(tmp_path):
     got = read_wav(p, scale="full", verbose=False)
     assert got.num_frames == 8
     np.testing.assert_array_equal(got.frames, 0)
+
+
+def test_wav_sample_rate_header_probe(tmp_path):
+    """wav_sample_rate reads only the fmt header (the CLI probes inputs
+    that can be hours long)."""
+    from tpu_audio.io.wav import wav_sample_rate
+
+    frames = np.zeros((100, 2), np.float32)
+    p = tmp_path / "r.wav"
+    write_wav(p, frames, 48000)
+    assert wav_sample_rate(p) == 48000
+    bad = tmp_path / "bad"
+    bad.write_bytes(b"nope")
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_sample_rate(bad)

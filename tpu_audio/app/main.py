@@ -90,7 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run until Enter/EOF on stdin (the reference parks "
                         "its main thread the same way, src/main.cu:95)")
     p.add_argument("--block-size", type=int, default=256)
-    p.add_argument("--sample-rate", type=int, default=44100)
+    p.add_argument("--sample-rate", type=int, default=None,
+                   help="session rate (default: the input WAV's rate, "
+                        "else 44100); IR banks resample to it on load")
     p.add_argument("--midi", default=None,
                    help="scripted MIDI schedule file (block hexbytes per line)")
     p.add_argument("--midi-fifo", action="append", default=None,
@@ -167,6 +169,18 @@ def main(argv=None) -> int:
     if not os.path.exists(args.settings):
         Log.error("app", "settings file not found: %s", args.settings)
         return 2
+
+    # the session rate drives IR-bank resampling AND the real-time
+    # deadline: an input WAV's rate is authoritative unless overridden
+    # (the reference takes its rate from jackd; files are our jackd)
+    if args.sample_rate is None:
+        if args.input:
+            from tpu_audio.io.wav import wav_sample_rate
+            args.sample_rate = wav_sample_rate(args.input)
+            Log.info("app", "session rate %d Hz (from %s)",
+                     args.sample_rate, args.input)
+        else:
+            args.sample_rate = 44100
 
     # heterogeneous settings (pairs with different fftSize/maxPredelay/
     # banks, reference src/main.cu:31-39 builds independent instances):
@@ -278,6 +292,14 @@ def _stream(args, model, rings, v, b) -> int:
     elif args.input:
         source = WavSource(args.input, v, b, max_blocks=args.blocks)
         sample_rate = source.sample_rate or args.sample_rate
+        if source.sample_rate and source.sample_rate != args.sample_rate:
+            # explicit --sample-rate overriding a mismatched input: the
+            # program audio streams sample-for-sample (detuned); only the
+            # IR bank was resampled. Usually a mistake — say so.
+            Log.warn("app", "input is %d Hz but the session runs %d Hz: "
+                     "program audio will play detuned (drop --sample-rate "
+                     "to adopt the input's rate)",
+                     source.sample_rate, args.sample_rate)
     else:
         n = args.blocks or 400
         source = {"impulse": ImpulseSource(v, b, n),

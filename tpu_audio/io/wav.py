@@ -140,6 +140,26 @@ def read_wav(path: str | os.PathLike, scale: str = "reference",
     return WavFile(path=path, sample_rate=sample_rate, frames=frames)
 
 
+def wav_sample_rate(path: str | os.PathLike) -> int:
+    """Read just the fmt chunk's sample rate (no payload load) — the CLI
+    probes the input's rate before building the model, and inputs can be
+    hours long."""
+    path = os.fspath(path)
+    with open(path, "rb") as fh:
+        head = fh.read(12)
+        if len(head) < 12 or head[0:4] != b"RIFF" or head[8:12] != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        while True:
+            hdr = fh.read(8)
+            if len(hdr) < 8:
+                raise ValueError(f"{path}: missing fmt chunk")
+            cid, csize = hdr[0:4], struct.unpack("<I", hdr[4:8])[0]
+            if cid == b"fmt ":
+                body = fh.read(min(csize, 16))
+                return struct.unpack_from("<HHI", body, 0)[2]
+            fh.seek(csize + (csize & 1), os.SEEK_CUR)
+
+
 def encode_frames(x: np.ndarray, bits: int) -> bytes:
     """Encode float frames [n, ch] to the PCM16/PCM24/float32 payload."""
     if bits == 16:
