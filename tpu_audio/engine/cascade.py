@@ -250,6 +250,28 @@ class CascadeConvolution:
                      "ring indices", self.t_modulus)
             self.t_modulus = 0
 
+    # -- offline / cloning interface ------------------------------------------------
+
+    def with_voices(self, num_voices: int) -> "CascadeConvolution":
+        """Same geometry/strategy at another voice count (must stay
+        divisible by the stagger ratio). Device banks are voice-independent
+        — the seam runtime/offline.py's time-parallel renderer builds on."""
+        return CascadeConvolution(
+            num_voices, self.block, self.partitions, ratio=self.ratio,
+            max_predelay=self.max_predelay, backend=self.xf1.backend,
+            num_irs=self.num_irs,
+            mac_dtype="f32" if self.mac_dtype == jnp.float32 else "bf16",
+            predelay_side=self.predelay_side, mac_strategy=self.mac_strategy)
+
+    @property
+    def history_blocks(self) -> int:
+        """Trailing input blocks that fully determine the next output block
+        at converged params: the tail delay line's span in blocks plus the
+        stagger window, head coverage, and the deepest ring deferral (see
+        fmajor.history_blocks for the offline-renderer contract)."""
+        return ((self.tail_parts + 2) * self.ratio + self.head_parts
+                + self.ring_slots + 2)
+
     # -- bank ---------------------------------------------------------------------
 
     def _pack_bank_host(self, head_spec: np.ndarray, tail_spec: np.ndarray):

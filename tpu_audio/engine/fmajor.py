@@ -277,6 +277,32 @@ class FMajorPartitionedConvolution:
         self.t_modulus = (math.lcm(self.pp, self.ring_slots)
                           if ring else self.ring_slots)
 
+    # -- offline / cloning interface ------------------------------------------------
+
+    def with_voices(self, num_voices: int) -> "FMajorPartitionedConvolution":
+        """Same geometry and strategy at a different voice count. Device
+        banks are voice-independent ([K, ...] tensors), so a bank prepared
+        by this engine serves the clone directly — the seam the offline
+        time-parallel renderer (runtime/offline.py) builds on."""
+        return FMajorPartitionedConvolution(
+            num_voices, self.block, self.partitions,
+            max_predelay=self.max_predelay, backend=self.xf.backend,
+            ring=self.ring_mode, mac_strategy=self.mac_strategy,
+            num_irs=self.num_irs,
+            mac_dtype="f32" if self.mac_dtype == jnp.float32 else "bf16",
+            swap_snapshot=self.swap_snapshot, pv_mac=self.pv_mac,
+            fault_upload=self.fault_upload)
+
+    @property
+    def history_blocks(self) -> int:
+        """Number of trailing input blocks that fully determine the next
+        output block at converged (static) params: the fdl depth plus the
+        deepest wet-ring deferral, with margin. Priming a fresh converged
+        state with this many input blocks reproduces the streamed output
+        exactly — the contract runtime/offline.py's segment warm-up relies
+        on."""
+        return self.pp + self.ring_slots + 2
+
     # -- bank ---------------------------------------------------------------------
 
     def _pack_bank_host(self, spectra: np.ndarray):

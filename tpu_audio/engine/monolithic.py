@@ -60,6 +60,23 @@ class MonolithicConvolution:
         self.num_bins = self.xf.num_bins
         self.ext = fft_size + max_predelay
 
+    # -- offline / cloning interface ----------------------------------------------
+
+    def with_voices(self, num_voices: int) -> "MonolithicConvolution":
+        """Same geometry at another voice count; banks are
+        voice-independent (the runtime/offline.py renderer seam)."""
+        return MonolithicConvolution(
+            num_voices, self.fft_size, self.block,
+            max_predelay=self.max_predelay, backend=self.xf.backend)
+
+    @property
+    def history_blocks(self) -> int:
+        """Trailing input blocks that fully determine the next output
+        block at converged params: the residual carry spans
+        fft_size + max_predelay samples (see fmajor.history_blocks for
+        the offline-renderer contract)."""
+        return -(-self.ext // self.block) + 2
+
     # -- state ------------------------------------------------------------------
 
     # jitted so complex buffers are device-generated (some TPU transports

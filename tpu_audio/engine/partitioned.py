@@ -102,6 +102,23 @@ class PartitionedConvolution:
         self.num_bins = self.xf.num_bins
         self.ring = max_predelay + block
 
+    # -- offline / cloning interface ------------------------------------------------
+
+    def with_voices(self, num_voices: int) -> "PartitionedConvolution":
+        """Same geometry/variant at another voice count; banks are
+        voice-independent (the runtime/offline.py renderer seam)."""
+        return PartitionedConvolution(
+            num_voices, self.block, self.partitions,
+            max_predelay=self.max_predelay, backend=self.xf.backend,
+            variant=self.variant)
+
+    @property
+    def history_blocks(self) -> int:
+        """Trailing input blocks that fully determine the next output
+        block at converged params (fdl depth + predelay ring + margin);
+        see fmajor.history_blocks for the offline-renderer contract."""
+        return self.partitions + self.max_predelay // self.block + 3
+
     # -- state ---------------------------------------------------------------------
     #
     # State constructors are jitted: complex buffers must be DEVICE-generated

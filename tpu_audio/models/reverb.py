@@ -397,6 +397,16 @@ class ConvolutionReverb:
         state = session.run(state, max_blocks=max_blocks, midi=midi)
         return state, session.summary()
 
+    def render_offline(self, samples, **kwargs):
+        """Time-parallel bounce at the control plane's current (converged)
+        parameters: the time axis is segmented onto virtual voices, so
+        throughput scales with the engine's voice ceiling instead of the
+        per-block dispatch latency (see runtime/offline.py). Returns
+        per-voice output [V, 2, T + tail]."""
+        from tpu_audio.runtime.offline import render_offline
+
+        return render_offline(self, samples, **kwargs)
+
 
 class MultiVoiceReverbServer(ConvolutionReverb):
     """Flagship model: 64+ concurrent stereo voices on the production
