@@ -122,6 +122,64 @@ def test_offline_model_method_and_voice_sum():
         x, segments=2)[0], atol=3e-5)
 
 
+SETTINGS = """
+conv.count 2
+conv[0].fftSize 2048
+conv[0].maxPredelay 128
+conv[0].index {index}
+conv[0].value.select 1
+conv[0].value.predelay 16
+conv[0].value.dry 0.4
+conv[0].value.wet 0.6
+conv[0].value.level 0.9
+conv[1].fftSize 2048
+conv[1].maxPredelay 128
+conv[1].index {index}
+conv[1].value.select 0
+conv[1].value.predelay 16
+conv[1].value.dry 0.4
+conv[1].value.wet 0.6
+conv[1].value.level 0.9
+"""
+
+
+def test_cli_offline_matches_streamed(tmp_path):
+    """--offline writes the same audio the streaming session writes
+    (16-bit WAV quantization both sides), plus the flushed tail."""
+    from tpu_audio.app.main import main
+    from tpu_audio.io.index import write_index
+    from tpu_audio.io.wav import read_wav, write_wav
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for k in range(2):
+        ir = rng.uniform(-0.3, 0.3, (150, 2)).astype(np.float32)
+        write_wav(tmp_path / f"ir{k}.wav", ir, 44100)
+        paths.append(str(tmp_path / f"ir{k}.wav"))
+    idx = tmp_path / "bank.index"
+    write_index(idx, paths)
+    sfile = tmp_path / "settings.txt"
+    sfile.write_text(SETTINGS.format(index=idx))
+    x = rng.uniform(-0.2, 0.2, (41 * 64, 2)).astype(np.float32)
+    write_wav(tmp_path / "in.wav", x, 44100, scale="full")
+
+    base = ["--settings", str(sfile), "--input", str(tmp_path / "in.wav"),
+            "--block-size", "64", "--quiet"]
+    assert main(base + ["--output", str(tmp_path / "stream.wav")]) == 0
+    assert main(base + ["--output", str(tmp_path / "off.wav"),
+                        "--offline", "3"]) == 0
+    streamed = read_wav(tmp_path / "stream.wav", scale="full",
+                        verbose=False).stereo()
+    bounced = read_wav(tmp_path / "off.wav", scale="full",
+                       verbose=False).stereo()
+    assert bounced.shape[0] > streamed.shape[0]  # tail flushed
+    n = streamed.shape[0]
+    np.testing.assert_allclose(bounced[:n], streamed, atol=4 / 32768)
+
+    # static-params contract: live/MIDI flags are refused loudly
+    assert main(base + ["--offline", "--midi-fifo", "x"]) == 2
+
+
 def test_offline_rejects_working_set_and_bad_segments():
     model = build_model(engine="fmajor", num_irs=6, bank_capacity=3)
     with pytest.raises(ValueError, match="working-set"):

@@ -147,8 +147,88 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--signal", default="impulse",
                    choices=["impulse", "noise", "silence"],
                    help="test signal when --input is absent")
+    p.add_argument("--offline", nargs="?", const="auto", default=None,
+                   metavar="SEGMENTS",
+                   help="time-parallel offline bounce: render the input "
+                        "far faster than real time at the settings' "
+                        "initial (converged) parameters, write --output, "
+                        "exit (runtime/offline.py). Optional segment "
+                        "count, default auto. Static parameters only — "
+                        "live rings/FIFOs/MIDI use the streaming session")
     p.add_argument("--quiet", action="store_true")
     return p
+
+
+def _offline_input(args):
+    """Program material for an offline bounce: the input WAV, or the
+    synthetic --signal (same semantics as the streaming sources)."""
+    import numpy as np
+
+    b = args.block_size
+    if args.input:
+        from tpu_audio.io.wav import read_wav
+        wav = read_wav(args.input, verbose=not args.quiet)
+        return wav.stereo().T.astype(np.float32), wav.sample_rate
+    n = args.blocks or 400
+    if args.signal == "noise":
+        rng = np.random.default_rng(0)
+        x = (rng.standard_normal((2, n * b)) * 0.1).astype(np.float32)
+    else:
+        x = np.zeros((2, n * b), np.float32)
+        if args.signal == "impulse":
+            x[:, 0] = 1.0
+    return x, args.sample_rate
+
+
+def _offline(args, models, mix: bool) -> int:
+    """Render every model offline over the same input and report
+    throughput. mix=True sums all voices and models (the heterogeneous
+    groups path, the reference's JACK playback mix); otherwise --out-voice
+    picks the written voice like the streaming WavSink."""
+    import time
+
+    import numpy as np
+
+    if (args.input_ring or args.output_ring or args.midi_fifo
+            or args.midi or args.realtime):
+        Log.error("app", "--offline renders static parameters; live "
+                  "rings/FIFOs/MIDI schedules need the streaming session")
+        return 2
+    x, sample_rate = _offline_input(args)
+    segments = None if args.offline == "auto" else int(args.offline)
+
+    t0 = time.monotonic()
+    outs = []
+    try:
+        for model in models:
+            out = model.render_offline(x, segments=segments)  # [V, 2, T']
+            outs.append(out)
+    except ValueError as exc:  # e.g. working-set models
+        Log.error("app", "--offline: %s", exc)
+        return 2
+    wall = time.monotonic() - t0
+    n = min(o.shape[-1] for o in outs)
+    audio_s = n / sample_rate
+    print(f"offline bounce: {audio_s:.1f} s of audio in {wall:.1f} s wall "
+          f"({audio_s / wall:.1f}x real time incl. compile)")
+
+    if args.output:
+        from tpu_audio.io.wav import write_wav
+        if mix:
+            total = sum(o[..., :n].sum(axis=0) for o in outs)
+            write_wav(args.output, total.T, sample_rate)
+        else:
+            out, voice = outs[0], args.out_voice
+            if voice == "all":
+                import os
+                root, ext = os.path.splitext(args.output)
+                for v in range(out.shape[0]):
+                    write_wav(f"{root}_v{v:03d}{ext or '.wav'}",
+                              out[v].T, sample_rate)
+            else:
+                write_wav(args.output, out[int(voice or 0)].T, sample_rate)
+        Log.info("app", "wrote %s", args.output)
+    return 0
 
 
 def main(argv=None) -> int:
@@ -204,6 +284,9 @@ def main(argv=None) -> int:
         async_paging=args.async_paging, predelay_side=args.predelay_side,
         fault_upload=args.fault_upload, ws_exhausted=args.ws_exhausted)
 
+    if args.offline is not None:
+        return _offline(args, [model], mix=False)
+
     v, b = model.engine.num_voices, model.block
     rings = []
     if args.input_ring or args.output_ring:
@@ -243,6 +326,11 @@ def _run_groups(args) -> int:
         variant=args.variant, block=args.block_size,
         sample_rate=args.sample_rate, cache_dir=args.cache_dir,
         mac_dtype=args.mac_dtype)
+
+    if args.offline is not None:
+        # every group bounced over the same input, summed like the JACK
+        # playback mix (matching groups.process semantics)
+        return _offline(args, groups.models, mix=True)
 
     b = args.block_size
     if args.input:
