@@ -670,6 +670,12 @@ def main(argv=None) -> int:
     global _T0
     _T0 = time.perf_counter()
     PARTIAL.clear()
+    from tpu_audio.utils.log import Log
+    prev_info = Log.info_to_stderr
+    # stdout is the machine-readable record (one JSON line); keep library
+    # info chatter (bank caches, working-set faults) on stderr with the
+    # rest of the progress log
+    Log.info_to_stderr = True
     try:
         return _main(argv)
     except BaseException:
@@ -678,6 +684,8 @@ def main(argv=None) -> int:
         if _WATCHDOG_TIMER is not None:
             _WATCHDOG_TIMER.cancel()
         raise
+    finally:
+        Log.info_to_stderr = prev_info
 
 
 def _main(argv=None) -> int:

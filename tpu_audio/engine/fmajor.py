@@ -279,19 +279,29 @@ class FMajorPartitionedConvolution:
 
     # -- offline / cloning interface ------------------------------------------------
 
-    def with_voices(self, num_voices: int) -> "FMajorPartitionedConvolution":
+    def with_voices(self, num_voices: int,
+                    swap_snapshot: bool | None = None
+                    ) -> "FMajorPartitionedConvolution":
         """Same geometry and strategy at a different voice count. Device
         banks are voice-independent ([K, ...] tensors), so a bank prepared
         by this engine serves the clone directly — the seam the offline
-        time-parallel renderer (runtime/offline.py) builds on."""
+        time-parallel renderer (runtime/offline.py) builds on.
+        `swap_snapshot` optionally overrides the fade-snapshot capability
+        (the renderer drops it: ~11 MB/voice of dead HBM in a fade-free
+        bounce at 4 s IRs)."""
+        if swap_snapshot is None:
+            swap_snapshot = self.swap_snapshot
         return FMajorPartitionedConvolution(
             num_voices, self.block, self.partitions,
             max_predelay=self.max_predelay, backend=self.xf.backend,
             ring=self.ring_mode, mac_strategy=self.mac_strategy,
             num_irs=self.num_irs,
             mac_dtype="f32" if self.mac_dtype == jnp.float32 else "bf16",
-            swap_snapshot=self.swap_snapshot, pv_mac=self.pv_mac,
-            fault_upload=self.fault_upload)
+            # 'selected' requires the snapshot (constructor invariant);
+            # the override only applies to the allk strategy
+            swap_snapshot=(swap_snapshot if self.mac_strategy == "allk"
+                           else True),
+            pv_mac=self.pv_mac, fault_upload=self.fault_upload)
 
     @property
     def history_blocks(self) -> int:

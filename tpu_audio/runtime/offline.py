@@ -124,7 +124,17 @@ def render_offline(model, samples, *, segments: int | None = None,
     xb = np.ascontiguousarray(
         flat.reshape(2, nseg * seg_len, b).transpose(1, 0, 2))
 
-    seng = eng.with_voices(v * nseg) if v * nseg != eng.num_voices else eng
+    if v * nseg == eng.num_voices:
+        seng = eng
+    elif getattr(eng, "mac_strategy", None) == "allk" and getattr(
+            eng, "swap_snapshot", False):
+        # a bounce never swaps banks mid-fade (it never fades): drop the
+        # fmajor fade snapshot `base` — ~11 MB of dead HBM per virtual
+        # voice at 4 s IRs, the difference between ~500 and ~1500 usable
+        # segments on one chip
+        seng = eng.with_voices(v * nseg, swap_snapshot=False)
+    else:
+        seng = eng.with_voices(v * nseg)
     bank = model.spectra
 
     # control-plane snapshot, replicated voice-major: virtual voice

@@ -77,11 +77,19 @@ class Log:
         except (TypeError, ValueError):
             return f"{fmt} {args!r}"
 
+    # bench.py flips this so its machine-readable stdout (one JSON line)
+    # stays clean of info chatter; warn/error already go to stderr
+    info_to_stderr = False
+
+    @classmethod
+    def _info_stream(cls):
+        return sys.stderr if cls.info_to_stderr else sys.stdout
+
     @classmethod
     def info(cls, ident: str, fmt: str, *args) -> None:
         if cls.level >= _LEVELS["info"]:
-            cls._emit(sys.stdout, "", "I", f"{_ESC}37;1m", f"{_ESC}37m",
-                      ident, cls._fmt(fmt, args))
+            cls._emit(cls._info_stream(), "", "I", f"{_ESC}37;1m",
+                      f"{_ESC}37m", ident, cls._fmt(fmt, args))
 
     @classmethod
     def warn(cls, ident: str, fmt: str, *args) -> None:
@@ -98,7 +106,7 @@ class Log:
     @classmethod
     def debug(cls, ident: str, fmt: str, *args) -> None:
         if cls.level >= _LEVELS["debug"]:
-            cls._emit(sys.stdout, f"{_ESC}36m", "D", f"{_ESC}36;1m",
+            cls._emit(cls._info_stream(), f"{_ESC}36m", "D", f"{_ESC}36;1m",
                       f"{_ESC}36;2m", ident, cls._fmt(fmt, args))
 
     @classmethod
@@ -106,5 +114,6 @@ class Log:
         """Continuation line aligned under the message column (src/log.cu:69-90)."""
         if cls.level >= _LEVELS["info"]:
             with cls._lock:
-                sys.stdout.write(" " * _CONTINUATION_PAD + cls._fmt(fmt, args) + "\n")
-                sys.stdout.flush()
+                out = cls._info_stream()
+                out.write(" " * _CONTINUATION_PAD + cls._fmt(fmt, args) + "\n")
+                out.flush()
