@@ -512,6 +512,47 @@ def run_mono_leg(args, deadline_ms):
     return leg
 
 
+def run_offline_leg(args, deadline_ms):
+    """Time-parallel bounce throughput (runtime/offline.py): render an
+    ``--offline-seconds`` stereo track through ONE reverb voice at
+    converged parameters. The reference can only bounce by playing the
+    file through JACK in real time (the engine exists solely inside the
+    RT callback, src/conv.cu:287); here the track's time axis maps onto
+    virtual voices and the bounce runs far faster than real time. The
+    reported RTF is END-TO-END wall: host input prep, segment warm-up,
+    all compute, and the full per-voice f32 readback. Two reps: the
+    first pays the jit trace/compile (reported separately)."""
+    from tpu_audio.models.reverb import ConvolutionReverb
+    from tpu_audio.runtime.offline import render_offline
+
+    bank = make_bank(args.num_irs, args.ir_seconds, args.sample_rate)
+    model = ConvolutionReverb(bank, num_voices=1, block=args.block,
+                              sample_rate=args.sample_rate, engine="fmajor",
+                              cache_dir=args.pack_cache)
+    model.control.wet[:] = 0.7
+    model.control.dry[:] = 0.2
+    rng = np.random.default_rng(11)
+    n = int(args.offline_seconds * args.sample_rate)
+    x = (rng.standard_normal((2, n)) * 0.1).astype(np.float32)
+    walls, out = [], None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = render_offline(model, x)
+        walls.append(time.perf_counter() - t0)
+    if not np.isfinite(out).all():
+        raise RuntimeError("offline bounce produced non-finite output")
+    wall = min(walls)
+    leg = {"track_s": args.offline_seconds,
+           "wall_s": round(wall, 3),
+           "rtf": round(args.offline_seconds / wall, 1),
+           "first_wall_s": round(walls[0], 3),
+           "out_bytes": int(out.nbytes)}
+    log(f"offline leg: {args.offline_seconds:g} s track bounced in "
+        f"{wall:.3f} s (RTF {leg['rtf']}; first rep incl. compile "
+        f"{walls[0]:.1f} s; reference bounces at 1.0)")
+    return leg
+
+
 PARTIAL: dict = {}
 
 
@@ -740,6 +781,10 @@ def _main(argv=None) -> int:
                          "'' disables). The pack is tens of seconds of "
                          "strided numpy on a slow host; the cache makes "
                          "repeat runs read it sequentially instead")
+    ap.add_argument("--offline-seconds", type=float, default=120.0,
+                    help="track length for the time-parallel offline "
+                         "bounce leg (wall-RTF headline for non-realtime "
+                         "rendering)")
     ap.add_argument("--leg-budget", type=float, default=400.0,
                     help="skip extra legs once this many wall seconds have "
                          "elapsed (the driver caps the whole run at 590 s)")
@@ -1051,7 +1096,8 @@ def _main(argv=None) -> int:
         # state can't be reclaimed before the watchdog kills the run)
         leg_list = [("cascade_hv", lambda: run_cascade_leg(args, dl_ms), 60),
                     ("ws", lambda: run_ws_leg(args, make_block), 120),
-                    ("mono_ref", lambda: run_mono_leg(args, dl_ms), 40)]
+                    ("mono_ref", lambda: run_mono_leg(args, dl_ms), 40),
+                    ("offline", lambda: run_offline_leg(args, dl_ms), 80)]
         if args.cascade_voices >= 512:
             # the single-chip voice-capacity point (real-time 2048v bf16,
             # read-side predelay); only meaningful at production scale —

@@ -75,7 +75,7 @@ def test_bench_extra_legs(capsys):
         "--legs", "all", "--ws-irs", "6", "--ws-capacity", "3",
         "--ws-faults", "2", "--cascade-voices", "4",
         "--ir-seconds", "0.2", "--leg-budget", "10000",
-        "--fault-upload", "derived"])
+        "--fault-upload", "derived", "--offline-seconds", "0.5"])
     assert rec["legs"]["ws"]["faults"] == 2
     assert rec["legs"]["ws"]["steady_ms"] > 0
     assert rec["legs"]["ws"]["fault_ms"] > 0
@@ -89,6 +89,9 @@ def test_bench_extra_legs(capsys):
     assert rec["legs"]["sel152"]["num_irs"] == 6
     assert rec["legs"]["sel152"]["steady_ms"] > 0
     assert rec["legs"]["sel152"]["fade_general_ms"] > 0
+    assert rec["legs"]["offline"]["rtf"] > 0
+    assert rec["legs"]["offline"]["wall_s"] > 0
+    assert rec["legs"]["offline"]["track_s"] == 0.5
     assert rec["legs_skipped"] is None
 
 
