@@ -127,6 +127,9 @@ conv.count 2
 conv[0].fftSize 2048
 conv[0].maxPredelay 128
 conv[0].index {index}
+conv[0].cc.select 21
+conv[0].cc.wet 22
+conv[0].cc.speed 24
 conv[0].value.select 1
 conv[0].value.predelay 16
 conv[0].value.dry 0.4
@@ -135,6 +138,9 @@ conv[0].value.level 0.9
 conv[1].fftSize 2048
 conv[1].maxPredelay 128
 conv[1].index {index}
+conv[1].cc.select 21
+conv[1].cc.wet 22
+conv[1].cc.speed 24
 conv[1].value.select 0
 conv[1].value.predelay 16
 conv[1].value.dry 0.4
@@ -176,8 +182,127 @@ def test_cli_offline_matches_streamed(tmp_path):
     n = streamed.shape[0]
     np.testing.assert_allclose(bounced[:n], streamed, atol=4 / 32768)
 
-    # static-params contract: live/MIDI flags are refused loudly
+    # LIVE flags are refused loudly; scripted schedules are not live
     assert main(base + ["--offline", "--midi-fifo", "x"]) == 2
+
+    # automated bounce: a scripted --midi schedule bounces offline and
+    # matches the streaming session performing the same events (16-bit
+    # WAV quantization on both sides)
+    sched = tmp_path / "auto.txt"
+    sched.write_text("6 B0 15 7F   # select last IR (crossfade)\n"
+                     "18 B0 16 50  # wet change mid-fade\n")
+    assert main(base + ["--output", str(tmp_path / "stream_a.wav"),
+                        "--midi", str(sched)]) == 0
+    assert main(base + ["--output", str(tmp_path / "off_a.wav"),
+                        "--offline", "3", "--midi", str(sched)]) == 0
+    streamed_a = read_wav(tmp_path / "stream_a.wav", scale="full",
+                          verbose=False).stereo()
+    bounced_a = read_wav(tmp_path / "off_a.wav", scale="full",
+                         verbose=False).stereo()
+    n = streamed_a.shape[0]
+    np.testing.assert_allclose(bounced_a[:n], streamed_a, atol=4 / 32768)
+    # the automation audibly changed the program vs the static bounce
+    assert np.abs(bounced_a[:n] - bounced[:n]).max() > 10 / 32768
+
+
+def _map_all(control):
+    from tpu_audio.engine.params import CCMapping
+    for v in range(control.num_voices):
+        for ch in range(2):
+            control.set_mapping(v, ch, CCMapping(
+                message=0xB0, select=0x15, wet=0x16, predelay=0x17,
+                speed=0x18, dry=0x19, pan_wet=0x1A, level=0x1B))
+
+
+AUTOMATION = [
+    (8, "", bytes([0xB0, 0x15, 0x40])),   # select IR 1 (crossfade)
+    (30, "", bytes([0xB0, 0x16, 0x46])),  # wet change mid-fade
+    (41, "", bytes([0xB0, 0x15, 0x7F])),  # re-select IR 2 (interrupts)
+    (55, "", bytes([0xB0, 0x17, 0x40])),  # predelay jump
+    (70, "", bytes([0xB0, 0x18, 0x0A])),  # crossfade speed change
+    (85, "", bytes([0xB0, 0x15, 0x20])),  # select IR 0; fade rings into tail
+]
+
+
+def stream_automated(model, x, total_blocks, schedule):
+    """The REAL streaming session (collapse_pure + indexed/steady step
+    selection + per-block countdown) driven by the same MIDI schedule —
+    the ground truth the automated bounce must reproduce."""
+    from tpu_audio.runtime.backends import WavSink, WavSource
+    from tpu_audio.runtime.stream import StreamSession
+
+    b = model.engine.block
+    xpad = np.zeros((2, total_blocks * b), np.float32)
+    xpad[:, : x.shape[1]] = x
+    sink = WavSink("/dev/null", keep_data=True)
+    sess = StreamSession(model.engine, model.spectra, model.control,
+                         WavSource(xpad, model.engine.num_voices, b),
+                         sink, warmup=0, donate=False)
+    params = jax.tree.map(jnp.asarray, model.control.snapshot())
+    sess.run(model.engine.init_converged(model.spectra, params),
+             midi=schedule)
+    return sink.data
+
+
+@pytest.mark.parametrize("engine,kwargs,segments", [
+    ("fmajor", {}, 5),            # boundaries straddle fades + warm-ups
+    ("fmajor", {}, 1),            # degenerate: pure sequential replay
+    ("fmajor", {"mac_dtype": "bf16"}, 4),
+    ("fmajor", {"mac_strategy": "selected"}, 5),
+    ("cascade", {"cascade_ratio": 2, "block": 16}, 5),
+])
+def test_offline_automated_equals_streamed(engine, kwargs, segments):
+    """A scripted MIDI timeline bounced time-parallel == the streaming
+    session performing it live: crossfades mid-segment, an interrupted
+    re-select, wet/predelay/speed changes, and a fade ringing across
+    segment boundaries into the tail."""
+    from tpu_audio.runtime.stream import MidiSchedule
+
+    def fresh():
+        m = build_model(engine=engine, **kwargs)
+        m.control.speed[:] = 20
+        _map_all(m.control)
+        return m
+
+    model = fresh()
+    b = model.engine.block
+    x = program(115 * b + 9)
+    out = render_offline(model, x, segments=segments,
+                         schedule=MidiSchedule(list(AUTOMATION)))
+    total_blocks = -(-x.shape[1] // b) + model.engine.history_blocks
+    ref = stream_automated(fresh(), x, total_blocks,
+                           MidiSchedule(list(AUTOMATION)))
+    n = min(out.shape[-1], ref.shape[-1])
+    assert np.abs(ref[..., :n]).max() > 1e-3
+    np.testing.assert_allclose(out[..., :n], ref[..., :n], atol=5e-5)
+
+
+def test_offline_automated_guards():
+    from tpu_audio.runtime.stream import MidiSchedule
+
+    sched = MidiSchedule([(2, "", bytes([0xB0, 0x15, 0x40]))])
+    # engines without an in-graph fade replay are refused loudly
+    model = build_model(engine="partitioned")
+    with pytest.raises(ValueError, match="coef-fade"):
+        render_offline(model, program(64), schedule=sched)
+    csel = build_model(engine="cascade", block=16, ir_len=400,
+                       cascade_ratio=2, mac_strategy="selected")
+    with pytest.raises(ValueError, match="coef-fade"):
+        render_offline(csel, program(64), schedule=sched)
+    # a mid-fade control plane is not a valid bounce entry
+    model = build_model()
+    _map_all(model.control)
+    model.control.vsteps[:] = 7
+    with pytest.raises(ValueError, match="converged"):
+        render_offline(model, program(64), schedule=sched)
+    # events past the bounce are ignored with a warning, not an error
+    model = build_model(num_voices=1)
+    _map_all(model.control)
+    late = MidiSchedule([(10 ** 6, "", bytes([0xB0, 0x15, 0x40]))])
+    out = render_offline(model, program(20 * 32), segments=2, schedule=late)
+    ref = render_offline(build_model(num_voices=1), program(20 * 32),
+                         segments=2)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
 def test_offline_rejects_working_set_and_bad_segments():

@@ -150,11 +150,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--offline", nargs="?", const="auto", default=None,
                    metavar="SEGMENTS",
                    help="time-parallel offline bounce: render the input "
-                        "far faster than real time at the settings' "
-                        "initial (converged) parameters, write --output, "
-                        "exit (runtime/offline.py). Optional segment "
-                        "count, default auto. Static parameters only — "
-                        "live rings/FIFOs/MIDI use the streaming session")
+                        "far faster than real time, write --output, exit "
+                        "(runtime/offline.py). Optional segment count, "
+                        "default auto. A scripted --midi schedule bounces "
+                        "too (the automation replays in-graph, matching "
+                        "the live session to float precision); only LIVE "
+                        "rings/FIFOs need the streaming session")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -189,19 +190,26 @@ def _offline(args, models, mix: bool) -> int:
 
     import numpy as np
 
-    if (args.input_ring or args.output_ring or args.midi_fifo
-            or args.midi or args.realtime):
-        Log.error("app", "--offline renders static parameters; live "
-                  "rings/FIFOs/MIDI schedules need the streaming session")
+    if args.input_ring or args.output_ring or args.midi_fifo or args.realtime:
+        Log.error("app", "--offline bounces cannot take LIVE input "
+                  "(rings/FIFOs/realtime need the streaming session; a "
+                  "scripted --midi schedule bounces fine)")
         return 2
     x, sample_rate = _offline_input(args)
     segments = None if args.offline == "auto" else int(args.offline)
+    schedule = None
+    if args.midi:
+        from tpu_audio.runtime.stream import MidiSchedule
+        with open(args.midi) as fh:
+            schedule = MidiSchedule.parse(fh.read())
 
     t0 = time.monotonic()
     outs = []
     try:
         for model in models:
-            out = model.render_offline(x, segments=segments)  # [V, 2, T']
+            # (the schedule's stateful cursor is rewound by each replay)
+            out = model.render_offline(x, segments=segments,
+                                       schedule=schedule)  # [V, 2, T']
             outs.append(out)
     except ValueError as exc:  # e.g. working-set models
         Log.error("app", "--offline: %s", exc)

@@ -398,11 +398,13 @@ class ConvolutionReverb:
         return state, session.summary()
 
     def render_offline(self, samples, **kwargs):
-        """Time-parallel bounce at the control plane's current (converged)
-        parameters: the time axis is segmented onto virtual voices, so
-        throughput scales with the engine's voice ceiling instead of the
-        per-block dispatch latency (see runtime/offline.py). Returns
-        per-voice output [V, 2, T + tail]."""
+        """Time-parallel bounce: the time axis is segmented onto virtual
+        voices, so throughput scales with the engine's voice ceiling
+        instead of the per-block dispatch latency (see runtime/offline.py).
+        Renders the control plane's current (converged) parameters, or a
+        scripted MIDI timeline via ``schedule=MidiSchedule(...)`` — the
+        automation replays in-graph and matches the live streaming session
+        to float precision. Returns per-voice output [V, 2, T + tail]."""
         from tpu_audio.runtime.offline import render_offline
 
         return render_offline(self, samples, **kwargs)

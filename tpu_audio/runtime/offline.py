@@ -25,15 +25,38 @@ model, fades excluded by construction — parameters are taken from the
 model's control plane as already-converged values, the standard bounce
 case.
 
-Limits (all checked loudly): static parameters (no MIDI schedule — use
-the streaming session for automation), full-resident banks (no
-working-set paging: residency faults are sequential-control-flow by
-nature), single device.
+Automation (``schedule=``): a scripted MIDI timeline bounces offline too,
+NOT just static parameters. The host replays the schedule against a
+replica of the control plane in float32 — the same arithmetic, in the
+same order, as the device's crossfade recursions — producing (a)
+regime-compressed per-block parameter timelines the device step gathers
+by block index, (b) per-block re-select event tables applied in-graph via
+``collapse_pure`` (the production span collapse), and (c) exact
+coefficient/span snapshots at every segment's warm-up start. Each virtual
+voice therefore enters its segment with bit-faithful fade state and
+replays events at the same block boundaries the streaming session would,
+so a bounce with automation matches live serving to float precision —
+crossfades mid-segment, fades across segment boundaries, and events
+landing inside another segment's warm-up window included. The reference
+cannot do this at any speed: its engine exists only inside the JACK
+callback, so "bounce with automation" means performing the MIDI live at
+1x (src/conv.cu:287).
+
+Limits (all checked loudly): automation requires a coef-fade engine —
+fmajor with either MAC strategy ('selected' snapshots are still affine
+spans of the bank, so the host g tracking covers the materialized base
+too) or the 'allk' cascade (whose in-flight tail rescale is itself
+approximate under re-interruption; streamed and bounced outputs carry
+the same documented semantics) — and a converged starting control plane
+(vsteps == 0, the standard bounce entry). All
+paths require full-resident banks (no working-set paging: residency
+faults are sequential-control-flow by nature) and a single device.
 """
 
 from __future__ import annotations
 
 import math
+from dataclasses import replace
 from functools import partial
 
 import numpy as np
@@ -63,11 +86,30 @@ def _auto_segments(total_blocks: int, warmup: int, base_voices: int,
                       total_blocks))
 
 
+def _check_stereo(samples) -> np.ndarray:
+    x = np.asarray(samples, np.float32)
+    if x.ndim == 1:
+        x = np.stack([x, x])
+    if x.ndim != 2 or x.shape[0] != 2:
+        raise ValueError(f"samples must be [2, T] stereo or [T] mono, "
+                         f"got {x.shape}")
+    return x
+
+
+def _check_full_resident(model) -> None:
+    if getattr(model, "working_set", None) is not None:
+        raise ValueError(
+            "render_offline needs a fully-resident bank: working-set "
+            "residency pages IRs on sequential select order, which "
+            "time-parallel segments do not have (build the model without "
+            "bank_capacity for offline bounces)")
+
+
 def render_offline(model, samples, *, segments: int | None = None,
                    include_tail: bool = True,
                    warmup_blocks: int | None = None,
                    max_virtual_voices: int = 512,
-                   fetch_batch: int = 64) -> np.ndarray:
+                   schedule=None) -> np.ndarray:
     """Render stereo `samples` [2, T] (or mono [T], duplicated like the
     CLI source) through `model` (ConvolutionReverb) at the control plane's
     current converged parameters. Returns per-voice output [V, 2, T_out]
@@ -81,22 +123,19 @@ def render_offline(model, samples, *, segments: int | None = None,
     f32 fmajor state is ~3 MB/voice at 4 s IRs — raise it for bf16 or
     short IRs). `warmup_blocks` overrides the priming depth (testing
     hook; the default `engine.history_blocks` is the exactness
-    contract)."""
-    if getattr(model, "working_set", None) is not None:
-        raise ValueError(
-            "render_offline needs a fully-resident bank: working-set "
-            "residency pages IRs on sequential select order, which "
-            "time-parallel segments do not have (build the model without "
-            "bank_capacity for offline bounces)")
+    contract). `schedule` (a runtime.stream.MidiSchedule) bounces a
+    scripted automation timeline instead of static parameters — see the
+    module docstring; fmajor (either strategy) or 'allk' cascade."""
+    _check_full_resident(model)
+    if schedule is not None:
+        return _render_automated(
+            model, samples, schedule, segments=segments,
+            include_tail=include_tail, warmup_blocks=warmup_blocks,
+            max_virtual_voices=max_virtual_voices)
     eng = model.engine
     v, b = eng.num_voices, eng.block
 
-    x = np.asarray(samples, np.float32)
-    if x.ndim == 1:
-        x = np.stack([x, x])
-    if x.ndim != 2 or x.shape[0] != 2:
-        raise ValueError(f"samples must be [2, T] stereo or [T] mono, "
-                         f"got {x.shape}")
+    x = _check_stereo(samples)
     t_samples = x.shape[1]
     t_blocks = -(-t_samples // b)
 
@@ -153,36 +192,370 @@ def render_offline(model, samples, *, segments: int | None = None,
               if getattr(seng, "variant", None) == "coef" else seng.step)
     nt = xb.shape[0]
 
+    # the step index rides the donated carry as a DEVICE scalar: a per-step
+    # host `jnp.int32(i)` upload serializes dispatches on high-RTT
+    # transports (measured: a 120 s bounce spent ~27 of 28.8 s wall in
+    # ~1000 per-step round trips; device-chained dispatch pipelines them).
+    # The input tensor, bank, and params are EXPLICIT arguments: a device
+    # array captured by closure is inlined into the lowered HLO as a
+    # constant (a 440 MB bank lowered to an 880 MB program text, which a
+    # remote compile endpoint rejects outright at HTTP 413 — and even the
+    # 69 MB flagship bank silently made every compile request ~300 MB)
     @partial(jax.jit, donate_argnums=0)
-    def step(st, i):
+    def step(carry, xb_a, bank_a, vp_a):
+        st, i = carry
         idx = starts + i - warmup                       # [nseg]
-        xi = jnp.take(xb_dev, jnp.clip(idx, 0, nt - 1), axis=0)
+        xi = jnp.take(xb_a, jnp.clip(idx, 0, nt - 1), axis=0)
         xi = jnp.where((idx >= 0)[:, None, None], xi, 0.0)
         xi = jnp.tile(xi, (v, 1, 1))                    # [V*nseg, 2, B]
-        return steady(st, bank, vparams, xi)
+        st, y = steady(st, bank_a, vp_a, xi)
+        return (st, i + 1), y
 
     Log.info("offline", "bounce: %d blocks as %d segment(s) x %d + %d "
              "warm-up steps (%d virtual voices)",
              total_blocks, nseg, seg_len, warmup, v * nseg)
 
-    for i in range(warmup):
-        state, _ = step(state, jnp.int32(i))
-
-    chunks, ys = [], []
-    for i in range(seg_len):
-        state, y = step(state, jnp.int32(warmup + i))
-        ys.append(y)
-        if len(ys) == fetch_batch:
-            chunks.append(jnp.stack(ys))
-            ys = []
-    if ys:
-        chunks.append(jnp.stack(ys))
-    # one readback at the end: dispatches above pipeline asynchronously
-    out = np.concatenate([np.asarray(c) for c in chunks], axis=0)
-
+    out = _collect(step, state, warmup, seg_len, (xb_dev, bank, vparams))
     # [seg_len, V*nseg, 2, B] -> [V, 2, nseg*seg_len*B]
     out = (out.reshape(seg_len, v, nseg, 2, b)
               .transpose(1, 3, 2, 0, 4)
               .reshape(v, 2, nseg * seg_len * b))
     out_samples = t_samples + tail_blocks * b if include_tail else t_samples
     return out[..., :out_samples]
+
+
+class _ControlSim:
+    """Host replay of a MIDI schedule against a control-plane replica.
+
+    Produces, for ``total_blocks`` blocks (padded track + tail):
+
+      - regime-compressed parameter timelines: ``regimes`` (list of field
+        dicts, row 0 = the PRE-schedule initial plane, one more row per
+        event block), ``regime_starts`` (the block each regime began —
+        vsteps decays linearly from there), ``regime_of_block`` [T] i32;
+      - re-select event tables: ``ev_changed``/``ev_old`` (row 0 = the
+        no-event sentinel) and ``event_of_block`` [T] i32, applied
+        in-graph via the engine's ``collapse_pure``;
+      - ``snaps[block] = (coef_a, coef_c, base_g, select)`` — the exact
+        f32 fade state (and clipped selection) ENTERING ``block``
+        (pre-event), at every requested segment warm-up start.
+
+    The coefficient recursion is the device's, op for op in float32
+    (a *= 1-r; c = c*(1-r) + wet*r with r = 1/(vsteps+5), vsteps
+    decremented per block — engine/fmajor.py step_coef), and the span
+    collapse is collapse_pure's (g := a*g + c*onehot(old); a=1; c=0) —
+    so a segment primed from a snapshot continues the recursion with the
+    identical values the streaming session's state would hold. (XLA may
+    fuse the c update into an FMA, a sub-ulp reassociation within the
+    renderer's float-precision contract, not bit-exactness.)
+    """
+
+    FIELDS = ("select", "predelay", "vsteps", "dry", "wet",
+              "pan_dry", "pan_wet", "level")
+
+    def __init__(self, control, schedule, total_blocks: int,
+                 snap_blocks) -> None:
+        from tpu_audio.engine.params import ControlPlane
+
+        v = control.num_voices
+        k = max(control.bank_size, 1)
+        clone = ControlPlane(v, control.bank_size, control.max_predelay)
+        for name in ("select_base", "select_span", "select", "predelay",
+                     "vsteps", "speed", "dry", "wet", "pan_dry", "pan_wet",
+                     "level"):
+            getattr(clone, name)[:] = getattr(control, name)
+        clone.mappings = dict(control.mappings)
+        if clone.vsteps.any():
+            raise ValueError(
+                "automated bounce requires a converged starting control "
+                "plane (vsteps == 0 everywhere): finish in-flight fades in "
+                "the streaming session, or start the schedule from rest")
+        pending: dict = {}
+        clone.on_select_change = (
+            lambda vo, ch, old, new: pending.setdefault((vo, ch), old))
+
+        a = np.zeros((v, 2), np.float32)
+        c = clone.wet.astype(np.float32).copy()
+        g = np.zeros((v, 2, k), np.float32)
+        one = np.float32(1.0)
+        five = np.float32(5.0)
+
+        want = set(int(s) for s in snap_blocks)
+        self.snaps: dict[int, tuple] = {}
+
+        def regime_row():
+            return {
+                "select": np.clip(clone.select, 0, k - 1).astype(np.int32),
+                "predelay": clone.predelay.astype(np.int32).copy(),
+                "vsteps": clone.vsteps.astype(np.int32).copy(),
+                "dry": clone.dry.copy(), "wet": clone.wet.copy(),
+                "pan_dry": clone.pan_dry.copy(),
+                "pan_wet": clone.pan_wet.copy(),
+                "level": clone.level.copy(),
+            }
+
+        self.regimes = [regime_row()]
+        self.regime_starts = [0]
+        self.regime_of_block = np.zeros(total_blocks, np.int32)
+        self.ev_changed = [np.zeros((v, 2), bool)]
+        self.ev_old = [np.zeros((v, 2), np.int32)]
+        self.event_of_block = np.zeros(total_blocks, np.int32)
+
+        schedule.rewind_to(0)
+        for t in range(total_blocks):
+            if t in want:
+                self.snaps[t] = (a.copy(), c.copy(), g.copy(),
+                                 np.clip(clone.select, 0, k - 1
+                                         ).astype(np.int32))
+            due = schedule.pop_due(t)
+            if due:
+                for device, message in due:
+                    clone.apply_midi_message(message, device)
+                if pending:
+                    changed = np.zeros((v, 2), bool)
+                    old_sel = np.zeros((v, 2), np.int32)
+                    for (vo, ch), old in pending.items():
+                        changed[vo, ch] = True
+                        old_sel[vo, ch] = old
+                    pending.clear()
+                    # collapse_pure's span re-base (one_hot of an
+                    # out-of-range old yields the zero row)
+                    oh = np.zeros((v, 2, k), np.float32)
+                    inr = (old_sel >= 0) & (old_sel < k)
+                    np.put_along_axis(oh, np.clip(old_sel, 0, k - 1)[..., None],
+                                      1.0, axis=2)
+                    oh *= inr[..., None]
+                    gnew = a[..., None] * g + c[..., None] * oh
+                    g = np.where(changed[..., None], gnew, g)
+                    a = np.where(changed, one, a).astype(np.float32)
+                    c = np.where(changed, np.float32(0.0), c).astype(np.float32)
+                    self.ev_changed.append(changed)
+                    self.ev_old.append(old_sel)
+                    self.event_of_block[t] = len(self.ev_changed) - 1
+                self.regimes.append(regime_row())
+                self.regime_starts.append(t)
+            self.regime_of_block[t] = len(self.regimes) - 1
+            r = one / (clone.vsteps.astype(np.float32) + five)
+            a = (a * (one - r)).astype(np.float32)
+            c = (c * (one - r) + clone.wet * r).astype(np.float32)
+            np.maximum(clone.vsteps - 1, 0, out=clone.vsteps)
+        late = schedule.pop_due(1 << 62)
+        if late:
+            Log.warn("offline", "%d scheduled MIDI event(s) fall past the "
+                     "bounce's %d blocks (ignored)", len(late), total_blocks)
+
+
+def _render_automated(model, samples, schedule, *, segments,
+                      include_tail, warmup_blocks, max_virtual_voices
+                      ) -> np.ndarray:
+    """Time-parallel bounce of a scripted MIDI timeline — render_offline
+    with ``schedule=`` (see the module docstring for the replay design)."""
+    from tpu_audio.engine.params import VoiceParams
+
+    eng = model.engine
+    strategy = getattr(eng, "mac_strategy", None)
+    selected = (strategy == "selected" and hasattr(eng, "_span_expand")
+                and hasattr(eng, "_gather_selection"))
+    if not (selected or (strategy == "allk"
+                         and hasattr(eng, "collapse_pure")
+                         and hasattr(eng, "step_coef_indexed"))):
+        raise ValueError(
+            "automated bounce requires a coef-fade engine: fmajor (either "
+            "MAC strategy) or the 'allk' cascade — re-selects and "
+            "crossfades replay in-graph via collapse(_pure) (the cascade's "
+            "'selected' strategy has no span-expansion for the snapshot "
+            "init; bounce large banks with the fmajor engine)")
+    v, b = eng.num_voices, eng.block
+    x = _check_stereo(samples)
+    t_samples = x.shape[1]
+    t_blocks = -(-t_samples // b)
+    warmup = int(warmup_blocks if warmup_blocks is not None
+                 else eng.history_blocks)
+    # the cascade's tail schedule is staggered (group g computes at blocks
+    # t % ratio == g): a virtual voice's LOCAL block counter starts at 0,
+    # so its stagger phase matches the stream's absolute phase only when
+    # every segment's warm-up start falls on a ratio boundary. Converged
+    # params are phase-invariant (the static path needs no alignment), but
+    # an event's fade scattering is not.
+    ratio = int(getattr(eng, "ratio", 1))
+    warmup = -(-warmup // ratio) * ratio
+    tail_blocks = eng.history_blocks if include_tail else 0
+    total_blocks = t_blocks + tail_blocks
+    if segments is None:
+        nseg = min(_auto_segments(total_blocks, warmup, v,
+                                  max_virtual_voices), total_blocks)
+    else:
+        nseg = int(segments)
+        if nseg < 1:
+            raise ValueError(f"segments must be >= 1, got {segments}")
+    seg_len = -(-(-(-total_blocks // nseg)) // ratio) * ratio
+    tpad = nseg * seg_len
+
+    flat = np.zeros((2, tpad * b), np.float32)
+    flat[:, :t_samples] = x
+    xb = np.ascontiguousarray(flat.reshape(2, tpad, b).transpose(1, 0, 2))
+
+    sim = _ControlSim(model.control, schedule, tpad,
+                      [max(s * seg_len - warmup, 0) for s in range(nseg)])
+
+    if v * nseg == eng.num_voices:
+        seng = eng
+    elif (getattr(eng, "mac_strategy", None) == "allk"
+          and getattr(eng, "swap_snapshot", False)):
+        # span fades never read the materialized snapshot: drop it (same
+        # HBM win as the static path)
+        seng = eng.with_voices(v * nseg, swap_snapshot=False)
+    else:
+        seng = eng.with_voices(v * nseg)
+    bank = model.spectra
+
+    def vm(arr: np.ndarray) -> np.ndarray:
+        """[nseg, V, 2, ...] -> SEGMENT-major [nseg*V, 2, ...]: virtual
+        voice s*V + v carries voice v over segment s. Segment-major (not
+        the static path's voice-major) keeps each virtual voice's cascade
+        stagger group, j % ratio == v % ratio (V is ratio-divisible by
+        constructor invariant) — with the ratio-aligned warm-up starts,
+        every virtual voice then computes its tail at the same absolute
+        block phases as the stream, which the in-flight fade projections
+        and rescale are sensitive to (converged params are not)."""
+        return np.ascontiguousarray(arr).reshape(
+            (nseg * v,) + arr.shape[2:])
+
+    host0 = model.control.snapshot()
+    p0 = jax.tree.map(
+        lambda t: jnp.asarray(np.tile(
+            np.asarray(t), (nseg,) + (1,) * (np.asarray(t).ndim - 1))),
+        host0)
+    state = seng.init_converged(bank, p0)
+    snaps = [sim.snaps[max(s * seg_len - warmup, 0)] for s in range(nseg)]
+    g0 = vm(np.stack([s[2] for s in snaps]))
+    state = replace(
+        state,
+        coef_a=jnp.asarray(vm(np.stack([s[0] for s in snaps]))),
+        coef_c=jnp.asarray(vm(np.stack([s[1] for s in snaps]))))
+    if selected:
+        # the 'selected' strategy reads MATERIALIZED per-voice tensors:
+        # the snapshot is still an affine span of the bank (the stream's
+        # collapse is base := a*base + c*bank[old], the same recursion the
+        # host g tracks), so expand g once at init and gather the
+        # pre-event selection
+        sel0 = jnp.asarray(vm(np.stack([s[3] for s in snaps])))
+        base0, selsp = jax.jit(lambda bk, gg, ss: (
+            seng._span_expand(bk, gg).astype(state.base.dtype),
+            seng._gather_selection(bk, ss)))(bank, jnp.asarray(g0), sel0)
+        state = replace(state, base=base0, sel_spectra=selsp,
+                        base_pure=jnp.zeros((v * nseg, 2), bool))
+    else:
+        if g0.shape[-1] != state.base_g.shape[-1]:
+            raise ValueError(
+                f"span width mismatch: control plane tracks {g0.shape[-1]} "
+                f"IRs, engine state carries {state.base_g.shape[-1]}")
+        state = replace(state, base_g=jnp.asarray(g0),
+                        base_pure=jnp.ones((v * nseg, 2), bool))
+
+    reg_tbl = {f: jnp.asarray(np.stack([r[f] for r in sim.regimes]))
+               for f in _ControlSim.FIELDS}
+    reg_start = jnp.asarray(np.asarray(sim.regime_starts, np.int32))
+    reg_of_block = jnp.asarray(sim.regime_of_block)
+    ev_changed = jnp.asarray(np.stack(sim.ev_changed))
+    ev_old = jnp.asarray(np.stack(sim.ev_old))
+    ev_of_block = jnp.asarray(sim.event_of_block)
+
+    xb_dev = jax.device_put(xb)
+    starts = jnp.asarray(np.arange(nseg, dtype=np.int32) * seg_len)
+    takes_params = getattr(seng, "collapse_pure_takes_params", False)
+
+    # input + bank ride as explicit jit arguments (a closure-captured
+    # device array inlines into the lowered HLO as a constant — the
+    # 152-IR selected bank produced an 880 MB program text the remote
+    # compile endpoint rejected at HTTP 413); the KB-scale timeline
+    # tables are fine as closure constants
+    @partial(jax.jit, donate_argnums=0)
+    def step(carry, xb_a, bank_a):
+        st, i = carry
+        idx = starts + i - warmup                          # [nseg]
+        idxc = jnp.clip(idx, 0, tpad - 1)
+        live = idx >= 0
+        xi = jnp.take(xb_a, idxc, axis=0)
+        xi = jnp.where(live[:, None, None], xi, 0.0)
+        xi = jnp.repeat(xi, v, axis=0)                     # [Vv, 2, B]
+
+        # pre-roll steps (idx < 0, segment starts earlier than one warm-up
+        # window) read regime row 0 — the initial plane, whose converged
+        # coefficients make the recursion a no-op before block 0
+        reg = jnp.where(live, jnp.take(reg_of_block, idxc), 0)
+
+        def vmj(tbl, sel):
+            gath = jnp.take(tbl, sel, axis=0)              # [nseg, V, 2, ...]
+            return gath.reshape((nseg * v,) + gath.shape[2:])
+
+        offs = jnp.where(live, idx - jnp.take(reg_start, reg), 0)
+        offs_vv = jnp.repeat(offs, v)[:, None]             # [Vv, 1]
+        params = VoiceParams(
+            select=vmj(reg_tbl["select"], reg),
+            predelay=vmj(reg_tbl["predelay"], reg),
+            vsteps=jnp.maximum(vmj(reg_tbl["vsteps"], reg) - offs_vv, 0),
+            dry=vmj(reg_tbl["dry"], reg), wet=vmj(reg_tbl["wet"], reg),
+            pan_dry=vmj(reg_tbl["pan_dry"], reg),
+            pan_wet=vmj(reg_tbl["pan_wet"], reg),
+            level=vmj(reg_tbl["level"], reg))
+
+        ev = jnp.where(live, jnp.take(ev_of_block, idxc), 0)
+        live_vv = jnp.repeat(live, v)[:, None]
+        chg = vmj(ev_changed, ev) & live_vv
+        old = vmj(ev_old, ev)
+        if selected:
+            # the materializing collapse gathers bank spectra — gate it on
+            # "this block re-selects" exactly like the stream does (the
+            # all-False where() form would still pay the full gather)
+            st = jax.lax.cond(
+                jnp.any(chg),
+                lambda s, bk: seng.collapse(s, bk, old, chg,
+                                            new_select=params.select),
+                lambda s, bk: s, st, bank_a)
+            st, y = seng.step_coef(st, bank_a, params, xi)
+        else:
+            extra = (params,) if takes_params else ()
+            st = seng.collapse_pure(st, old, chg, *extra)
+            st, y = seng.step_coef_indexed(st, bank_a, params, xi)
+        return (st, i + 1), y
+
+    Log.info("offline", "automated bounce: %d blocks as %d segment(s) x %d "
+             "+ %d warm-up steps (%d virtual voices, %d regime(s), %d "
+             "re-select block(s))", total_blocks, nseg, seg_len, warmup,
+             v * nseg, len(sim.regimes), len(sim.ev_changed) - 1)
+
+    out = _collect(step, state, warmup, seg_len, (xb_dev, bank))
+    # [seg_len, nseg*V, 2, B] (segment-major) -> [V, 2, tpad*B]
+    out = (out.reshape(seg_len, nseg, v, 2, b)
+              .transpose(2, 3, 1, 0, 4)
+              .reshape(v, 2, tpad * b))
+    out_samples = t_samples + tail_blocks * b if include_tail else t_samples
+    return out[..., :out_samples]
+
+
+def _collect(step, state, warmup: int, seg_len: int,
+             consts: tuple = ()) -> np.ndarray:
+    """Drive the chained step and collect [seg_len, Vv, 2, B] on the host.
+
+    Every per-step output starts its device->host copy immediately
+    (`copy_to_host_async`) and is converted at the end: on the tunneled
+    transport this measured 5.4 ms/step INCLUDING the full fetch —
+    identical to the bare discard-outputs chain — while stacking outputs
+    on device every N steps serialized dispatch (eager `jnp.stack` of 64
+    arrays cost ~15 ms/step amortized; even a jitted stack paid ~2.6).
+    `consts` are the step's loop-invariant device arguments (input
+    tensor, bank, params — explicit jit args so they never inline into
+    the lowered HLO as constants)."""
+    carry = (state, jnp.zeros((), jnp.int32))
+    for _ in range(warmup):
+        carry, _ = step(carry, *consts)
+    ys = []
+    for _ in range(seg_len):
+        carry, y = step(carry, *consts)
+        try:
+            y.copy_to_host_async()
+        except Exception:
+            pass
+        ys.append(y)
+    return np.stack([np.asarray(y) for y in ys])
