@@ -277,6 +277,44 @@ def test_offline_automated_equals_streamed(engine, kwargs, segments):
     np.testing.assert_allclose(out[..., :n], ref[..., :n], atol=5e-5)
 
 
+@pytest.mark.parametrize("seed,segments", [(11, 8), (12, 3)])
+def test_offline_automated_fuzz(seed, segments):
+    """Dense randomized CC traffic (select/wet/dry/predelay/speed/pan,
+    every few blocks, including block 0 and events in the tail window,
+    fades overlapping every segment boundary and each other) == the
+    streaming session, with no spacing constraints — the automation
+    replay's design claim."""
+    from tpu_audio.runtime.stream import MidiSchedule
+
+    rng = np.random.default_rng(seed)
+    controllers = [0x15, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x1B]
+    events, t = [], 0
+    while t < 140:
+        events.append((t, "", bytes([0xB0, int(rng.choice(controllers)),
+                                     int(rng.integers(0, 128))])))
+        t += int(rng.integers(1, 9))
+
+    def fresh():
+        m = build_model(num_voices=2)
+        m.control.speed[:] = int(rng.integers(8, 60))
+        _map_all(m.control)
+        return m
+
+    state = rng.bit_generator.state
+    model = fresh()
+    b = model.engine.block
+    x = program(130 * b, seed=seed + 100)
+    out = render_offline(model, x, segments=segments,
+                         schedule=MidiSchedule(list(events)))
+    total_blocks = -(-x.shape[1] // b) + model.engine.history_blocks
+    rng.bit_generator.state = state  # identical speed draw
+    ref = stream_automated(fresh(), x, total_blocks,
+                           MidiSchedule(list(events)))
+    n = min(out.shape[-1], ref.shape[-1])
+    assert np.abs(ref[..., :n]).max() > 1e-3
+    np.testing.assert_allclose(out[..., :n], ref[..., :n], atol=5e-5)
+
+
 def test_offline_automated_guards():
     from tpu_audio.runtime.stream import MidiSchedule
 
