@@ -313,6 +313,54 @@ class FMajorPartitionedConvolution:
         on."""
         return self.pp + self.ring_slots + 2
 
+    @property
+    def prime_blocks(self) -> int:
+        """Streamed warm-up depth when the frequency delay line is primed
+        directly (prime_fdl): only the wet ring still needs streaming —
+        its deepest deferral plus the same margin history_blocks carries.
+        Cuts the offline renderer's per-segment warm-up from
+        pp + ring_slots + 2 (~730 steps at 4 s IRs) to ~36."""
+        return self.ring_slots + 2
+
+    def input_spectra_bulk(self, xb: jax.Array) -> jax.Array:
+        """Planar input spectra for a whole shared-program block tensor
+        [T, 2, B]: spec[t] carries exactly _input_spectrum's values for
+        block t (rfft over the OLS pair [x_{t-1}, x_t]; x_{-1} = 0), as
+        f32 [T, 2, F, 2] — one batched transform instead of T chained
+        steps (the fdl is parameter-independent, so the offline renderer
+        can rebuild any segment's delay line from these by gather)."""
+        prev = jnp.concatenate([jnp.zeros_like(xb[:1]), xb[:-1]], axis=0)
+        seg = jnp.concatenate([prev, xb], axis=-1)         # [T, 2, 2B]
+        spec = self.xf.rfft(seg)                           # [T, 2, F]
+        return jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+
+    def prime_fdl(self, state: FMajorState, spec: jax.Array,
+                  t0: jax.Array) -> FMajorState:
+        """Prime the frequency delay line as if blocks [t0-Pp, t0) had
+        been streamed into a FRESH state (local wptr 0): the step at
+        local time 0 then processes absolute block t0[v] with its full
+        input history in place. `spec` is input_spectra_bulk's [T,2,F,2];
+        blocks before 0 prime to zero (the stream-from-silence state).
+        prev_in (block t0-1's raw samples) is the caller's to set — the
+        layout is trivial and the caller owns the input tensor."""
+        pp, f, v = self.pp, self.num_bins, self.num_voices
+        j = jnp.arange(pp)
+        if self.ring_mode:
+            # at wptr=0, MAC slot (0 - s) mod Pp pairs with bank partition
+            # s, i.e. slot j must hold spec[t0 - Pp + j] (slot 0, the
+            # s=Pp alias, is overwritten by the step-0 write before the
+            # MAC reads it)
+            blocks = t0[:, None] - pp + j[None, :]         # [V, Pp]
+        else:
+            # roll mode: position k holds spec[t - 1 - k] entering step t
+            blocks = t0[:, None] - 1 - j[None, :]
+        valid = blocks >= 0
+        g = jnp.take(spec, jnp.clip(blocks, 0, spec.shape[0] - 1), axis=0)
+        g = jnp.where(valid[..., None, None, None], g, 0.0)  # [V,Pp,I,F,d]
+        fdl = jnp.transpose(g, (3, 0, 2, 4, 1)).reshape(
+            f, v * 2, 2, pp).astype(self.mac_dtype)
+        return replace(state, fdl=fdl)
+
     # -- bank ---------------------------------------------------------------------
 
     def _pack_bank_host(self, spectra: np.ndarray):

@@ -139,8 +139,14 @@ def render_offline(model, samples, *, segments: int | None = None,
     t_samples = x.shape[1]
     t_blocks = -(-t_samples // b)
 
+    # fast prime: the fdl is parameter-independent, so engines exposing
+    # prime_fdl rebuild it from ONE batched rfft + gather instead of
+    # streaming pp warm-up blocks per segment — warm-up drops to the wet
+    # ring's depth (~36 blocks vs ~730 at 4 s IRs) and the optimal
+    # segment count rises accordingly
+    fast = hasattr(eng, "prime_fdl")
     warmup = int(warmup_blocks if warmup_blocks is not None
-                 else eng.history_blocks)
+                 else (eng.prime_blocks if fast else eng.history_blocks))
     tail_blocks = eng.history_blocks if include_tail else 0
     total_blocks = t_blocks + tail_blocks
 
@@ -163,17 +169,7 @@ def render_offline(model, samples, *, segments: int | None = None,
     xb = np.ascontiguousarray(
         flat.reshape(2, nseg * seg_len, b).transpose(1, 0, 2))
 
-    if v * nseg == eng.num_voices:
-        seng = eng
-    elif getattr(eng, "mac_strategy", None) == "allk" and getattr(
-            eng, "swap_snapshot", False):
-        # a bounce never swaps banks mid-fade (it never fades): drop the
-        # fmajor fade snapshot `base` — ~11 MB of dead HBM per virtual
-        # voice at 4 s IRs, the difference between ~500 and ~1500 usable
-        # segments on one chip
-        seng = eng.with_voices(v * nseg, swap_snapshot=False)
-    else:
-        seng = eng.with_voices(v * nseg)
+    seng = _virtual_engine(eng, v * nseg)
     bank = model.spectra
 
     # control-plane snapshot, replicated voice-major: virtual voice
@@ -184,13 +180,14 @@ def render_offline(model, samples, *, segments: int | None = None,
     state = seng.init_converged(bank, vparams)
 
     xb_dev = jax.device_put(xb)
-    starts = jnp.asarray(np.arange(nseg, dtype=np.int32) * seg_len)
-    # converged static params ride the steady hot path on coef engines;
-    # materialized/monolithic engines go through their general step (its
-    # fade arithmetic is a converged no-op)
-    steady = (seng.step_coef_steady
-              if getattr(seng, "variant", None) == "coef" else seng.step)
     nt = xb.shape[0]
+
+    if fast:
+        # voice-major virtual packing: t0[v*nseg + s] = segment s's
+        # warm-up start block
+        t0 = jnp.asarray(np.tile(
+            np.arange(nseg, dtype=np.int32) * seg_len - warmup, v))
+        state = _prime_fast(seng, state, xb_dev, t0, nt)
 
     # the step index rides the donated carry as a DEVICE scalar: a per-step
     # host `jnp.int32(i)` upload serializes dispatches on high-RTT
@@ -201,15 +198,28 @@ def render_offline(model, samples, *, segments: int | None = None,
     # constant (a 440 MB bank lowered to an 880 MB program text, which a
     # remote compile endpoint rejects outright at HTTP 413 — and even the
     # 69 MB flagship bank silently made every compile request ~300 MB)
-    @partial(jax.jit, donate_argnums=0)
-    def step(carry, xb_a, bank_a, vp_a):
-        st, i = carry
-        idx = starts + i - warmup                       # [nseg]
-        xi = jnp.take(xb_a, jnp.clip(idx, 0, nt - 1), axis=0)
-        xi = jnp.where((idx >= 0)[:, None, None], xi, 0.0)
-        xi = jnp.tile(xi, (v, 1, 1))                    # [V*nseg, 2, B]
-        st, y = steady(st, bank_a, vp_a, xi)
-        return (st, i + 1), y
+    def build_step():
+        starts = jnp.asarray(np.arange(nseg, dtype=np.int32) * seg_len)
+        # converged static params ride the steady hot path on coef
+        # engines; materialized/monolithic engines go through their
+        # general step (its fade arithmetic is a converged no-op)
+        steady = (seng.step_coef_steady
+                  if getattr(seng, "variant", None) == "coef" else seng.step)
+
+        @partial(jax.jit, donate_argnums=0)
+        def step(carry, xb_a, bank_a, vp_a):
+            st, i = carry
+            idx = starts + i - warmup                   # [nseg]
+            xi = jnp.take(xb_a, jnp.clip(idx, 0, nt - 1), axis=0)
+            xi = jnp.where((idx >= 0)[:, None, None], xi, 0.0)
+            xi = jnp.tile(xi, (v, 1, 1))                # [V*nseg, 2, B]
+            st, y = steady(st, bank_a, vp_a, xi)
+            return (st, i + 1), y
+
+        return step
+
+    step = _cached_fn(seng, ("static", nseg, seg_len, warmup, nt),
+                      build_step)
 
     Log.info("offline", "bounce: %d blocks as %d segment(s) x %d + %d "
              "warm-up steps (%d virtual voices)",
@@ -369,8 +379,9 @@ def _render_automated(model, samples, schedule, *, segments,
     x = _check_stereo(samples)
     t_samples = x.shape[1]
     t_blocks = -(-t_samples // b)
+    fast = hasattr(eng, "prime_fdl")
     warmup = int(warmup_blocks if warmup_blocks is not None
-                 else eng.history_blocks)
+                 else (eng.prime_blocks if fast else eng.history_blocks))
     # the cascade's tail schedule is staggered (group g computes at blocks
     # t % ratio == g): a virtual voice's LOCAL block counter starts at 0,
     # so its stagger phase matches the stream's absolute phase only when
@@ -398,15 +409,7 @@ def _render_automated(model, samples, schedule, *, segments,
     sim = _ControlSim(model.control, schedule, tpad,
                       [max(s * seg_len - warmup, 0) for s in range(nseg)])
 
-    if v * nseg == eng.num_voices:
-        seng = eng
-    elif (getattr(eng, "mac_strategy", None) == "allk"
-          and getattr(eng, "swap_snapshot", False)):
-        # span fades never read the materialized snapshot: drop it (same
-        # HBM win as the static path)
-        seng = eng.with_voices(v * nseg, swap_snapshot=False)
-    else:
-        seng = eng.with_voices(v * nseg)
+    seng = _virtual_engine(eng, v * nseg)
     bank = model.spectra
 
     def vm(arr: np.ndarray) -> np.ndarray:
@@ -465,73 +468,144 @@ def _render_automated(model, samples, schedule, *, segments,
     starts = jnp.asarray(np.arange(nseg, dtype=np.int32) * seg_len)
     takes_params = getattr(seng, "collapse_pure_takes_params", False)
 
-    # input + bank ride as explicit jit arguments (a closure-captured
-    # device array inlines into the lowered HLO as a constant — the
-    # 152-IR selected bank produced an 880 MB program text the remote
-    # compile endpoint rejected at HTTP 413); the KB-scale timeline
-    # tables are fine as closure constants
-    @partial(jax.jit, donate_argnums=0)
-    def step(carry, xb_a, bank_a):
-        st, i = carry
-        idx = starts + i - warmup                          # [nseg]
-        idxc = jnp.clip(idx, 0, tpad - 1)
-        live = idx >= 0
-        xi = jnp.take(xb_a, idxc, axis=0)
-        xi = jnp.where(live[:, None, None], xi, 0.0)
-        xi = jnp.repeat(xi, v, axis=0)                     # [Vv, 2, B]
+    if fast:
+        # segment-major virtual packing: t0[s*V + v]
+        t0 = jnp.asarray(np.repeat(
+            np.arange(nseg, dtype=np.int32) * seg_len - warmup, v))
+        state = _prime_fast(seng, state, xb_dev, t0, tpad)
 
-        # pre-roll steps (idx < 0, segment starts earlier than one warm-up
-        # window) read regime row 0 — the initial plane, whose converged
-        # coefficients make the recursion a no-op before block 0
-        reg = jnp.where(live, jnp.take(reg_of_block, idxc), 0)
+    tables = (reg_tbl, reg_start, reg_of_block,
+              ev_changed, ev_old, ev_of_block)
 
-        def vmj(tbl, sel):
-            gath = jnp.take(tbl, sel, axis=0)              # [nseg, V, 2, ...]
-            return gath.reshape((nseg * v,) + gath.shape[2:])
+    # input, bank, AND the schedule tables ride as explicit jit arguments
+    # (a closure-captured device array inlines into the lowered HLO as a
+    # constant — the 152-IR selected bank produced an 880 MB program text
+    # the remote compile endpoint rejected at HTTP 413); passing the
+    # tables as args also makes the cached executable schedule-agnostic
+    # (same table shapes -> zero recompiles across bounces)
+    def build_step():
+        @partial(jax.jit, donate_argnums=0)
+        def step(carry, xb_a, bank_a, tbl_a):
+            rtbl, rstart, rof, evc, evo, evof = tbl_a
+            st, i = carry
+            idx = starts + i - warmup                      # [nseg]
+            idxc = jnp.clip(idx, 0, tpad - 1)
+            live = idx >= 0
+            xi = jnp.take(xb_a, idxc, axis=0)
+            xi = jnp.where(live[:, None, None], xi, 0.0)
+            xi = jnp.repeat(xi, v, axis=0)                 # [Vv, 2, B]
 
-        offs = jnp.where(live, idx - jnp.take(reg_start, reg), 0)
-        offs_vv = jnp.repeat(offs, v)[:, None]             # [Vv, 1]
-        params = VoiceParams(
-            select=vmj(reg_tbl["select"], reg),
-            predelay=vmj(reg_tbl["predelay"], reg),
-            vsteps=jnp.maximum(vmj(reg_tbl["vsteps"], reg) - offs_vv, 0),
-            dry=vmj(reg_tbl["dry"], reg), wet=vmj(reg_tbl["wet"], reg),
-            pan_dry=vmj(reg_tbl["pan_dry"], reg),
-            pan_wet=vmj(reg_tbl["pan_wet"], reg),
-            level=vmj(reg_tbl["level"], reg))
+            # pre-roll steps (idx < 0, segment starts earlier than one
+            # warm-up window) read regime row 0 — the initial plane, whose
+            # converged coefficients make the recursion a no-op before
+            # block 0
+            reg = jnp.where(live, jnp.take(rof, idxc), 0)
 
-        ev = jnp.where(live, jnp.take(ev_of_block, idxc), 0)
-        live_vv = jnp.repeat(live, v)[:, None]
-        chg = vmj(ev_changed, ev) & live_vv
-        old = vmj(ev_old, ev)
-        if selected:
-            # the materializing collapse gathers bank spectra — gate it on
-            # "this block re-selects" exactly like the stream does (the
-            # all-False where() form would still pay the full gather)
-            st = jax.lax.cond(
-                jnp.any(chg),
-                lambda s, bk: seng.collapse(s, bk, old, chg,
-                                            new_select=params.select),
-                lambda s, bk: s, st, bank_a)
-            st, y = seng.step_coef(st, bank_a, params, xi)
-        else:
-            extra = (params,) if takes_params else ()
-            st = seng.collapse_pure(st, old, chg, *extra)
-            st, y = seng.step_coef_indexed(st, bank_a, params, xi)
-        return (st, i + 1), y
+            def vmj(tbl, sel):
+                gath = jnp.take(tbl, sel, axis=0)          # [nseg, V, 2, ..]
+                return gath.reshape((nseg * v,) + gath.shape[2:])
+
+            offs = jnp.where(live, idx - jnp.take(rstart, reg), 0)
+            offs_vv = jnp.repeat(offs, v)[:, None]         # [Vv, 1]
+            params = VoiceParams(
+                select=vmj(rtbl["select"], reg),
+                predelay=vmj(rtbl["predelay"], reg),
+                vsteps=jnp.maximum(vmj(rtbl["vsteps"], reg) - offs_vv, 0),
+                dry=vmj(rtbl["dry"], reg), wet=vmj(rtbl["wet"], reg),
+                pan_dry=vmj(rtbl["pan_dry"], reg),
+                pan_wet=vmj(rtbl["pan_wet"], reg),
+                level=vmj(rtbl["level"], reg))
+
+            ev = jnp.where(live, jnp.take(evof, idxc), 0)
+            live_vv = jnp.repeat(live, v)[:, None]
+            chg = vmj(evc, ev) & live_vv
+            old = vmj(evo, ev)
+            if selected:
+                # the materializing collapse gathers bank spectra — gate
+                # it on "this block re-selects" exactly like the stream
+                # does (the all-False where() form would still pay the
+                # full gather)
+                st = jax.lax.cond(
+                    jnp.any(chg),
+                    lambda s, bk: seng.collapse(s, bk, old, chg,
+                                                new_select=params.select),
+                    lambda s, bk: s, st, bank_a)
+                st, y = seng.step_coef(st, bank_a, params, xi)
+            else:
+                extra = (params,) if takes_params else ()
+                st = seng.collapse_pure(st, old, chg, *extra)
+                st, y = seng.step_coef_indexed(st, bank_a, params, xi)
+            return (st, i + 1), y
+
+        return step
+
+    step = _cached_fn(seng, ("auto", selected, takes_params, nseg,
+                             seg_len, warmup, tpad), build_step)
 
     Log.info("offline", "automated bounce: %d blocks as %d segment(s) x %d "
              "+ %d warm-up steps (%d virtual voices, %d regime(s), %d "
              "re-select block(s))", total_blocks, nseg, seg_len, warmup,
              v * nseg, len(sim.regimes), len(sim.ev_changed) - 1)
 
-    out = _collect(step, state, warmup, seg_len, (xb_dev, bank))
+    out = _collect(step, state, warmup, seg_len, (xb_dev, bank, tables))
     # [seg_len, nseg*V, 2, B] (segment-major) -> [V, 2, tpad*B]
     out = (out.reshape(seg_len, nseg, v, 2, b)
               .transpose(2, 3, 1, 0, 4)
               .reshape(v, 2, tpad * b))
     out_samples = t_samples + tail_blocks * b if include_tail else t_samples
     return out[..., :out_samples]
+
+
+def _virtual_engine(eng, vv: int):
+    """`eng.with_voices(vv)` memoized ON the base engine: every
+    render_offline call reuses the same virtual-engine instance, so the
+    jitted step/prime functions cached on it (_cached_fn) survive across
+    bounces — a fresh closure per call re-traced and re-loaded
+    executables every rep (measured ~7 s of the 11.7 s warm bounce)."""
+    cache = eng.__dict__.setdefault("_offline_engines", {})
+    if vv not in cache:
+        if vv == eng.num_voices:
+            cache[vv] = eng
+        elif (getattr(eng, "mac_strategy", None) == "allk"
+              and getattr(eng, "swap_snapshot", False)):
+            # a bounce never swaps banks mid-fade: drop the fmajor fade
+            # snapshot `base` — ~11 MB of dead HBM per virtual voice at
+            # 4 s IRs, the difference between ~500 and ~1500 usable
+            # segments on one chip
+            cache[vv] = eng.with_voices(vv, swap_snapshot=False)
+        else:
+            cache[vv] = eng.with_voices(vv)
+    return cache[vv]
+
+
+def _cached_fn(seng, key, builder):
+    """Memoize a built (jitted) function on the virtual engine instance,
+    keyed by the shape/config tuple that the closure bakes in."""
+    cache = seng.__dict__.setdefault("_bounce_fns", {})
+    if key not in cache:
+        cache[key] = builder()
+    return cache[key]
+
+
+def _prime_fast(seng, state, xb_dev, t0, nt: int):
+    """Bulk-prime every virtual voice's input history: one batched rfft
+    over the whole block tensor (engine.input_spectra_bulk), a gather
+    into the engine's fdl layout (engine.prime_fdl), and prev_in set to
+    block t0-1's raw samples. All big tensors are explicit jit args."""
+    spec_fn = _cached_fn(seng, ("spec",), lambda: jax.jit(
+        lambda xb_a: seng.input_spectra_bulk(xb_a)))
+    spec = spec_fn(xb_dev)
+
+    def build():
+        def _prime(st, xb_a, spec_a, t0_a):
+            st = seng.prime_fdl(st, spec_a, t0_a)
+            pim = jnp.take(xb_a, jnp.clip(t0_a - 1, 0, nt - 1), axis=0)
+            pim = jnp.where((t0_a >= 1)[:, None, None], pim, 0.0)
+            return replace(st, prev_in=pim)
+        return jax.jit(_prime, donate_argnums=0)
+
+    prime = _cached_fn(seng, ("prime", nt), build)
+    return prime(state, xb_dev, spec, t0)
 
 
 def _collect(step, state, warmup: int, seg_len: int,
