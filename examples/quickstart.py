@@ -1,4 +1,4 @@
-"""tpu-audio quickstart: the library API in five short scenes.
+"""tpu-audio quickstart: the library API in six short scenes.
 
 Runs anywhere JAX runs — on CPU for a laptop smoke test:
 
@@ -79,6 +79,31 @@ def scene_2_midi_control():
     sink = WavSink("/tmp/quickstart_2.wav", SR)
     _, summary = model.process(WavSource(x, VOICES, BLOCK), sink, midi=midi)
     print(f"scene 2: {summary['blocks_streamed']} blocks with MIDI control")
+
+
+def scene_2b_automated_bounce():
+    """The same MIDI timeline, bounced OFFLINE far faster than real
+    time: render_offline(schedule=...) maps the track's time axis onto
+    virtual voices and replays the automation in-graph — output matches
+    the live session of scene 2 to float precision (the reference can
+    only bounce by performing through JACK at 1.0x)."""
+    bank = make_bank()
+    model = ConvolutionReverb(bank, num_voices=1, block=BLOCK,
+                              engine="fmajor", sample_rate=SR)
+    model.control.wet[:] = 0.6
+    model.control.dry[:] = 0.4
+    model.control.set_mapping(0, 0, CCMapping(message=0xB0, select=21,
+                                              wet=24, speed=25))
+    midi = MidiSchedule.parse("""
+        5  B0 19 40
+        10 B0 15 60   # crossfade to IR 1, mid-track
+        25 B0 18 20   # wet down
+    """)
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((2, BLOCK * 40)) * 0.1).astype(np.float32)
+    out = model.render_offline(x, segments=4, schedule=midi)  # [V, 2, T+tail]
+    print(f"scene 2b: bounced {out.shape[-1] / SR:.2f} s (automation + "
+          f"reverb tail) time-parallel over 4 segments")
 
 
 def scene_3_settings_file():
@@ -166,6 +191,7 @@ def scene_5_multichip():
 if __name__ == "__main__":
     scene_1_offline_render()
     scene_2_midi_control()
+    scene_2b_automated_bounce()
     scene_3_settings_file()
     scene_4_checkpoint_resume()
     scene_5_multichip()

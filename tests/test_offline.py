@@ -40,20 +40,21 @@ def build_model(engine="fmajor", num_voices=2, block=32, ir_len=300,
 
 def stream_reference(model, x, out_samples):
     """Block-stream the model's own engine at converged params (zero
-    blocks appended past the input flush the tail)."""
+    blocks appended past the input flush the tail). `x` may be shared
+    [2, T] or per-voice [V, 2, T]."""
     eng, bank = model.engine, model.spectra
-    b = eng.block
+    b, v = eng.block, eng.num_voices
     params = jax.tree.map(jnp.asarray, model.control.snapshot())
     state = eng.init_converged(bank, params)
     step = jax.jit(eng.step_coef_steady
                    if getattr(eng, "variant", None) == "coef" else eng.step)
     blocks = -(-out_samples // b)
-    xb = np.zeros((blocks * b, 2), np.float32)
-    xb[: x.shape[1]] = x.T
+    xv = np.broadcast_to(x[None], (v,) + x.shape) if x.ndim == 2 else x
+    xb = np.zeros((v, 2, blocks * b), np.float32)
+    xb[..., : xv.shape[-1]] = xv
     outs = []
     for t in range(blocks):
-        xi = jnp.asarray(np.broadcast_to(
-            xb[t * b: (t + 1) * b].T[None], (eng.num_voices, 2, b)))
+        xi = jnp.asarray(xb[..., t * b: (t + 1) * b])
         state, y = step(state, bank, params, xi)
         outs.append(np.asarray(y))
     out = np.stack(outs)  # [T_b, V, 2, B]
@@ -89,6 +90,41 @@ def test_offline_cascade_equals_streamed(strategy):
     out = render_offline(model, x, segments=4)
     ref = stream_reference(model, x, out.shape[-1])
     np.testing.assert_allclose(out, ref, atol=3e-5)
+
+
+def test_offline_per_voice_input():
+    """Per-voice program material [V, 2, T] — the WavSource convention —
+    bounces too, static and automated alike."""
+    from tpu_audio.runtime.stream import MidiSchedule
+
+    rng = np.random.default_rng(7)
+    model = build_model(num_voices=2)
+    b = model.engine.block
+    x = (rng.standard_normal((2, 2, 44 * b)) * 0.1).astype(np.float32)
+    out = render_offline(model, x, segments=3)
+    ref = stream_reference(build_model(num_voices=2), x, out.shape[-1])
+    np.testing.assert_allclose(out, ref, atol=3e-5)
+    # the two voices heard different material
+    assert np.abs(out[0] - out[1]).max() > 1e-3
+
+    def fresh():
+        m = build_model(num_voices=2)
+        m.control.speed[:] = 20
+        _map_all(m.control)
+        return m
+
+    model = fresh()
+    out = render_offline(model, x, segments=4,
+                         schedule=MidiSchedule(list(AUTOMATION)))
+    total_blocks = -(-x.shape[-1] // b) + model.engine.history_blocks
+    ref = stream_automated(fresh(), x, total_blocks,
+                           MidiSchedule(list(AUTOMATION)))
+    n = min(out.shape[-1], ref.shape[-1])
+    np.testing.assert_allclose(out[..., :n], ref[..., :n], atol=5e-5)
+
+    with pytest.raises(ValueError, match="per-voice"):
+        render_offline(build_model(num_voices=1),
+                       np.zeros((3, 2, 64), np.float32))
 
 
 def test_offline_auto_segments_and_mono():
@@ -227,13 +263,14 @@ AUTOMATION = [
 def stream_automated(model, x, total_blocks, schedule):
     """The REAL streaming session (collapse_pure + indexed/steady step
     selection + per-block countdown) driven by the same MIDI schedule —
-    the ground truth the automated bounce must reproduce."""
+    the ground truth the automated bounce must reproduce. `x` may be
+    shared [2, T] or per-voice [V, 2, T]."""
     from tpu_audio.runtime.backends import WavSink, WavSource
     from tpu_audio.runtime.stream import StreamSession
 
     b = model.engine.block
-    xpad = np.zeros((2, total_blocks * b), np.float32)
-    xpad[:, : x.shape[1]] = x
+    xpad = np.zeros(x.shape[:-1] + (total_blocks * b,), np.float32)
+    xpad[..., : x.shape[-1]] = x
     sink = WavSink("/dev/null", keep_data=True)
     sess = StreamSession(model.engine, model.spectra, model.control,
                          WavSource(xpad, model.engine.num_voices, b),

@@ -335,14 +335,17 @@ class FMajorPartitionedConvolution:
         return jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
 
     def prime_fdl(self, state: FMajorState, spec: jax.Array,
-                  t0: jax.Array) -> FMajorState:
+                  t0: jax.Array, voice_of: jax.Array | None = None
+                  ) -> FMajorState:
         """Prime the frequency delay line as if blocks [t0-Pp, t0) had
         been streamed into a FRESH state (local wptr 0): the step at
         local time 0 then processes absolute block t0[v] with its full
-        input history in place. `spec` is input_spectra_bulk's [T,2,F,2];
-        blocks before 0 prime to zero (the stream-from-silence state).
-        prev_in (block t0-1's raw samples) is the caller's to set — the
-        layout is trivial and the caller owns the input tensor."""
+        input history in place. `spec` is input_spectra_bulk's [T,2,F,2]
+        (shared program material) or [T,Vb,2,F,2] with `voice_of` [V]
+        mapping each voice onto a base-voice row; blocks before 0 prime
+        to zero (the stream-from-silence state). prev_in (block t0-1's
+        raw samples) is the caller's to set — the layout is trivial and
+        the caller owns the input tensor."""
         pp, f, v = self.pp, self.num_bins, self.num_voices
         j = jnp.arange(pp)
         if self.ring_mode:
@@ -355,7 +358,11 @@ class FMajorPartitionedConvolution:
             # roll mode: position k holds spec[t - 1 - k] entering step t
             blocks = t0[:, None] - 1 - j[None, :]
         valid = blocks >= 0
-        g = jnp.take(spec, jnp.clip(blocks, 0, spec.shape[0] - 1), axis=0)
+        bc = jnp.clip(blocks, 0, spec.shape[0] - 1)
+        if voice_of is None:
+            g = jnp.take(spec, bc, axis=0)
+        else:
+            g = spec[bc, voice_of[:, None]]
         g = jnp.where(valid[..., None, None, None], g, 0.0)  # [V,Pp,I,F,d]
         fdl = jnp.transpose(g, (3, 0, 2, 4, 1)).reshape(
             f, v * 2, 2, pp).astype(self.mac_dtype)

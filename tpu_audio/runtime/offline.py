@@ -86,14 +86,23 @@ def _auto_segments(total_blocks: int, warmup: int, base_voices: int,
                       total_blocks))
 
 
-def _check_stereo(samples) -> np.ndarray:
+def _check_stereo(samples, num_voices: int) -> tuple[np.ndarray, bool]:
+    """Validate bounce input: shared [2, T] stereo (or [T] mono,
+    duplicated), or per-voice [V, 2, T] program material — the same
+    convention WavSource streams. Returns (x, per_voice)."""
     x = np.asarray(samples, np.float32)
     if x.ndim == 1:
         x = np.stack([x, x])
+    if x.ndim == 3:
+        if x.shape[:2] != (num_voices, 2):
+            raise ValueError(
+                f"per-voice samples must be [{num_voices}, 2, T] "
+                f"(model voices, stereo), got {x.shape}")
+        return x, True
     if x.ndim != 2 or x.shape[0] != 2:
-        raise ValueError(f"samples must be [2, T] stereo or [T] mono, "
-                         f"got {x.shape}")
-    return x
+        raise ValueError(f"samples must be [2, T] stereo, [T] mono, or "
+                         f"per-voice [V, 2, T], got {x.shape}")
+    return x, False
 
 
 def _check_full_resident(model) -> None:
@@ -110,9 +119,11 @@ def render_offline(model, samples, *, segments: int | None = None,
                    warmup_blocks: int | None = None,
                    max_virtual_voices: int = 512,
                    schedule=None) -> np.ndarray:
-    """Render stereo `samples` [2, T] (or mono [T], duplicated like the
-    CLI source) through `model` (ConvolutionReverb) at the control plane's
-    current converged parameters. Returns per-voice output [V, 2, T_out]
+    """Render `samples` through `model` (ConvolutionReverb) at the
+    control plane's current converged parameters: stereo [2, T] shared
+    program material (or mono [T], duplicated like the CLI source), or
+    per-voice [V, 2, T] — the same convention WavSource streams.
+    Returns per-voice output [V, 2, T_out]
     — the same convention as the streaming sinks; sum over voices for the
     JACK-playback mix. T_out = T plus the reverb tail when `include_tail`
     (the bounce flushes `history_blocks` of ring-out; the streaming CLI
@@ -135,8 +146,8 @@ def render_offline(model, samples, *, segments: int | None = None,
     eng = model.engine
     v, b = eng.num_voices, eng.block
 
-    x = _check_stereo(samples)
-    t_samples = x.shape[1]
+    x, per_voice = _check_stereo(samples, v)
+    t_samples = x.shape[-1]
     t_blocks = -(-t_samples // b)
 
     # fast prime: the fdl is parameter-independent, so engines exposing
@@ -162,12 +173,10 @@ def render_offline(model, samples, *, segments: int | None = None,
             raise ValueError(f"segments must be >= 1, got {segments}")
     seg_len = -(-total_blocks // nseg)
 
-    # block tensor [nseg*seg_len, 2, B], zero-padded head-to-block and
-    # tail-to-segment-grid (the zero tail past T flushes the ring-out)
-    flat = np.zeros((2, nseg * seg_len * b), np.float32)
-    flat[:, :t_samples] = x
-    xb = np.ascontiguousarray(
-        flat.reshape(2, nseg * seg_len, b).transpose(1, 0, 2))
+    # block tensor [T', 2, B] (shared) or [T', V, 2, B] (per-voice),
+    # zero-padded head-to-block and tail-to-segment-grid (the zero tail
+    # past T flushes the ring-out)
+    xb = _block_tensor(x, per_voice, nseg * seg_len, b, t_samples)
 
     seng = _virtual_engine(eng, v * nseg)
     bank = model.spectra
@@ -181,13 +190,14 @@ def render_offline(model, samples, *, segments: int | None = None,
 
     xb_dev = jax.device_put(xb)
     nt = xb.shape[0]
+    # voice-major virtual packing: virtual voice v*nseg + s
+    voice_of = np.repeat(np.arange(v, dtype=np.int32), nseg)
 
     if fast:
-        # voice-major virtual packing: t0[v*nseg + s] = segment s's
-        # warm-up start block
         t0 = jnp.asarray(np.tile(
             np.arange(nseg, dtype=np.int32) * seg_len - warmup, v))
-        state = _prime_fast(seng, state, xb_dev, t0, nt)
+        state = _prime_fast(seng, state, xb_dev, t0, nt,
+                            jnp.asarray(voice_of) if per_voice else None)
 
     # the step index rides the donated carry as a DEVICE scalar: a per-step
     # host `jnp.int32(i)` upload serializes dispatches on high-RTT
@@ -211,14 +221,18 @@ def render_offline(model, samples, *, segments: int | None = None,
             st, i = carry
             idx = starts + i - warmup                   # [nseg]
             xi = jnp.take(xb_a, jnp.clip(idx, 0, nt - 1), axis=0)
-            xi = jnp.where((idx >= 0)[:, None, None], xi, 0.0)
-            xi = jnp.tile(xi, (v, 1, 1))                # [V*nseg, 2, B]
+            if per_voice:                               # [nseg, V, 2, B]
+                xi = jnp.where((idx >= 0)[:, None, None, None], xi, 0.0)
+                xi = jnp.moveaxis(xi, 0, 1).reshape(v * nseg, 2, b)
+            else:
+                xi = jnp.where((idx >= 0)[:, None, None], xi, 0.0)
+                xi = jnp.tile(xi, (v, 1, 1))            # [V*nseg, 2, B]
             st, y = steady(st, bank_a, vp_a, xi)
             return (st, i + 1), y
 
         return step
 
-    step = _cached_fn(seng, ("static", nseg, seg_len, warmup, nt),
+    step = _cached_fn(seng, ("static", per_voice, nseg, seg_len, warmup, nt),
                       build_step)
 
     Log.info("offline", "bounce: %d blocks as %d segment(s) x %d + %d "
@@ -376,8 +390,8 @@ def _render_automated(model, samples, schedule, *, segments,
             "'selected' strategy has no span-expansion for the snapshot "
             "init; bounce large banks with the fmajor engine)")
     v, b = eng.num_voices, eng.block
-    x = _check_stereo(samples)
-    t_samples = x.shape[1]
+    x, per_voice = _check_stereo(samples, v)
+    t_samples = x.shape[-1]
     t_blocks = -(-t_samples // b)
     fast = hasattr(eng, "prime_fdl")
     warmup = int(warmup_blocks if warmup_blocks is not None
@@ -402,9 +416,7 @@ def _render_automated(model, samples, schedule, *, segments,
     seg_len = -(-(-(-total_blocks // nseg)) // ratio) * ratio
     tpad = nseg * seg_len
 
-    flat = np.zeros((2, tpad * b), np.float32)
-    flat[:, :t_samples] = x
-    xb = np.ascontiguousarray(flat.reshape(2, tpad, b).transpose(1, 0, 2))
+    xb = _block_tensor(x, per_voice, tpad, b, t_samples)
 
     sim = _ControlSim(model.control, schedule, tpad,
                       [max(s * seg_len - warmup, 0) for s in range(nseg)])
@@ -472,7 +484,9 @@ def _render_automated(model, samples, schedule, *, segments,
         # segment-major virtual packing: t0[s*V + v]
         t0 = jnp.asarray(np.repeat(
             np.arange(nseg, dtype=np.int32) * seg_len - warmup, v))
-        state = _prime_fast(seng, state, xb_dev, t0, tpad)
+        vof = (jnp.asarray(np.tile(np.arange(v, dtype=np.int32), nseg))
+               if per_voice else None)
+        state = _prime_fast(seng, state, xb_dev, t0, tpad, vof)
 
     tables = (reg_tbl, reg_start, reg_of_block,
               ev_changed, ev_old, ev_of_block)
@@ -492,8 +506,12 @@ def _render_automated(model, samples, schedule, *, segments,
             idxc = jnp.clip(idx, 0, tpad - 1)
             live = idx >= 0
             xi = jnp.take(xb_a, idxc, axis=0)
-            xi = jnp.where(live[:, None, None], xi, 0.0)
-            xi = jnp.repeat(xi, v, axis=0)                 # [Vv, 2, B]
+            if per_voice:                                  # [nseg, V, 2, B]
+                xi = jnp.where(live[:, None, None, None], xi, 0.0)
+                xi = xi.reshape(nseg * v, 2, b)            # segment-major
+            else:
+                xi = jnp.where(live[:, None, None], xi, 0.0)
+                xi = jnp.repeat(xi, v, axis=0)             # [Vv, 2, B]
 
             # pre-roll steps (idx < 0, segment starts earlier than one
             # warm-up window) read regime row 0 — the initial plane, whose
@@ -539,8 +557,8 @@ def _render_automated(model, samples, schedule, *, segments,
 
         return step
 
-    step = _cached_fn(seng, ("auto", selected, takes_params, nseg,
-                             seg_len, warmup, tpad), build_step)
+    step = _cached_fn(seng, ("auto", selected, takes_params, per_voice,
+                             nseg, seg_len, warmup, tpad), build_step)
 
     Log.info("offline", "automated bounce: %d blocks as %d segment(s) x %d "
              "+ %d warm-up steps (%d virtual voices, %d regime(s), %d "
@@ -554,6 +572,22 @@ def _render_automated(model, samples, schedule, *, segments,
               .reshape(v, 2, tpad * b))
     out_samples = t_samples + tail_blocks * b if include_tail else t_samples
     return out[..., :out_samples]
+
+
+def _block_tensor(x: np.ndarray, per_voice: bool, t_pad_blocks: int,
+                  b: int, t_samples: int) -> np.ndarray:
+    """Zero-padded block tensor: [T', 2, B] for shared program material,
+    [T', V, 2, B] for per-voice [V, 2, T] input."""
+    if per_voice:
+        v = x.shape[0]
+        flat = np.zeros((v, 2, t_pad_blocks * b), np.float32)
+        flat[..., :t_samples] = x
+        return np.ascontiguousarray(
+            flat.reshape(v, 2, t_pad_blocks, b).transpose(2, 0, 1, 3))
+    flat = np.zeros((2, t_pad_blocks * b), np.float32)
+    flat[:, :t_samples] = x
+    return np.ascontiguousarray(
+        flat.reshape(2, t_pad_blocks, b).transpose(1, 0, 2))
 
 
 def _virtual_engine(eng, vv: int):
@@ -587,25 +621,31 @@ def _cached_fn(seng, key, builder):
     return cache[key]
 
 
-def _prime_fast(seng, state, xb_dev, t0, nt: int):
+def _prime_fast(seng, state, xb_dev, t0, nt: int, voice_of=None):
     """Bulk-prime every virtual voice's input history: one batched rfft
     over the whole block tensor (engine.input_spectra_bulk), a gather
     into the engine's fdl layout (engine.prime_fdl), and prev_in set to
-    block t0-1's raw samples. All big tensors are explicit jit args."""
+    block t0-1's raw samples. All big tensors are explicit jit args.
+    `voice_of` maps virtual voices onto a per-voice input tensor's base
+    voices (None for shared program material)."""
     spec_fn = _cached_fn(seng, ("spec",), lambda: jax.jit(
         lambda xb_a: seng.input_spectra_bulk(xb_a)))
     spec = spec_fn(xb_dev)
 
     def build():
-        def _prime(st, xb_a, spec_a, t0_a):
-            st = seng.prime_fdl(st, spec_a, t0_a)
-            pim = jnp.take(xb_a, jnp.clip(t0_a - 1, 0, nt - 1), axis=0)
+        def _prime(st, xb_a, spec_a, t0_a, vof_a):
+            st = seng.prime_fdl(st, spec_a, t0_a, voice_of=vof_a)
+            prev = jnp.clip(t0_a - 1, 0, nt - 1)
+            if vof_a is None:
+                pim = jnp.take(xb_a, prev, axis=0)
+            else:
+                pim = xb_a[prev, vof_a]
             pim = jnp.where((t0_a >= 1)[:, None, None], pim, 0.0)
             return replace(st, prev_in=pim)
-        return jax.jit(_prime, donate_argnums=0)
+        return jax.jit(_prime, donate_argnums=0, static_argnums=())
 
-    prime = _cached_fn(seng, ("prime", nt), build)
-    return prime(state, xb_dev, spec, t0)
+    prime = _cached_fn(seng, ("prime", nt, voice_of is not None), build)
+    return prime(state, xb_dev, spec, t0, voice_of)
 
 
 def _collect(step, state, warmup: int, seg_len: int,
