@@ -127,6 +127,26 @@ def test_offline_per_voice_input():
                        np.zeros((3, 2, 64), np.float32))
 
 
+def test_offline_chunked_long_track():
+    """Bounded-memory chunked bounce == the whole-track bounce (and so
+    == streaming), chunk boundaries mid-tail included."""
+    model = build_model(num_voices=1)
+    x = program(53 * 32 + 11)
+    whole = render_offline(model, x, segments=3)
+    chunked = render_offline(model, x, segments=3, track_chunk_blocks=17)
+    assert chunked.shape == whole.shape
+    np.testing.assert_allclose(chunked, whole, atol=3e-5)
+    no_tail = render_offline(model, x, segments=3, track_chunk_blocks=17,
+                             include_tail=False)
+    assert no_tail.shape[-1] == x.shape[1]
+    with pytest.raises(ValueError, match="static parameters only"):
+        from tpu_audio.runtime.stream import MidiSchedule
+        render_offline(model, x, track_chunk_blocks=16,
+                       schedule=MidiSchedule([]))
+    with pytest.raises(ValueError, match=">= 1"):
+        render_offline(model, x, track_chunk_blocks=0)
+
+
 def test_offline_auto_segments_and_mono():
     model = build_model(num_voices=1)
     x = program(30 * 32)[0]  # mono [T]

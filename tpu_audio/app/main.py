@@ -156,6 +156,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "too (the automation replays in-graph, matching "
                         "the live session to float precision); only LIVE "
                         "rings/FIFOs need the streaming session")
+    p.add_argument("--offline-chunk-blocks", type=int, default=None,
+                   metavar="N",
+                   help="bound device memory on hour-scale --offline "
+                        "bounces: render N blocks at a time, each chunk "
+                        "re-primed from its trailing input history "
+                        "(exact; static parameters only)")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -208,8 +214,9 @@ def _offline(args, models, mix: bool) -> int:
     try:
         for model in models:
             # (the schedule's stateful cursor is rewound by each replay)
-            out = model.render_offline(x, segments=segments,
-                                       schedule=schedule)  # [V, 2, T']
+            out = model.render_offline(
+                x, segments=segments, schedule=schedule,
+                track_chunk_blocks=args.offline_chunk_blocks)  # [V, 2, T']
             outs.append(out)
     except ValueError as exc:  # e.g. working-set models
         Log.error("app", "--offline: %s", exc)

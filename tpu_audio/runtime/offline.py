@@ -118,7 +118,8 @@ def render_offline(model, samples, *, segments: int | None = None,
                    include_tail: bool = True,
                    warmup_blocks: int | None = None,
                    max_virtual_voices: int = 512,
-                   schedule=None) -> np.ndarray:
+                   schedule=None,
+                   track_chunk_blocks: int | None = None) -> np.ndarray:
     """Render `samples` through `model` (ConvolutionReverb) at the
     control plane's current converged parameters: stereo [2, T] shared
     program material (or mono [T], duplicated like the CLI source), or
@@ -136,8 +137,18 @@ def render_offline(model, samples, *, segments: int | None = None,
     hook; the default `engine.history_blocks` is the exactness
     contract). `schedule` (a runtime.stream.MidiSchedule) bounces a
     scripted automation timeline instead of static parameters — see the
-    module docstring; fmajor (either strategy) or 'allk' cascade."""
+    module docstring; fmajor (either strategy) or 'allk' cascade.
+    `track_chunk_blocks` bounds device memory for very long tracks
+    (hours): the track renders in chunks of that many blocks, each
+    re-primed from the trailing input history inside its slice — exact
+    by the same history contract as the segments (static parameters
+    only: an automation timeline's state replay is global)."""
     _check_full_resident(model)
+    if track_chunk_blocks is not None:
+        return _render_chunked(
+            model, samples, track_chunk_blocks, segments=segments,
+            include_tail=include_tail, warmup_blocks=warmup_blocks,
+            max_virtual_voices=max_virtual_voices, schedule=schedule)
     if schedule is not None:
         return _render_automated(
             model, samples, schedule, segments=segments,
@@ -246,6 +257,47 @@ def render_offline(model, samples, *, segments: int | None = None,
               .reshape(v, 2, nseg * seg_len * b))
     out_samples = t_samples + tail_blocks * b if include_tail else t_samples
     return out[..., :out_samples]
+
+
+def _render_chunked(model, samples, chunk_blocks: int, *, segments,
+                    include_tail, warmup_blocks, max_virtual_voices,
+                    schedule) -> np.ndarray:
+    """Bounded-memory bounce: render the track in `chunk_blocks`-block
+    chunks, each an independent time-parallel render over its slice plus
+    `history_blocks` of trailing input prefix (discarded output) — the
+    same contract that makes segments exact makes chunks exact. Keeps
+    the device footprint at O(chunk) for hour-scale tracks (the whole-
+    track path holds input + spectra + output on device, ~5 GB/hour)."""
+    if schedule is not None:
+        raise ValueError(
+            "track_chunk_blocks bounces static parameters only: an "
+            "automation timeline's control-state replay is global, so "
+            "bounce automated tracks whole (or split the schedule at "
+            "converged rest points yourself)")
+    chunk_blocks = int(chunk_blocks)
+    if chunk_blocks < 1:
+        raise ValueError(f"track_chunk_blocks must be >= 1, "
+                         f"got {chunk_blocks}")
+    eng = model.engine
+    b = eng.block
+    x, _ = _check_stereo(samples, eng.num_voices)
+    t_samples = x.shape[-1]
+    t_blocks = -(-t_samples // b)
+    hist = eng.history_blocks
+    outs = []
+    for lo in range(0, t_blocks, chunk_blocks):
+        hi = min(lo + chunk_blocks, t_blocks)
+        pre = min(lo, hist)
+        last = hi == t_blocks
+        xs = x[..., (lo - pre) * b: min(hi * b, t_samples)]
+        out = render_offline(model, xs, segments=segments,
+                             include_tail=include_tail and last,
+                             warmup_blocks=warmup_blocks,
+                             max_virtual_voices=max_virtual_voices)
+        outs.append(out[..., pre * b:])
+    out = np.concatenate(outs, axis=-1)
+    n = t_samples + (hist * b if include_tail else 0)
+    return out[..., :n]
 
 
 class _ControlSim:
