@@ -1094,10 +1094,14 @@ def _main(argv=None) -> int:
         # cannot plausibly finish before the watchdog is skipped rather
         # than started (a half-run leg measures nothing and its partial
         # state can't be reclaimed before the watchdog kills the run)
-        leg_list = [("cascade_hv", lambda: run_cascade_leg(args, dl_ms), 60),
+        # offline first: the bounce holds the biggest transient working
+        # set (input + spectra + 323-voice state) and its wall-RTF is the
+        # most sensitive to residual HBM from other legs (measured 15.8 s
+        # mid-run vs 6.2 s standalone on the same day)
+        leg_list = [("offline", lambda: run_offline_leg(args, dl_ms), 80),
+                    ("cascade_hv", lambda: run_cascade_leg(args, dl_ms), 60),
                     ("ws", lambda: run_ws_leg(args, make_block), 120),
-                    ("mono_ref", lambda: run_mono_leg(args, dl_ms), 40),
-                    ("offline", lambda: run_offline_leg(args, dl_ms), 80)]
+                    ("mono_ref", lambda: run_mono_leg(args, dl_ms), 40)]
         if args.cascade_voices >= 512:
             # the single-chip voice-capacity point (real-time 2048v bf16,
             # read-side predelay); only meaningful at production scale —
@@ -1107,9 +1111,12 @@ def _main(argv=None) -> int:
                 predelay_side="read"), 90))
         # last: its 2 GB fully-resident bank upload alone can cost ~250 s
         # on a congested tunnel evening (measured; ~30 s fair-weather,
-        # ~2.5 s PCIe)
+        # ~2.5 s PCIe) — and congested pinning compiles wedged past the
+        # watchdog TWICE on 2026-08-19 from a ~270 s start. The estimate
+        # is deliberately pessimistic: skipping emits last_good's sel152
+        # row; wedging costs the whole run its completeness.
         leg_list.append(("sel152", lambda: run_selected_leg(args, dl_ms),
-                         200))
+                         280))
         skipped = []
         for name, fn, est_s in leg_list:
             elapsed = time.perf_counter() - _T0
