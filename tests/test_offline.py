@@ -127,6 +127,39 @@ def test_offline_per_voice_input():
                        np.zeros((3, 2, 64), np.float32))
 
 
+def test_offline_mesh_sharded():
+    """The bounce's virtual voices shard over a device mesh (voice-DP
+    GSPMD): 4-device output == single-device output, static and
+    automated; non-fmajor engines are refused loudly."""
+    from tpu_audio.parallel.mesh import make_mesh
+    from tpu_audio.runtime.stream import MidiSchedule
+
+    mesh = make_mesh(4, part=1)
+    x = program(40 * 32 + 5)
+    base = render_offline(build_model(num_voices=2), x, segments=3)
+    sharded = render_offline(build_model(num_voices=2), x, segments=3,
+                             mesh=mesh)
+    assert sharded.shape == base.shape
+    np.testing.assert_allclose(sharded, base, atol=3e-5)
+
+    def fresh():
+        m = build_model(num_voices=2)
+        m.control.speed[:] = 20
+        _map_all(m.control)
+        return m
+
+    sched = MidiSchedule(list(AUTOMATION))
+    auto_base = render_offline(fresh(), x, segments=3, schedule=sched)
+    auto_sharded = render_offline(fresh(), x, segments=3, schedule=sched,
+                                  mesh=mesh)
+    np.testing.assert_allclose(auto_sharded, auto_base, atol=5e-5)
+
+    casc = build_model(engine="cascade", block=16, ir_len=400,
+                       cascade_ratio=2)
+    with pytest.raises(ValueError, match="fmajor"):
+        render_offline(casc, x, mesh=mesh)
+
+
 def test_offline_chunked_long_track():
     """Bounded-memory chunked bounce == the whole-track bounce (and so
     == streaming), chunk boundaries mid-tail included."""

@@ -119,7 +119,8 @@ def render_offline(model, samples, *, segments: int | None = None,
                    warmup_blocks: int | None = None,
                    max_virtual_voices: int = 512,
                    schedule=None,
-                   track_chunk_blocks: int | None = None) -> np.ndarray:
+                   track_chunk_blocks: int | None = None,
+                   mesh=None) -> np.ndarray:
     """Render `samples` through `model` (ConvolutionReverb) at the
     control plane's current converged parameters: stereo [2, T] shared
     program material (or mono [T], duplicated like the CLI source), or
@@ -142,18 +143,27 @@ def render_offline(model, samples, *, segments: int | None = None,
     (hours): the track renders in chunks of that many blocks, each
     re-primed from the trailing input history inside its slice — exact
     by the same history contract as the segments (static parameters
-    only: an automation timeline's state replay is global)."""
+    only: an automation timeline's state replay is global). `mesh` (a
+    jax.sharding.Mesh with a 'voice' axis, parallel.make_mesh) shards
+    the virtual voices over devices — the bounce's time axis is
+    embarrassingly parallel, so a pod slice multiplies throughput
+    (fmajor engines; raise `max_virtual_voices` to feed all chips)."""
     _check_full_resident(model)
+    if mesh is not None and not hasattr(model.engine, "prime_fdl"):
+        raise ValueError(
+            "mesh-sharded bounce supports fmajor engines (voice-DP GSPMD "
+            "shardings; the cascade's shard_map path serves streaming)")
     if track_chunk_blocks is not None:
         return _render_chunked(
             model, samples, track_chunk_blocks, segments=segments,
             include_tail=include_tail, warmup_blocks=warmup_blocks,
-            max_virtual_voices=max_virtual_voices, schedule=schedule)
+            max_virtual_voices=max_virtual_voices, schedule=schedule,
+            mesh=mesh)
     if schedule is not None:
         return _render_automated(
             model, samples, schedule, segments=segments,
             include_tail=include_tail, warmup_blocks=warmup_blocks,
-            max_virtual_voices=max_virtual_voices)
+            max_virtual_voices=max_virtual_voices, mesh=mesh)
     eng = model.engine
     v, b = eng.num_voices, eng.block
 
@@ -182,6 +192,7 @@ def render_offline(model, samples, *, segments: int | None = None,
         nseg = int(segments)
         if nseg < 1:
             raise ValueError(f"segments must be >= 1, got {segments}")
+    nseg = _mesh_round_segments(nseg, v, mesh)
     seg_len = -(-total_blocks // nseg)
 
     # block tensor [T', 2, B] (shared) or [T', V, 2, B] (per-voice),
@@ -191,6 +202,7 @@ def render_offline(model, samples, *, segments: int | None = None,
 
     seng = _virtual_engine(eng, v * nseg)
     bank = model.spectra
+    shardings = _mesh_shardings(seng, mesh)
 
     # control-plane snapshot, replicated voice-major: virtual voice
     # v*nseg + s carries voice v's parameters over segment s
@@ -198,8 +210,14 @@ def render_offline(model, samples, *, segments: int | None = None,
     vparams = jax.tree.map(
         lambda a: jnp.asarray(np.repeat(np.asarray(a), nseg, axis=0)), host)
     state = seng.init_converged(bank, vparams)
+    if shardings is not None:
+        state_sh, bank_sh, params_sh, x_sh, repl = shardings
+        state = jax.device_put(state, state_sh)
+        bank = jax.device_put(bank, bank_sh)
+        vparams = jax.device_put(vparams, params_sh)
 
-    xb_dev = jax.device_put(xb)
+    xb_dev = jax.device_put(
+        xb, shardings[4] if shardings is not None else None)
     nt = xb.shape[0]
     # voice-major virtual packing: virtual voice v*nseg + s
     voice_of = np.repeat(np.arange(v, dtype=np.int32), nseg)
@@ -208,7 +226,8 @@ def render_offline(model, samples, *, segments: int | None = None,
         t0 = jnp.asarray(np.tile(
             np.arange(nseg, dtype=np.int32) * seg_len - warmup, v))
         state = _prime_fast(seng, state, xb_dev, t0, nt,
-                            jnp.asarray(voice_of) if per_voice else None)
+                            jnp.asarray(voice_of) if per_voice else None,
+                            shardings)
 
     # the step index rides the donated carry as a DEVICE scalar: a per-step
     # host `jnp.int32(i)` upload serializes dispatches on high-RTT
@@ -227,7 +246,6 @@ def render_offline(model, samples, *, segments: int | None = None,
         steady = (seng.step_coef_steady
                   if getattr(seng, "variant", None) == "coef" else seng.step)
 
-        @partial(jax.jit, donate_argnums=0)
         def step(carry, xb_a, bank_a, vp_a):
             st, i = carry
             idx = starts + i - warmup                   # [nseg]
@@ -241,10 +259,16 @@ def render_offline(model, samples, *, segments: int | None = None,
             st, y = steady(st, bank_a, vp_a, xi)
             return (st, i + 1), y
 
-        return step
+        if shardings is None:
+            return jax.jit(step, donate_argnums=0)
+        state_sh, bank_sh, params_sh, x_sh, repl = shardings
+        return jax.jit(step, donate_argnums=0,
+                       in_shardings=((state_sh, repl), repl, bank_sh,
+                                     params_sh),
+                       out_shardings=((state_sh, repl), x_sh))
 
-    step = _cached_fn(seng, ("static", per_voice, nseg, seg_len, warmup, nt),
-                      build_step)
+    step = _cached_fn(seng, ("static", per_voice, nseg, seg_len, warmup,
+                             nt, mesh), build_step)
 
     Log.info("offline", "bounce: %d blocks as %d segment(s) x %d + %d "
              "warm-up steps (%d virtual voices)",
@@ -261,7 +285,7 @@ def render_offline(model, samples, *, segments: int | None = None,
 
 def _render_chunked(model, samples, chunk_blocks: int, *, segments,
                     include_tail, warmup_blocks, max_virtual_voices,
-                    schedule) -> np.ndarray:
+                    schedule, mesh=None) -> np.ndarray:
     """Bounded-memory bounce: render the track in `chunk_blocks`-block
     chunks, each an independent time-parallel render over its slice plus
     `history_blocks` of trailing input prefix (discarded output) — the
@@ -293,7 +317,8 @@ def _render_chunked(model, samples, chunk_blocks: int, *, segments,
         out = render_offline(model, xs, segments=segments,
                              include_tail=include_tail and last,
                              warmup_blocks=warmup_blocks,
-                             max_virtual_voices=max_virtual_voices)
+                             max_virtual_voices=max_virtual_voices,
+                             mesh=mesh)
         outs.append(out[..., pre * b:])
     out = np.concatenate(outs, axis=-1)
     n = t_samples + (hist * b if include_tail else 0)
@@ -422,8 +447,8 @@ class _ControlSim:
 
 
 def _render_automated(model, samples, schedule, *, segments,
-                      include_tail, warmup_blocks, max_virtual_voices
-                      ) -> np.ndarray:
+                      include_tail, warmup_blocks, max_virtual_voices,
+                      mesh=None) -> np.ndarray:
     """Time-parallel bounce of a scripted MIDI timeline — render_offline
     with ``schedule=`` (see the module docstring for the replay design)."""
     from tpu_audio.engine.params import VoiceParams
@@ -465,6 +490,7 @@ def _render_automated(model, samples, schedule, *, segments,
         nseg = int(segments)
         if nseg < 1:
             raise ValueError(f"segments must be >= 1, got {segments}")
+    nseg = _mesh_round_segments(nseg, v, mesh)
     seg_len = -(-(-(-total_blocks // nseg)) // ratio) * ratio
     tpad = nseg * seg_len
 
@@ -475,6 +501,7 @@ def _render_automated(model, samples, schedule, *, segments,
 
     seng = _virtual_engine(eng, v * nseg)
     bank = model.spectra
+    shardings = _mesh_shardings(seng, mesh)
 
     def vm(arr: np.ndarray) -> np.ndarray:
         """[nseg, V, 2, ...] -> SEGMENT-major [nseg*V, 2, ...]: virtual
@@ -519,6 +546,10 @@ def _render_automated(model, samples, schedule, *, segments,
                 f"IRs, engine state carries {state.base_g.shape[-1]}")
         state = replace(state, base_g=jnp.asarray(g0),
                         base_pure=jnp.ones((v * nseg, 2), bool))
+    if shardings is not None:
+        state_sh, bank_sh, _params_sh, x_sh, repl = shardings
+        state = jax.device_put(state, state_sh)
+        bank = jax.device_put(bank, bank_sh)
 
     reg_tbl = {f: jnp.asarray(np.stack([r[f] for r in sim.regimes]))
                for f in _ControlSim.FIELDS}
@@ -528,7 +559,8 @@ def _render_automated(model, samples, schedule, *, segments,
     ev_old = jnp.asarray(np.stack(sim.ev_old))
     ev_of_block = jnp.asarray(sim.event_of_block)
 
-    xb_dev = jax.device_put(xb)
+    xb_dev = jax.device_put(
+        xb, shardings[4] if shardings is not None else None)
     starts = jnp.asarray(np.arange(nseg, dtype=np.int32) * seg_len)
     takes_params = getattr(seng, "collapse_pure_takes_params", False)
 
@@ -538,7 +570,7 @@ def _render_automated(model, samples, schedule, *, segments,
             np.arange(nseg, dtype=np.int32) * seg_len - warmup, v))
         vof = (jnp.asarray(np.tile(np.arange(v, dtype=np.int32), nseg))
                if per_voice else None)
-        state = _prime_fast(seng, state, xb_dev, t0, tpad, vof)
+        state = _prime_fast(seng, state, xb_dev, t0, tpad, vof, shardings)
 
     tables = (reg_tbl, reg_start, reg_of_block,
               ev_changed, ev_old, ev_of_block)
@@ -550,7 +582,6 @@ def _render_automated(model, samples, schedule, *, segments,
     # tables as args also makes the cached executable schedule-agnostic
     # (same table shapes -> zero recompiles across bounces)
     def build_step():
-        @partial(jax.jit, donate_argnums=0)
         def step(carry, xb_a, bank_a, tbl_a):
             rtbl, rstart, rof, evc, evo, evof = tbl_a
             st, i = carry
@@ -607,10 +638,17 @@ def _render_automated(model, samples, schedule, *, segments,
                 st, y = seng.step_coef_indexed(st, bank_a, params, xi)
             return (st, i + 1), y
 
-        return step
+        if shardings is None:
+            return jax.jit(step, donate_argnums=0)
+        state_sh, bank_sh, _p, x_sh, repl = shardings
+        tbl_sh = jax.tree.map(lambda _: repl, tables)
+        return jax.jit(step, donate_argnums=0,
+                       in_shardings=((state_sh, repl), repl, bank_sh,
+                                     tbl_sh),
+                       out_shardings=((state_sh, repl), x_sh))
 
     step = _cached_fn(seng, ("auto", selected, takes_params, per_voice,
-                             nseg, seg_len, warmup, tpad), build_step)
+                             nseg, seg_len, warmup, tpad, mesh), build_step)
 
     Log.info("offline", "automated bounce: %d blocks as %d segment(s) x %d "
              "+ %d warm-up steps (%d virtual voices, %d regime(s), %d "
@@ -640,6 +678,31 @@ def _block_tensor(x: np.ndarray, per_voice: bool, t_pad_blocks: int,
     flat[:, :t_samples] = x
     return np.ascontiguousarray(
         flat.reshape(2, t_pad_blocks, b).transpose(1, 0, 2))
+
+
+def _mesh_round_segments(nseg: int, v: int, mesh) -> int:
+    """Round the segment count up so v*nseg divides evenly over the mesh
+    'voice' axis (GSPMD shards the virtual-voice dim)."""
+    if mesh is None:
+        return nseg
+    voice_n = int(mesh.shape["voice"])
+    need = voice_n // math.gcd(v, voice_n)
+    return -(-nseg // need) * need
+
+
+def _mesh_shardings(seng, mesh):
+    """(state, bank, params, x, replicated) NamedShardings for a
+    mesh-sharded bounce (voice-DP over the virtual-voice axis), or None
+    for the single-device path."""
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from tpu_audio.parallel.mesh import fmajor_shardings
+
+    state_sh, bank_sh, params_sh, x_sh = fmajor_shardings(mesh, seng)
+    return state_sh, bank_sh, params_sh, x_sh, NamedSharding(
+        mesh, PartitionSpec())
 
 
 def _virtual_engine(eng, vv: int):
@@ -673,15 +736,20 @@ def _cached_fn(seng, key, builder):
     return cache[key]
 
 
-def _prime_fast(seng, state, xb_dev, t0, nt: int, voice_of=None):
+def _prime_fast(seng, state, xb_dev, t0, nt: int, voice_of=None,
+                shardings=None):
     """Bulk-prime every virtual voice's input history: one batched rfft
     over the whole block tensor (engine.input_spectra_bulk), a gather
     into the engine's fdl layout (engine.prime_fdl), and prev_in set to
     block t0-1's raw samples. All big tensors are explicit jit args.
     `voice_of` maps virtual voices onto a per-voice input tensor's base
-    voices (None for shared program material)."""
-    spec_fn = _cached_fn(seng, ("spec",), lambda: jax.jit(
-        lambda xb_a: seng.input_spectra_bulk(xb_a)))
+    voices (None for shared program material); `shardings` pins a
+    mesh-sharded bounce's state/output placements."""
+    mesh_key = None if shardings is None else shardings[4].mesh
+    repl_kw = ({} if shardings is None
+               else {"out_shardings": shardings[4]})
+    spec_fn = _cached_fn(seng, ("spec", mesh_key), lambda: jax.jit(
+        lambda xb_a: seng.input_spectra_bulk(xb_a), **repl_kw))
     spec = spec_fn(xb_dev)
 
     def build():
@@ -694,9 +762,12 @@ def _prime_fast(seng, state, xb_dev, t0, nt: int, voice_of=None):
                 pim = xb_a[prev, vof_a]
             pim = jnp.where((t0_a >= 1)[:, None, None], pim, 0.0)
             return replace(st, prev_in=pim)
-        return jax.jit(_prime, donate_argnums=0, static_argnums=())
+        kw = ({} if shardings is None
+              else {"out_shardings": shardings[0]})
+        return jax.jit(_prime, donate_argnums=0, **kw)
 
-    prime = _cached_fn(seng, ("prime", nt, voice_of is not None), build)
+    prime = _cached_fn(
+        seng, ("prime", nt, voice_of is not None, mesh_key), build)
     return prime(state, xb_dev, spec, t0, voice_of)
 
 
