@@ -133,6 +133,102 @@ def test_compilation_cache_disabled_is_reentrant():
             cc._cache_checked, cc._cache_used = saved
 
 
+def test_layout_scoped_cache_no_dir_falls_back_disabled():
+    """Without a configured cache dir there is nothing to scope: the
+    context degrades to the cache-bypassed window."""
+    saved = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        with layouts.layout_scoped_cache("k") as scoped:
+            assert scoped is False
+            assert jax.config.jax_enable_compilation_cache is False
+        assert jax.config.jax_enable_compilation_cache
+    finally:
+        jax.config.update("jax_compilation_cache_dir", saved)
+
+
+def test_layout_scoped_cache_routes_to_keyed_dir(tmp_path):
+    """With a base dir, the context re-routes the persistent cache to a
+    constraint-keyed subdirectory, enabled, and restores everything —
+    including across an interleaved disable window and on raise."""
+    import os
+
+    saved = jax.config.jax_compilation_cache_dir
+    base = str(tmp_path / "cc")
+    jax.config.update("jax_compilation_cache_dir", base)
+    try:
+        with layouts.layout_scoped_cache("constraints-A") as scoped:
+            assert scoped is True
+            sub = jax.config.jax_compilation_cache_dir
+            assert sub.startswith(os.path.join(base, "layout_scoped"))
+            assert os.path.isdir(sub)
+            assert jax.config.jax_enable_compilation_cache is True
+            # a disable window opening inside restores the scoped state
+            with layouts.compilation_cache_disabled():
+                assert jax.config.jax_enable_compilation_cache is False
+            assert jax.config.jax_enable_compilation_cache is True
+            assert jax.config.jax_compilation_cache_dir == sub
+            # same key -> same dir; different key -> different dir
+            with layouts.layout_scoped_cache("constraints-A") as nested:
+                # another cache-state context is active: fall back
+                assert nested is False
+        assert jax.config.jax_compilation_cache_dir == base
+        with pytest.raises(RuntimeError):
+            with layouts.layout_scoped_cache("constraints-B"):
+                raise RuntimeError("boom")
+        assert jax.config.jax_compilation_cache_dir == base
+        # a disable window already active -> scoped falls back
+        with layouts.compilation_cache_disabled():
+            with layouts.layout_scoped_cache("constraints-C") as scoped:
+                assert scoped is False
+    finally:
+        jax.config.update("jax_compilation_cache_dir", saved)
+
+
+def test_layout_scoped_cache_distinct_keys_distinct_dirs(tmp_path):
+    saved = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+    try:
+        dirs = []
+        for key in ("A", "B", "A"):
+            with layouts.layout_scoped_cache(key) as scoped:
+                assert scoped
+                dirs.append(jax.config.jax_compilation_cache_dir)
+        assert dirs[0] == dirs[2] != dirs[1]
+    finally:
+        jax.config.update("jax_compilation_cache_dir", saved)
+
+
+def test_compile_pinned_uses_scoped_cache_when_dir_set(tmp_path,
+                                                       monkeypatch):
+    """With a cache dir configured, pinned compiles run ENABLED against
+    the layout-keyed subdirectory (the collision-free cache); without
+    one they stay cache-bypassed (the tests below)."""
+    saved = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+    try:
+        x = jnp.ones((4, 8))
+        fmt = x.format
+        seen = []
+        real_lower = jax.stages.Traced.lower
+
+        def spy(self, *a, **k):
+            seen.append((jax.config.jax_enable_compilation_cache,
+                         jax.config.jax_compilation_cache_dir))
+            return real_lower(self, *a, **k)
+
+        monkeypatch.setattr(jax.stages.Traced, "lower", spy)
+        fn = layouts.compile_pinned(lambda a: a * 2, (x,), (fmt,), fmt)
+        np.testing.assert_allclose(np.asarray(fn(x)), 2.0)
+        assert len(seen) == 1
+        enabled, during_dir = seen[0]
+        assert enabled is True
+        assert during_dir != str(tmp_path)
+        assert during_dir.startswith(str(tmp_path))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", saved)
+
+
 def test_place_in_formats_places_under_disabled_cache(monkeypatch):
     """Format placement lowers a relayout program whose persistent-cache
     key omits the target layout (workaround #4) — the device_put rungs

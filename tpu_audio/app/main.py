@@ -261,6 +261,23 @@ def main(argv=None) -> int:
 
     select_tpu(verbose=not args.quiet)
 
+    if args.cache_dir:
+        # persistent XLA compilation cache beside the spectra cache:
+        # repeat starts skip the 20-40 s (congested: minutes) remote
+        # compiles, and layout-PINNED compiles reuse collision-free
+        # layout-scoped subdirectories (utils/layouts.py) instead of
+        # re-paying the pinning every session start
+        import jax
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.join(args.cache_dir, "xla"))
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.0)
+        except Exception as exc:  # noqa: BLE001 - cache is best-effort
+            Log.warn("app", "compilation cache unavailable: %r", exc)
+
     if not os.path.exists(args.settings):
         Log.error("app", "settings file not found: %s", args.settings)
         return 2

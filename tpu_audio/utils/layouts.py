@@ -155,6 +155,72 @@ def compilation_cache_disabled():
                         _cc._cache_checked, _cc._cache_used = checked, used
 
 
+_scoped_active = False
+
+
+@contextmanager
+def layout_scoped_cache(scope_key: str):
+    """Persistent compilation cache scoped to a LAYOUT-DEDICATED
+    subdirectory — the safe way to cache layout-constrained compiles.
+
+    Workaround #1's root cause is that the cache KEY omits layout
+    constraints, so entries compiled under different constraints collide
+    on one key. A directory whose every entry was compiled under the
+    SAME constraint signature cannot collide: probed on-chip 2026-08-19
+    (/tmp/probe_lkc.py), a cache-LOADED constrained executable from such
+    a directory is honest — identical input_formats metadata digest and
+    bit-identical output vs the fresh compile, loading in 0.4 s where
+    the compile took 1.4 s (production pinning compiles run 20-300 s,
+    and are otherwise paid EVERY run by design). The 2026-08-18 phantom
+    metadata came from cross-context collisions, not serialization.
+
+    Yields True when the scoped cache is active; False when it fell back
+    to a plain cache-bypassed window (no base cache dir configured, the
+    private jax internals moved, or another cache-state context is
+    active — a concurrent ``compilation_cache_disabled`` user means
+    someone is compiling with the cache off right now, and flipping the
+    global state under them trades a slow-but-correct fresh compile for
+    a race). Interleaved disable-windows opening DURING a scoped window
+    stay correct: they save scoped state and restore it; a disable
+    window outliving the scoped exit restores "enabled + base dir",
+    which is the normal operating state of every caller that can reach
+    this path (a configured cache dir implies enabled)."""
+    global _scoped_active
+    _cc = _cc_module()
+    base = jax.config.jax_compilation_cache_dir
+    ok = False
+    with _disable_lock:
+        if (base and _cc is not None and hasattr(_cc, "reset_cache")
+                and _disable_depth == 0 and not _scoped_active):
+            _scoped_active = True
+            ok = True
+    if not ok:
+        with compilation_cache_disabled():
+            yield False
+        return
+    import hashlib
+    import os
+    sub = os.path.join(base, "layout_scoped",
+                       hashlib.sha1(scope_key.encode()).hexdigest()[:20])
+    os.makedirs(sub, exist_ok=True)
+    flag = jax.config.jax_enable_compilation_cache
+    # reset_cache() discards the lazily-initialized cache OBJECT (which
+    # pins the directory it was created with — set_cache_dir alone only
+    # updates the config) and clears the is_cache_used memoization, so
+    # the next compile re-initializes against the scoped directory
+    jax.config.update("jax_compilation_cache_dir", sub)
+    jax.config.update("jax_enable_compilation_cache", True)
+    _cc.reset_cache()
+    try:
+        yield True
+    finally:
+        jax.config.update("jax_compilation_cache_dir", base)
+        jax.config.update("jax_enable_compilation_cache", flag)
+        _cc.reset_cache()
+        with _disable_lock:
+            _scoped_active = False
+
+
 def _is_concrete(fmt) -> bool:
     """True for a fully-specified Format (participates in verification);
     False for None / AUTO placeholders (the compiler's choice is truth)."""
@@ -269,21 +335,23 @@ def compile_auto_layout(fn, example_args, donate_state: bool = True,
 def compile_pinned(fn, example_args, in_shardings, out_shardings,
                    donate_argnums=()):
     """AOT-compile ``fn`` with layout-constrained (AUTO or concrete)
-    in/out formats, ALWAYS bypassing the persistent compilation cache:
-    the cache key omits layout constraints (a pinned compile can load a
-    plain-jit twin and vice versa) AND a cache-loaded executable's
-    input_/output_formats metadata is untrustworthy — observed echoing
-    the request on pinned compiles and reporting PHANTOM layouts on AUTO
-    compiles (a layout no primitive — not even host->device device_put —
-    could construct; a genuinely fresh compile of the same fn in a clean
-    process claims constructible layouts and runs at full speed, probe
-    2026-08-18). Layout pinning is built entirely on that metadata, so
-    every compile it reads from must be fresh (module docstring,
-    workaround #1) — and "bypassing" must defeat ``is_cache_used``'s
-    process-global memoization, see compilation_cache_disabled. Skipping
-    the cache WRITE also stops layout-constrained entries from poisoning
-    plain-jit users of the same HLO."""
-    with compilation_cache_disabled():
+    in/out formats, NEVER touching the base persistent compilation
+    cache: its key omits layout constraints (a pinned compile can load a
+    plain-jit twin and vice versa) AND a colliding entry's input_/
+    output_formats metadata is untrustworthy — observed echoing the
+    request on pinned compiles and reporting PHANTOM layouts on AUTO
+    compiles (probe 2026-08-18). Layout pinning is built entirely on
+    that metadata, so every compile it reads must come from an entry
+    compiled under the SAME constraints. ``layout_scoped_cache`` routes
+    the compile to a constraint-signature-dedicated cache directory
+    (collision-free by construction; probed honest on-chip 2026-08-19),
+    so repeat runs LOAD in under a second where the cache-bypassing
+    policy re-paid 20-300 s pinning compiles every run; with no cache
+    dir configured it degrades to the cache-bypassed fresh compile.
+    Keeping pinned entries out of the base directory also stops them
+    from poisoning plain-jit users of the same HLO."""
+    scope = f"{in_shardings}|{out_shardings}|{donate_argnums}"
+    with layout_scoped_cache(scope):
         return jax.jit(
             fn, donate_argnums=donate_argnums,
             in_shardings=in_shardings, out_shardings=out_shardings,
@@ -298,16 +366,16 @@ def pinned_init(init_fn, state_fmt):
     state (1280 voices x 4 s) that is an HBM OOM. Jitting the init with
     ``out_shardings=state_fmt`` materializes it once, already laid out.
 
-    Compiled with the persistent cache BYPASSED: a cache key collision
-    (module docstring, workaround #1) can silently load a plain-init
-    entry that ignores ``out_shardings`` — and the loaded executable's
-    output_formats metadata echoes the request, so the collision is
-    undetectable before execution (observed: a "verified" init emitted
-    default-layout leaves that crashed every pinned step). The created
-    state's ACTUAL buffer formats (the one source of truth) are checked
-    afterwards and repaired via place_in_formats if the backend still
-    deviated."""
-    with compilation_cache_disabled():
+    Compiled under a layout-scoped cache (or bypassed where none is
+    configured): a BASE-cache key collision (module docstring,
+    workaround #1) can silently load a plain-init entry that ignores
+    ``out_shardings`` — and the loaded executable's output_formats
+    metadata echoes the request, so the collision is undetectable before
+    execution (observed: a "verified" init emitted default-layout leaves
+    that crashed every pinned step). The created state's ACTUAL buffer
+    formats (the one source of truth) are checked afterwards and
+    repaired via place_in_formats if the backend still deviated."""
+    with layout_scoped_cache(f"init|{state_fmt}"):
         state = jax.jit(init_fn, out_shardings=state_fmt)()
     if not formats_agree(state_fmt, tree_formats(state)):
         Log.warn("layouts", "pinned init emitted off-format leaves despite "
