@@ -27,6 +27,16 @@ def _cpu_format(arr):
     return arr.format
 
 
+@pytest.fixture
+def no_cache_dir():
+    """Force the no-persistent-cache scenario (compile_pinned's
+    cache-bypassed fallback) regardless of what earlier tests configured."""
+    saved = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", saved)
+
+
 def test_is_concrete_none_and_auto():
     from jax.experimental.layout import Format, Layout
 
@@ -276,7 +286,7 @@ def _observe_cache_flag_during_jit(monkeypatch, flags):
     monkeypatch.setattr(layouts.jax, "jit", spy_jit)
 
 
-def test_compile_pinned_bypasses_cache_for_concrete_formats(monkeypatch):
+def test_compile_pinned_bypasses_cache_for_concrete_formats(monkeypatch, no_cache_dir):
     """Concretely-pinned compiles must run with the persistent cache
     DISABLED (the cache key omits layout constraints and cache-loaded
     metadata echoes the request — a collision is neither avoidable nor
@@ -291,7 +301,7 @@ def test_compile_pinned_bypasses_cache_for_concrete_formats(monkeypatch):
     assert jax.config.jax_enable_compilation_cache  # restored
 
 
-def test_compile_pinned_bypasses_cache_for_auto_too(monkeypatch):
+def test_compile_pinned_bypasses_cache_for_auto_too(monkeypatch, no_cache_dir):
     """AUTO compiles must ALSO bypass the persistent cache: a cache-loaded
     executable's format metadata reports phantom layouts (observed: an
     AUTO cache hit claimed a layout no primitive — not even host->device
@@ -308,7 +318,7 @@ def test_compile_pinned_bypasses_cache_for_auto_too(monkeypatch):
     assert flags == [False]
 
 
-def test_pinned_init_bypasses_cache_and_truth_checks(monkeypatch):
+def test_pinned_init_bypasses_cache_and_truth_checks(monkeypatch, no_cache_dir):
     """pinned_init compiles with the cache disabled and checks the ACTUAL
     buffer formats of the created state (cache-loaded executables'
     output_formats metadata echoes the request, so only buffer truth
