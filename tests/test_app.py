@@ -340,6 +340,8 @@ def _write_hetero_settings(tmp_path, rng):
         lines += [f"conv[{n}].fftSize {fft}",
                   f"conv[{n}].maxPredelay 128",
                   f"conv[{n}].index {idx}",
+                  f"conv[{n}].cc.select 21",
+                  f"conv[{n}].cc.wet 24",
                   f"conv[{n}].value.select {n % 2}",
                   f"conv[{n}].value.dry 0.3",
                   f"conv[{n}].value.wet 0.7"]
@@ -378,6 +380,32 @@ def test_cli_routes_heterogeneous_settings_to_groups(tmp_path):
     rc = main(["--settings", str(sfile), "--input-ring", "hetero_in",
                "--quiet"])
     assert rc == 2
+
+
+def test_cli_hetero_offline_automated_matches_streamed(tmp_path):
+    """Heterogeneous conv pairs bounce offline WITH a MIDI schedule: each
+    geometry group replays the same timeline, and the summed bounce
+    matches the streamed groups session (16-bit WAV both sides)."""
+    from tpu_audio.app.main import main
+
+    rng = np.random.default_rng(13)
+    sfile = _write_hetero_settings(tmp_path, rng)
+    x = rng.uniform(-0.2, 0.2, (30 * 64, 2)).astype(np.float32)
+    write_wav(tmp_path / "in.wav", x, 44100, scale="full")
+    sched = tmp_path / "auto.txt"
+    sched.write_text("5 B0 15 7F\n14 B0 18 30\n")
+    base = ["--settings", str(sfile), "--input", str(tmp_path / "in.wav"),
+            "--block-size", "64", "--midi", str(sched), "--quiet"]
+    assert main(base + ["--output", str(tmp_path / "hs.wav")]) == 0
+    assert main(base + ["--output", str(tmp_path / "hb.wav"),
+                        "--offline", "3"]) == 0
+    streamed = read_wav(tmp_path / "hs.wav", scale="full",
+                        verbose=False).stereo()
+    bounced = read_wav(tmp_path / "hb.wav", scale="full",
+                       verbose=False).stereo()
+    n = streamed.shape[0]
+    assert np.abs(streamed).max() > 1e-3
+    np.testing.assert_allclose(bounced[:n], streamed, atol=4 / 32768)
 
 
 def test_quickstart_example_runs():
