@@ -185,39 +185,47 @@ def layout_scoped_cache(scope_key: str):
     window outliving the scoped exit restores "enabled + base dir",
     which is the normal operating state of every caller that can reach
     this path (a configured cache dir implies enabled)."""
+    import hashlib
+    import os
+
     global _scoped_active
     _cc = _cc_module()
-    base = jax.config.jax_compilation_cache_dir
     ok = False
+    # ALL config mutations happen under the same lock the disable context
+    # uses for its own state flips: a disable window opening between the
+    # activity check and the flag writes could otherwise interleave (the
+    # scoped enable overwriting the disable's flag — re-exposing its
+    # cache-bypassed compiles to the scoped directory)
     with _disable_lock:
+        base = jax.config.jax_compilation_cache_dir
         if (base and _cc is not None and hasattr(_cc, "reset_cache")
                 and _disable_depth == 0 and not _scoped_active):
             _scoped_active = True
+            sub = os.path.join(
+                base, "layout_scoped",
+                hashlib.sha1(scope_key.encode()).hexdigest()[:20])
+            os.makedirs(sub, exist_ok=True)
+            flag = jax.config.jax_enable_compilation_cache
+            # reset_cache() discards the lazily-initialized cache OBJECT
+            # (which pins the directory it was created with —
+            # set_cache_dir alone only updates the config) and clears the
+            # is_cache_used memoization, so the next compile
+            # re-initializes against the scoped directory
+            jax.config.update("jax_compilation_cache_dir", sub)
+            jax.config.update("jax_enable_compilation_cache", True)
+            _cc.reset_cache()
             ok = True
     if not ok:
         with compilation_cache_disabled():
             yield False
         return
-    import hashlib
-    import os
-    sub = os.path.join(base, "layout_scoped",
-                       hashlib.sha1(scope_key.encode()).hexdigest()[:20])
-    os.makedirs(sub, exist_ok=True)
-    flag = jax.config.jax_enable_compilation_cache
-    # reset_cache() discards the lazily-initialized cache OBJECT (which
-    # pins the directory it was created with — set_cache_dir alone only
-    # updates the config) and clears the is_cache_used memoization, so
-    # the next compile re-initializes against the scoped directory
-    jax.config.update("jax_compilation_cache_dir", sub)
-    jax.config.update("jax_enable_compilation_cache", True)
-    _cc.reset_cache()
     try:
         yield True
     finally:
-        jax.config.update("jax_compilation_cache_dir", base)
-        jax.config.update("jax_enable_compilation_cache", flag)
-        _cc.reset_cache()
         with _disable_lock:
+            jax.config.update("jax_compilation_cache_dir", base)
+            jax.config.update("jax_enable_compilation_cache", flag)
+            _cc.reset_cache()
             _scoped_active = False
 
 
