@@ -17,6 +17,10 @@ def main():
     ap.add_argument("--ir-seconds", type=float, default=4.0)
     ap.add_argument("--segments", type=int, default=None)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--automate", action="store_true",
+                    help="replay a MIDI automation timeline (re-selects "
+                         "every ~10 s + wet sweeps) instead of static "
+                         "params — measures the automation overhead")
     args = ap.parse_args()
 
     from bench import make_bank
@@ -29,12 +33,29 @@ def main():
                               cache_dir=".bench_cache")
     model.control.wet[:] = 0.7
     model.control.dry[:] = 0.2
+    schedule = None
+    if args.automate:
+        from tpu_audio.engine.params import CCMapping
+        from tpu_audio.runtime.stream import MidiSchedule
+        model.control.set_mapping(0, 0, CCMapping(
+            message=0xB0, select=21, wet=24, speed=25))
+        blocks_per_10s = int(10 * 44100 / 256)
+        events = []
+        for j, t in enumerate(range(
+                20, int(args.seconds * 44100 / 256), blocks_per_10s)):
+            events.append((t, "", bytes([0xB0, 0x15,
+                                         (j * 43) % 128])))   # re-select
+            events.append((t + 600, "", bytes([0xB0, 0x18,
+                                               40 + (j * 17) % 60])))
+        schedule = MidiSchedule(events)
+        print(f"automation: {len(events)} events", flush=True)
     rng = np.random.default_rng(11)
     n = int(args.seconds * 44100)
     x = (rng.standard_normal((2, n)) * 0.1).astype(np.float32)
     for rep in range(args.reps):
         t0 = time.perf_counter()
-        out = render_offline(model, x, segments=args.segments)
+        out = render_offline(model, x, segments=args.segments,
+                             schedule=schedule)
         wall = time.perf_counter() - t0
         print(f"rep {rep}: {args.seconds:g} s bounced in {wall:.3f} s "
               f"(RTF {args.seconds / wall:.1f})", flush=True)
