@@ -169,6 +169,17 @@ def test_offline_chunked_long_track():
     chunked = render_offline(model, x, segments=3, track_chunk_blocks=17)
     assert chunked.shape == whole.shape
     np.testing.assert_allclose(chunked, whole, atol=3e-5)
+    # chunks are shape-identical: every chunk (edges included) reuses ONE
+    # compiled step — and a different-length track hits the SAME
+    # executables (only the host-side slicing varies)
+    sengs = model.engine._offline_engines
+    before = {vv: set(s._bounce_fns) for vv, s in sengs.items()}
+    chunked2 = render_offline(model, program(31 * 32, seed=9), segments=3,
+                              track_chunk_blocks=17)
+    assert chunked2.shape[-1] < chunked.shape[-1]
+    for vv, s in model.engine._offline_engines.items():
+        assert set(s._bounce_fns) == before.get(vv, set(s._bounce_fns)), \
+            "a different track length rebuilt chunk executables"
     no_tail = render_offline(model, x, segments=3, track_chunk_blocks=17,
                              include_tail=False)
     assert no_tail.shape[-1] == x.shape[1]

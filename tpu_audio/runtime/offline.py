@@ -308,21 +308,30 @@ def _render_chunked(model, samples, chunk_blocks: int, *, segments,
     t_samples = x.shape[-1]
     t_blocks = -(-t_samples // b)
     hist = eng.history_blocks
+    # every chunk is SHAPE-IDENTICAL — a constant `hist`-block history
+    # prefix (zeros before the track start: the stream-from-silence
+    # state) + exactly `chunk_blocks` of payload (zeros past the track
+    # end: the tail flush) — so ONE compiled executable set serves any
+    # track length; only the host-side slicing varies
+    out_blocks = t_blocks + (hist if include_tail else 0)
+    span = (hist + chunk_blocks) * b
     outs = []
-    for lo in range(0, t_blocks, chunk_blocks):
-        hi = min(lo + chunk_blocks, t_blocks)
-        pre = min(lo, hist)
-        last = hi == t_blocks
-        xs = x[..., (lo - pre) * b: min(hi * b, t_samples)]
+    for lo in range(0, out_blocks, chunk_blocks):
+        xs = np.zeros(x.shape[:-1] + (span,), np.float32)
+        src_lo = (lo - hist) * b
+        src_hi = min((lo + chunk_blocks) * b, t_samples)
+        if src_hi > max(src_lo, 0):
+            dst = max(src_lo, 0) - src_lo
+            xs[..., dst:dst + (src_hi - max(src_lo, 0))] = \
+                x[..., max(src_lo, 0):src_hi]
         out = render_offline(model, xs, segments=segments,
-                             include_tail=include_tail and last,
+                             include_tail=False,
                              warmup_blocks=warmup_blocks,
                              max_virtual_voices=max_virtual_voices,
                              mesh=mesh)
-        outs.append(out[..., pre * b:])
+        outs.append(out[..., hist * b:])
     out = np.concatenate(outs, axis=-1)
-    n = t_samples + (hist * b if include_tail else 0)
-    return out[..., :n]
+    return out[..., :t_samples + (hist * b if include_tail else 0)]
 
 
 class _ControlSim:
