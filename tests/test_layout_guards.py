@@ -209,16 +209,20 @@ def test_layout_scoped_cache_distinct_keys_distinct_dirs(tmp_path):
         jax.config.update("jax_compilation_cache_dir", saved)
 
 
-def test_compile_pinned_uses_scoped_cache_when_dir_set(tmp_path,
-                                                       monkeypatch):
-    """With a cache dir configured, pinned compiles run ENABLED against
-    the layout-keyed subdirectory (the collision-free cache); without
-    one they stay cache-bypassed (the tests below)."""
+def test_compile_pinned_always_bypasses_even_with_dir(tmp_path,
+                                                      monkeypatch):
+    """Layout-scoped caching of compile_pinned was tried and REVERTED:
+    a cache-loaded layout-constrained executable computes correct values
+    but poisons the layout-pinning flow built on its metadata (on-chip
+    bisect 2026-08-19). compile_pinned must bypass the cache even when a
+    dir is configured; pinned_init (no inputs + buffer-truth verified)
+    keeps the scoped cache."""
+    from jax.experimental.layout import Format, Layout
+
     saved = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", str(tmp_path))
     try:
         x = jnp.ones((4, 8))
-        fmt = x.format
         seen = []
         real_lower = jax.stages.Traced.lower
 
@@ -228,13 +232,17 @@ def test_compile_pinned_uses_scoped_cache_when_dir_set(tmp_path,
             return real_lower(self, *a, **k)
 
         monkeypatch.setattr(jax.stages.Traced, "lower", spy)
-        fn = layouts.compile_pinned(lambda a: a * 2, (x,), (fmt,), fmt)
+        auto = Format(Layout.AUTO)
+        fn = layouts.compile_pinned(lambda a: a * 2, (x,), (auto,), auto)
         np.testing.assert_allclose(np.asarray(fn(x)), 2.0)
-        assert len(seen) == 1
-        enabled, during_dir = seen[0]
-        assert enabled is True
-        assert during_dir != str(tmp_path)
-        assert during_dir.startswith(str(tmp_path))
+        fmt = x.format
+        fn2 = layouts.compile_pinned(lambda a: a * 3, (x,), (fmt,), fmt)
+        np.testing.assert_allclose(np.asarray(fn2(x)), 3.0)
+        assert [e for e, _ in seen] == [False, False]
+        # pinned_init keeps the scoped cache: verified by buffer truth
+        st = layouts.pinned_init(lambda: jnp.ones((3, 5)),
+                                 jnp.zeros((3, 5)).format)
+        np.testing.assert_allclose(np.asarray(st), 1.0)
     finally:
         jax.config.update("jax_compilation_cache_dir", saved)
 

@@ -357,9 +357,20 @@ def compile_pinned(fn, example_args, in_shardings, out_shardings,
     policy re-paid 20-300 s pinning compiles every run; with no cache
     dir configured it degrades to the cache-bypassed fresh compile.
     Keeping pinned entries out of the base directory also stops them
-    from poisoning plain-jit users of the same HLO."""
-    scope = f"{in_shardings}|{out_shardings}|{donate_argnums}"
-    with layout_scoped_cache(scope):
+    from poisoning plain-jit users of the same HLO.
+
+    Layout-scoped caching (layout_scoped_cache) was tried here and
+    REVERTED after on-chip bisection (2026-08-19, /tmp/probe_pin_cache
+    series): a cache-LOADED layout-constrained executable computes
+    bit-identical VALUES, but the layout-pinning FLOW built on it dies
+    with INVALID_ARGUMENT at the next pinned call and poisons the
+    device session — a loaded CONCRETE-pinned executable fails at its
+    own input handler, and a loaded AUTO executable's claimed formats
+    poison the downstream fns freshly pinned to them (the fresh twin of
+    the identical sequence runs clean; took out 4 bench legs before the
+    revert). Value-only consumers can cache safely; anything that READS
+    layout metadata off the executable must compile fresh."""
+    with compilation_cache_disabled():
         return jax.jit(
             fn, donate_argnums=donate_argnums,
             in_shardings=in_shardings, out_shardings=out_shardings,
