@@ -385,16 +385,20 @@ def pinned_init(init_fn, state_fmt):
     state (1280 voices x 4 s) that is an HBM OOM. Jitting the init with
     ``out_shardings=state_fmt`` materializes it once, already laid out.
 
-    Compiled under a layout-scoped cache (or bypassed where none is
-    configured): a BASE-cache key collision (module docstring,
-    workaround #1) can silently load a plain-init entry that ignores
-    ``out_shardings`` — and the loaded executable's output_formats
-    metadata echoes the request, so the collision is undetectable before
-    execution (observed: a "verified" init emitted default-layout leaves
-    that crashed every pinned step). The created state's ACTUAL buffer
-    formats (the one source of truth) are checked afterwards and
-    repaired via place_in_formats if the backend still deviated."""
-    with layout_scoped_cache(f"init|{state_fmt}"):
+    Compiled with the persistent cache BYPASSED — including the
+    layout-scoped variant: a scoped-cache-loaded init at 1024v cascade
+    scale emitted off-format leaves whose repair itself failed with
+    INVALID_ARGUMENT (bench 2026-08-19 12:10 — the truth-check+repair
+    net below catches the deviation but cannot always CONSTRUCT the
+    claimed layout from a poisoned loaded executable; the light-config
+    probes that "validated" loading simply had round-trippable
+    layouts). A BASE-cache key collision (module docstring, workaround
+    #1) can likewise silently load a plain-init entry that ignores
+    ``out_shardings`` with request-echoing metadata. The created
+    state's ACTUAL buffer formats (the one source of truth) are checked
+    afterwards and repaired via place_in_formats if the backend
+    deviated."""
+    with compilation_cache_disabled():
         state = jax.jit(init_fn, out_shardings=state_fmt)()
     if not formats_agree(state_fmt, tree_formats(state)):
         Log.warn("layouts", "pinned init emitted off-format leaves despite "
