@@ -1182,8 +1182,25 @@ def _main(argv=None) -> int:
         # persist per-metric so a later run that dies to tunnel weather can
         # attach this completed record under "last_good"
         try:
+            rec = dict(rec)
             rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                                time.gmtime())
+            # per-leg merge: a leg that FAILED this run (device-session
+            # poisoning takes out every leg after the first casualty)
+            # must not overwrite the previous record's good measurement —
+            # substitute it, clearly tagged with its own timestamp
+            # (2026-08-19: one leg failure blanked 4 good leg rows)
+            if rec.get("legs") and os.path.exists(path):
+                with open(path) as fh:
+                    prior = json.load(fh)
+                for name, leg in list(rec["legs"].items()):
+                    if isinstance(leg, dict) and "error" in leg:
+                        old = (prior.get("legs") or {}).get(name)
+                        if isinstance(old, dict) and "error" not in old:
+                            rec["legs"][name] = dict(
+                                old, stale_from=old.get(
+                                    "measured_at",
+                                    prior.get("measured_at")))
             tmp = f"{path}.tmp{os.getpid()}"
             with open(tmp, "w") as fh:
                 json.dump(rec, fh)
