@@ -183,6 +183,19 @@ def test_offline_chunked_long_track():
     no_tail = render_offline(model, x, segments=3, track_chunk_blocks=17,
                              include_tail=False)
     assert no_tail.shape[-1] == x.shape[1]
+    # chunking composes with mesh sharding and per-voice input
+    from tpu_audio.parallel.mesh import make_mesh
+    mesh = make_mesh(2, part=1)
+    chunked_mesh = render_offline(model, x, segments=3,
+                                  track_chunk_blocks=17, mesh=mesh)
+    np.testing.assert_allclose(chunked_mesh, whole, atol=3e-5)
+    m2 = build_model(num_voices=2)
+    rng = np.random.default_rng(3)
+    xv = (rng.standard_normal((2, 2, 40 * 32)) * 0.1).astype(np.float32)
+    np.testing.assert_allclose(
+        render_offline(m2, xv, segments=2, track_chunk_blocks=13),
+        render_offline(build_model(num_voices=2), xv, segments=2),
+        atol=3e-5)
     with pytest.raises(ValueError, match="static parameters only"):
         from tpu_audio.runtime.stream import MidiSchedule
         render_offline(model, x, track_chunk_blocks=16,
