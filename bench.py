@@ -537,7 +537,7 @@ def run_offline_leg(args, deadline_ms):
     walls, out = [], None
     for _ in range(2):
         t0 = time.perf_counter()
-        out = render_offline(model, x)
+        out = render_offline(model, x, wire=args.offline_wire)
         walls.append(time.perf_counter() - t0)
     if not np.isfinite(out).all():
         raise RuntimeError("offline bounce produced non-finite output")
@@ -546,10 +546,11 @@ def run_offline_leg(args, deadline_ms):
            "wall_s": round(wall, 3),
            "rtf": round(args.offline_seconds / wall, 1),
            "first_wall_s": round(walls[0], 3),
+           "wire": args.offline_wire,
            "out_bytes": int(out.nbytes)}
     log(f"offline leg: {args.offline_seconds:g} s track bounced in "
-        f"{wall:.3f} s (RTF {leg['rtf']}; first rep incl. compile "
-        f"{walls[0]:.1f} s; reference bounces at 1.0)")
+        f"{wall:.3f} s (RTF {leg['rtf']}, {args.offline_wire} wire; first "
+        f"rep incl. compile {walls[0]:.1f} s; reference bounces at 1.0)")
     return leg
 
 
@@ -781,6 +782,11 @@ def _main(argv=None) -> int:
                          "'' disables). The pack is tens of seconds of "
                          "strided numpy on a slow host; the cache makes "
                          "repeat runs read it sequentially instead")
+    ap.add_argument("--offline-wire", default="pcm16",
+                    choices=["f32", "pcm16"],
+                    help="offline-leg readback format (pcm16 = the "
+                         "DAC-facing depth, half the fetched bytes; "
+                         "matches the headline leg's wire default)")
     ap.add_argument("--offline-seconds", type=float, default=120.0,
                     help="track length for the time-parallel offline "
                          "bounce leg (wall-RTF headline for non-realtime "

@@ -204,6 +204,65 @@ def test_offline_chunked_long_track():
         render_offline(model, x, track_chunk_blocks=0)
 
 
+def test_offline_pcm16_wire_and_bucketing():
+    """wire='pcm16' bounces the same audio within half a quantization
+    step (encoded in-graph, decoded host-side — half the readback
+    bytes); bucket_blocks pads the track length to a grid so nearby
+    lengths reuse ONE compiled executable set across bounces."""
+    model = build_model()
+    x = program(37 * 32 + 5)
+    ref = render_offline(model, x, segments=4)
+    out16 = render_offline(model, x, segments=4, wire="pcm16")
+    assert out16.dtype == np.float32 and out16.shape == ref.shape
+    np.testing.assert_allclose(out16, np.clip(ref, -1.0, 1.0),
+                               atol=0.51 / 32767)
+    # bucketing: same audio (the pad is zero input past the tail; segment
+    # boundaries move, so MAC reassociation noise applies, not exactness)
+    outb = render_offline(model, x, segments=4, bucket_blocks=64)
+    assert outb.shape == ref.shape
+    np.testing.assert_allclose(outb, ref, atol=3e-5)
+    # a nearby track length hits the SAME executables under the bucket
+    sengs = model.engine._offline_engines
+    before = {vv: set(s._bounce_fns) for vv, s in sengs.items()}
+    render_offline(model, program(36 * 32 + 1, seed=5), segments=4,
+                   bucket_blocks=64)
+    for vv, s in model.engine._offline_engines.items():
+        assert set(s._bounce_fns) == before.get(vv, set(s._bounce_fns)), \
+            "a bucketed nearby track length rebuilt executables"
+    # 'auto' grid composes end to end
+    np.testing.assert_allclose(
+        render_offline(model, x, segments=4, bucket_blocks="auto"),
+        ref, atol=3e-5)
+    with pytest.raises(ValueError, match="wire"):
+        render_offline(model, x, wire="pcm24")
+    with pytest.raises(ValueError, match="bucket_blocks"):
+        render_offline(model, x, bucket_blocks=0)
+
+
+def test_engine_init_memoized_and_donation_safe():
+    """init_state/init_converged build their jit wrappers ONCE per
+    engine instance (a fresh jax.jit per call re-traces and — on remote
+    backends — re-loads the executable every bounce), and every call
+    still returns FRESH buffers: donating one init state into a step
+    must not corrupt another."""
+    model = build_model(num_voices=1)
+    eng, bank = model.engine, model.spectra
+    s1 = eng.init_state()
+    s2 = eng.init_state()
+    cache = eng.__dict__["_instance_jit_cache"]
+    assert "init_state" in cache
+    params = jax.tree.map(jnp.asarray, model.control.snapshot())
+    c1 = eng.init_converged(bank, params)
+    eng.init_converged(bank, params)
+    assert "init_coefc" in cache
+    step = jax.jit(eng.step_coef_steady, donate_argnums=0)
+    step(c1, bank, params, jnp.ones((1, 2, 32)) * 0.1)
+    # s1/s2 are distinct, still-live zero states after c1's donation
+    assert not np.asarray(s1.fdl).any()
+    assert not np.asarray(s2.fdl).any()
+    assert s1.fdl is not s2.fdl
+
+
 def test_offline_auto_segments_and_mono():
     model = build_model(num_voices=1)
     x = program(30 * 32)[0]  # mono [T]

@@ -162,6 +162,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "bounces: render N blocks at a time, each chunk "
                         "re-primed from its trailing input history "
                         "(exact; static parameters only)")
+    p.add_argument("--offline-wire", default="f32",
+                   choices=["f32", "pcm16"],
+                   help="--offline readback format: pcm16 halves the "
+                        "device->host bytes (output quantized to 16-bit, "
+                        "the DAC-facing depth) — worthwhile on tunneled "
+                        "or bandwidth-constrained host links")
+    p.add_argument("--offline-bucket", nargs="?", const="auto",
+                   default=None, metavar="BLOCKS",
+                   help="round --offline track lengths up to a bucket "
+                        "grid (default 'auto' ~= 3%% padding) so nearby "
+                        "lengths reuse one compiled executable set "
+                        "across bounces in this process")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -214,9 +226,13 @@ def _offline(args, models, mix: bool) -> int:
     try:
         for model in models:
             # (the schedule's stateful cursor is rewound by each replay)
+            bucket = args.offline_bucket
+            if bucket not in (None, "auto"):
+                bucket = int(bucket)
             out = model.render_offline(
                 x, segments=segments, schedule=schedule,
-                track_chunk_blocks=args.offline_chunk_blocks)  # [V, 2, T']
+                track_chunk_blocks=args.offline_chunk_blocks,
+                wire=args.offline_wire, bucket_blocks=bucket)  # [V, 2, T']
             outs.append(out)
     except ValueError as exc:  # e.g. working-set models
         Log.error("app", "--offline: %s", exc)

@@ -452,11 +452,14 @@ class CascadeConvolution:
         if self.num_irs is None:
             raise ValueError("pass num_irs= or call prepare_bank before "
                              "init_state (base_g is bank-sized)")
+        from tpu_audio.utils.jitcache import instance_cached
+
         v, b, m = self.num_voices, self.block, self.ratio
         vg = v // m
         kg = self.num_irs if self.mac_strategy == "allk" else 1
         hsh, tsh = self._sel_shapes()
-        return jax.jit(lambda: CascadeState(
+        return instance_cached(self, "init_state", lambda: jax.jit(
+            lambda: CascadeState(
             t=jnp.zeros((), jnp.int32),
             fdl1=jnp.zeros((self.f1, v * 2, 2, self.pp1), self.mac_dtype),
             prev_in=jnp.zeros((v, 2, b), jnp.float32),
@@ -473,18 +476,23 @@ class CascadeConvolution:
             sel_tail=jnp.zeros(tsh, self.mac_dtype),
             base_head=jnp.zeros(hsh, self.mac_dtype),
             base_tail=jnp.zeros(tsh, self.mac_dtype),
-        ))()
+        )))()
 
     def init_converged(self, bank: CascadeBank, params: VoiceParams
                        ) -> CascadeState:
+        from tpu_audio.utils.jitcache import instance_cached
+
         state = self.init_state()
-        state = replace(state, coef_c=jax.jit(
-            lambda w: w.astype(jnp.float32) + 0.0)(params.wet))
+        coefc = instance_cached(self, "init_coefc", lambda: jax.jit(
+            lambda w: w.astype(jnp.float32) + 0.0))
+        state = replace(state, coef_c=coefc(params.wet))
         if self.mac_strategy == "selected":
-            state = replace(
-                state,
-                sel_head=jax.jit(self._gather_head)(bank, params.select),
-                sel_tail=jax.jit(self._gather_tail)(bank, params.select))
+            gh = instance_cached(self, "init_gather_head",
+                                 lambda: jax.jit(self._gather_head))
+            gt = instance_cached(self, "init_gather_tail",
+                                 lambda: jax.jit(self._gather_tail))
+            state = replace(state, sel_head=gh(bank, params.select),
+                            sel_tail=gt(bank, params.select))
         return state
 
     def _gather_head(self, bank: CascadeBank, select: jax.Array) -> jax.Array:

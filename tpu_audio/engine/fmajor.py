@@ -610,11 +610,14 @@ class FMajorPartitionedConvolution:
         return self.num_irs
 
     def init_state(self) -> FMajorState:
+        from tpu_audio.utils.jitcache import instance_cached
+
         v, b, pp, f = self.num_voices, self.block, self.pp, self.num_bins
         base_shape, base_dtype = self._base_shape()
         sel_shape, sel_dtype = self._sel_shape()
         kg = self._base_g_width()
-        return jax.jit(lambda: FMajorState(
+        return instance_cached(self, "init_state", lambda: jax.jit(
+            lambda: FMajorState(
             fdl=jnp.zeros((f, v * 2, 2, pp), self.mac_dtype),
             prev_in=jnp.zeros((v, 2, b), jnp.float32),
             wet_ring=jnp.zeros((v, 2, self.ring_slots, b), jnp.float32),
@@ -626,16 +629,19 @@ class FMajorPartitionedConvolution:
             # the zero snapshot is the zero span vector
             base_g=jnp.zeros((v, 2, kg), jnp.float32),
             base_pure=jnp.ones((v, 2), jnp.bool_),
-        ))()
+        )))()
 
     def init_converged(self, bank: FMajorBank, params: VoiceParams) -> FMajorState:
+        from tpu_audio.utils.jitcache import instance_cached
+
         state = self.init_state()
-        state = replace(state,
-                        coef_c=jax.jit(lambda w: w.astype(jnp.float32) + 0.0)(
-                            params.wet))
+        coefc = instance_cached(self, "init_coefc", lambda: jax.jit(
+            lambda w: w.astype(jnp.float32) + 0.0))
+        state = replace(state, coef_c=coefc(params.wet))
         if self.mac_strategy == "selected":
-            state = replace(state, sel_spectra=jax.jit(self._gather_selection)(
-                bank, params.select))
+            gather = instance_cached(self, "init_gather_sel",
+                                     lambda: jax.jit(self._gather_selection))
+            state = replace(state, sel_spectra=gather(bank, params.select))
         return state
 
     def _gather_selection(self, bank: FMajorBank, select: jax.Array) -> jax.Array:

@@ -82,16 +82,21 @@ class MonolithicConvolution:
     # jitted so complex buffers are device-generated (some TPU transports
     # cannot transfer eagerly-created complex constants; see utils.transfer)
     def init_state(self) -> MonolithicState:
+        from tpu_audio.utils.jitcache import instance_cached
+
         v, fm = self.num_voices, self.num_bins
-        return jax.jit(lambda: MonolithicState(
-            active=jnp.zeros((v, 2, 2, fm), jnp.complex64),
-            residual=jnp.zeros((v, 2, self.ext), jnp.float32),
-        ))()
+        return instance_cached(self, "init_state", lambda: jax.jit(
+            lambda: MonolithicState(
+                active=jnp.zeros((v, 2, 2, fm), jnp.complex64),
+                residual=jnp.zeros((v, 2, self.ext), jnp.float32),
+            )))()
 
     def init_converged(self, bank: jax.Array, params: VoiceParams) -> MonolithicState:
         """State with the crossfade already settled at bank[select]*wet
         (skips the reference's silence fade-in from zero-initialised
         spectra)."""
+
+        from tpu_audio.utils.jitcache import instance_cached
 
         def build(bank, params):
             target = jnp.take(bank, params.select, axis=0)  # [V, 2, 2, Fm]
@@ -100,7 +105,8 @@ class MonolithicConvolution:
                 active=active.astype(jnp.complex64),
                 residual=jnp.zeros((self.num_voices, 2, self.ext), jnp.float32))
 
-        return jax.jit(build)(bank, params)
+        return instance_cached(self, "init_converged",
+                               lambda: jax.jit(build))(bank, params)
 
     # -- hot step ------------------------------------------------------------------
 

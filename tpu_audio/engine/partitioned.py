@@ -142,9 +142,12 @@ class PartitionedConvolution:
     def init_state(self) -> PartitionedState:
         """Zero state: crossfade slews up from silence (reference behaviour
         with zeroed buffers)."""
-        return jax.jit(lambda: self._zeros(
-            with_active=self.variant == "materialized",
-            with_base=self.variant == "coef"))()
+        from tpu_audio.utils.jitcache import instance_cached
+
+        return instance_cached(self, "init_state", lambda: jax.jit(
+            lambda: self._zeros(
+                with_active=self.variant == "materialized",
+                with_base=self.variant == "coef")))()
 
     def init_converged(self, bank: jax.Array, params: VoiceParams) -> PartitionedState:
         """Crossfade pre-settled at bank[select]*wet."""
@@ -162,7 +165,10 @@ class PartitionedConvolution:
             active = target * params.wet[..., None, None, None]
             return replace(state, active=active.astype(jnp.complex64))
 
-        return jax.jit(build)(bank, params)
+        from tpu_audio.utils.jitcache import instance_cached
+
+        return instance_cached(self, "init_converged",
+                               lambda: jax.jit(build))(bank, params)
 
     # -- shared pieces -----------------------------------------------------------------
 

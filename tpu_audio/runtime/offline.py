@@ -65,6 +65,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_audio.utils.log import Log
+from tpu_audio.utils.wire import encode_pcm16
 
 # measured voice-scaling model for the f32 fmajor engine on one v5e chip
 # (README scaling table: ~0.7 ms fixed + ~4 us/voice at 4 s IRs); only
@@ -120,7 +121,8 @@ def render_offline(model, samples, *, segments: int | None = None,
                    max_virtual_voices: int = 512,
                    schedule=None,
                    track_chunk_blocks: int | None = None,
-                   mesh=None) -> np.ndarray:
+                   mesh=None, wire: str = "f32",
+                   bucket_blocks=None) -> np.ndarray:
     """Render `samples` through `model` (ConvolutionReverb) at the
     control plane's current converged parameters: stereo [2, T] shared
     program material (or mono [T], duplicated like the CLI source), or
@@ -147,8 +149,21 @@ def render_offline(model, samples, *, segments: int | None = None,
     jax.sharding.Mesh with a 'voice' axis, parallel.make_mesh) shards
     the virtual voices over devices — the bounce's time axis is
     embarrassingly parallel, so a pod slice multiplies throughput
-    (fmajor engines; raise `max_virtual_voices` to feed all chips)."""
+    (fmajor engines; raise `max_virtual_voices` to feed all chips).
+    `wire='pcm16'` fetches the rendered blocks as 16-bit PCM (encoded
+    in-graph, decoded on the host — utils.wire, the same format the
+    streaming session's pcm16 wire and the reference's proven DAC
+    interfaces use): half the device->host bytes, which on tunneled
+    transports is a solid slice of the bounce wall time; output is
+    still f32 [V, 2, T], quantized to 1/32767. `bucket_blocks` rounds
+    the padded track length up to a multiple (or picks ~3% granularity
+    with 'auto') so nearby track lengths reuse ONE compiled executable
+    set — the zero-padded tail costs its fraction in compute but a
+    different-length bounce skips the jit trace/load entirely (the
+    chunked path is shape-identical by construction and ignores this)."""
     _check_full_resident(model)
+    if wire not in ("f32", "pcm16"):
+        raise ValueError(f"wire must be 'f32' or 'pcm16', got {wire!r}")
     if mesh is not None and not hasattr(model.engine, "prime_fdl"):
         raise ValueError(
             "mesh-sharded bounce supports fmajor engines (voice-DP GSPMD "
@@ -158,12 +173,13 @@ def render_offline(model, samples, *, segments: int | None = None,
             model, samples, track_chunk_blocks, segments=segments,
             include_tail=include_tail, warmup_blocks=warmup_blocks,
             max_virtual_voices=max_virtual_voices, schedule=schedule,
-            mesh=mesh)
+            mesh=mesh, wire=wire)
     if schedule is not None:
         return _render_automated(
             model, samples, schedule, segments=segments,
             include_tail=include_tail, warmup_blocks=warmup_blocks,
-            max_virtual_voices=max_virtual_voices, mesh=mesh)
+            max_virtual_voices=max_virtual_voices, mesh=mesh, wire=wire,
+            bucket_blocks=bucket_blocks)
     eng = model.engine
     v, b = eng.num_voices, eng.block
 
@@ -180,7 +196,7 @@ def render_offline(model, samples, *, segments: int | None = None,
     warmup = int(warmup_blocks if warmup_blocks is not None
                  else (eng.prime_blocks if fast else eng.history_blocks))
     tail_blocks = eng.history_blocks if include_tail else 0
-    total_blocks = t_blocks + tail_blocks
+    total_blocks = _bucket_total(t_blocks + tail_blocks, bucket_blocks)
 
     # (the cascade's stagger-divisibility invariant holds automatically:
     # num_voices % ratio == 0 is a constructor requirement, so any
@@ -195,14 +211,18 @@ def render_offline(model, samples, *, segments: int | None = None,
     nseg = _mesh_round_segments(nseg, v, mesh)
     seg_len = -(-total_blocks // nseg)
 
-    # block tensor [T', 2, B] (shared) or [T', V, 2, B] (per-voice),
-    # zero-padded head-to-block and tail-to-segment-grid (the zero tail
-    # past T flushes the ring-out)
-    xb = _block_tensor(x, per_voice, nseg * seg_len, b, t_samples)
-
     seng = _virtual_engine(eng, v * nseg)
     bank = model.spectra
     shardings = _mesh_shardings(seng, mesh)
+
+    # block tensor [T', 2, B] (shared) or [T', V, 2, B] (per-voice),
+    # zero-padded head-to-block and tail-to-segment-grid (the zero tail
+    # past T flushes the ring-out). Upload starts HERE — device_put is
+    # async, so the tens-of-MB input transfer rides the link while the
+    # host below replicates params and dispatches the engine init
+    xb = _block_tensor(x, per_voice, nseg * seg_len, b, t_samples)
+    xb_dev = jax.device_put(
+        xb, shardings[4] if shardings is not None else None)
 
     # control-plane snapshot, replicated voice-major: virtual voice
     # v*nseg + s carries voice v's parameters over segment s
@@ -216,8 +236,6 @@ def render_offline(model, samples, *, segments: int | None = None,
         bank = jax.device_put(bank, bank_sh)
         vparams = jax.device_put(vparams, params_sh)
 
-    xb_dev = jax.device_put(
-        xb, shardings[4] if shardings is not None else None)
     nt = xb.shape[0]
     # voice-major virtual packing: virtual voice v*nseg + s
     voice_of = np.repeat(np.arange(v, dtype=np.int32), nseg)
@@ -257,6 +275,8 @@ def render_offline(model, samples, *, segments: int | None = None,
                 xi = jnp.where((idx >= 0)[:, None, None], xi, 0.0)
                 xi = jnp.tile(xi, (v, 1, 1))            # [V*nseg, 2, B]
             st, y = steady(st, bank_a, vp_a, xi)
+            if wire == "pcm16":
+                y = encode_pcm16(y)
             return (st, i + 1), y
 
         if shardings is None:
@@ -268,7 +288,7 @@ def render_offline(model, samples, *, segments: int | None = None,
                        out_shardings=((state_sh, repl), x_sh))
 
     step = _cached_fn(seng, ("static", per_voice, nseg, seg_len, warmup,
-                             nt, mesh), build_step)
+                             nt, mesh, wire), build_step)
 
     Log.info("offline", "bounce: %d blocks as %d segment(s) x %d + %d "
              "warm-up steps (%d virtual voices)",
@@ -280,12 +300,36 @@ def render_offline(model, samples, *, segments: int | None = None,
               .transpose(1, 3, 2, 0, 4)
               .reshape(v, 2, nseg * seg_len * b))
     out_samples = t_samples + tail_blocks * b if include_tail else t_samples
-    return out[..., :out_samples]
+    return _decode_wire(out[..., :out_samples], wire)
+
+
+def _bucket_total(total_blocks: int, bucket_blocks) -> int:
+    """Round the padded track length up to the bucket grid (see
+    render_offline's `bucket_blocks`). 'auto' pads at most ~3%: the grid
+    is 2^(bitlen-5), i.e. 1/32 of the track's magnitude."""
+    if bucket_blocks is None:
+        return total_blocks
+    if bucket_blocks == "auto":
+        g = max(64, 1 << max(int(total_blocks).bit_length() - 5, 0))
+    else:
+        g = int(bucket_blocks)
+        if g < 1:
+            raise ValueError(f"bucket_blocks must be >= 1 or 'auto', "
+                             f"got {bucket_blocks}")
+    return -(-total_blocks // g) * g
+
+
+def _decode_wire(out: np.ndarray, wire: str) -> np.ndarray:
+    if wire == "pcm16":
+        from tpu_audio.utils.wire import decode_pcm16
+
+        return decode_pcm16(out)
+    return out
 
 
 def _render_chunked(model, samples, chunk_blocks: int, *, segments,
                     include_tail, warmup_blocks, max_virtual_voices,
-                    schedule, mesh=None) -> np.ndarray:
+                    schedule, mesh=None, wire: str = "f32") -> np.ndarray:
     """Bounded-memory bounce: render the track in `chunk_blocks`-block
     chunks, each an independent time-parallel render over its slice plus
     `history_blocks` of trailing input prefix (discarded output) — the
@@ -328,7 +372,7 @@ def _render_chunked(model, samples, chunk_blocks: int, *, segments,
                              include_tail=False,
                              warmup_blocks=warmup_blocks,
                              max_virtual_voices=max_virtual_voices,
-                             mesh=mesh)
+                             mesh=mesh, wire=wire)
         outs.append(out[..., hist * b:])
     out = np.concatenate(outs, axis=-1)
     return out[..., :t_samples + (hist * b if include_tail else 0)]
@@ -457,7 +501,8 @@ class _ControlSim:
 
 def _render_automated(model, samples, schedule, *, segments,
                       include_tail, warmup_blocks, max_virtual_voices,
-                      mesh=None) -> np.ndarray:
+                      mesh=None, wire: str = "f32",
+                      bucket_blocks=None) -> np.ndarray:
     """Time-parallel bounce of a scripted MIDI timeline — render_offline
     with ``schedule=`` (see the module docstring for the replay design)."""
     from tpu_audio.engine.params import VoiceParams
@@ -491,7 +536,7 @@ def _render_automated(model, samples, schedule, *, segments,
     ratio = int(getattr(eng, "ratio", 1))
     warmup = -(-warmup // ratio) * ratio
     tail_blocks = eng.history_blocks if include_tail else 0
-    total_blocks = t_blocks + tail_blocks
+    total_blocks = _bucket_total(t_blocks + tail_blocks, bucket_blocks)
     if segments is None:
         nseg = min(_auto_segments(total_blocks, warmup, v,
                                   max_virtual_voices), total_blocks)
@@ -503,14 +548,19 @@ def _render_automated(model, samples, schedule, *, segments,
     seg_len = -(-(-(-total_blocks // nseg)) // ratio) * ratio
     tpad = nseg * seg_len
 
-    xb = _block_tensor(x, per_voice, tpad, b, t_samples)
-
-    sim = _ControlSim(model.control, schedule, tpad,
-                      [max(s * seg_len - warmup, 0) for s in range(nseg)])
-
     seng = _virtual_engine(eng, v * nseg)
     bank = model.spectra
     shardings = _mesh_shardings(seng, mesh)
+
+    # upload starts before the host's schedule replay below (device_put
+    # is async): the input transfer and the O(T) float32 control-plane
+    # replay ride the link and the CPU concurrently
+    xb = _block_tensor(x, per_voice, tpad, b, t_samples)
+    xb_dev = jax.device_put(
+        xb, shardings[4] if shardings is not None else None)
+
+    sim = _ControlSim(model.control, schedule, tpad,
+                      [max(s * seg_len - warmup, 0) for s in range(nseg)])
 
     def vm(arr: np.ndarray) -> np.ndarray:
         """[nseg, V, 2, ...] -> SEGMENT-major [nseg*V, 2, ...]: virtual
@@ -543,9 +593,12 @@ def _render_automated(model, samples, schedule, *, segments,
         # host g tracks), so expand g once at init and gather the
         # pre-event selection
         sel0 = jnp.asarray(vm(np.stack([s[3] for s in snaps])))
-        base0, selsp = jax.jit(lambda bk, gg, ss: (
-            seng._span_expand(bk, gg).astype(state.base.dtype),
-            seng._gather_selection(bk, ss)))(bank, jnp.asarray(g0), sel0)
+        selinit = _cached_fn(seng, ("selinit", state.base.dtype),
+                             lambda: jax.jit(lambda bk, gg, ss: (
+                                 seng._span_expand(bk, gg)
+                                 .astype(state.base.dtype),
+                                 seng._gather_selection(bk, ss))))
+        base0, selsp = selinit(bank, jnp.asarray(g0), sel0)
         state = replace(state, base=base0, sel_spectra=selsp,
                         base_pure=jnp.zeros((v * nseg, 2), bool))
     else:
@@ -568,8 +621,6 @@ def _render_automated(model, samples, schedule, *, segments,
     ev_old = jnp.asarray(np.stack(sim.ev_old))
     ev_of_block = jnp.asarray(sim.event_of_block)
 
-    xb_dev = jax.device_put(
-        xb, shardings[4] if shardings is not None else None)
     starts = jnp.asarray(np.arange(nseg, dtype=np.int32) * seg_len)
     takes_params = getattr(seng, "collapse_pure_takes_params", False)
 
@@ -645,6 +696,8 @@ def _render_automated(model, samples, schedule, *, segments,
                 extra = (params,) if takes_params else ()
                 st = seng.collapse_pure(st, old, chg, *extra)
                 st, y = seng.step_coef_indexed(st, bank_a, params, xi)
+            if wire == "pcm16":
+                y = encode_pcm16(y)
             return (st, i + 1), y
 
         if shardings is None:
@@ -657,7 +710,8 @@ def _render_automated(model, samples, schedule, *, segments,
                        out_shardings=((state_sh, repl), x_sh))
 
     step = _cached_fn(seng, ("auto", selected, takes_params, per_voice,
-                             nseg, seg_len, warmup, tpad, mesh), build_step)
+                             nseg, seg_len, warmup, tpad, mesh, wire),
+                      build_step)
 
     Log.info("offline", "automated bounce: %d blocks as %d segment(s) x %d "
              "+ %d warm-up steps (%d virtual voices, %d regime(s), %d "
@@ -670,7 +724,7 @@ def _render_automated(model, samples, schedule, *, segments,
               .transpose(2, 3, 1, 0, 4)
               .reshape(v, 2, tpad * b))
     out_samples = t_samples + tail_blocks * b if include_tail else t_samples
-    return out[..., :out_samples]
+    return _decode_wire(out[..., :out_samples], wire)
 
 
 def _block_tensor(x: np.ndarray, per_voice: bool, t_pad_blocks: int,

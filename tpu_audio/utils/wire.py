@@ -14,10 +14,14 @@ PCM16_SCALE = 32767.0
 
 
 def encode_pcm16(x):
-    """f32 [-1, 1] -> int16 (device-side; call under jit)."""
+    """f32 [-1, 1] -> int16 (device-side; call under jit).
+
+    Round-to-nearest: half-LSB worst-case quantization error (a bare
+    int16 cast truncates toward zero — double the error, and a DC-shaped
+    one around zero)."""
     import jax.numpy as jnp
 
-    return (jnp.clip(x, -1.0, 1.0) * PCM16_SCALE).astype(jnp.int16)
+    return jnp.round(jnp.clip(x, -1.0, 1.0) * PCM16_SCALE).astype(jnp.int16)
 
 
 def decode_pcm16(x: np.ndarray) -> np.ndarray:
