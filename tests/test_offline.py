@@ -196,10 +196,14 @@ def test_offline_chunked_long_track():
         render_offline(m2, xv, segments=2, track_chunk_blocks=13),
         render_offline(build_model(num_voices=2), xv, segments=2),
         atol=3e-5)
-    with pytest.raises(ValueError, match="static parameters only"):
-        from tpu_audio.runtime.stream import MidiSchedule
-        render_offline(model, x, track_chunk_blocks=16,
-                       schedule=MidiSchedule([]))
+    # an automation schedule composes with chunking (empty schedule ==
+    # static parameters; the full case is test_offline_chunked_automated)
+    from tpu_audio.runtime.stream import MidiSchedule
+    _map_all(model.control)
+    np.testing.assert_allclose(
+        render_offline(model, x, segments=3, track_chunk_blocks=17,
+                       schedule=MidiSchedule([])),
+        whole, atol=5e-5)
     with pytest.raises(ValueError, match=">= 1"):
         render_offline(model, x, track_chunk_blocks=0)
 
@@ -486,6 +490,64 @@ def test_offline_automated_fuzz(seed, segments):
     n = min(out.shape[-1], ref.shape[-1])
     assert np.abs(ref[..., :n]).max() > 1e-3
     np.testing.assert_allclose(out[..., :n], ref[..., :n], atol=5e-5)
+
+
+@pytest.mark.parametrize("kwargs", [{}, {"mac_strategy": "selected"}])
+def test_offline_chunked_automated(kwargs):
+    """track_chunk_blocks composes with an automation schedule on fmajor
+    engines: the host replay runs once over the global timeline and every
+    chunk gathers it at absolute block indices — chunked == whole-track
+    automated bounce == the real streaming session, with chunk boundaries
+    landing mid-fade and events falling inside chunk history prefixes."""
+    from tpu_audio.runtime.stream import MidiSchedule
+
+    def fresh():
+        m = build_model(**kwargs)
+        m.control.speed[:] = 20
+        _map_all(m.control)
+        return m
+
+    model = fresh()
+    b = model.engine.block
+    x = program(115 * b + 9)
+    whole = render_offline(model, x, segments=4,
+                           schedule=MidiSchedule(list(AUTOMATION)))
+    m2 = fresh()
+    chunked = render_offline(m2, x, segments=4, track_chunk_blocks=23,
+                             schedule=MidiSchedule(list(AUTOMATION)))
+    assert chunked.shape == whole.shape
+    # 'selected' re-expands the span snapshot at every chunk's segment
+    # starts (one f32 reassociation of sum_k g_k*bank_k vs the stream's
+    # incremental base) — many chunks accumulate slightly more noise than
+    # the whole-track bounce's handful of expand points
+    tol = 1e-4 if kwargs.get("mac_strategy") == "selected" else 5e-5
+    np.testing.assert_allclose(chunked, whole, atol=tol)
+    # every chunk (boundaries straddling fades included) shared ONE
+    # compiled step: the absolute offset rides as a device scalar
+    autos = [k for s in m2.engine._offline_engines.values()
+             for k in s._bounce_fns if k[0] == "auto"]
+    assert len(autos) == 1, autos
+    # and the chunked bounce matches the REAL streaming session
+    total_blocks = -(-x.shape[1] // b) + model.engine.history_blocks
+    ref = stream_automated(fresh(), x, total_blocks,
+                           MidiSchedule(list(AUTOMATION)))
+    n = min(chunked.shape[-1], ref.shape[-1])
+    assert np.abs(ref[..., :n]).max() > 1e-3
+    np.testing.assert_allclose(chunked[..., :n], ref[..., :n], atol=tol)
+
+
+def test_offline_chunked_automated_cascade_refused():
+    """Cascade automation cannot chunk (tail stagger phase is sensitive
+    to the chunk's absolute offset) — loud, actionable error."""
+    from tpu_audio.runtime.stream import MidiSchedule
+
+    casc = build_model(engine="cascade", block=16, ir_len=400,
+                       cascade_ratio=2)
+    casc.control.speed[:] = 20
+    _map_all(casc.control)
+    with pytest.raises(ValueError, match="stagger"):
+        render_offline(casc, program(40 * 16), track_chunk_blocks=8,
+                       schedule=MidiSchedule(list(AUTOMATION)))
 
 
 def test_offline_automated_guards():

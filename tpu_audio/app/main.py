@@ -161,7 +161,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bound device memory on hour-scale --offline "
                         "bounces: render N blocks at a time, each chunk "
                         "re-primed from its trailing input history "
-                        "(exact; static parameters only)")
+                        "(exact; composes with a --midi schedule on "
+                        "fmajor engines)")
     p.add_argument("--offline-wire", default="f32",
                    choices=["f32", "pcm16"],
                    help="--offline readback format: pcm16 halves the "

@@ -144,8 +144,11 @@ def render_offline(model, samples, *, segments: int | None = None,
     `track_chunk_blocks` bounds device memory for very long tracks
     (hours): the track renders in chunks of that many blocks, each
     re-primed from the trailing input history inside its slice — exact
-    by the same history contract as the segments (static parameters
-    only: an automation timeline's state replay is global). `mesh` (a
+    by the same history contract as the segments, and composable with
+    `schedule=` on fmajor engines (the host replay runs once over the
+    global timeline; chunks gather it by absolute block index — cascade
+    automation bounces whole, its tail stagger phase is
+    chunk-offset-sensitive). `mesh` (a
     jax.sharding.Mesh with a 'voice' axis, parallel.make_mesh) shards
     the virtual voices over devices — the bounce's time axis is
     embarrassingly parallel, so a pod slice multiplies throughput
@@ -335,17 +338,21 @@ def _render_chunked(model, samples, chunk_blocks: int, *, segments,
     `history_blocks` of trailing input prefix (discarded output) — the
     same contract that makes segments exact makes chunks exact. Keeps
     the device footprint at O(chunk) for hour-scale tracks (the whole-
-    track path holds input + spectra + output on device, ~5 GB/hour)."""
-    if schedule is not None:
-        raise ValueError(
-            "track_chunk_blocks bounces static parameters only: an "
-            "automation timeline's control-state replay is global, so "
-            "bounce automated tracks whole (or split the schedule at "
-            "converged rest points yourself)")
+    track path holds input + spectra + output on device, ~5 GB/hour).
+
+    With ``schedule=``, the automation timeline chunks too (fmajor
+    engines): the host replay runs ONCE over the global timeline and
+    each chunk's step gathers parameters/events at absolute block
+    indices — see _render_chunked_automated."""
     chunk_blocks = int(chunk_blocks)
     if chunk_blocks < 1:
         raise ValueError(f"track_chunk_blocks must be >= 1, "
                          f"got {chunk_blocks}")
+    if schedule is not None:
+        return _render_chunked_automated(
+            model, samples, chunk_blocks, schedule, segments=segments,
+            include_tail=include_tail, warmup_blocks=warmup_blocks,
+            max_virtual_voices=max_virtual_voices, mesh=mesh, wire=wire)
     eng = model.engine
     b = eng.block
     x, _ = _check_stereo(samples, eng.num_voices)
@@ -373,6 +380,71 @@ def _render_chunked(model, samples, chunk_blocks: int, *, segments,
                              warmup_blocks=warmup_blocks,
                              max_virtual_voices=max_virtual_voices,
                              mesh=mesh, wire=wire)
+        outs.append(out[..., hist * b:])
+    out = np.concatenate(outs, axis=-1)
+    return out[..., :t_samples + (hist * b if include_tail else 0)]
+
+
+def _render_chunked_automated(model, samples, chunk_blocks: int, schedule,
+                              *, segments, include_tail, warmup_blocks,
+                              max_virtual_voices, mesh=None,
+                              wire: str = "f32") -> np.ndarray:
+    """Bounded-memory bounce of an automation timeline.
+
+    The control-state replay is global by nature, so the host replays the
+    schedule ONCE over the whole (chunk-grid-padded) timeline, taking
+    exact fade snapshots at every chunk's segment warm-up starts in
+    ABSOLUTE blocks. Each chunk then renders its local span (history
+    prefix + payload, the static chunk contract) while gathering
+    parameters and re-select events at ``local_block + (chunk_start -
+    hist)`` — the offset rides the step as a device scalar, so every
+    chunk reuses ONE compiled executable set. Output is equal to the
+    whole-track automated bounce within MAC reassociation noise (the
+    segment grid differs), which itself matches live streaming to float
+    precision.
+
+    fmajor engines only: the cascade tail's stagger phase is sensitive
+    to the chunk's absolute offset (j % ratio scheduling), and chunk
+    starts land on arbitrary blocks — bounce cascade automation whole,
+    or chunk with static parameters."""
+    eng = model.engine
+    _check_automatable(eng)
+    if int(getattr(eng, "ratio", 1)) != 1:
+        raise ValueError(
+            "chunked automated bounces support fmajor engines: the "
+            "cascade tail's stagger phase is chunk-offset-sensitive — "
+            "bounce cascade automation whole (track_chunk_blocks=None), "
+            "or chunk with static parameters")
+    b = eng.block
+    x, _per_voice = _check_stereo(samples, eng.num_voices)
+    t_samples = x.shape[-1]
+    t_blocks = -(-t_samples // b)
+    hist = eng.history_blocks
+    out_blocks = t_blocks + (hist if include_tail else 0)
+    span_blocks = hist + chunk_blocks
+    span = span_blocks * b
+    _fast, warmup, nseg, seg_len = _plan_automated(
+        eng, span_blocks, segments=segments, warmup_blocks=warmup_blocks,
+        max_virtual_voices=max_virtual_voices, mesh=mesh)
+    los = list(range(0, out_blocks, chunk_blocks))
+    tpad_local = nseg * seg_len
+    tpadg = max(los[-1] - hist + tpad_local, tpad_local)
+    snap_points = sorted({max(s * seg_len - warmup + lo - hist, 0)
+                          for lo in los for s in range(nseg)})
+    sim = _ControlSim(model.control, schedule, tpadg, snap_points)
+    outs = []
+    for lo in los:
+        xs = np.zeros(x.shape[:-1] + (span,), np.float32)
+        src_lo = (lo - hist) * b
+        src_hi = min((lo + chunk_blocks) * b, t_samples)
+        if src_hi > max(src_lo, 0):
+            dst = max(src_lo, 0) - src_lo
+            xs[..., dst:dst + (src_hi - max(src_lo, 0))] = \
+                x[..., max(src_lo, 0):src_hi]
+        out = _render_automated(
+            model, xs, schedule, segments=nseg, include_tail=False,
+            warmup_blocks=warmup, max_virtual_voices=max_virtual_voices,
+            mesh=mesh, wire=wire, _chunk_ctx=(sim, lo - hist, tpadg))
         outs.append(out[..., hist * b:])
     out = np.concatenate(outs, axis=-1)
     return out[..., :t_samples + (hist * b if include_tail else 0)]
@@ -499,15 +571,9 @@ class _ControlSim:
                      "bounce's %d blocks (ignored)", len(late), total_blocks)
 
 
-def _render_automated(model, samples, schedule, *, segments,
-                      include_tail, warmup_blocks, max_virtual_voices,
-                      mesh=None, wire: str = "f32",
-                      bucket_blocks=None) -> np.ndarray:
-    """Time-parallel bounce of a scripted MIDI timeline — render_offline
-    with ``schedule=`` (see the module docstring for the replay design)."""
-    from tpu_audio.engine.params import VoiceParams
-
-    eng = model.engine
+def _check_automatable(eng) -> bool:
+    """Validate the engine supports in-graph automation replay; returns
+    the 'selected'-strategy flag."""
     strategy = getattr(eng, "mac_strategy", None)
     selected = (strategy == "selected" and hasattr(eng, "_span_expand")
                 and hasattr(eng, "_gather_selection"))
@@ -520,23 +586,26 @@ def _render_automated(model, samples, schedule, *, segments,
             "crossfades replay in-graph via collapse(_pure) (the cascade's "
             "'selected' strategy has no span-expansion for the snapshot "
             "init; bounce large banks with the fmajor engine)")
-    v, b = eng.num_voices, eng.block
-    x, per_voice = _check_stereo(samples, v)
-    t_samples = x.shape[-1]
-    t_blocks = -(-t_samples // b)
+    return selected
+
+
+def _plan_automated(eng, total_blocks: int, *, segments, warmup_blocks,
+                    max_virtual_voices, mesh):
+    """Segment plan for an automated bounce: (fast, warmup, nseg, seg_len).
+
+    The cascade's tail schedule is staggered (group g computes at blocks
+    t % ratio == g): a virtual voice's LOCAL block counter starts at 0,
+    so its stagger phase matches the stream's absolute phase only when
+    every segment's warm-up start falls on a ratio boundary — hence the
+    ratio-rounding of warmup and seg_len. Converged params are
+    phase-invariant (the static path needs no alignment), but an event's
+    fade scattering is not."""
     fast = hasattr(eng, "prime_fdl")
     warmup = int(warmup_blocks if warmup_blocks is not None
                  else (eng.prime_blocks if fast else eng.history_blocks))
-    # the cascade's tail schedule is staggered (group g computes at blocks
-    # t % ratio == g): a virtual voice's LOCAL block counter starts at 0,
-    # so its stagger phase matches the stream's absolute phase only when
-    # every segment's warm-up start falls on a ratio boundary. Converged
-    # params are phase-invariant (the static path needs no alignment), but
-    # an event's fade scattering is not.
     ratio = int(getattr(eng, "ratio", 1))
     warmup = -(-warmup // ratio) * ratio
-    tail_blocks = eng.history_blocks if include_tail else 0
-    total_blocks = _bucket_total(t_blocks + tail_blocks, bucket_blocks)
+    v = eng.num_voices
     if segments is None:
         nseg = min(_auto_segments(total_blocks, warmup, v,
                                   max_virtual_voices), total_blocks)
@@ -546,6 +615,40 @@ def _render_automated(model, samples, schedule, *, segments,
             raise ValueError(f"segments must be >= 1, got {segments}")
     nseg = _mesh_round_segments(nseg, v, mesh)
     seg_len = -(-(-(-total_blocks // nseg)) // ratio) * ratio
+    return fast, warmup, nseg, seg_len
+
+
+def _render_automated(model, samples, schedule, *, segments,
+                      include_tail, warmup_blocks, max_virtual_voices,
+                      mesh=None, wire: str = "f32",
+                      bucket_blocks=None, _chunk_ctx=None) -> np.ndarray:
+    """Time-parallel bounce of a scripted MIDI timeline — render_offline
+    with ``schedule=`` (see the module docstring for the replay design).
+
+    ``_chunk_ctx = (sim, abs_base, tpad_global)`` is the chunked driver's
+    private seam (_render_chunked_automated): the host replay was built
+    ONCE over the global timeline, this call renders the chunk's local
+    span, and every parameter/event gather happens at the ABSOLUTE block
+    index ``local + abs_base`` (a device scalar argument, so all chunks
+    share one executable)."""
+    from tpu_audio.engine.params import VoiceParams
+
+    eng = model.engine
+    selected = _check_automatable(eng)
+    v, b = eng.num_voices, eng.block
+    x, per_voice = _check_stereo(samples, v)
+    t_samples = x.shape[-1]
+    t_blocks = -(-t_samples // b)
+    if _chunk_ctx is None:
+        tail_blocks = eng.history_blocks if include_tail else 0
+        total_blocks = _bucket_total(t_blocks + tail_blocks, bucket_blocks)
+    else:
+        sim, abs_base, tpadg = _chunk_ctx
+        tail_blocks = 0
+        total_blocks = t_blocks
+    fast, warmup, nseg, seg_len = _plan_automated(
+        eng, total_blocks, segments=segments, warmup_blocks=warmup_blocks,
+        max_virtual_voices=max_virtual_voices, mesh=mesh)
     tpad = nseg * seg_len
 
     seng = _virtual_engine(eng, v * nseg)
@@ -559,8 +662,10 @@ def _render_automated(model, samples, schedule, *, segments,
     xb_dev = jax.device_put(
         xb, shardings[4] if shardings is not None else None)
 
-    sim = _ControlSim(model.control, schedule, tpad,
-                      [max(s * seg_len - warmup, 0) for s in range(nseg)])
+    if _chunk_ctx is None:
+        abs_base, tpadg = 0, tpad
+        sim = _ControlSim(model.control, schedule, tpad,
+                          [max(s * seg_len - warmup, 0) for s in range(nseg)])
 
     def vm(arr: np.ndarray) -> np.ndarray:
         """[nseg, V, 2, ...] -> SEGMENT-major [nseg*V, 2, ...]: virtual
@@ -580,7 +685,8 @@ def _render_automated(model, samples, schedule, *, segments,
             np.asarray(t), (nseg,) + (1,) * (np.asarray(t).ndim - 1))),
         host0)
     state = seng.init_converged(bank, p0)
-    snaps = [sim.snaps[max(s * seg_len - warmup, 0)] for s in range(nseg)]
+    snaps = [sim.snaps[max(s * seg_len - warmup + abs_base, 0)]
+             for s in range(nseg)]
     g0 = vm(np.stack([s[2] for s in snaps]))
     state = replace(
         state,
@@ -642,31 +748,34 @@ def _render_automated(model, samples, schedule, *, segments,
     # tables as args also makes the cached executable schedule-agnostic
     # (same table shapes -> zero recompiles across bounces)
     def build_step():
-        def step(carry, xb_a, bank_a, tbl_a):
+        def step(carry, xb_a, bank_a, tbl_a, off_a):
             rtbl, rstart, rof, evc, evo, evof = tbl_a
             st, i = carry
-            idx = starts + i - warmup                      # [nseg]
+            idx = starts + i - warmup                      # [nseg], local
             idxc = jnp.clip(idx, 0, tpad - 1)
-            live = idx >= 0
+            live_in = idx >= 0                  # input exists in THIS tensor
+            aidx = idx + off_a                  # absolute timeline block
+            aidxc = jnp.clip(aidx, 0, tpadg - 1)
+            live = aidx >= 0                    # params/events pre-roll gate
             xi = jnp.take(xb_a, idxc, axis=0)
             if per_voice:                                  # [nseg, V, 2, B]
-                xi = jnp.where(live[:, None, None, None], xi, 0.0)
+                xi = jnp.where(live_in[:, None, None, None], xi, 0.0)
                 xi = xi.reshape(nseg * v, 2, b)            # segment-major
             else:
-                xi = jnp.where(live[:, None, None], xi, 0.0)
+                xi = jnp.where(live_in[:, None, None], xi, 0.0)
                 xi = jnp.repeat(xi, v, axis=0)             # [Vv, 2, B]
 
-            # pre-roll steps (idx < 0, segment starts earlier than one
-            # warm-up window) read regime row 0 — the initial plane, whose
-            # converged coefficients make the recursion a no-op before
-            # block 0
-            reg = jnp.where(live, jnp.take(rof, idxc), 0)
+            # pre-roll steps (absolute index < 0: a segment start earlier
+            # than one warm-up window before the track) read regime row 0
+            # — the initial plane, whose converged coefficients make the
+            # recursion a no-op before block 0
+            reg = jnp.where(live, jnp.take(rof, aidxc), 0)
 
             def vmj(tbl, sel):
                 gath = jnp.take(tbl, sel, axis=0)          # [nseg, V, 2, ..]
                 return gath.reshape((nseg * v,) + gath.shape[2:])
 
-            offs = jnp.where(live, idx - jnp.take(rstart, reg), 0)
+            offs = jnp.where(live, aidx - jnp.take(rstart, reg), 0)
             offs_vv = jnp.repeat(offs, v)[:, None]         # [Vv, 1]
             params = VoiceParams(
                 select=vmj(rtbl["select"], reg),
@@ -677,7 +786,7 @@ def _render_automated(model, samples, schedule, *, segments,
                 pan_wet=vmj(rtbl["pan_wet"], reg),
                 level=vmj(rtbl["level"], reg))
 
-            ev = jnp.where(live, jnp.take(evof, idxc), 0)
+            ev = jnp.where(live, jnp.take(evof, aidxc), 0)
             live_vv = jnp.repeat(live, v)[:, None]
             chg = vmj(evc, ev) & live_vv
             old = vmj(evo, ev)
@@ -706,19 +815,21 @@ def _render_automated(model, samples, schedule, *, segments,
         tbl_sh = jax.tree.map(lambda _: repl, tables)
         return jax.jit(step, donate_argnums=0,
                        in_shardings=((state_sh, repl), repl, bank_sh,
-                                     tbl_sh),
+                                     tbl_sh, repl),
                        out_shardings=((state_sh, repl), x_sh))
 
     step = _cached_fn(seng, ("auto", selected, takes_params, per_voice,
-                             nseg, seg_len, warmup, tpad, mesh, wire),
-                      build_step)
+                             nseg, seg_len, warmup, tpad, tpadg, mesh,
+                             wire), build_step)
 
     Log.info("offline", "automated bounce: %d blocks as %d segment(s) x %d "
              "+ %d warm-up steps (%d virtual voices, %d regime(s), %d "
              "re-select block(s))", total_blocks, nseg, seg_len, warmup,
              v * nseg, len(sim.regimes), len(sim.ev_changed) - 1)
 
-    out = _collect(step, state, warmup, seg_len, (xb_dev, bank, tables))
+    off_dev = jnp.asarray(abs_base, jnp.int32)
+    out = _collect(step, state, warmup, seg_len,
+                   (xb_dev, bank, tables, off_dev))
     # [seg_len, nseg*V, 2, B] (segment-major) -> [V, 2, tpad*B]
     out = (out.reshape(seg_len, nseg, v, 2, b)
               .transpose(2, 3, 1, 0, 4)
