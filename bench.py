@@ -616,6 +616,39 @@ def _last_good_path(metric: str) -> str | None:
     return os.path.join(_LAST_GOOD_DIR, f"last_good_{metric}.json")
 
 
+_REPO_RECORD_DIR = None
+
+
+def _repo_record_path(metric: str) -> str | None:
+    """Git-tracked twin of the cache-dir last_good record. The bench box
+    gets reset from time to time, wiping .bench_cache/ (observed
+    2026-08-18 and again 2026-08-19, taking the only complete flagship
+    record with it) — a copy committed into the repo survives, so a
+    later partial run can still attach real measured numbers. Disabled
+    (None) under --record-dir '' (the smoke tests, which must not drop
+    tiny-config records into the repo)."""
+    if _REPO_RECORD_DIR is None:
+        return None
+    import os
+    os.makedirs(_REPO_RECORD_DIR, exist_ok=True)
+    return os.path.join(_REPO_RECORD_DIR, f"last_good_{metric}.json")
+
+
+def _load_last_good(metric: str):
+    """The most recent completed record for `metric`: the cache-dir copy
+    if present (written by the newest completed run on this box), else
+    the git-tracked copy."""
+    import os
+    for path in (_last_good_path(metric), _repo_record_path(metric)):
+        if path and os.path.exists(path):
+            try:
+                with open(path) as fh:
+                    return json.load(fh)
+            except Exception:  # noqa: BLE001 - torn/corrupt record
+                continue
+    return None
+
+
 def _emit_partial(error: str) -> None:
     """Print a partial JSON record (headline + whatever legs finished) —
     a partial record beats an empty BENCH file. If a previous run of the
@@ -630,13 +663,10 @@ def _emit_partial(error: str) -> None:
            "partial": True,
            "error": error}
     rec.update({k: v for k, v in PARTIAL.items() if k != "value"})
-    path = _last_good_path(rec["metric"])
     try:
-        if path:
-            import os
-            if os.path.exists(path):
-                with open(path) as fh:
-                    rec["last_good"] = json.load(fh)
+        good = _load_last_good(rec["metric"])
+        if good is not None:
+            rec["last_good"] = good
     except Exception:  # noqa: BLE001 - never let telemetry kill the record
         pass
     print(json.dumps(rec), flush=True)
@@ -782,6 +812,11 @@ def _main(argv=None) -> int:
                          "'' disables). The pack is tens of seconds of "
                          "strided numpy on a slow host; the cache makes "
                          "repeat runs read it sequentially instead")
+    ap.add_argument("--record-dir", default="auto",
+                    help="git-tracked last_good twin directory ('auto' = "
+                         "bench_records/ beside bench.py; '' disables — "
+                         "the cache-dir copy is wiped by box resets, this "
+                         "one survives them)")
     ap.add_argument("--offline-wire", default="pcm16",
                     choices=["f32", "pcm16"],
                     help="offline-leg readback format (pcm16 = the "
@@ -847,6 +882,12 @@ def _main(argv=None) -> int:
         args.pack_cache = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
     args.pack_cache = args.pack_cache or None
+    global _REPO_RECORD_DIR
+    if args.record_dir == "auto":
+        _REPO_RECORD_DIR = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_records")
+    else:
+        _REPO_RECORD_DIR = args.record_dir or None
     if args.pack_cache:
         os.makedirs(args.pack_cache, exist_ok=True)
         global _LAST_GOOD_DIR
@@ -1182,37 +1223,59 @@ def _main(argv=None) -> int:
         "legs": legs or None,
         "legs_skipped": legs_skipped,
     }
-    print(json.dumps(rec), flush=True)
-    path = _last_good_path(rec["metric"])
-    if path:
-        # persist per-metric so a later run that dies to tunnel weather can
-        # attach this completed record under "last_good"
+    if legs_skipped:
+        # a completed run that had to skip legs still carries the prior
+        # completed record (clearly labeled) so the skipped rows' last
+        # real measurements ride the printed JSON
         try:
-            rec = dict(rec)
-            rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
-                                               time.gmtime())
-            # per-leg merge: a leg that FAILED this run (device-session
-            # poisoning takes out every leg after the first casualty)
-            # must not overwrite the previous record's good measurement —
-            # substitute it, clearly tagged with its own timestamp
-            # (2026-08-19: one leg failure blanked 4 good leg rows)
-            if rec.get("legs") and os.path.exists(path):
-                with open(path) as fh:
-                    prior = json.load(fh)
-                for name, leg in list(rec["legs"].items()):
-                    if isinstance(leg, dict) and "error" in leg:
-                        old = (prior.get("legs") or {}).get(name)
-                        if isinstance(old, dict) and "error" not in old:
-                            rec["legs"][name] = dict(
-                                old, stale_from=old.get(
-                                    "measured_at",
-                                    prior.get("measured_at")))
+            prior0 = _load_last_good(rec["metric"])
+            if prior0 is not None:
+                rec["last_good"] = prior0
+        except Exception:  # noqa: BLE001
+            pass
+    print(json.dumps(rec), flush=True)
+    # persist per-metric so a later run that dies to tunnel weather can
+    # attach this completed record under "last_good" — written to the
+    # cache dir AND a git-tracked twin (bench_records/) that survives
+    # the box resets that wipe .bench_cache/
+    try:
+        rec = dict(rec)
+        rec.pop("last_good", None)  # never nest records in the store
+        rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                           time.gmtime())
+        # per-leg merge: a leg that FAILED this run (device-session
+        # poisoning takes out every leg after the first casualty)
+        # must not overwrite the previous record's good measurement —
+        # substitute it, clearly tagged with its own timestamp
+        # (2026-08-19: one leg failure blanked 4 good leg rows)
+        prior = _load_last_good(rec["metric"])
+        if rec.get("legs") and prior is not None:
+            for name, leg in list(rec["legs"].items()):
+                if isinstance(leg, dict) and "error" in leg:
+                    old = (prior.get("legs") or {}).get(name)
+                    if isinstance(old, dict) and "error" not in old:
+                        rec["legs"][name] = dict(
+                            old, stale_from=old.get(
+                                "measured_at",
+                                prior.get("measured_at")))
+            # a leg SKIPPED this run (watchdog estimate) keeps its prior
+            # measurement too, tagged with its own timestamp
+            for name, old in (prior.get("legs") or {}).items():
+                if (name not in rec["legs"] and isinstance(old, dict)
+                        and "error" not in old):
+                    rec["legs"][name] = dict(
+                        old, stale_from=old.get(
+                            "measured_at", prior.get("measured_at")))
+        for path in (_last_good_path(rec["metric"]),
+                     _repo_record_path(rec["metric"])):
+            if not path:
+                continue
             tmp = f"{path}.tmp{os.getpid()}"
             with open(tmp, "w") as fh:
                 json.dump(rec, fh)
             os.replace(tmp, path)
-        except Exception:  # noqa: BLE001 - telemetry must not fail the run
-            pass
+    except Exception:  # noqa: BLE001 - telemetry must not fail the run
+        pass
     return 0
 
 

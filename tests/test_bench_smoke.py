@@ -17,7 +17,9 @@ def run_bench(capsys, extra=()):
         sys.path.pop(0)
     argv = ["--voices", "2", "--num-irs", "2", "--ir-seconds", "0.05",
             "--block", "256", "--engine-blocks", "4", "--chunks", "4",
-            "--chunk", "3", "--reps", "1", "--no-backend-probe", *extra]
+            "--chunk", "3", "--reps", "1", "--no-backend-probe",
+            # never drop tiny-config records into the git-tracked store
+            "--record-dir", "", *extra]
     assert bench.main(argv) == 0
     out = capsys.readouterr().out.strip().splitlines()[-1]
     return json.loads(out)
@@ -125,6 +127,38 @@ def test_bench_reprobes_inconsistent_steady(capsys, monkeypatch):
     # steady + fade-indexed + fade-general + the consistency re-probe
     assert seen["calls"] >= 4
     assert rec["engine_steady_ms"] < seen["inflated"] / 2
+
+
+def test_bench_repo_record_survives_cache_wipe(capsys, tmp_path):
+    """A completed run writes a git-trackable last_good twin under
+    --record-dir; a later PARTIAL record still attaches it after the
+    .bench_cache copy is wiped (the box resets that erased round 3's
+    flagship evidence twice)."""
+    sys.path.insert(0, "/root/repo")
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+    rec = run_bench(capsys, extra=["--record-dir", str(tmp_path)])
+    path = tmp_path / f"last_good_{rec['metric']}.json"
+    assert path.exists()
+    stored = json.loads(path.read_text())
+    assert stored["value"] == rec["value"] and "measured_at" in stored
+    # simulate the wiped cache dir: only the repo twin remains
+    old_lg, old_rr = bench._LAST_GOOD_DIR, bench._REPO_RECORD_DIR
+    try:
+        bench._LAST_GOOD_DIR = None
+        bench._REPO_RECORD_DIR = str(tmp_path)
+        bench.PARTIAL.clear()
+        bench.PARTIAL["metric"] = rec["metric"]
+        bench._emit_partial("simulated tunnel outage")
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        partial = json.loads(out)
+        assert partial["partial"] is True
+        assert partial["last_good"]["value"] == rec["value"]
+    finally:
+        bench._LAST_GOOD_DIR, bench._REPO_RECORD_DIR = old_lg, old_rr
+        bench.PARTIAL.clear()
 
 
 def test_main_raising_cancels_watchdog():
