@@ -536,6 +536,40 @@ def test_offline_chunked_automated(kwargs):
     np.testing.assert_allclose(chunked[..., :n], ref[..., :n], atol=tol)
 
 
+def test_offline_chunked_automated_fuzz_and_mesh():
+    """Randomized CC traffic through the chunked automation path (chunk
+    size coprime to the fade/segment grid) == the whole-track bounce,
+    and the chunked+automated+mesh composition holds too."""
+    from tpu_audio.parallel.mesh import make_mesh
+    from tpu_audio.runtime.stream import MidiSchedule
+
+    rng = np.random.default_rng(21)
+    controllers = [0x15, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x1B]
+    events, t = [], 0
+    while t < 100:
+        events.append((t, "", bytes([0xB0, int(rng.choice(controllers)),
+                                     int(rng.integers(0, 128))])))
+        t += int(rng.integers(1, 11))
+
+    def fresh():
+        m = build_model(num_voices=2)
+        m.control.speed[:] = 25
+        _map_all(m.control)
+        return m
+
+    x = program(95 * 32 + 13, seed=22)
+    whole = render_offline(fresh(), x, segments=3,
+                           schedule=MidiSchedule(list(events)))
+    chunked = render_offline(fresh(), x, segments=3, track_chunk_blocks=19,
+                             schedule=MidiSchedule(list(events)))
+    np.testing.assert_allclose(chunked, whole, atol=5e-5)
+    mesh = make_mesh(2, part=1)
+    chunked_mesh = render_offline(fresh(), x, segments=3,
+                                  track_chunk_blocks=19, mesh=mesh,
+                                  schedule=MidiSchedule(list(events)))
+    np.testing.assert_allclose(chunked_mesh, whole, atol=5e-5)
+
+
 def test_offline_chunked_automated_cascade_refused():
     """Cascade automation cannot chunk (tail stagger phase is sensitive
     to the chunk's absolute offset) — loud, actionable error."""
