@@ -243,6 +243,56 @@ def test_offline_pcm16_wire_and_bucketing():
         render_offline(model, x, bucket_blocks=0)
 
 
+def test_offline_input_wire():
+    """input_wire='pcm16' uploads program material as int16: BIT-EXACT
+    when the input sits on a 16-bit grid (auto-detected — every 16-bit
+    WAV through the reference's /65536 headroom scaling does), half-LSB
+    quantization otherwise."""
+    from tpu_audio.runtime.stream import MidiSchedule
+
+    model = build_model()
+    rng = np.random.default_rng(33)
+    # 16-bit-grid input: k/65536, k in int16 range (the wav.cu:13 scale)
+    k = rng.integers(-32768, 32768, (2, 31 * 32 + 7)).astype(np.float32)
+    xg = k / np.float32(65536.0)
+    ref = render_offline(model, xg, segments=3)
+    auto = render_offline(model, xg, segments=3, input_wire="auto")
+    np.testing.assert_allclose(auto, ref, atol=1e-7)
+    explicit = render_offline(model, xg, segments=3, input_wire="pcm16",
+                              input_scale=65536.0)
+    np.testing.assert_allclose(explicit, ref, atol=1e-7)
+    # off-grid input: 'auto' falls back to exact f32; explicit 'pcm16'
+    # quantizes within the conv gain of half an input LSB
+    xf = (rng.standard_normal((2, 31 * 32)) * 0.1).astype(np.float32)
+    ref = render_offline(model, xf, segments=3)
+    np.testing.assert_allclose(
+        render_offline(model, xf, segments=3, input_wire="auto"), ref,
+        atol=1e-7)
+    q = render_offline(model, xf, segments=3, input_wire="pcm16")
+    np.testing.assert_allclose(q, ref, atol=5e-3)
+    assert np.abs(q - ref).max() > 0  # it really quantized
+    # composes with automation and chunking
+    m = build_model()
+    m.control.speed[:] = 20
+    _map_all(m.control)
+    a_ref = render_offline(m, xg, segments=3,
+                           schedule=MidiSchedule(list(AUTOMATION)))
+    m2 = build_model()
+    m2.control.speed[:] = 20
+    _map_all(m2.control)
+    np.testing.assert_allclose(
+        render_offline(m2, xg, segments=3, input_wire="auto",
+                       schedule=MidiSchedule(list(AUTOMATION))),
+        a_ref, atol=1e-7)
+    np.testing.assert_allclose(
+        render_offline(model, xg, segments=3, track_chunk_blocks=11,
+                       input_wire="auto"),
+        render_offline(model, xg, segments=3, track_chunk_blocks=11),
+        atol=1e-7)
+    with pytest.raises(ValueError, match="input_wire"):
+        render_offline(model, xg, input_wire="pcm24")
+
+
 def test_engine_init_memoized_and_donation_safe():
     """init_state/init_converged build their jit wrappers ONCE per
     engine instance (a fresh jax.jit per call re-traces and — on remote

@@ -169,6 +169,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "device->host bytes (output quantized to 16-bit, "
                         "the DAC-facing depth) — worthwhile on tunneled "
                         "or bandwidth-constrained host links")
+    p.add_argument("--offline-input-wire", default="auto",
+                   choices=["auto", "f32", "pcm16"],
+                   help="--offline upload format for the program "
+                        "material: 'auto' (default) uploads as int16 "
+                        "BIT-EXACTLY when the input sits on a 16-bit "
+                        "grid (every 16-bit WAV does) and falls back to "
+                        "f32; 'pcm16' quantizes any input to half an "
+                        "LSB. Halves the bounce's dominant upload")
     p.add_argument("--offline-bucket", nargs="?", const="auto",
                    default=None, metavar="BLOCKS",
                    help="round --offline track lengths up to a bucket "
@@ -233,7 +241,8 @@ def _offline(args, models, mix: bool) -> int:
             out = model.render_offline(
                 x, segments=segments, schedule=schedule,
                 track_chunk_blocks=args.offline_chunk_blocks,
-                wire=args.offline_wire, bucket_blocks=bucket)  # [V, 2, T']
+                wire=args.offline_wire, bucket_blocks=bucket,
+                input_wire=args.offline_input_wire)  # [V, 2, T']
             outs.append(out)
     except ValueError as exc:  # e.g. working-set models
         Log.error("app", "--offline: %s", exc)

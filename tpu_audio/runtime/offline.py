@@ -115,6 +115,35 @@ def _check_full_resident(model) -> None:
             "bank_capacity for offline bounces)")
 
 
+def _detect_input_grid(x: np.ndarray):
+    """('pcm16', scale) when every sample of `x` sits exactly on a 16-bit
+    integer grid — k/65536 (the reference WAV loader's headroom scaling,
+    wav.cu:13), k/32768, or k/32767 (full-scale int16) — else
+    ('f32', None). Grid-detected input uploads as int16 BIT-EXACTLY."""
+    for scale in (65536.0, 32768.0, 32767.0):
+        xs = x * np.float32(scale)
+        if (xs.min() >= -32768.0 and xs.max() <= 32767.0
+                and not np.any(xs != np.round(xs))):
+            return "pcm16", scale
+    return "f32", None
+
+
+def _quantize_input(x: np.ndarray, input_wire: str, scale: float):
+    if input_wire != "pcm16":
+        return x
+    return np.clip(np.round(x * np.float32(scale)), -32768, 32767).astype(
+        np.int16)
+
+
+def _input_decoder(input_wire: str, scale):
+    """In-graph decode of the uploaded input tensor (identity for f32).
+    Power-of-two scales decode bit-exactly; 32767 within half an LSB."""
+    if input_wire != "pcm16":
+        return lambda a: a
+    inv = np.float32(1.0 / scale)
+    return lambda a: a.astype(jnp.float32) * inv
+
+
 def render_offline(model, samples, *, segments: int | None = None,
                    include_tail: bool = True,
                    warmup_blocks: int | None = None,
@@ -122,7 +151,8 @@ def render_offline(model, samples, *, segments: int | None = None,
                    schedule=None,
                    track_chunk_blocks: int | None = None,
                    mesh=None, wire: str = "f32",
-                   bucket_blocks=None) -> np.ndarray:
+                   bucket_blocks=None, input_wire: str = "f32",
+                   input_scale: float | None = None) -> np.ndarray:
     """Render `samples` through `model` (ConvolutionReverb) at the
     control plane's current converged parameters: stereo [2, T] shared
     program material (or mono [T], duplicated like the CLI source), or
@@ -163,10 +193,28 @@ def render_offline(model, samples, *, segments: int | None = None,
     with 'auto') so nearby track lengths reuse ONE compiled executable
     set — the zero-padded tail costs its fraction in compute but a
     different-length bounce skips the jit trace/load entirely (the
-    chunked path is shape-identical by construction and ignores this)."""
+    chunked path is shape-identical by construction and ignores this).
+    `input_wire='pcm16'` uploads the program material as int16 (decoded
+    in-graph at `input_scale`, default 32767): half the host->device
+    bytes on the bounce's dominant critical-path transfer. 'auto'
+    detects 16-bit integer grids (including the reference WAV loader's
+    k/65536 headroom scaling) and uploads BIT-EXACTLY when one matches,
+    falling back to f32 — the CLI default; explicit 'pcm16' quantizes
+    arbitrary input to half an LSB."""
     _check_full_resident(model)
     if wire not in ("f32", "pcm16"):
         raise ValueError(f"wire must be 'f32' or 'pcm16', got {wire!r}")
+    if input_wire not in ("f32", "pcm16", "auto"):
+        raise ValueError(f"input_wire must be 'f32', 'pcm16', or 'auto', "
+                         f"got {input_wire!r}")
+    if input_wire == "auto":
+        input_wire, input_scale = _detect_input_grid(
+            np.asarray(samples, np.float32))
+        if input_wire == "pcm16":
+            Log.info("offline", "input sits on a 16-bit grid (1/%g): "
+                     "uploading as int16, bit-exact", input_scale)
+    elif input_wire == "pcm16" and input_scale is None:
+        input_scale = 32767.0
     if mesh is not None and not hasattr(model.engine, "prime_fdl"):
         raise ValueError(
             "mesh-sharded bounce supports fmajor engines (voice-DP GSPMD "
@@ -176,17 +224,22 @@ def render_offline(model, samples, *, segments: int | None = None,
             model, samples, track_chunk_blocks, segments=segments,
             include_tail=include_tail, warmup_blocks=warmup_blocks,
             max_virtual_voices=max_virtual_voices, schedule=schedule,
-            mesh=mesh, wire=wire)
+            mesh=mesh, wire=wire, input_wire=input_wire,
+            input_scale=input_scale)
     if schedule is not None:
         return _render_automated(
             model, samples, schedule, segments=segments,
             include_tail=include_tail, warmup_blocks=warmup_blocks,
             max_virtual_voices=max_virtual_voices, mesh=mesh, wire=wire,
-            bucket_blocks=bucket_blocks)
+            bucket_blocks=bucket_blocks, input_wire=input_wire,
+            input_scale=input_scale)
     eng = model.engine
     v, b = eng.num_voices, eng.block
 
     x, per_voice = _check_stereo(samples, v)
+    x = _quantize_input(x, input_wire, input_scale)
+    dec = _input_decoder(input_wire, input_scale)
+    wkey = (wire, input_wire, input_scale)
     t_samples = x.shape[-1]
     t_blocks = -(-t_samples // b)
 
@@ -248,7 +301,7 @@ def render_offline(model, samples, *, segments: int | None = None,
             np.arange(nseg, dtype=np.int32) * seg_len - warmup, v))
         state = _prime_fast(seng, state, xb_dev, t0, nt,
                             jnp.asarray(voice_of) if per_voice else None,
-                            shardings)
+                            shardings, dec=dec, dec_key=wkey[1:])
 
     # the step index rides the donated carry as a DEVICE scalar: a per-step
     # host `jnp.int32(i)` upload serializes dispatches on high-RTT
@@ -270,7 +323,7 @@ def render_offline(model, samples, *, segments: int | None = None,
         def step(carry, xb_a, bank_a, vp_a):
             st, i = carry
             idx = starts + i - warmup                   # [nseg]
-            xi = jnp.take(xb_a, jnp.clip(idx, 0, nt - 1), axis=0)
+            xi = dec(jnp.take(xb_a, jnp.clip(idx, 0, nt - 1), axis=0))
             if per_voice:                               # [nseg, V, 2, B]
                 xi = jnp.where((idx >= 0)[:, None, None, None], xi, 0.0)
                 xi = jnp.moveaxis(xi, 0, 1).reshape(v * nseg, 2, b)
@@ -291,7 +344,7 @@ def render_offline(model, samples, *, segments: int | None = None,
                        out_shardings=((state_sh, repl), x_sh))
 
     step = _cached_fn(seng, ("static", per_voice, nseg, seg_len, warmup,
-                             nt, mesh, wire), build_step)
+                             nt, mesh, wkey), build_step)
 
     Log.info("offline", "bounce: %d blocks as %d segment(s) x %d + %d "
              "warm-up steps (%d virtual voices)",
@@ -332,7 +385,9 @@ def _decode_wire(out: np.ndarray, wire: str) -> np.ndarray:
 
 def _render_chunked(model, samples, chunk_blocks: int, *, segments,
                     include_tail, warmup_blocks, max_virtual_voices,
-                    schedule, mesh=None, wire: str = "f32") -> np.ndarray:
+                    schedule, mesh=None, wire: str = "f32",
+                    input_wire: str = "f32",
+                    input_scale=None) -> np.ndarray:
     """Bounded-memory bounce: render the track in `chunk_blocks`-block
     chunks, each an independent time-parallel render over its slice plus
     `history_blocks` of trailing input prefix (discarded output) — the
@@ -352,7 +407,8 @@ def _render_chunked(model, samples, chunk_blocks: int, *, segments,
         return _render_chunked_automated(
             model, samples, chunk_blocks, schedule, segments=segments,
             include_tail=include_tail, warmup_blocks=warmup_blocks,
-            max_virtual_voices=max_virtual_voices, mesh=mesh, wire=wire)
+            max_virtual_voices=max_virtual_voices, mesh=mesh, wire=wire,
+            input_wire=input_wire, input_scale=input_scale)
     eng = model.engine
     b = eng.block
     x, _ = _check_stereo(samples, eng.num_voices)
@@ -379,7 +435,8 @@ def _render_chunked(model, samples, chunk_blocks: int, *, segments,
                              include_tail=False,
                              warmup_blocks=warmup_blocks,
                              max_virtual_voices=max_virtual_voices,
-                             mesh=mesh, wire=wire)
+                             mesh=mesh, wire=wire, input_wire=input_wire,
+                             input_scale=input_scale)
         outs.append(out[..., hist * b:])
     out = np.concatenate(outs, axis=-1)
     return out[..., :t_samples + (hist * b if include_tail else 0)]
@@ -388,7 +445,8 @@ def _render_chunked(model, samples, chunk_blocks: int, *, segments,
 def _render_chunked_automated(model, samples, chunk_blocks: int, schedule,
                               *, segments, include_tail, warmup_blocks,
                               max_virtual_voices, mesh=None,
-                              wire: str = "f32") -> np.ndarray:
+                              wire: str = "f32", input_wire: str = "f32",
+                              input_scale=None) -> np.ndarray:
     """Bounded-memory bounce of an automation timeline.
 
     The control-state replay is global by nature, so the host replays the
@@ -444,7 +502,8 @@ def _render_chunked_automated(model, samples, chunk_blocks: int, schedule,
         out = _render_automated(
             model, xs, schedule, segments=nseg, include_tail=False,
             warmup_blocks=warmup, max_virtual_voices=max_virtual_voices,
-            mesh=mesh, wire=wire, _chunk_ctx=(sim, lo - hist, tpadg))
+            mesh=mesh, wire=wire, input_wire=input_wire,
+            input_scale=input_scale, _chunk_ctx=(sim, lo - hist, tpadg))
         outs.append(out[..., hist * b:])
     out = np.concatenate(outs, axis=-1)
     return out[..., :t_samples + (hist * b if include_tail else 0)]
@@ -621,7 +680,8 @@ def _plan_automated(eng, total_blocks: int, *, segments, warmup_blocks,
 def _render_automated(model, samples, schedule, *, segments,
                       include_tail, warmup_blocks, max_virtual_voices,
                       mesh=None, wire: str = "f32",
-                      bucket_blocks=None, _chunk_ctx=None) -> np.ndarray:
+                      bucket_blocks=None, input_wire: str = "f32",
+                      input_scale=None, _chunk_ctx=None) -> np.ndarray:
     """Time-parallel bounce of a scripted MIDI timeline — render_offline
     with ``schedule=`` (see the module docstring for the replay design).
 
@@ -637,6 +697,9 @@ def _render_automated(model, samples, schedule, *, segments,
     selected = _check_automatable(eng)
     v, b = eng.num_voices, eng.block
     x, per_voice = _check_stereo(samples, v)
+    x = _quantize_input(x, input_wire, input_scale)
+    dec = _input_decoder(input_wire, input_scale)
+    wkey = (wire, input_wire, input_scale)
     t_samples = x.shape[-1]
     t_blocks = -(-t_samples // b)
     if _chunk_ctx is None:
@@ -736,7 +799,8 @@ def _render_automated(model, samples, schedule, *, segments,
             np.arange(nseg, dtype=np.int32) * seg_len - warmup, v))
         vof = (jnp.asarray(np.tile(np.arange(v, dtype=np.int32), nseg))
                if per_voice else None)
-        state = _prime_fast(seng, state, xb_dev, t0, tpad, vof, shardings)
+        state = _prime_fast(seng, state, xb_dev, t0, tpad, vof, shardings,
+                            dec=dec, dec_key=wkey[1:])
 
     tables = (reg_tbl, reg_start, reg_of_block,
               ev_changed, ev_old, ev_of_block)
@@ -757,7 +821,7 @@ def _render_automated(model, samples, schedule, *, segments,
             aidx = idx + off_a                  # absolute timeline block
             aidxc = jnp.clip(aidx, 0, tpadg - 1)
             live = aidx >= 0                    # params/events pre-roll gate
-            xi = jnp.take(xb_a, idxc, axis=0)
+            xi = dec(jnp.take(xb_a, idxc, axis=0))
             if per_voice:                                  # [nseg, V, 2, B]
                 xi = jnp.where(live_in[:, None, None, None], xi, 0.0)
                 xi = xi.reshape(nseg * v, 2, b)            # segment-major
@@ -820,7 +884,7 @@ def _render_automated(model, samples, schedule, *, segments,
 
     step = _cached_fn(seng, ("auto", selected, takes_params, per_voice,
                              nseg, seg_len, warmup, tpad, tpadg, mesh,
-                             wire), build_step)
+                             wkey), build_step)
 
     Log.info("offline", "automated bounce: %d blocks as %d segment(s) x %d "
              "+ %d warm-up steps (%d virtual voices, %d regime(s), %d "
@@ -841,14 +905,15 @@ def _render_automated(model, samples, schedule, *, segments,
 def _block_tensor(x: np.ndarray, per_voice: bool, t_pad_blocks: int,
                   b: int, t_samples: int) -> np.ndarray:
     """Zero-padded block tensor: [T', 2, B] for shared program material,
-    [T', V, 2, B] for per-voice [V, 2, T] input."""
+    [T', V, 2, B] for per-voice [V, 2, T] input. Keeps x's dtype (int16
+    under the pcm16 input wire; zero pad is exact in any grid)."""
     if per_voice:
         v = x.shape[0]
-        flat = np.zeros((v, 2, t_pad_blocks * b), np.float32)
+        flat = np.zeros((v, 2, t_pad_blocks * b), x.dtype)
         flat[..., :t_samples] = x
         return np.ascontiguousarray(
             flat.reshape(v, 2, t_pad_blocks, b).transpose(2, 0, 1, 3))
-    flat = np.zeros((2, t_pad_blocks * b), np.float32)
+    flat = np.zeros((2, t_pad_blocks * b), x.dtype)
     flat[:, :t_samples] = x
     return np.ascontiguousarray(
         flat.reshape(2, t_pad_blocks, b).transpose(1, 0, 2))
@@ -911,19 +976,22 @@ def _cached_fn(seng, key, builder):
 
 
 def _prime_fast(seng, state, xb_dev, t0, nt: int, voice_of=None,
-                shardings=None):
+                shardings=None, dec=lambda a: a, dec_key=("f32", None)):
     """Bulk-prime every virtual voice's input history: one batched rfft
     over the whole block tensor (engine.input_spectra_bulk), a gather
     into the engine's fdl layout (engine.prime_fdl), and prev_in set to
     block t0-1's raw samples. All big tensors are explicit jit args.
     `voice_of` maps virtual voices onto a per-voice input tensor's base
     voices (None for shared program material); `shardings` pins a
-    mesh-sharded bounce's state/output placements."""
+    mesh-sharded bounce's state/output placements; `dec` decodes the
+    pcm16 input wire in-graph (identity for f32; `dec_key` is its
+    cache identity)."""
     mesh_key = None if shardings is None else shardings[4].mesh
     repl_kw = ({} if shardings is None
                else {"out_shardings": shardings[4]})
-    spec_fn = _cached_fn(seng, ("spec", mesh_key), lambda: jax.jit(
-        lambda xb_a: seng.input_spectra_bulk(xb_a), **repl_kw))
+    spec_fn = _cached_fn(seng, ("spec", mesh_key, dec_key),
+                         lambda: jax.jit(
+        lambda xb_a: seng.input_spectra_bulk(dec(xb_a)), **repl_kw))
     spec = spec_fn(xb_dev)
 
     def build():
@@ -931,9 +999,9 @@ def _prime_fast(seng, state, xb_dev, t0, nt: int, voice_of=None,
             st = seng.prime_fdl(st, spec_a, t0_a, voice_of=vof_a)
             prev = jnp.clip(t0_a - 1, 0, nt - 1)
             if vof_a is None:
-                pim = jnp.take(xb_a, prev, axis=0)
+                pim = dec(jnp.take(xb_a, prev, axis=0))
             else:
-                pim = xb_a[prev, vof_a]
+                pim = dec(xb_a[prev, vof_a])
             pim = jnp.where((t0_a >= 1)[:, None, None], pim, 0.0)
             return replace(st, prev_in=pim)
         kw = ({} if shardings is None
@@ -941,7 +1009,7 @@ def _prime_fast(seng, state, xb_dev, t0, nt: int, voice_of=None,
         return jax.jit(_prime, donate_argnums=0, **kw)
 
     prime = _cached_fn(
-        seng, ("prime", nt, voice_of is not None, mesh_key), build)
+        seng, ("prime", nt, voice_of is not None, mesh_key, dec_key), build)
     return prime(state, xb_dev, spec, t0, voice_of)
 
 
