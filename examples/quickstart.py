@@ -104,6 +104,16 @@ def scene_2b_automated_bounce():
     out = model.render_offline(x, segments=4, schedule=midi)  # [V, 2, T+tail]
     print(f"scene 2b: bounced {out.shape[-1] / SR:.2f} s (automation + "
           f"reverb tail) time-parallel over 4 segments")
+    # hour-scale tracks: chunk to bound device memory (composes with the
+    # schedule), and halve both wire directions — int16 upload is
+    # BIT-EXACT for 16-bit sources ('auto'), pcm16 readback is the
+    # DAC-facing depth anyway
+    chunked = model.render_offline(x, segments=4, schedule=midi,
+                                   track_chunk_blocks=16,
+                                   wire="pcm16", input_wire="auto")
+    assert np.abs(chunked - out).max() < 2.0 / 32767
+    print("scene 2b: chunked + pcm16-wire bounce matches within "
+          "wire quantization")
 
 
 def scene_3_settings_file():
