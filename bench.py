@@ -534,23 +534,33 @@ def run_offline_leg(args, deadline_ms):
     rng = np.random.default_rng(11)
     n = int(args.offline_seconds * args.sample_rate)
     x = (rng.standard_normal((2, n)) * 0.1).astype(np.float32)
-    walls, out = [], None
+    # rep 1 always rides the f32 wire: it pays the compile AND verifies
+    # finiteness of the RAW engine output — the pcm16 encoder clips and
+    # casts NaN/Inf into ordinary int16 values, so an isfinite() check
+    # after a pcm16 fetch can never fail (a poisoned session would
+    # otherwise record a plausible-looking RTF)
+    t0 = time.perf_counter()
+    out = render_offline(model, x, wire="f32")
+    first_wall = time.perf_counter() - t0
+    if not np.isfinite(out).all():
+        raise RuntimeError("offline bounce produced non-finite output")
+    walls = []
     for _ in range(2):
         t0 = time.perf_counter()
         out = render_offline(model, x, wire=args.offline_wire)
         walls.append(time.perf_counter() - t0)
-    if not np.isfinite(out).all():
-        raise RuntimeError("offline bounce produced non-finite output")
     wall = min(walls)
     leg = {"track_s": args.offline_seconds,
            "wall_s": round(wall, 3),
            "rtf": round(args.offline_seconds / wall, 1),
-           "first_wall_s": round(walls[0], 3),
+           "first_wall_s": round(first_wall, 3),
            "wire": args.offline_wire,
+           "verified_wire": "f32",
            "out_bytes": int(out.nbytes)}
     log(f"offline leg: {args.offline_seconds:g} s track bounced in "
-        f"{wall:.3f} s (RTF {leg['rtf']}, {args.offline_wire} wire; first "
-        f"rep incl. compile {walls[0]:.1f} s; reference bounces at 1.0)")
+        f"{wall:.3f} s (RTF {leg['rtf']}, {args.offline_wire} wire; f32 "
+        f"verify rep incl. compile {first_wall:.1f} s; reference bounces "
+        f"at 1.0)")
     return leg
 
 
@@ -626,27 +636,34 @@ def _repo_record_path(metric: str) -> str | None:
     record with it) — a copy committed into the repo survives, so a
     later partial run can still attach real measured numbers. Disabled
     (None) under --record-dir '' (the smoke tests, which must not drop
-    tiny-config records into the repo)."""
+    tiny-config records into the repo). Read-only here: the directory is
+    created at the write site, so lookup paths on a read-only checkout
+    stay side-effect-free."""
     if _REPO_RECORD_DIR is None:
         return None
     import os
-    os.makedirs(_REPO_RECORD_DIR, exist_ok=True)
     return os.path.join(_REPO_RECORD_DIR, f"last_good_{metric}.json")
 
 
 def _load_last_good(metric: str):
-    """The most recent completed record for `metric`: the cache-dir copy
-    if present (written by the newest completed run on this box), else
-    the git-tracked copy."""
+    """The NEWEST completed record for `metric` across the two stores
+    (the cache-dir copy and the git-tracked twin, compared by their
+    measured_at stamps — a stale cache file left over from before a
+    cache-disabled run must not shadow the fresher repo copy)."""
     import os
+    best = None
     for path in (_last_good_path(metric), _repo_record_path(metric)):
-        if path and os.path.exists(path):
-            try:
-                with open(path) as fh:
-                    return json.load(fh)
-            except Exception:  # noqa: BLE001 - torn/corrupt record
-                continue
-    return None
+        if not (path and os.path.exists(path)):
+            continue
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except Exception:  # noqa: BLE001 - torn/corrupt record
+            continue
+        if best is None or (rec.get("measured_at") or "") > (
+                best.get("measured_at") or ""):
+            best = rec
+    return best
 
 
 def _emit_partial(error: str) -> None:
@@ -1145,7 +1162,7 @@ def _main(argv=None) -> int:
         # set (input + spectra + 323-voice state) and its wall-RTF is the
         # most sensitive to residual HBM from other legs (measured 15.8 s
         # mid-run vs 6.2 s standalone on the same day)
-        leg_list = [("offline", lambda: run_offline_leg(args, dl_ms), 80),
+        leg_list = [("offline", lambda: run_offline_leg(args, dl_ms), 100),
                     ("cascade_hv", lambda: run_cascade_leg(args, dl_ms), 60),
                     ("ws", lambda: run_ws_leg(args, make_block), 120),
                     ("mono_ref", lambda: run_mono_leg(args, dl_ms), 40)]
@@ -1249,27 +1266,37 @@ def _main(argv=None) -> int:
         # substitute it, clearly tagged with its own timestamp
         # (2026-08-19: one leg failure blanked 4 good leg rows)
         prior = _load_last_good(rec["metric"])
-        if rec.get("legs") and prior is not None:
+        prior_legs = (prior.get("legs") or {}) if prior else {}
+
+        def _stale(old):
+            # provenance must not drift forward across consecutive bad
+            # runs: an already-stale leg keeps its ORIGINAL stamp
+            return dict(old, stale_from=old.get(
+                "stale_from", old.get("measured_at",
+                                      prior.get("measured_at"))))
+
+        if prior_legs:
+            # a run with NO legs at all (--legs none, or everything
+            # skipped) must not blank the store — the store is
+            # best-known evidence, and preserving it is its only job
+            if not rec.get("legs"):
+                rec["legs"] = {}
             for name, leg in list(rec["legs"].items()):
                 if isinstance(leg, dict) and "error" in leg:
-                    old = (prior.get("legs") or {}).get(name)
+                    old = prior_legs.get(name)
                     if isinstance(old, dict) and "error" not in old:
-                        rec["legs"][name] = dict(
-                            old, stale_from=old.get(
-                                "measured_at",
-                                prior.get("measured_at")))
-            # a leg SKIPPED this run (watchdog estimate) keeps its prior
-            # measurement too, tagged with its own timestamp
-            for name, old in (prior.get("legs") or {}).items():
+                        rec["legs"][name] = _stale(old)
+            # a leg SKIPPED or not attempted this run keeps its prior
+            # measurement, tagged with its original timestamp
+            for name, old in prior_legs.items():
                 if (name not in rec["legs"] and isinstance(old, dict)
                         and "error" not in old):
-                    rec["legs"][name] = dict(
-                        old, stale_from=old.get(
-                            "measured_at", prior.get("measured_at")))
+                    rec["legs"][name] = _stale(old)
         for path in (_last_good_path(rec["metric"]),
                      _repo_record_path(rec["metric"])):
             if not path:
                 continue
+            os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = f"{path}.tmp{os.getpid()}"
             with open(tmp, "w") as fh:
                 json.dump(rec, fh)

@@ -111,7 +111,9 @@ def scene_2b_automated_bounce():
     chunked = model.render_offline(x, segments=4, schedule=midi,
                                    track_chunk_blocks=16,
                                    wire="pcm16", input_wire="auto")
-    assert np.abs(chunked - out).max() < 2.0 / 32767
+    # budget: chunk-grid reassociation (5e-5, the tested bound) + half an
+    # LSB of pcm16 output quantization — independent, so they add
+    assert np.abs(chunked - out).max() < 5e-5 + 0.51 / 32767
     print("scene 2b: chunked + pcm16-wire bounce matches within "
           "wire quantization")
 

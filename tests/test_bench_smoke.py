@@ -161,6 +161,39 @@ def test_bench_repo_record_survives_cache_wipe(capsys, tmp_path):
         bench.PARTIAL.clear()
 
 
+def test_bench_store_preserves_legs_across_leg_less_runs(capsys, tmp_path):
+    """A completed run with NO legs (--legs none / everything skipped)
+    must not blank stored leg evidence, and an already-stale leg's
+    provenance stamp must not drift forward across runs."""
+    sys.path.insert(0, "/root/repo")
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+    # hermetic stores: the shared default .bench_cache copy (written by
+    # other smoke tests) must not shadow this test's seeded records
+    hermetic = ["--record-dir", str(tmp_path / "repo"),
+                "--pack-cache", str(tmp_path / "cache")]
+    rec = run_bench(capsys, extra=hermetic)
+    paths = [tmp_path / "repo" / f"last_good_{rec['metric']}.json",
+             tmp_path / "cache" / f"last_good_{rec['metric']}.json"]
+    # seed BOTH stores with a measured leg from an (imagined) earlier run
+    for path in paths:
+        stored = json.loads(path.read_text())
+        stored["legs"] = {"offline": {"rtf": 25.0, "wall_s": 4.8}}
+        stored["measured_at"] = "2026-08-19T10:00:00Z"
+        path.write_text(json.dumps(stored))
+    rec2 = run_bench(capsys, extra=hermetic)
+    assert rec2["legs"] is None          # the printed record stays honest
+    kept = json.loads(paths[0].read_text())["legs"]["offline"]
+    assert kept["rtf"] == 25.0
+    assert kept["stale_from"] == "2026-08-19T10:00:00Z"
+    # a third leg-less run must keep the ORIGINAL stamp, not walk it
+    run_bench(capsys, extra=hermetic)
+    kept = json.loads(paths[0].read_text())["legs"]["offline"]
+    assert kept["stale_from"] == "2026-08-19T10:00:00Z"
+
+
 def test_main_raising_cancels_watchdog():
     """Library use: a raising run must not leave the watchdog daemon timer
     armed — a stray fire minutes later would os._exit(0) the HOST process

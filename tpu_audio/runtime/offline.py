@@ -118,8 +118,10 @@ def _check_full_resident(model) -> None:
 def _detect_input_grid(x: np.ndarray):
     """('pcm16', scale) when every sample of `x` sits exactly on a 16-bit
     integer grid — k/65536 (the reference WAV loader's headroom scaling,
-    wav.cu:13), k/32768, or k/32767 (full-scale int16) — else
-    ('f32', None). Grid-detected input uploads as int16 BIT-EXACTLY."""
+    wav.cu:13), k/32768, or k/32767 (this framework's own pcm16 wire) —
+    else ('f32', None). Power-of-two grids round-trip BIT-EXACTLY; the
+    32767 grid reproduces the f32 division value exactly (the decoder
+    divides rather than multiplying by an inexact reciprocal)."""
     for scale in (65536.0, 32768.0, 32767.0):
         xs = x * np.float32(scale)
         if (xs.min() >= -32768.0 and xs.max() <= 32767.0
@@ -137,11 +139,14 @@ def _quantize_input(x: np.ndarray, input_wire: str, scale: float):
 
 def _input_decoder(input_wire: str, scale):
     """In-graph decode of the uploaded input tensor (identity for f32).
-    Power-of-two scales decode bit-exactly; 32767 within half an LSB."""
+    Divides by the scale (correctly-rounded) rather than multiplying by
+    its float reciprocal: exact for power-of-two grids AND equal to the
+    host-side f32 `k/scale` for any scale (1/32767 is not representable,
+    so a multiply would perturb those samples by ~1 ulp)."""
     if input_wire != "pcm16":
         return lambda a: a
-    inv = np.float32(1.0 / scale)
-    return lambda a: a.astype(jnp.float32) * inv
+    s = np.float32(scale)
+    return lambda a: a.astype(jnp.float32) / s
 
 
 def render_offline(model, samples, *, segments: int | None = None,
@@ -207,6 +212,7 @@ def render_offline(model, samples, *, segments: int | None = None,
     if input_wire not in ("f32", "pcm16", "auto"):
         raise ValueError(f"input_wire must be 'f32', 'pcm16', or 'auto', "
                          f"got {input_wire!r}")
+    _bucket_total(1, bucket_blocks)  # validate even where chunking ignores it
     if input_wire == "auto":
         input_wire, input_scale = _detect_input_grid(
             np.asarray(samples, np.float32))
