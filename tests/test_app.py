@@ -406,6 +406,13 @@ def test_cli_hetero_offline_automated_matches_streamed(tmp_path):
     n = streamed.shape[0]
     assert np.abs(streamed).max() > 1e-3
     np.testing.assert_allclose(bounced[:n], streamed, atol=4 / 32768)
+    # chunked + automated + heterogeneous groups compose through the CLI
+    assert main(base + ["--output", str(tmp_path / "hc.wav"),
+                        "--offline", "3",
+                        "--offline-chunk-blocks", "9"]) == 0
+    chunked = read_wav(tmp_path / "hc.wav", scale="full",
+                       verbose=False).stereo()
+    np.testing.assert_allclose(chunked[:n], streamed, atol=5 / 32768)
 
 
 def test_quickstart_example_runs():
