@@ -163,12 +163,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "re-primed from its trailing input history "
                         "(exact; composes with a --midi schedule on "
                         "fmajor engines)")
-    p.add_argument("--offline-wire", default="f32",
+    p.add_argument("--offline-wire", default="pcm16",
                    choices=["f32", "pcm16"],
-                   help="--offline readback format: pcm16 halves the "
-                        "device->host bytes (output quantized to 16-bit, "
-                        "the DAC-facing depth) — worthwhile on tunneled "
-                        "or bandwidth-constrained host links")
+                   help="--offline readback format (default pcm16: the "
+                        "CLI writes 16-bit WAVs anyway, so the half-"
+                        "bandwidth wire loses nothing; f32 keeps full "
+                        "precision for the voice-sum mix of many-group "
+                        "sessions)")
     p.add_argument("--offline-input-wire", default="auto",
                    choices=["auto", "f32", "pcm16"],
                    help="--offline upload format for the program "
