@@ -620,18 +620,43 @@ def test_offline_chunked_automated_fuzz_and_mesh():
     np.testing.assert_allclose(chunked_mesh, whole, atol=5e-5)
 
 
-def test_offline_chunked_automated_cascade_refused():
-    """Cascade automation cannot chunk (tail stagger phase is sensitive
-    to the chunk's absolute offset) — loud, actionable error."""
+def test_offline_chunked_automated_cascade():
+    """Cascade automation chunks too: the chunk grid and history prefix
+    round up to the stagger ratio, so every chunk's absolute offset
+    (lo - hist) is phase-aligned with the stream's tail schedule (group
+    t % ratio) — chunked == whole-track automated bounce == the real
+    streaming session. The requested chunk size is ODD to exercise the
+    grid rounding, and chunk boundaries land mid-fade."""
     from tpu_audio.runtime.stream import MidiSchedule
 
-    casc = build_model(engine="cascade", block=16, ir_len=400,
-                       cascade_ratio=2)
-    casc.control.speed[:] = 20
-    _map_all(casc.control)
-    with pytest.raises(ValueError, match="stagger"):
-        render_offline(casc, program(40 * 16), track_chunk_blocks=8,
-                       schedule=MidiSchedule(list(AUTOMATION)))
+    def fresh():
+        m = build_model(engine="cascade", block=16, ir_len=400,
+                        cascade_ratio=2)
+        m.control.speed[:] = 20
+        _map_all(m.control)
+        return m
+
+    model = fresh()
+    b = model.engine.block
+    x = program(115 * b + 9)
+    whole = render_offline(model, x, segments=4,
+                           schedule=MidiSchedule(list(AUTOMATION)))
+    m2 = fresh()
+    chunked = render_offline(m2, x, segments=4, track_chunk_blocks=23,
+                             schedule=MidiSchedule(list(AUTOMATION)))
+    assert chunked.shape == whole.shape
+    np.testing.assert_allclose(chunked, whole, atol=5e-5)
+    # every chunk shared ONE compiled step (the absolute offset rides as
+    # a device scalar), grid rounding included
+    autos = [k for s in m2.engine._offline_engines.values()
+             for k in s._bounce_fns if k[0] == "auto"]
+    assert len(autos) == 1, autos
+    total_blocks = -(-x.shape[1] // b) + model.engine.history_blocks
+    ref = stream_automated(fresh(), x, total_blocks,
+                           MidiSchedule(list(AUTOMATION)))
+    n = min(chunked.shape[-1], ref.shape[-1])
+    assert np.abs(ref[..., :n]).max() > 1e-3
+    np.testing.assert_allclose(chunked[..., :n], ref[..., :n], atol=5e-5)
 
 
 def test_offline_automated_guards():

@@ -180,10 +180,10 @@ def render_offline(model, samples, *, segments: int | None = None,
     (hours): the track renders in chunks of that many blocks, each
     re-primed from the trailing input history inside its slice — exact
     by the same history contract as the segments, and composable with
-    `schedule=` on fmajor engines (the host replay runs once over the
-    global timeline; chunks gather it by absolute block index — cascade
-    automation bounces whole, its tail stagger phase is
-    chunk-offset-sensitive). `mesh` (a
+    `schedule=` (the host replay runs once over the global timeline;
+    chunks gather it by absolute block index — on the cascade, the
+    chunk grid and history prefix are rounded up to the stagger ratio
+    so every chunk's absolute phase matches the stream's). `mesh` (a
     jax.sharding.Mesh with a 'voice' axis, parallel.make_mesh) shards
     the virtual voices over devices — the bounce's time axis is
     embarrassingly parallel, so a pod slice multiplies throughput
@@ -467,24 +467,30 @@ def _render_chunked_automated(model, samples, chunk_blocks: int, schedule,
     segment grid differs), which itself matches live streaming to float
     precision.
 
-    fmajor engines only: the cascade tail's stagger phase is sensitive
-    to the chunk's absolute offset (j % ratio scheduling), and chunk
-    starts land on arbitrary blocks — bounce cascade automation whole,
-    or chunk with static parameters."""
+    The cascade tail's stagger schedule follows the engine's LOCAL block
+    counter (group ``t % ratio`` computes its chunk at block ``t``), and
+    in-flight fade projections are phase-sensitive — a chunk reproduces
+    the stream's absolute phase only when its start offset
+    ``lo - hist`` is a multiple of the ratio (the warm-up/seg_len
+    alignment INSIDE each chunk comes from ``_plan_automated``, exactly
+    like the whole-track bounce whose abs offset is 0). Rounding the
+    chunk grid and the history prefix up to the ratio makes every
+    offset aligned; a longer prefix is exact by the history contract,
+    and the grid rounding only moves chunk boundaries."""
     eng = model.engine
     _check_automatable(eng)
-    if int(getattr(eng, "ratio", 1)) != 1:
-        raise ValueError(
-            "chunked automated bounces support fmajor engines: the "
-            "cascade tail's stagger phase is chunk-offset-sensitive — "
-            "bounce cascade automation whole (track_chunk_blocks=None), "
-            "or chunk with static parameters")
     b = eng.block
+    ratio = int(getattr(eng, "ratio", 1))
+    if chunk_blocks % ratio:
+        chunk_blocks = -(-chunk_blocks // ratio) * ratio
+        Log.info("offline", "chunk grid rounded up to %d blocks (cascade "
+                 "stagger ratio %d alignment)", chunk_blocks, ratio)
     x, _per_voice = _check_stereo(samples, eng.num_voices)
     t_samples = x.shape[-1]
     t_blocks = -(-t_samples // b)
-    hist = eng.history_blocks
-    out_blocks = t_blocks + (hist if include_tail else 0)
+    tail = eng.history_blocks if include_tail else 0
+    hist = -(-eng.history_blocks // ratio) * ratio
+    out_blocks = t_blocks + tail
     span_blocks = hist + chunk_blocks
     span = span_blocks * b
     _fast, warmup, nseg, seg_len = _plan_automated(
@@ -512,7 +518,7 @@ def _render_chunked_automated(model, samples, chunk_blocks: int, schedule,
             input_scale=input_scale, _chunk_ctx=(sim, lo - hist, tpadg))
         outs.append(out[..., hist * b:])
     out = np.concatenate(outs, axis=-1)
-    return out[..., :t_samples + (hist * b if include_tail else 0)]
+    return out[..., :t_samples + tail * b]
 
 
 class _ControlSim:
