@@ -154,10 +154,29 @@ def test_offline_mesh_sharded():
                                   mesh=mesh)
     np.testing.assert_allclose(auto_sharded, auto_base, atol=5e-5)
 
-    casc = build_model(engine="cascade", block=16, ir_len=400,
-                       cascade_ratio=2)
-    with pytest.raises(ValueError, match="fmajor"):
-        render_offline(casc, x, mesh=mesh)
+    # cascade bounces shard too (GSPMD voice-DP: the group axis
+    # replicates, Vg shards — whole stagger groups per device), static
+    # and automated
+    def casc():
+        m = build_model(engine="cascade", block=16, ir_len=400,
+                        cascade_ratio=2)
+        m.control.speed[:] = 20
+        _map_all(m.control)
+        return m
+
+    xc = program(40 * 16 + 5)
+    cbase = render_offline(casc(), xc, segments=3)
+    csharded = render_offline(casc(), xc, segments=3, mesh=mesh)
+    assert csharded.shape == cbase.shape
+    np.testing.assert_allclose(csharded, cbase, atol=3e-5)
+    cauto = render_offline(casc(), xc, segments=3,
+                           schedule=MidiSchedule(list(AUTOMATION)))
+    cauto_sh = render_offline(casc(), xc, segments=3, mesh=mesh,
+                              schedule=MidiSchedule(list(AUTOMATION)))
+    np.testing.assert_allclose(cauto_sh, cauto, atol=5e-5)
+    # engines without a voice-DP sharding map are refused loudly
+    with pytest.raises(ValueError, match="mesh-sharded"):
+        render_offline(build_model(engine="partitioned"), x, mesh=mesh)
 
 
 def test_offline_chunked_long_track():

@@ -201,6 +201,10 @@ class CascadeConvolution:
         if tail_mac not in ("auto", "vpu", "mxu"):
             raise ValueError(f"unknown tail_mac {tail_mac!r}")
         vg_rows = (num_voices // ratio) * 2
+        # requested value kept for clones: 'auto' re-resolves at the
+        # clone's own voice count (a 256-virtual-voice bounce engine
+        # should take the MXU form even if the 64v base resolved to vpu)
+        self._tail_mac_requested = tail_mac
         self.tail_mac = (tail_mac if tail_mac != "auto"
                          else ("mxu" if vg_rows >= 128 else "vpu"))
         # MAC strategy (fmajor.py semantics): 'allk' computes every IR's
@@ -225,6 +229,14 @@ class CascadeConvolution:
         # bank swap mid-fade CAN keep the old bank's tail; 'allk' stays
         # span-only (swaps defer until fades decay)
         self.swap_snapshot = mac_strategy == "selected"
+        # keep the REQUESTED backend (e.g. 'auto'), not a resolved one:
+        # the two transforms resolve differently (head 2*B=512 -> matmul,
+        # tail 2*B2 often > MATMUL_MAX_N -> split), so propagating
+        # xf1.backend to a clone would force the tail onto dense [n, F]
+        # DFT matrices — at n=8192 that inlined 4 x 134 MB constants into
+        # every offline-bounce step's HLO and the remote compile endpoint
+        # rejected the program at HTTP 413
+        self.backend = backend
         self.xf1 = SpectralTransform(2 * block, backend=backend)
         self.xf2 = SpectralTransform(2 * self.b2, backend=backend)
         self.f1 = self.xf1.num_bins
@@ -256,12 +268,18 @@ class CascadeConvolution:
         """Same geometry/strategy at another voice count (must stay
         divisible by the stagger ratio). Device banks are voice-independent
         — the seam runtime/offline.py's time-parallel renderer builds on."""
-        return CascadeConvolution(
+        clone = CascadeConvolution(
             num_voices, self.block, self.partitions, ratio=self.ratio,
-            max_predelay=self.max_predelay, backend=self.xf1.backend,
+            max_predelay=self.max_predelay, backend=self.backend,
             num_irs=self.num_irs,
             mac_dtype="f32" if self.mac_dtype == jnp.float32 else "bf16",
-            predelay_side=self.predelay_side, mac_strategy=self.mac_strategy)
+            predelay_side=self.predelay_side,
+            tail_mac=self._tail_mac_requested,
+            mac_strategy=self.mac_strategy)
+        # share the transform objects outright: identical twiddle arrays
+        # (no per-clone rebuild) and identical backend resolution
+        clone.xf1, clone.xf2 = self.xf1, self.xf2
+        return clone
 
     @property
     def history_blocks(self) -> int:

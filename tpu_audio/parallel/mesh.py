@@ -391,6 +391,27 @@ def shard_cascade_collapse(engine, mesh: Mesh, donate: bool = True):
     return jax.jit(mapped, donate_argnums=(0,) if donate else ())
 
 
+def cascade_shardings(mesh: Mesh, engine):
+    """(state, bank, params, y) NamedShardings for a GSPMD-jitted cascade
+    step — the offline bounce's seam (streaming serves the shard_map path
+    above). Both stages' arithmetic is voice-local, so these shardings
+    compile to communication-free voice data-parallelism: the stagger
+    group axis (v % ratio) stays replicated-major and the Vg axis
+    (v // ratio) shards, so a contiguous Vg split is a contiguous voice
+    split holding whole stagger groups. The bank and the scalar block
+    counter replicate, exactly like `_cascade_state_specs`."""
+    if mesh.shape.get("part", 1) > 1:
+        raise ValueError(
+            "the cascade engine shards voices only (both stages use the "
+            "windowed doubled-rhs ring MAC, whose dynamic window straddles "
+            "partition shards); use part=1")
+    selected = engine.mac_strategy == "selected"
+    return (_named(_cascade_state_specs(selected), mesh),
+            _named(_cascade_bank_specs(), mesh),
+            _named(_cascade_params_specs(), mesh),
+            NamedSharding(mesh, P("voice", None, None)))
+
+
 def _cascade_bank_specs():
     from tpu_audio.engine.cascade import CascadeBank
     return CascadeBank(head_rhs2=P(), tail_rhs2=P())

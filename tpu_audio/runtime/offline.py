@@ -187,7 +187,8 @@ def render_offline(model, samples, *, segments: int | None = None,
     jax.sharding.Mesh with a 'voice' axis, parallel.make_mesh) shards
     the virtual voices over devices — the bounce's time axis is
     embarrassingly parallel, so a pod slice multiplies throughput
-    (fmajor engines; raise `max_virtual_voices` to feed all chips).
+    (fmajor and cascade engines; raise `max_virtual_voices` to feed all
+    chips).
     `wire='pcm16'` fetches the rendered blocks as 16-bit PCM (encoded
     in-graph, decoded on the host — utils.wire, the same format the
     streaming session's pcm16 wire and the reference's proven DAC
@@ -221,10 +222,12 @@ def render_offline(model, samples, *, segments: int | None = None,
                      "uploading as int16, bit-exact", input_scale)
     elif input_wire == "pcm16" and input_scale is None:
         input_scale = 32767.0
-    if mesh is not None and not hasattr(model.engine, "prime_fdl"):
+    if mesh is not None and not (
+            hasattr(model.engine, "prime_fdl")
+            or hasattr(model.engine, "ratio")):
         raise ValueError(
-            "mesh-sharded bounce supports fmajor engines (voice-DP GSPMD "
-            "shardings; the cascade's shard_map path serves streaming)")
+            "mesh-sharded bounce supports fmajor and cascade engines "
+            "(voice-DP GSPMD shardings over the virtual-voice axis)")
     if track_chunk_blocks is not None:
         return _render_chunked(
             model, samples, track_chunk_blocks, segments=segments,
@@ -270,7 +273,7 @@ def render_offline(model, samples, *, segments: int | None = None,
         nseg = int(segments)
         if nseg < 1:
             raise ValueError(f"segments must be >= 1, got {segments}")
-    nseg = _mesh_round_segments(nseg, v, mesh)
+    nseg = _mesh_round_segments(nseg, v, mesh, int(getattr(eng, "ratio", 1)))
     seg_len = -(-total_blocks // nseg)
 
     seng = _virtual_engine(eng, v * nseg)
@@ -684,7 +687,7 @@ def _plan_automated(eng, total_blocks: int, *, segments, warmup_blocks,
         nseg = int(segments)
         if nseg < 1:
             raise ValueError(f"segments must be >= 1, got {segments}")
-    nseg = _mesh_round_segments(nseg, v, mesh)
+    nseg = _mesh_round_segments(nseg, v, mesh, ratio)
     seg_len = -(-(-(-total_blocks // nseg)) // ratio) * ratio
     return fast, warmup, nseg, seg_len
 
@@ -931,27 +934,36 @@ def _block_tensor(x: np.ndarray, per_voice: bool, t_pad_blocks: int,
         flat.reshape(2, t_pad_blocks, b).transpose(1, 0, 2))
 
 
-def _mesh_round_segments(nseg: int, v: int, mesh) -> int:
-    """Round the segment count up so v*nseg divides evenly over the mesh
-    'voice' axis (GSPMD shards the virtual-voice dim)."""
+def _mesh_round_segments(nseg: int, v: int, mesh, ratio: int = 1) -> int:
+    """Round the segment count up so the sharded axis divides evenly over
+    the mesh 'voice' axis: v*nseg virtual voices for fmajor, and
+    v*nseg/ratio group-major rows (Vg) for the cascade — Vg divisible by
+    the mesh also makes every shard's voice count a whole number of
+    stagger groups."""
     if mesh is None:
         return nseg
     voice_n = int(mesh.shape["voice"])
-    need = voice_n // math.gcd(v, voice_n)
+    w = v // ratio
+    need = voice_n // math.gcd(w, voice_n)
     return -(-nseg // need) * need
 
 
 def _mesh_shardings(seng, mesh):
     """(state, bank, params, x, replicated) NamedShardings for a
     mesh-sharded bounce (voice-DP over the virtual-voice axis), or None
-    for the single-device path."""
+    for the single-device path. fmajor engines shard via
+    `fmajor_shardings`; the cascade via `cascade_shardings` (the group
+    axis replicates, Vg shards — whole stagger groups per device)."""
     if mesh is None:
         return None
     from jax.sharding import NamedSharding, PartitionSpec
 
-    from tpu_audio.parallel.mesh import fmajor_shardings
+    from tpu_audio.parallel.mesh import cascade_shardings, fmajor_shardings
 
-    state_sh, bank_sh, params_sh, x_sh = fmajor_shardings(mesh, seng)
+    if hasattr(seng, "prime_fdl"):
+        state_sh, bank_sh, params_sh, x_sh = fmajor_shardings(mesh, seng)
+    else:
+        state_sh, bank_sh, params_sh, x_sh = cascade_shardings(mesh, seng)
     return state_sh, bank_sh, params_sh, x_sh, NamedSharding(
         mesh, PartitionSpec())
 
