@@ -67,6 +67,15 @@ from tpu_audio.engine.params import VoiceParams
 from tpu_audio.ops.fft import SpectralTransform
 from tpu_audio.ops.mix import add_dry, pan_gains, wet_scale
 
+# Value-carrying einsums (coefficient mixes, one-hot ring scatters) must
+# NOT run at DEFAULT matmul precision: on TPU that is one bf16 pass per
+# product (~2^-8 relative), and XLA's MXU-vs-VPU routing is shape-
+# dependent — the same f32 engine then disagrees with itself across
+# voice counts (measured 3.9e-3 stream-vs-bounce at 64v/4s before every
+# contraction was annotated; HIGH is 3-pass bf16 ~ f32-exact and
+# measured the same cost as DEFAULT on this chip).
+_HIGH = jax.lax.Precision.HIGH
+
 
 @jax.tree_util.register_dataclass
 @dataclass
@@ -648,21 +657,21 @@ class CascadeConvolution:
                 return mv.reshape(self.f1, v, 2, 2, 2)     # [F1,V,I,O,d]
 
             y = jnp.einsum("fviod,vio->fvod", pv_head(state.sel_head),
-                           c[..., None] * scale)
+                           c[..., None] * scale, precision=_HIGH)
             if with_base:
                 y = y + jnp.einsum("fviod,vio->fvod",
                                    pv_head(state.base_head),
-                                   a[..., None] * scale)
+                                   a[..., None] * scale, precision=_HIGH)
         else:
             m1 = self._allk_mac(fdl1, bank.head_rhs2, w1, self.f1, self.pp1,
                                 v * 2)                    # [F1,V,I,K,O,d]
             sel = params.select[None, :, :, None, None, None]
             y = jnp.einsum("fviod,vio->fvod",
                            jnp.take_along_axis(m1, sel, axis=3)[:, :, :, 0],
-                           c[..., None] * scale)
+                           c[..., None] * scale, precision=_HIGH)
             if with_base:
                 y = y + jnp.einsum("fvikod,vik,vio->fvod", m1, state.base_g,
-                                   a[..., None] * scale)
+                                   a[..., None] * scale, precision=_HIGH)
 
         # head predelay: sub-block part as a spectral phase ramp, block
         # part as a one-hot slot scatter (fmajor.py _finish)
@@ -713,8 +722,10 @@ class CascadeConvolution:
             oh_q1 = (slots_h == jax.lax.rem(t + q + 1, jnp.int32(nh))[:, None]
                      ).astype(jnp.float32)
             ring = (state.wet_ring
-                    + jnp.einsum("vn,vob->vnob", oh_q, head_main)
-                    + jnp.einsum("vn,vob->vnob", oh_q1, head_tail))
+                    + jnp.einsum("vn,vob->vnob", oh_q, head_main,
+                                 precision=_HIGH)
+                    + jnp.einsum("vn,vob->vnob", oh_q1, head_tail,
+                                 precision=_HIGH))
             head_now = jax.lax.dynamic_slice_in_dim(
                 ring, emit_h, 1, axis=1)[:, 0]
             ring = ring * (jnp.arange(nh) != emit_h
@@ -923,7 +934,8 @@ class CascadeConvolution:
         tring_g = jax.lax.dynamic_slice(
             state.tail_ring, (g, 0, 0, 0, 0, 0), (1, vg, 2, 2, nb, b)
         ).reshape(vg, 2, 2, nb, b)
-        tring_g = tring_g + jnp.einsum("vkn,viokb->vionb", oh_qk, weighted)
+        tring_g = tring_g + jnp.einsum("vkn,viokb->vionb", oh_qk, weighted,
+                                       precision=_HIGH)
         tring = jax.lax.dynamic_update_slice(
             state.tail_ring, tring_g.reshape(1, vg, 2, 2, nb, b),
             (g, 0, 0, 0, 0, 0))

@@ -66,6 +66,14 @@ from tpu_audio.engine.params import VoiceParams
 from tpu_audio.ops.fft import SpectralTransform
 from tpu_audio.ops.mix import add_dry, pan_gains, wet_scale
 
+# DEFAULT matmul precision on TPU is one bf16 pass (~2^-8 relative) and
+# XLA's MXU-vs-VPU routing is shape-dependent, so value-carrying einsums
+# (coefficient mixes, one-hot ring scatters, span expands) must pin an
+# explicit precision or the f32 engine disagrees with itself across voice
+# counts (see engine/cascade.py's note; HIGH measured the same cost as
+# DEFAULT on this chip).
+_HIGH = jax.lax.Precision.HIGH
+
 
 @jax.tree_util.register_dataclass
 @dataclass
@@ -668,9 +676,11 @@ class FMajorPartitionedConvolution:
         and bank swaps only)."""
         if self.ring_mode:
             return jnp.einsum("kfoep,vik->fvioep",
-                              bank.spectra_rev2.astype(jnp.float32), g)
+                              bank.spectra_rev2.astype(jnp.float32), g,
+                              precision=_HIGH)
         return jnp.einsum("kopfd,vik->fviodp",
-                          bank.spectra.astype(jnp.float32), g)
+                          bank.spectra.astype(jnp.float32), g,
+                          precision=_HIGH)
 
     # -- hot step -------------------------------------------------------------------
 
@@ -729,8 +739,11 @@ class FMajorPartitionedConvolution:
                 ).astype(jnp.float32)                             # [V, NB]
         oh_q1 = (slots == jax.lax.rem(t + q[:, None] + 1, jnp.int32(nb))
                  ).astype(jnp.float32)
-        ring = (state.wet_ring + jnp.einsum("vn,vob->vonb", oh_q, part_main)
-                + jnp.einsum("vn,vob->vonb", oh_q1, part_tail))
+        ring = (state.wet_ring
+                + jnp.einsum("vn,vob->vonb", oh_q, part_main,
+                             precision=_HIGH)
+                + jnp.einsum("vn,vob->vonb", oh_q1, part_tail,
+                             precision=_HIGH))
         emit = jax.lax.rem(t, jnp.int32(nb))
         wet_now = jax.lax.dynamic_slice_in_dim(ring, emit, 1, axis=2)[:, :, 0]
         ring = jax.lax.dynamic_update_slice(
@@ -847,10 +860,11 @@ class FMajorPartitionedConvolution:
             if with_base:
                 tensors.append(window(state.base, 5).astype(self.mac_dtype))
             macs = per_voice_mac(tensors)
-            y = jnp.einsum("fviod,vio->fvod", macs[0], coef_sel)
+            y = jnp.einsum("fviod,vio->fvod", macs[0], coef_sel,
+                           precision=_HIGH)
             if with_base:
                 y = y + jnp.einsum("fviod,vio->fvod", macs[1],
-                                   a[..., None] * scale)
+                                   a[..., None] * scale, precision=_HIGH)
         else:
             # all-K MAC: [F, VI, 2Pp] x [F, 2Pp, KOD] -> [F, VI, KOD]
             # (3-pass f32 matmul: ~1e-6 relative, far beyond audio
@@ -874,18 +888,20 @@ class FMajorPartitionedConvolution:
             m = m.reshape(f, v, 2, k, 2, 2)                       # [F,V,I,K,O,d]
             sel = params.select[None, :, :, None, None, None]
             y_sel = jnp.take_along_axis(m, sel, axis=3)[:, :, :, 0]
-            y = jnp.einsum("fviod,vio->fvod", y_sel, coef_sel)
+            y = jnp.einsum("fviod,vio->fvod", y_sel, coef_sel,
+                           precision=_HIGH)
             if indexed_base:
                 # span snapshot: base == sum_k base_g[k] * bank[k], so the
                 # base term is linear in the SAME all-K products m — one
                 # K-sized contraction, no extra HBM traffic
-                y_base = jnp.einsum("fvikod,vik->fviod", m, state.base_g)
+                y_base = jnp.einsum("fvikod,vik->fviod", m, state.base_g,
+                                    precision=_HIGH)
                 y = y + jnp.einsum("fviod,vio->fvod", y_base,
-                                   a[..., None] * scale)
+                                   a[..., None] * scale, precision=_HIGH)
             elif with_base:
                 mb = per_voice_mac([window(state.base, 5).astype(self.mac_dtype)])
                 y = y + jnp.einsum("fviod,vio->fvod", mb[0],
-                                   a[..., None] * scale)
+                                   a[..., None] * scale, precision=_HIGH)
 
         wptr_next = jax.lax.rem(t + 1, jnp.int32(self.t_modulus))
         if stages is not None and "finish" not in stages:

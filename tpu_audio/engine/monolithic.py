@@ -134,8 +134,11 @@ class MonolithicConvolution:
         # with pan*level scales (conv.cu:386-401); 1/N folds into irfft
         gl, gr = pan_gains(params.pan_wet)            # [V, 2]
         scale = jnp.stack([gl, gr], axis=-1) * params.level[..., None]  # [V,2,2]
+        # explicit HIGH precision (TPU DEFAULT = one bf16 pass, ~2^-8;
+        # see engine/cascade.py's note)
         spec_out = jnp.einsum("vif,viof,vio->vof", spec_in, active,
-                              scale.astype(jnp.complex64))
+                              scale.astype(jnp.complex64),
+                              precision=jax.lax.Precision.HIGH)
         wet = self.xf.irfft(spec_out)  # [V, 2, N]
 
         # predelay + residual + clamp (f_pointwiseAdd, conv.cu:89-100,411-415;
@@ -148,7 +151,8 @@ class MonolithicConvolution:
         dgl, dgr = pan_gains(params.pan_dry)
         dry_gain = (jnp.stack([dgl, dgr], axis=-1)
                     * (params.dry * params.level)[..., None])  # [V, 2, 2]
-        dry = jnp.einsum("vib,vio->vob", x, dry_gain)
+        dry = jnp.einsum("vib,vio->vob", x, dry_gain,
+                         precision=jax.lax.Precision.HIGH)
         out = out_ext[..., :b] + dry
 
         residual = jnp.concatenate(

@@ -231,7 +231,11 @@ class PartitionedConvolution:
             state.active, target,
             params.wet[..., None, None, None], params.vsteps[..., None, None, None])
         scale = self._wet_scale(params).astype(jnp.complex64)
-        spec_out = jnp.einsum("vipf,viopf,vio->vof", fdl, active, scale)
+        # explicit HIGH precision on every value-carrying contraction:
+        # TPU DEFAULT is one bf16 pass (~2^-8 relative) with shape-
+        # dependent MXU routing (see engine/cascade.py's note)
+        spec_out = jnp.einsum("vipf,viopf,vio->vof", fdl, active, scale,
+                              precision=jax.lax.Precision.HIGH)
         return self._finish(state, params, x, spec_out, fdl=fdl, active=active)
 
     def step_coef(self, state, bank, params, x,
@@ -244,14 +248,17 @@ class PartitionedConvolution:
         scale = self._wet_scale(params)                          # [V, 2, 2]
 
         target = jnp.take(bank, params.select, axis=0)           # [V,2,2,P,F]
-        mac_sel = jnp.einsum("vipf,viopf->viof", fdl, target)
+        hi = jax.lax.Precision.HIGH
+        mac_sel = jnp.einsum("vipf,viopf->viof", fdl, target, precision=hi)
         spec_out = jnp.einsum("viof,vio->vof", mac_sel,
-                              (c[..., None] * scale).astype(jnp.complex64))
+                              (c[..., None] * scale).astype(jnp.complex64),
+                              precision=hi)
         if with_base:
-            mac_base = jnp.einsum("vipf,viopf->viof", fdl, state.base)
+            mac_base = jnp.einsum("vipf,viopf->viof", fdl, state.base,
+                                  precision=hi)
             spec_out = spec_out + jnp.einsum(
                 "viof,vio->vof", mac_base,
-                (a[..., None] * scale).astype(jnp.complex64))
+                (a[..., None] * scale).astype(jnp.complex64), precision=hi)
         return self._finish(state, params, x, spec_out,
                             fdl=fdl, coef_a=a, coef_c=c)
 

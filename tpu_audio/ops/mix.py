@@ -23,6 +23,7 @@ All functions are jittable with static shapes; `predelay` may be traced.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -86,4 +87,7 @@ def add_dry(out, x, params) -> "jnp.ndarray":
     gl, gr = pan_gains(params.pan_dry)
     dry_gain = (jnp.stack([gl, gr], axis=-1)
                 * (params.dry * params.level)[..., None])
-    return out + jnp.einsum("vib,vio->vob", x, dry_gain)
+    # HIGH precision: TPU DEFAULT would round each product to bf16
+    # (~2^-8), audible on the dry program material
+    return out + jnp.einsum("vib,vio->vob", x, dry_gain,
+                            precision=jax.lax.Precision.HIGH)
