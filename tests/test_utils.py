@@ -157,3 +157,39 @@ def test_transfer_complex_with_explicit_sharding():
     # real leaves pass straight through with the sharding honored
     r = device_put_maybe_complex(np.ones(8, np.float32), sh)
     assert r.sharding.is_equivalent_to(sh, r.ndim)
+
+
+def test_every_contraction_pins_explicit_precision():
+    """Source audit: every jnp.einsum/jnp.matmul/lax.dot_general in the
+    package passes an explicit ``precision=``. TPU DEFAULT precision is a
+    single bf16 pass (~2^-8 relative per product) with shape-dependent
+    MXU-vs-VPU routing — an unannotated contraction makes the f32 engine
+    disagree with itself across voice counts (measured 3.9e-3 offline-
+    bounce-vs-stream divergence on-chip before CLAUDE.md landmine 9).
+    The CPU suite cannot catch this numerically (CPU DEFAULT is f32), so
+    enforce it at the source level. Pure-permutation einsums (a single
+    operand, no contraction) are exempt."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "tpu_audio"
+    call_re = re.compile(r"jnp\.(einsum|matmul|tensordot)\(|"
+                         r"(?:jax\.)?lax\.dot_general\(")
+    offenders = []
+    for path in sorted(root.rglob("*.py")):
+        text = path.read_text()
+        lines = text.splitlines()
+        for m in call_re.finditer(text):
+            lineno = text[:m.start()].count("\n")
+            window = "\n".join(lines[lineno:lineno + 6])
+            # single-operand einsum = pure permutation (no products)
+            first_args = window[window.index("(") + 1:]
+            if ("einsum" in window.split("(")[0]
+                    and re.match(r'\s*"[^"]*"\s*,\s*\w+\s*\)', first_args)):
+                continue
+            if "precision" not in window:
+                offenders.append(f"{path.relative_to(root.parent)}:"
+                                 f"{lineno + 1}")
+    assert not offenders, (
+        "contractions without an explicit precision= (TPU DEFAULT is a "
+        f"single bf16 pass — see CLAUDE.md landmine 9): {offenders}")
