@@ -160,36 +160,42 @@ def test_transfer_complex_with_explicit_sharding():
 
 
 def test_every_contraction_pins_explicit_precision():
-    """Source audit: every jnp.einsum/jnp.matmul/lax.dot_general in the
-    package passes an explicit ``precision=``. TPU DEFAULT precision is a
-    single bf16 pass (~2^-8 relative per product) with shape-dependent
-    MXU-vs-VPU routing — an unannotated contraction makes the f32 engine
-    disagree with itself across voice counts (measured 3.9e-3 offline-
-    bounce-vs-stream divergence on-chip before CLAUDE.md landmine 9).
-    The CPU suite cannot catch this numerically (CPU DEFAULT is f32), so
-    enforce it at the source level. Pure-permutation einsums (a single
-    operand, no contraction) are exempt."""
+    """Source audit: every contraction call in the package passes an
+    explicit ``precision=``. TPU DEFAULT precision is a single bf16 pass
+    (~2^-8 relative per product) with shape-dependent MXU-vs-VPU routing
+    — an unannotated contraction makes the f32 engine disagree with
+    itself across voice counts (measured 3.9e-3 offline-bounce-vs-stream
+    divergence on-chip before CLAUDE.md landmine 9). The CPU suite
+    cannot catch this numerically (CPU DEFAULT is f32), so enforce it at
+    the AST level: einsum/matmul/tensordot/dot/vdot/inner/dot_general
+    calls need the keyword, and the ``@`` operator (which cannot carry
+    one) is banned outright. Pure-permutation einsums (a single operand,
+    no products) are exempt."""
+    import ast
     import pathlib
-    import re
 
+    names = {"einsum", "matmul", "tensordot", "dot", "vdot", "inner",
+             "dot_general"}
     root = pathlib.Path(__file__).resolve().parent.parent / "tpu_audio"
-    call_re = re.compile(r"jnp\.(einsum|matmul|tensordot)\(|"
-                         r"(?:jax\.)?lax\.dot_general\(")
     offenders = []
     for path in sorted(root.rglob("*.py")):
-        text = path.read_text()
-        lines = text.splitlines()
-        for m in call_re.finditer(text):
-            lineno = text[:m.start()].count("\n")
-            window = "\n".join(lines[lineno:lineno + 6])
-            # single-operand einsum = pure permutation (no products)
-            first_args = window[window.index("(") + 1:]
-            if ("einsum" in window.split("(")[0]
-                    and re.match(r'\s*"[^"]*"\s*,\s*\w+\s*\)', first_args)):
+        rel = path.relative_to(root.parent)
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.BinOp) and isinstance(node.op,
+                                                          ast.MatMult):
+                offenders.append(f"{rel}:{node.lineno} (@ operator — "
+                                 "use jnp.matmul(..., precision=...))")
                 continue
-            if "precision" not in window:
-                offenders.append(f"{path.relative_to(root.parent)}:"
-                                 f"{lineno + 1}")
+            if not (isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr in names):
+                continue
+            # single-operand einsum = pure permutation (no products)
+            if node.func.attr == "einsum" and len(node.args) == 2:
+                continue
+            if not any(kw.arg == "precision" for kw in node.keywords):
+                offenders.append(f"{rel}:{node.lineno} ({node.func.attr})")
     assert not offenders, (
         "contractions without an explicit precision= (TPU DEFAULT is a "
         f"single bf16 pass — see CLAUDE.md landmine 9): {offenders}")

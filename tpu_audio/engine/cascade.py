@@ -285,8 +285,11 @@ class CascadeConvolution:
             predelay_side=self.predelay_side,
             tail_mac=self._tail_mac_requested,
             mac_strategy=self.mac_strategy)
-        # share the transform objects outright: identical twiddle arrays
-        # (no per-clone rebuild) and identical backend resolution
+        # The backend=self.backend above is the actual HTTP-413 fix (the
+        # REQUESTED backend re-resolves per transform size; the old code
+        # propagated xf1's RESOLVED 'matmul' to the n=8192 tail). Sharing
+        # the parent's transform objects on top just avoids rebuilding
+        # twiddle tables per clone.
         clone.xf1, clone.xf2 = self.xf1, self.xf2
         return clone
 

@@ -269,6 +269,16 @@ def shard_fmajor_step(engine, mesh: Mesh, steady: bool = False,
 
 # -- cascade engine sharding ------------------------------------------------------
 
+def _cascade_reject_part(mesh: Mesh) -> None:
+    """Single guard shared by the GSPMD and shard_map cascade paths."""
+    if mesh.shape.get("part", 1) > 1:
+        raise ValueError(
+            "the cascade engine shards voices only (both stages use the "
+            "windowed doubled-rhs ring MAC, whose dynamic window straddles "
+            "partition shards — same restriction as fmajor ring mode); "
+            "use part=1, or fmajor roll mode for sequence sharding")
+
+
 def _cascade_state_specs(selected: bool = False):
     """PartitionSpecs for CascadeState leaves.
 
@@ -313,12 +323,7 @@ def _cascade_local_engine(engine, mesh: Mesh):
     from tpu_audio.engine.cascade import CascadeConvolution
 
     voice_n = mesh.shape["voice"]
-    if mesh.shape.get("part", 1) > 1:
-        raise ValueError(
-            "the cascade engine shards voices only (both stages use the "
-            "windowed doubled-rhs ring MAC, whose dynamic window straddles "
-            "partition shards — same restriction as fmajor ring mode); "
-            "use part=1, or fmajor roll mode for sequence sharding")
+    _cascade_reject_part(mesh)
     local_v = engine.num_voices // voice_n
     if engine.num_voices % voice_n or local_v % engine.ratio:
         raise ValueError(
@@ -400,11 +405,7 @@ def cascade_shardings(mesh: Mesh, engine):
     (v // ratio) shards, so a contiguous Vg split is a contiguous voice
     split holding whole stagger groups. The bank and the scalar block
     counter replicate, exactly like `_cascade_state_specs`."""
-    if mesh.shape.get("part", 1) > 1:
-        raise ValueError(
-            "the cascade engine shards voices only (both stages use the "
-            "windowed doubled-rhs ring MAC, whose dynamic window straddles "
-            "partition shards); use part=1")
+    _cascade_reject_part(mesh)
     selected = engine.mac_strategy == "selected"
     return (_named(_cascade_state_specs(selected), mesh),
             _named(_cascade_bank_specs(), mesh),

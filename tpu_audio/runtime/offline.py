@@ -404,8 +404,9 @@ def _render_chunked(model, samples, chunk_blocks: int, *, segments,
     the device footprint at O(chunk) for hour-scale tracks (the whole-
     track path holds input + spectra + output on device, ~5 GB/hour).
 
-    With ``schedule=``, the automation timeline chunks too (fmajor
-    engines): the host replay runs ONCE over the global timeline and
+    With ``schedule=``, the automation timeline chunks too (every
+    automatable engine; cascade chunk grids phase-align to the stagger
+    ratio): the host replay runs ONCE over the global timeline and
     each chunk's step gathers parameters/events at absolute block
     indices — see _render_chunked_automated."""
     chunk_blocks = int(chunk_blocks)
