@@ -707,3 +707,26 @@ def test_materialize_base_equals_no_change_collapse():
                                       err_msg=name)
     with pytest.raises(ValueError, match="span-only"):
         cas.materialize_base(state, sel_bank)
+
+
+def test_with_voices_keeps_transform_backends_and_knobs():
+    """Clones must re-resolve the REQUESTED backend per transform size,
+    never inherit the head's resolved one: propagating xf1's 'matmul'
+    (n=512) forced the n=8192 tail transform onto dense [n, F] DFT
+    matrices — 4 x 134 MB HLO constants in every offline-bounce step,
+    rejected by the remote compiler at HTTP 413 (CLAUDE.md landmine 8
+    family). tail_mac keeps its requested value too: 'auto' re-resolves
+    at the clone's voice count, an explicit form propagates."""
+    eng = CascadeConvolution(16, 256, 64, ratio=16, num_irs=2)
+    assert eng.xf1.backend == "matmul"          # n=512 <= MATMUL_MAX_N
+    assert eng.xf2.backend == "split"           # n=8192
+    clone = eng.with_voices(128)
+    assert clone.xf2.backend == "split"
+    assert clone.xf1 is eng.xf1 and clone.xf2 is eng.xf2
+    # 'auto' tail_mac re-resolves at the clone's Vg rows (128v/16 * 2 =
+    # 16 < 128 -> vpu; 2048v/16 * 2 = 256 >= 128 -> mxu)
+    assert clone.tail_mac == "vpu"
+    assert eng.with_voices(2048).tail_mac == "mxu"
+    forced = CascadeConvolution(16, 256, 64, ratio=16, num_irs=2,
+                                tail_mac="vpu")
+    assert forced.with_voices(2048).tail_mac == "vpu"
