@@ -715,3 +715,42 @@ def test_offline_rejects_working_set_and_bad_segments():
     with pytest.raises(ValueError, match="stereo"):
         render_offline(build_model(num_voices=1),
                        np.zeros((3, 64), np.float32))
+
+
+def test_offline_chunked_automated_cascade_fuzz_and_mesh():
+    """Randomized CC traffic through the CASCADE chunked automation path:
+    random chunk sizes (coprime to the ratio — the grid rounding engages)
+    == the whole-track bounce, and the chunked+automated+mesh cascade
+    composition holds too."""
+    from tpu_audio.parallel.mesh import make_mesh
+    from tpu_audio.runtime.stream import MidiSchedule
+
+    rng = np.random.default_rng(31)
+    controllers = [0x15, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x1B]
+    events, t = [], 0
+    while t < 90:
+        events.append((t, "", bytes([0xB0, int(rng.choice(controllers)),
+                                     int(rng.integers(0, 128))])))
+        t += int(rng.integers(1, 10))
+
+    def fresh():
+        m = build_model(engine="cascade", block=16, ir_len=400,
+                        cascade_ratio=4, num_voices=4)
+        m.control.speed[:] = 22
+        _map_all(m.control)
+        return m
+
+    x = program(88 * 16 + 11, seed=32)
+    whole = render_offline(fresh(), x, segments=3,
+                           schedule=MidiSchedule(list(events)))
+    for chunk in (17, 31):                        # both coprime to ratio 4
+        chunked = render_offline(fresh(), x, segments=3,
+                                 track_chunk_blocks=chunk,
+                                 schedule=MidiSchedule(list(events)))
+        np.testing.assert_allclose(chunked, whole, atol=5e-5,
+                                   err_msg=f"chunk={chunk}")
+    mesh = make_mesh(2, part=1)
+    chunked_mesh = render_offline(fresh(), x, segments=3,
+                                  track_chunk_blocks=17, mesh=mesh,
+                                  schedule=MidiSchedule(list(events)))
+    np.testing.assert_allclose(chunked_mesh, whole, atol=5e-5)
