@@ -48,6 +48,7 @@ from __future__ import annotations
 import argparse
 import collections
 import json
+import os
 import sys
 import time
 
@@ -572,6 +573,76 @@ def run_offline_leg(args, deadline_ms):
     return leg
 
 
+def run_equiv_leg(args, deadline_ms):
+    """On-chip ACCURACY leg: the time-parallel automated bounce vs the
+    real streaming session performing the same MIDI timeline — the
+    float-precision equivalence claim measured in the driver's own
+    artifact, not only in CPU tests (TPU matmul precision/routing is
+    shape-dependent and invisible on CPU: this leg is what caught the
+    DEFAULT-precision bug, CLAUDE.md landmine 9, 3.9e-3 before the fix,
+    4.3e-6 after). Short track, modest voice count — the per-voice
+    arithmetic is identical at any V, only throughput changes."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_audio.engine.params import CCMapping
+    from tpu_audio.models.reverb import ConvolutionReverb
+    from tpu_audio.runtime.backends import WavSink, WavSource
+    from tpu_audio.runtime.offline import render_offline
+    from tpu_audio.runtime.stream import MidiSchedule, StreamSession
+
+    voices, track_s = 8, float(args.equiv_seconds)
+    bank = make_bank(args.num_irs, args.ir_seconds, args.sample_rate)
+
+    def fresh():
+        m = ConvolutionReverb(bank, num_voices=voices, block=args.block,
+                              sample_rate=args.sample_rate,
+                              engine="fmajor", cache_dir=args.pack_cache)
+        m.control.wet[:] = 0.7
+        m.control.dry[:] = 0.2
+        for v in range(voices):
+            m.control.set_mapping(v, 0, CCMapping(
+                message=0xB0, select=21, wet=24, speed=25))
+        return m
+
+    blocks = int(track_s * args.sample_rate / args.block)
+    events = [(max(blocks // 8, 1), "",
+               bytes([0xB0, 0x15, 0x7F])),             # re-select, fades
+              (max(blocks // 2, 2), "",
+               bytes([0xB0, 0x18, 0x50])),             # wet mid-fade
+              (max(int(blocks * 0.8), 3), "",
+               bytes([0xB0, 0x15, 0x20]))]             # interrupt re-select
+    rng = np.random.default_rng(11)
+    n = int(track_s * args.sample_rate)
+    x = (rng.standard_normal((2, n)) * 0.1).astype(np.float32)
+
+    model = fresh()
+    total = blocks + model.engine.history_blocks
+    xpad = np.zeros((2, total * args.block), np.float32)
+    xpad[:, :n] = x
+    sink = WavSink(os.devnull, keep_data=True)
+    sess = StreamSession(model.engine, model.spectra, model.control,
+                         WavSource(xpad, voices, args.block), sink,
+                         warmup=0, donate=False, fetch_batch=64)
+    params = jax.tree.map(jnp.asarray, model.control.snapshot())
+    sess.run(model.engine.init_converged(model.spectra, params),
+             midi=MidiSchedule(list(events)))
+    ref = sink.data
+
+    out = render_offline(fresh(), x, schedule=MidiSchedule(list(events)))
+    nn = min(out.shape[-1], ref.shape[-1])
+    maxdiff = float(np.abs(out[..., :nn] - ref[..., :nn]).max())
+    peak = float(np.abs(ref[..., :nn]).max())
+    leg = {"voices": voices, "track_s": track_s,
+           "events": len(events), "maxdiff": maxdiff,
+           "peak": round(peak, 4), "pass": bool(maxdiff < 1e-4 and
+                                                peak > 1e-3)}
+    log(f"equiv leg: automated bounce vs streamed session maxdiff "
+        f"{maxdiff:.2e} (peak {peak:.3f}) — "
+        f"{'PASS' if leg['pass'] else 'FAIL'} vs 1e-4")
+    return leg
+
+
 PARTIAL: dict = {}
 
 
@@ -851,6 +922,9 @@ def _main(argv=None) -> int:
                     help="track length for the time-parallel offline "
                          "bounce leg (wall-RTF headline for non-realtime "
                          "rendering)")
+    ap.add_argument("--equiv-seconds", type=float, default=5.0,
+                    help="track length for the accuracy leg (automated "
+                         "bounce vs streamed session maxdiff)")
     ap.add_argument("--leg-budget", type=float, default=400.0,
                     help="skip extra legs once this many wall seconds have "
                          "elapsed (the driver caps the whole run at 590 s)")
@@ -1173,7 +1247,8 @@ def _main(argv=None) -> int:
         leg_list = [("offline", lambda: run_offline_leg(args, dl_ms), 100),
                     ("cascade_hv", lambda: run_cascade_leg(args, dl_ms), 60),
                     ("ws", lambda: run_ws_leg(args, make_block), 120),
-                    ("mono_ref", lambda: run_mono_leg(args, dl_ms), 40)]
+                    ("mono_ref", lambda: run_mono_leg(args, dl_ms), 40),
+                    ("equiv", lambda: run_equiv_leg(args, dl_ms), 120)]
         if args.cascade_voices >= 512:
             # the single-chip voice-capacity point (real-time 2048v bf16,
             # read-side predelay); only meaningful at production scale —

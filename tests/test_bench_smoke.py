@@ -77,7 +77,8 @@ def test_bench_extra_legs(capsys):
         "--legs", "all", "--ws-irs", "6", "--ws-capacity", "3",
         "--ws-faults", "2", "--cascade-voices", "4",
         "--ir-seconds", "0.2", "--leg-budget", "10000",
-        "--fault-upload", "derived", "--offline-seconds", "0.5"])
+        "--fault-upload", "derived", "--offline-seconds", "0.5",
+        "--equiv-seconds", "0.4"])
     assert rec["legs"]["ws"]["faults"] == 2
     assert rec["legs"]["ws"]["steady_ms"] > 0
     assert rec["legs"]["ws"]["fault_ms"] > 0
@@ -94,6 +95,10 @@ def test_bench_extra_legs(capsys):
     assert rec["legs"]["offline"]["rtf"] > 0
     assert rec["legs"]["offline"]["wall_s"] > 0
     assert rec["legs"]["offline"]["track_s"] == 0.5
+    # the accuracy leg: automated bounce == streamed session
+    assert rec["legs"]["equiv"]["pass"] is True
+    assert rec["legs"]["equiv"]["maxdiff"] < 1e-4
+    assert rec["legs"]["equiv"]["peak"] > 1e-3
     assert rec["legs_skipped"] is None
 
 
