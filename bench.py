@@ -384,6 +384,34 @@ def run_cascade_leg(args, deadline_ms, voices=None, dtype=None,
     return leg
 
 
+def sel152_estimate(args):
+    """Adaptive wall estimate for the sel152 leg, computed at decision
+    time. The leg's dominant VARIABLE cost is the fully-resident bank
+    upload (~2 GB at 152 x 4 s), whose tunnel bandwidth swings 8-65 MB/s
+    with weather (measured 253 s congested vs ~30 s fair for the same
+    bytes) — a fixed pessimistic estimate skips the leg on days it would
+    comfortably fit. Probe H2D bandwidth with one small committed
+    transfer (forced readback: block_until_ready can return early on
+    this transport) and scale the roughly-fixed compile+probe cost by
+    the same weather signal (the compile endpoint rides the tunnel too;
+    layout-pinned compiles bypass the persistent cache by policy)."""
+    import jax
+    import jax.numpy as jnp
+
+    probe_mb = 24.0
+    x = np.zeros((int(probe_mb * 1024 * 1024) // 4,), np.float32)
+    t0 = time.perf_counter()
+    d = jax.device_put(x)
+    float(jnp.sum(d[:8]))
+    bw = probe_mb / max(time.perf_counter() - t0, 1e-3)
+    bank_mb = 2100.0 * (args.ws_irs / 152.0) * (args.ir_seconds / 4.0)
+    weather = min(max((65.0 / max(bw, 1.0)) ** 0.5, 1.0), 3.0)
+    est = 90.0 * weather + bank_mb / max(bw, 1.0)
+    log(f"sel152 estimate: probed H2D {bw:.0f} MB/s -> ~{est:.0f}s "
+        f"({bank_mb / 1024:.1f} GB bank + pinning compiles)")
+    return est
+
+
 def run_selected_leg(args, deadline_ms):
     """Large-bank 'selected' leg: the reference's shipped 152-IR bank
     served WITHOUT residency management — the cascade 'selected' strategy
@@ -581,7 +609,10 @@ def run_equiv_leg(args, deadline_ms):
     shape-dependent and invisible on CPU: this leg is what caught the
     DEFAULT-precision bug, CLAUDE.md landmine 9, 3.9e-3 before the fix,
     4.3e-6 after). Short track, modest voice count — the per-voice
-    arithmetic is identical at any V, only throughput changes."""
+    arithmetic is identical at any V, only throughput changes. Runs
+    once per engine in --equiv-engines (cascade's staggered tail is the
+    path that exposed the bug; it gets skipped with a note when the
+    watchdog window is nearly spent)."""
     import jax
     import jax.numpy as jnp
 
@@ -594,17 +625,6 @@ def run_equiv_leg(args, deadline_ms):
     voices, track_s = 8, float(args.equiv_seconds)
     bank = make_bank(args.num_irs, args.ir_seconds, args.sample_rate)
 
-    def fresh():
-        m = ConvolutionReverb(bank, num_voices=voices, block=args.block,
-                              sample_rate=args.sample_rate,
-                              engine="fmajor", cache_dir=args.pack_cache)
-        m.control.wet[:] = 0.7
-        m.control.dry[:] = 0.2
-        for v in range(voices):
-            m.control.set_mapping(v, 0, CCMapping(
-                message=0xB0, select=21, wet=24, speed=25))
-        return m
-
     blocks = int(track_s * args.sample_rate / args.block)
     events = [(max(blocks // 8, 1), "",
                bytes([0xB0, 0x15, 0x7F])),             # re-select, fades
@@ -616,30 +636,59 @@ def run_equiv_leg(args, deadline_ms):
     n = int(track_s * args.sample_rate)
     x = (rng.standard_normal((2, n)) * 0.1).astype(np.float32)
 
-    model = fresh()
-    total = blocks + model.engine.history_blocks
-    xpad = np.zeros((2, total * args.block), np.float32)
-    xpad[:, :n] = x
-    sink = WavSink(os.devnull, keep_data=True)
-    sess = StreamSession(model.engine, model.spectra, model.control,
-                         WavSource(xpad, voices, args.block), sink,
-                         warmup=0, donate=False, fetch_batch=64)
-    params = jax.tree.map(jnp.asarray, model.control.snapshot())
-    sess.run(model.engine.init_converged(model.spectra, params),
-             midi=MidiSchedule(list(events)))
-    ref = sink.data
+    engines = {}
+    names = [e.strip() for e in args.equiv_engines.split(",") if e.strip()]
+    for i, engine_name in enumerate(names):
+        remaining = (args.watchdog - (time.perf_counter() - _T0)
+                     if args.watchdog else float("inf"))
+        if i and remaining < 45:
+            engines[engine_name] = {"skipped": f"~{remaining:.0f}s left"}
+            log(f"equiv leg: {engine_name} skipped "
+                f"({remaining:.0f}s before watchdog)")
+            continue
 
-    out = render_offline(fresh(), x, schedule=MidiSchedule(list(events)))
-    nn = min(out.shape[-1], ref.shape[-1])
-    maxdiff = float(np.abs(out[..., :nn] - ref[..., :nn]).max())
-    peak = float(np.abs(ref[..., :nn]).max())
+        def fresh(eng=engine_name):
+            m = ConvolutionReverb(bank, num_voices=voices, block=args.block,
+                                  sample_rate=args.sample_rate,
+                                  engine=eng, cache_dir=args.pack_cache)
+            m.control.wet[:] = 0.7
+            m.control.dry[:] = 0.2
+            for v in range(voices):
+                m.control.set_mapping(v, 0, CCMapping(
+                    message=0xB0, select=21, wet=24, speed=25))
+            return m
+
+        model = fresh()
+        total = blocks + model.engine.history_blocks
+        xpad = np.zeros((2, total * args.block), np.float32)
+        xpad[:, :n] = x
+        sink = WavSink(os.devnull, keep_data=True)
+        sess = StreamSession(model.engine, model.spectra, model.control,
+                             WavSource(xpad, voices, args.block), sink,
+                             warmup=0, donate=False, fetch_batch=64)
+        params = jax.tree.map(jnp.asarray, model.control.snapshot())
+        sess.run(model.engine.init_converged(model.spectra, params),
+                 midi=MidiSchedule(list(events)))
+        ref = sink.data
+
+        out = render_offline(fresh(), x, schedule=MidiSchedule(list(events)))
+        nn = min(out.shape[-1], ref.shape[-1])
+        maxdiff = float(np.abs(out[..., :nn] - ref[..., :nn]).max())
+        peak = float(np.abs(ref[..., :nn]).max())
+        engines[engine_name] = {"maxdiff": maxdiff, "peak": round(peak, 4)}
+        log(f"equiv leg [{engine_name}]: automated bounce vs streamed "
+            f"session maxdiff {maxdiff:.2e} (peak {peak:.3f}) — "
+            f"{'PASS' if maxdiff < 1e-4 and peak > 1e-3 else 'FAIL'} "
+            f"vs 1e-4")
+
+    measured = [e for e in engines.values() if "maxdiff" in e]
     leg = {"voices": voices, "track_s": track_s,
-           "events": len(events), "maxdiff": maxdiff,
-           "peak": round(peak, 4), "pass": bool(maxdiff < 1e-4 and
-                                                peak > 1e-3)}
-    log(f"equiv leg: automated bounce vs streamed session maxdiff "
-        f"{maxdiff:.2e} (peak {peak:.3f}) — "
-        f"{'PASS' if leg['pass'] else 'FAIL'} vs 1e-4")
+           "events": len(events), "engines": engines,
+           # worst engine's numbers ride the top-level keys
+           "maxdiff": max((e["maxdiff"] for e in measured), default=None),
+           "peak": min((e["peak"] for e in measured), default=None),
+           "pass": bool(measured) and all(
+               e["maxdiff"] < 1e-4 and e["peak"] > 1e-3 for e in measured)}
     return leg
 
 
@@ -925,6 +974,10 @@ def _main(argv=None) -> int:
     ap.add_argument("--equiv-seconds", type=float, default=5.0,
                     help="track length for the accuracy leg (automated "
                          "bounce vs streamed session maxdiff)")
+    ap.add_argument("--equiv-engines", default="fmajor,cascade",
+                    help="comma list of engines the accuracy leg compares "
+                         "(cascade's staggered tail is the path that "
+                         "exposed the TPU default-precision bug)")
     ap.add_argument("--leg-budget", type=float, default=400.0,
                     help="skip extra legs once this many wall seconds have "
                          "elapsed (the driver caps the whole run at 590 s)")
@@ -1248,7 +1301,10 @@ def _main(argv=None) -> int:
                     ("cascade_hv", lambda: run_cascade_leg(args, dl_ms), 60),
                     ("ws", lambda: run_ws_leg(args, make_block), 120),
                     ("mono_ref", lambda: run_mono_leg(args, dl_ms), 40),
-                    ("equiv", lambda: run_equiv_leg(args, dl_ms), 120)]
+                    # fmajor half measured 26 s warm-cache on-chip (00:26
+                    # run); the cascade half is comparable and skips
+                    # itself when the watchdog window is nearly spent
+                    ("equiv", lambda: run_equiv_leg(args, dl_ms), 75)]
         if args.cascade_voices >= 512:
             # the single-chip voice-capacity point (real-time 2048v bf16,
             # read-side predelay); only meaningful at production scale —
@@ -1260,10 +1316,12 @@ def _main(argv=None) -> int:
         # on a congested tunnel evening (measured; ~30 s fair-weather,
         # ~2.5 s PCIe) — and congested pinning compiles wedged past the
         # watchdog TWICE on 2026-08-19 from a ~270 s start. The estimate
-        # is deliberately pessimistic: skipping emits last_good's sel152
-        # row; wedging costs the whole run its completeness.
+        # is therefore ADAPTIVE (sel152_estimate: a bandwidth probe at
+        # decision time): fair days fit the leg from a late start,
+        # congested days skip early and emit last_good's sel152 row —
+        # wedging costs the whole run its completeness.
         leg_list.append(("sel152", lambda: run_selected_leg(args, dl_ms),
-                         280))
+                         lambda: sel152_estimate(args)))
         skipped = []
         for name, fn, est_s in leg_list:
             elapsed = time.perf_counter() - _T0
@@ -1272,6 +1330,9 @@ def _main(argv=None) -> int:
                                f"(budget {args.leg_budget:.0f}s)")
                 log(skipped[-1])
                 break
+            if callable(est_s):
+                est_s = est_s()
+                elapsed = time.perf_counter() - _T0
             if args.watchdog and args.watchdog - elapsed < est_s:
                 skipped.append(f"{name} skipped at t+{elapsed:.0f}s "
                                f"(needs ~{est_s}s, watchdog at "

@@ -95,10 +95,12 @@ def test_bench_extra_legs(capsys):
     assert rec["legs"]["offline"]["rtf"] > 0
     assert rec["legs"]["offline"]["wall_s"] > 0
     assert rec["legs"]["offline"]["track_s"] == 0.5
-    # the accuracy leg: automated bounce == streamed session
+    # the accuracy leg: automated bounce == streamed session, per engine
     assert rec["legs"]["equiv"]["pass"] is True
     assert rec["legs"]["equiv"]["maxdiff"] < 1e-4
     assert rec["legs"]["equiv"]["peak"] > 1e-3
+    for eng in ("fmajor", "cascade"):
+        assert rec["legs"]["equiv"]["engines"][eng]["maxdiff"] < 1e-4
     assert rec["legs_skipped"] is None
 
 
