@@ -233,7 +233,7 @@ def e2e_throughput(step, state, bank, params, make_block, encode, decode,
     return np.asarray(times), missed, st
 
 
-def run_ws_leg(args, make_block):
+def run_ws_leg(args, deadline_ms):
     """Working-set serving leg: the reference's own headline workload —
     its 152-IR `all.index` bank (/root/reference/ir/all.index, loaded at
     src/main.cu:72-81) at 4 s per IR — served through REAL WorkingSetBank
@@ -243,6 +243,12 @@ def run_ws_leg(args, make_block):
     import jax.numpy as jnp
 
     from tpu_audio.models.reverb import ConvolutionReverb
+
+    rng = np.random.default_rng(7)
+    shape = (args.voices, 2, args.block)
+    pool = [jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 0.05)
+            for _ in range(4)]
+    make_block = lambda t: pool[t % len(pool)]
 
     bank = make_bank(args.ws_irs, args.ir_seconds, args.sample_rate)
     log(f"ws leg: {args.ws_irs}-IR bank loaded")
@@ -443,6 +449,20 @@ def run_selected_leg(args, deadline_ms):
     from tpu_audio.models.reverb import _fit_cascade_ratio
     from tpu_audio.utils.layouts import (pin_engine_steps, pinned_init,
                                          place_in_formats)
+
+    # Adaptive self-skip: the leg's dominant VARIABLE cost is the ~2 GB
+    # fully-resident bank upload, whose tunnel bandwidth swings 8-65 MB/s
+    # with weather. Probe at leg start and bail out (a clean 'skipped'
+    # row the store merge backfills from the prior record) rather than
+    # wedge past the watchdog — wedging costs the whole leg's budget.
+    if args.watchdog and jax.devices()[0].platform != "cpu":
+        est = sel152_estimate(args)
+        remaining = args.watchdog - (time.perf_counter() - _T0)
+        if est > remaining:
+            note = (f"needs ~{est:.0f}s, {remaining:.0f}s left in this "
+                    f"leg's budget (congested tunnel)")
+            log(f"sel152 leg: skipped — {note}")
+            return {"skipped": note}
 
     k = args.ws_irs
     bank = make_bank(k, args.ir_seconds, args.sample_rate)
@@ -900,6 +920,13 @@ def _install_watchdog(seconds: float) -> None:
     import os
     import threading
 
+    if os.environ.get("TPU_AUDIO_BENCH_WEDGE_HARD"):
+        # test hook: simulate a wedge even the in-process watchdog cannot
+        # interrupt (a blocked C call holding the GIL) — the orchestrator's
+        # subprocess kill is then the only recovery layer
+        log("TEST WEDGE: watchdog suppressed (simulating a blocked C call)")
+        return
+
     global _WATCHDOG_DONE, _WATCHDOG_TIMER
     _WATCHDOG_DONE = False
 
@@ -1049,6 +1076,30 @@ def _main(argv=None) -> int:
                     help="skip the subprocess backend-availability probe "
                          "(it costs ~15 s of import time per retry; tests "
                          "and CPU smoke runs don't need it)")
+    ap.add_argument("--isolate", default="subprocess",
+                    choices=["subprocess", "none"],
+                    help="'subprocess' (default) runs the headline and every "
+                         "leg in its own killable child process with a "
+                         "per-child timeout and one retry — a wedged remote "
+                         "compile costs ~2.5 min, not the whole run (round "
+                         "3's official record was zeroed by exactly that). "
+                         "'none' = everything in-process (tests, debugging)")
+    ap.add_argument("--child", default=None,
+                    help="internal: run exactly one measurement unit "
+                         "('headline' or a leg name) in this process and "
+                         "print its JSON on stdout")
+    ap.add_argument("--only-legs", default=None,
+                    help="comma list restricting which extra legs run "
+                         "(targeted on-chip reruns, wedge tests)")
+    ap.add_argument("--child-timeout", type=float, default=0.0,
+                    help="force the per-child subprocess timeout in seconds "
+                         "(0 = auto from per-leg wall estimates)")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform ('cpu' for the smoke tests' "
+                         "subprocess children: the TPU plugin clobbers the "
+                         "JAX_PLATFORMS env var during import, so only a "
+                         "post-import config update works — and a child "
+                         "process must apply it itself)")
     args = ap.parse_args(argv)
     if args.chunks < 2:
         # the pipelined e2e loop needs >= 2 chunks to produce one timed
@@ -1057,14 +1108,12 @@ def _main(argv=None) -> int:
         log(f"--chunks {args.chunks} raised to 2 (minimum for one "
             f"steady-state timing sample)")
         args.chunks = 2
+    base_argv = list(argv if argv is not None else sys.argv[1:])
     # partial/watchdog records must carry THIS run's metric name, not the
     # default config's
     PARTIAL["metric"] = _metric_name(args)
     if args.watchdog:
         _install_watchdog(args.watchdog)
-
-    import jax
-    import jax.numpy as jnp
 
     import os
     if args.pack_cache is None:
@@ -1080,20 +1129,12 @@ def _main(argv=None) -> int:
     if args.pack_cache:
         os.makedirs(args.pack_cache, exist_ok=True)
         global _LAST_GOOD_DIR
-        _LAST_GOOD_DIR = args.pack_cache
-        # persistent XLA compilation cache: the tunnel's remote compile
-        # service hangs entire runs on bad days (observed 50% of runs,
-        # trivial compiles at 300 s); a pre-warmed disk cache lets repeat
-        # runs skip it (verified supported on this backend)
-        try:
-            jax.config.update("jax_compilation_cache_dir",
-                              os.path.join(args.pack_cache, "xla"))
-            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
-                              -1)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              0.0)
-        except Exception as exc:  # noqa: BLE001 - cache is best-effort
-            log(f"compilation cache unavailable: {exc!r}")
+        # children never own the record store (the orchestrator attaches
+        # last_good and performs the merge); a child partial must stay raw
+        _LAST_GOOD_DIR = None if args.child else args.pack_cache
+
+    if args.child:
+        return _run_child(args)
 
     if args.backend_probe:
         # don't crash an entire round's BENCH record on a transiently-down
@@ -1101,6 +1142,43 @@ def _main(argv=None) -> int:
         # back, up to half the watchdog window
         _wait_for_backend(_T0 + (args.watchdog * 0.5 if args.watchdog
                                  else 240.0))
+
+    if args.isolate != "none":
+        return _orchestrate(args, base_argv)
+    return _run_inprocess(args)
+
+
+def _configure_xla_cache(args) -> None:
+    """Persistent XLA compilation cache: the tunnel's remote compile
+    service hangs entire runs on bad days (observed 50% of runs, trivial
+    compiles at 300 s); a pre-warmed disk cache lets repeat runs — and
+    every isolated child process — skip it (verified supported on this
+    backend). Called only from paths that actually touch the device; the
+    orchestrator itself never imports jax and therefore cannot wedge."""
+    import os
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if not args.pack_cache:
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(args.pack_cache, "xla"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception as exc:  # noqa: BLE001 - cache is best-effort
+        log(f"compilation cache unavailable: {exc!r}")
+
+
+def run_headline(args) -> dict:
+    """The headline measurement: build the production engine, measure
+    engine-true chained-dispatch cost (steady + both fade paths) and
+    end-to-end serving throughput on both wires. Returns the headline
+    record keys; PARTIAL is updated as readings land so a watchdog or
+    crash partial carries everything measured so far."""
+    import jax
+    import jax.numpy as jnp
 
     engine, spectra, control, params, state = build(args)
     deadline = args.block / args.sample_rate
@@ -1309,82 +1387,6 @@ def _main(argv=None) -> int:
     else:
         fade_rtf = float("nan")
 
-    # ---- extra measured legs (the flagship scaling claims) -----------------
-    legs = {}
-    legs_skipped = None
-    default_config = (args.voices == 64 and args.num_irs == 4
-                      and args.engine == "fmajor"
-                      and args.bank_capacity is None
-                      and args.ir_seconds == 4.0 and args.block == 256
-                      and args.mac_dtype == "f32")
-    want_legs = (args.legs == "all"
-                 or (args.legs == "auto" and default_config))
-    if want_legs:
-        # release the primary leg's device state before building more
-        import gc
-        del state, engine, spectra, st
-        gc.collect()
-        # cheapest-first so a slow-compile start (wedged remote compiles
-        # eat the budget) still captures as many legs as possible; the
-        # third element is a fair-weather wall-time estimate — a leg that
-        # cannot plausibly finish before the watchdog is skipped rather
-        # than started (a half-run leg measures nothing and its partial
-        # state can't be reclaimed before the watchdog kills the run)
-        # offline first: the bounce holds the biggest transient working
-        # set (input + spectra + 323-voice state) and its wall-RTF is the
-        # most sensitive to residual HBM from other legs (measured 15.8 s
-        # mid-run vs 6.2 s standalone on the same day)
-        leg_list = [("offline", lambda: run_offline_leg(args, dl_ms), 100),
-                    ("cascade_hv", lambda: run_cascade_leg(args, dl_ms), 60),
-                    ("ws", lambda: run_ws_leg(args, make_block), 120),
-                    ("mono_ref", lambda: run_mono_leg(args, dl_ms), 40),
-                    # fmajor half measured 26 s warm-cache on-chip (00:26
-                    # run); the cascade half is comparable and skips
-                    # itself when the watchdog window is nearly spent
-                    ("equiv", lambda: run_equiv_leg(args, dl_ms), 75)]
-        if args.cascade_voices >= 512:
-            # the single-chip voice-capacity point (real-time 2048v bf16,
-            # read-side predelay); only meaningful at production scale —
-            # tiny smoke configs skip it
-            leg_list.append(("cascade_2048", lambda: run_cascade_leg(
-                args, dl_ms, voices=2048, dtype="bf16",
-                predelay_side="read"), 90))
-        # last: its 2 GB fully-resident bank upload alone can cost ~250 s
-        # on a congested tunnel evening (measured; ~30 s fair-weather,
-        # ~2.5 s PCIe) — and congested pinning compiles wedged past the
-        # watchdog TWICE on 2026-08-19 from a ~270 s start. The estimate
-        # is therefore ADAPTIVE (sel152_estimate: a bandwidth probe at
-        # decision time): fair days fit the leg from a late start,
-        # congested days skip early and emit last_good's sel152 row —
-        # wedging costs the whole run its completeness.
-        leg_list.append(("sel152", lambda: run_selected_leg(args, dl_ms),
-                         lambda: sel152_estimate(args)))
-        skipped = []
-        for name, fn, est_s in leg_list:
-            elapsed = time.perf_counter() - _T0
-            if elapsed > args.leg_budget:
-                skipped.append(f"{name}+ skipped at t+{elapsed:.0f}s "
-                               f"(budget {args.leg_budget:.0f}s)")
-                log(skipped[-1])
-                break
-            if callable(est_s):
-                est_s = est_s()
-                elapsed = time.perf_counter() - _T0
-            if args.watchdog and args.watchdog - elapsed < est_s:
-                skipped.append(f"{name} skipped at t+{elapsed:.0f}s "
-                               f"(needs ~{est_s}s, watchdog at "
-                               f"{args.watchdog:.0f}s)")
-                log(skipped[-1])
-                continue
-            try:
-                legs[name] = fn()
-            except Exception as exc:  # noqa: BLE001 - a leg must not kill the headline
-                log(f"{name} leg FAILED: {exc!r}")
-                legs[name] = {"error": repr(exc)[:200]}
-            PARTIAL["legs"] = dict(legs)
-            gc.collect()
-        legs_skipped = "; ".join(skipped) or None
-
     head = results["pcm16"]
     transport_bound = head["p99_ms"] > dl_ms and ms_steady < dl_ms
     log(f"deadline {dl_ms:.3f} ms | engine-true steady {ms_steady:.3f} ms "
@@ -1393,13 +1395,7 @@ def _main(argv=None) -> int:
         + (" [transport-bound: chip-side cost beats the deadline; the p99 "
            "tail is the shared network tunnel to the chip, which no "
            "deployment topology has]" if transport_bound else ""))
-
-    global _WATCHDOG_DONE
-    _WATCHDOG_DONE = True
-    if _WATCHDOG_TIMER is not None:
-        _WATCHDOG_TIMER.cancel()
-    rec = {
-        "metric": _metric_name(args),
+    return {
         "value": round(head["rtf"], 3),
         "unit": "x_realtime",
         "vs_baseline": round(head["rtf"], 3),
@@ -1418,61 +1414,418 @@ def _main(argv=None) -> int:
         # engine_steady_ms/engine_fade_* are true per-block chained costs
         "p99_basis": f"per-{args.chunk}-block-chunk avg, best rep",
         "transport_bound": transport_bound,
-        "legs": legs or None,
-        "legs_skipped": legs_skipped,
     }
-    if legs_skipped:
-        # a completed run that had to skip legs still carries the prior
-        # completed record (clearly labeled) so the skipped rows' last
-        # real measurements ride the printed JSON
-        try:
-            prior0 = _load_last_good(rec["metric"])
-            if prior0 is not None:
-                rec["last_good"] = prior0
-        except Exception:  # noqa: BLE001
-            pass
-    print(json.dumps(rec), flush=True)
-    # persist per-metric so a later run that dies to tunnel weather can
-    # attach this completed record under "last_good" — written to the
-    # cache dir AND a git-tracked twin (bench_records/) that survives
-    # the box resets that wipe .bench_cache/
+
+
+def _want_legs(args) -> bool:
+    default_config = (args.voices == 64 and args.num_irs == 4
+                      and args.engine == "fmajor"
+                      and args.bank_capacity is None
+                      and args.ir_seconds == 4.0 and args.block == 256
+                      and args.mac_dtype == "f32")
+    return (args.legs == "all"
+            or (args.legs == "auto" and default_config))
+
+
+def _leg_specs(args):
+    """(name, fn(args, deadline_ms) -> leg dict, fair-weather wall-estimate
+    seconds). Order = evidence priority: every leg now runs in its own
+    process (fresh HBM — the cross-leg placement residuals that inflated
+    the flagship readings ~25% are gone), so ordering exists only to spend
+    a shrinking budget on the most important claims first. offline leads
+    (headline-adjacent wall-RTF claim, quick when warm), then the flagship
+    capacity point cascade_2048, then the production-scale legs; sel152
+    runs last because its ~2 GB fully-resident bank upload is the one
+    unboundedly weather-sensitive cost (it also self-skips on a measured
+    bandwidth probe rather than wedging)."""
+    specs = [("offline", run_offline_leg, 100)]
+    if args.cascade_voices >= 512:
+        # the single-chip voice-capacity point (real-time 2048v bf16,
+        # read-side predelay); only meaningful at production scale —
+        # tiny smoke configs skip it
+        specs.append(("cascade_2048",
+                      lambda a, d: run_cascade_leg(
+                          a, d, voices=2048, dtype="bf16",
+                          predelay_side="read"), 90))
+    specs += [("cascade_hv", run_cascade_leg, 60),
+              ("ws", run_ws_leg, 120),
+              ("mono_ref", run_mono_leg, 40),
+              ("equiv", run_equiv_leg, 75),
+              ("sel152", run_selected_leg, 110)]
+    if args.only_legs is not None:
+        keep = {s.strip() for s in args.only_legs.split(",") if s.strip()}
+        specs = [s for s in specs if s[0] in keep]
+    return specs
+
+
+def _maybe_wedge(stage: str) -> None:
+    """Test hook: TPU_AUDIO_BENCH_WEDGE='<stage>[:seconds]' simulates a
+    wedged remote compile at the named stage (the known failure mode that
+    zeroed round 3's record) so the watchdog/orchestrator recovery path is
+    testable without a congested tunnel."""
+    spec = os.environ.get("TPU_AUDIO_BENCH_WEDGE", "")
+    if not spec:
+        return
+    name, _, secs = spec.partition(":")
+    if name == stage:
+        log(f"TEST WEDGE: {stage} blocking for {secs or 3600}s")
+        time.sleep(float(secs or 3600))
+
+
+def _run_child(args) -> int:
+    """One measurement unit in this (child) process: 'headline' or a leg
+    name. Prints exactly one JSON line on stdout; the orchestrator parses
+    it. On a wedge, the child's own watchdog emits a PARTIAL-shaped line
+    (no 'result' key), which the orchestrator treats as a failed attempt."""
+    _configure_xla_cache(args)
+    _maybe_wedge(args.child)
+    if args.child == "headline":
+        rec = {"metric": _metric_name(args), **run_headline(args)}
+        global _WATCHDOG_DONE
+        _WATCHDOG_DONE = True
+        if _WATCHDOG_TIMER is not None:
+            _WATCHDOG_TIMER.cancel()
+        print(json.dumps(rec), flush=True)
+        return 0
+    dl_ms = args.block / args.sample_rate * 1e3
+    fns = {name: fn for name, fn, _est in _leg_specs(args)}
+    if args.child not in fns:
+        print(json.dumps({"leg": args.child,
+                          "error": f"unknown leg {args.child!r}"}),
+              flush=True)
+        return 2
     try:
-        rec = dict(rec)
-        rec.pop("last_good", None)  # never nest records in the store
-        rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
-                                           time.gmtime())
-        # per-leg merge: a leg that FAILED this run (device-session
-        # poisoning takes out every leg after the first casualty)
-        # must not overwrite the previous record's good measurement —
-        # substitute it, clearly tagged with its own timestamp
-        # (2026-08-19: one leg failure blanked 4 good leg rows)
+        result = fns[args.child](args, dl_ms)
+    except Exception as exc:  # noqa: BLE001 - a failed leg is a clean row
+        log(f"{args.child} leg FAILED: {exc!r}")
+        result = {"error": repr(exc)[:200]}
+    _WATCHDOG_DONE = True
+    if _WATCHDOG_TIMER is not None:
+        _WATCHDOG_TIMER.cancel()
+    print(json.dumps({"leg": args.child, "result": result}), flush=True)
+    return 0
+
+
+def _run_inprocess(args) -> int:
+    """Everything in this process (tests, debugging; the pre-round-4
+    structure). No isolation: a wedged compile here is only bounded by
+    the in-process watchdog."""
+    _configure_xla_cache(args)
+    _maybe_wedge("headline")
+    rec = {"metric": _metric_name(args), **run_headline(args)}
+    legs, legs_skipped = ({}, None)
+    if _want_legs(args):
+        legs, legs_skipped = _run_legs_inprocess(args)
+    rec["legs"] = legs or None
+    rec["legs_skipped"] = legs_skipped
+    return _finalize(args, rec)
+
+
+def _run_legs_inprocess(args):
+    import gc
+    gc.collect()  # release the headline's device state before building more
+    dl_ms = args.block / args.sample_rate * 1e3
+    legs = {}
+    skipped = []
+    for name, fn, est_s in _leg_specs(args):
+        elapsed = time.perf_counter() - _T0
+        if elapsed > args.leg_budget:
+            skipped.append(f"{name}+ skipped at t+{elapsed:.0f}s "
+                           f"(budget {args.leg_budget:.0f}s)")
+            log(skipped[-1])
+            break
+        if args.watchdog and args.watchdog - elapsed < est_s:
+            skipped.append(f"{name} skipped at t+{elapsed:.0f}s "
+                           f"(needs ~{est_s}s, watchdog at "
+                           f"{args.watchdog:.0f}s)")
+            log(skipped[-1])
+            continue
+        try:
+            _maybe_wedge(name)
+            legs[name] = fn(args, dl_ms)
+        except Exception as exc:  # noqa: BLE001 - a leg must not kill the headline
+            log(f"{name} leg FAILED: {exc!r}")
+            legs[name] = {"error": repr(exc)[:200]}
+        PARTIAL["legs"] = dict(legs)
+        gc.collect()
+    for name, row in legs.items():
+        if isinstance(row, dict) and "skipped" in row:
+            skipped.append(f"{name} self-skipped: {row['skipped']}")
+    return legs, ("; ".join(skipped) or None)
+
+
+def _spawn_child(name: str, base_argv, timeout: float):
+    """Run one measurement unit in a killable child process. Returns
+    (parsed JSON dict or None, failure reason or None). The child gets
+    its own in-process watchdog a little inside our hard timeout so it
+    can emit a partial line; if even that is wedged (a blocked C call),
+    subprocess.run kills the process group at timeout."""
+    import subprocess
+    cmd = [sys.executable, os.path.abspath(__file__), *base_argv,
+           "--child", name, "--isolate", "none", "--no-backend-probe",
+           "--record-dir", "", "--watchdog",
+           f"{max(timeout - 8.0, 15.0):.0f}"]
+    log(f"child[{name}]: start (timeout {timeout:.0f}s)")
+    try:
+        r = subprocess.run(cmd, stdout=subprocess.PIPE,
+                           timeout=timeout + 15.0)
+    except subprocess.TimeoutExpired:
+        log(f"child[{name}]: KILLED at t+{timeout + 15:.0f}s (wedged "
+            f"compile is the known cause)")
+        return None, f"killed at {timeout + 15:.0f}s (wedged)"
+    for line in reversed((r.stdout or b"").decode(errors="replace")
+                         .strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line), None
+            except ValueError:
+                continue
+    return None, f"no JSON from child (rc={r.returncode})"
+
+
+def _orchestrate(args, base_argv) -> int:
+    """Default driver path: the headline and every leg run in their own
+    killable subprocess with a per-unit timeout and ONE retry — a wedged
+    remote compile costs one child's budget, not the round's record
+    (round 3's official artifact was value 0.0 because a single wedged
+    compile in a monolithic run ate the whole watchdog window). This
+    process never imports jax, so nothing here can wedge; the final JSON
+    line always prints."""
+    deadline = (_T0 + args.watchdog) if args.watchdog else None
+
+    def remaining():
+        return (float("inf") if deadline is None
+                else deadline - time.perf_counter())
+
+    head, head_err = None, None
+    for attempt in range(2):
+        if remaining() < 75.0:
+            head_err = head_err or "no budget left for the headline"
+            break
+        t = args.child_timeout or 320.0
+        t = min(t, max(remaining() - 25.0, 50.0))
+        rec, fail = _spawn_child("headline", base_argv, t)
+        if rec and (rec.get("value") or 0) > 0 and not rec.get("partial"):
+            head, head_err = rec, None
+            break
+        if rec and len(rec) > len(head or {}):
+            head = rec  # keep the most complete partial attempt
+        head_err = fail or (rec or {}).get("error") or "partial headline"
+        log(f"headline child attempt {attempt + 1} failed ({head_err})"
+            + ("; retrying once" if attempt == 0 else "; giving up"))
+    if head:
+        PARTIAL.update({k: head[k] for k in _HEADLINE_KEYS if k in head})
+
+    legs, skipped = {}, []
+    if _want_legs(args):
+        for name, _fn, est_s in _leg_specs(args):
+            elapsed = time.perf_counter() - _T0
+            if elapsed > args.leg_budget:
+                skipped.append(f"{name}+ skipped at t+{elapsed:.0f}s "
+                               f"(budget {args.leg_budget:.0f}s)")
+                log(skipped[-1])
+                break
+            if remaining() < est_s + 30.0:
+                skipped.append(f"{name} skipped at t+{elapsed:.0f}s "
+                               f"(needs ~{est_s}s, watchdog at "
+                               f"{args.watchdog:.0f}s)")
+                log(skipped[-1])
+                continue
+            for attempt in range(2):
+                t = args.child_timeout or (est_s * 2.0 + 60.0)
+                t = min(t, max(remaining() - 20.0, 45.0))
+                rec, fail = _spawn_child(name, base_argv, t)
+                if rec and "result" in rec:
+                    legs[name] = rec["result"]
+                    break
+                reason = fail or (rec or {}).get("error") or "no result"
+                if attempt == 0 and remaining() > est_s + 45.0:
+                    log(f"child[{name}] failed ({reason}); retrying once")
+                    continue
+                legs[name] = {"error":
+                              f"child failed (x{attempt + 1}): {reason}"[:200]}
+                break
+            PARTIAL["legs"] = dict(legs)  # crash-safe progress (backstop)
+    for name, row in legs.items():
+        if isinstance(row, dict) and "skipped" in row:
+            skipped.append(f"{name} self-skipped: {row['skipped']}")
+
+    out = {"metric": _metric_name(args), "value": 0.0,
+           "unit": "x_realtime", "vs_baseline": 0.0}
+    if head:
+        for k in _HEADLINE_KEYS:
+            if k in head:
+                out[k] = head[k]
+        out["value"] = head.get("value") or 0.0
+        out["vs_baseline"] = out["value"]
+    if head_err:
+        out["partial"] = True
+        out["error"] = f"headline: {head_err}"[:300]
+    out["legs"] = legs or None
+    out["legs_skipped"] = "; ".join(skipped) or None
+    return _finalize(args, out)
+
+
+_HEADLINE_KEYS = ("value", "vs_baseline", "wire", "e2e_f32_rtf",
+                  "e2e_fade_rtf", "engine_steady_ms",
+                  "engine_fade_indexed_ms", "engine_fade_general_ms",
+                  "engine_steady_rtf", "p99_ms", "p99_basis",
+                  "transport_bound")
+
+# per-leg figure of merit for the plausibility guard (lower is better);
+# 'equiv' is deliberately unguarded: it measures accuracy, not weather
+_LEG_FOM = {"ws": "steady_ms", "sel152": "steady_ms",
+            "cascade_hv": "steady_ms", "cascade_2048": "steady_ms",
+            "mono_ref": "steady_ms", "offline": "wall_s"}
+# the tunnel's honest run-to-run weather band is ~1.5x; 1.8x has only
+# ever been crossed by congestion artifacts (ws 37.056 vs 1.144 ms,
+# sel152 5.146 vs 2.05 — both 2026-08-20 09:26)
+_SUSPECT_RATIO = 1.8
+
+
+def _flag_suspects(rec: dict, prior: dict) -> None:
+    """Annotate the PRINTED record (this-run readings are kept — the
+    printed line is always what THIS run measured) when a row is
+    implausibly worse than the prior completed record: congestion
+    evidence for the reader. The store merge separately keeps the prior
+    row (_merge_store)."""
+    pv, nv = prior.get("value") or 0, rec.get("value") or 0
+    if pv > 0 and nv > 0 and nv * _SUSPECT_RATIO < pv:
+        rec["suspect"] = {"value": pv,
+                          "measured_at": prior.get("measured_at")}
+    prior_legs = prior.get("legs") or {}
+    for name, row in (rec.get("legs") or {}).items():
+        key = _LEG_FOM.get(name)
+        old = prior_legs.get(name)
+        if (key and isinstance(row, dict) and isinstance(old, dict)
+                and isinstance(row.get(key), (int, float))
+                and isinstance(old.get(key), (int, float)) and old[key] > 0
+                and row[key] > _SUSPECT_RATIO * old[key]):
+            row["suspect"] = {key: old[key],
+                             "measured_at": old.get(
+                                 "stale_from", prior.get("measured_at"))}
+
+
+def _merge_leg_row(name, new, old, new_at, old_at):
+    """Best-known-evidence merge for ONE leg row. Newest wins ONLY when
+    plausible: a reading > _SUSPECT_RATIO x worse than the stored one is
+    kept OUT of the store (tagged suspect_congestion with the rejected
+    reading) unless the stored row is itself already suspect-tagged — a
+    second consecutive bad reading is accepted as a real regression
+    (tagged regressed_from) so the store can never lie forever."""
+    def stale(row):
+        # provenance must not drift forward across consecutive bad runs
+        return dict(row, stale_from=row.get(
+            "stale_from", row.get("measured_at", old_at)))
+
+    good_new = (isinstance(new, dict) and "error" not in new
+                and "skipped" not in new)
+    good_old = (isinstance(old, dict) and "error" not in old
+                and "skipped" not in old)
+    if not good_new:
+        if good_old:
+            return stale(old)
+        return new if new is not None else old
+    new = {k: v for k, v in new.items() if k != "suspect"}
+    if not good_old:
+        return new
+    key = _LEG_FOM.get(name)
+    nv, ov = (new.get(key), old.get(key)) if key else (None, None)
+    if (isinstance(nv, (int, float)) and isinstance(ov, (int, float))
+            and ov > 0 and nv > _SUSPECT_RATIO * ov):
+        if "suspect_congestion" in old:
+            # confirmed twice against the same stored value: accept
+            row = dict(new)
+            row["regressed_from"] = {key: ov,
+                                     "measured_at": old.get("stale_from",
+                                                            old_at)}
+            return row
+        row = stale(old)
+        row["suspect_congestion"] = {key: nv, "measured_at": new_at}
+        return row
+    return new
+
+
+def _merge_store(rec: dict, prior) -> dict:
+    """The store record a completed (or even partial) run leaves behind:
+    per-row best-known evidence with explicit provenance, replacing the
+    newest-wins merge that let one globally-congested run overwrite every
+    healthy row (2026-08-20 09:26: ws 37.056 ms RTF 0.157 shipped as the
+    round's official working-set evidence)."""
+    store = {k: v for k, v in rec.items()
+             if k not in ("last_good", "suspect")}
+    store["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                         time.gmtime())
+    new_at = store["measured_at"]
+    old_at = (prior or {}).get("measured_at")
+
+    if prior:
+        pv = prior.get("value") or 0
+        nv = store.get("value") or 0
+        good_new = nv > 0 and not rec.get("partial")
+        good_old = pv > 0
+
+        def keep_prior_headline(suspect=None):
+            for k in _HEADLINE_KEYS:
+                if k in prior:
+                    store[k] = prior[k]
+            store["value"] = pv
+            store["vs_baseline"] = pv
+            store["headline_stale_from"] = prior.get("headline_stale_from",
+                                                     old_at)
+            store.pop("partial", None)
+            store.pop("error", None)
+            if suspect is not None:
+                store["suspect_congestion"] = suspect
+            elif "suspect_congestion" in prior:
+                store["suspect_congestion"] = prior["suspect_congestion"]
+
+        if good_old and not good_new:
+            # headline failed/partial this run: the store keeps the prior
+            # measured headline (tagged), this run's legs still merge in
+            keep_prior_headline()
+        elif good_old and good_new and nv * _SUSPECT_RATIO < pv:
+            if "suspect_congestion" in prior:
+                store["regressed_from"] = {
+                    "value": pv,
+                    "measured_at": prior.get("headline_stale_from", old_at)}
+            else:
+                keep_prior_headline(suspect={"value": nv,
+                                             "measured_at": new_at})
+
+    prior_legs = (prior or {}).get("legs") or {}
+    legs = dict(store.get("legs") or {})
+    for name in set(legs) | set(prior_legs):
+        merged = _merge_leg_row(name, legs.get(name), prior_legs.get(name),
+                                new_at, old_at)
+        if merged is not None:
+            legs[name] = merged
+    store["legs"] = legs or None
+    return store
+
+
+def _finalize(args, rec: dict) -> int:
+    """Print the final JSON line and persist the merged store record —
+    written to the cache dir AND a git-tracked twin (bench_records/) that
+    survives the box resets that wipe .bench_cache/."""
+    global _WATCHDOG_DONE
+    _WATCHDOG_DONE = True
+    if _WATCHDOG_TIMER is not None:
+        _WATCHDOG_TIMER.cancel()
+    try:
         prior = _load_last_good(rec["metric"])
-        prior_legs = (prior.get("legs") or {}) if prior else {}
-
-        def _stale(old):
-            # provenance must not drift forward across consecutive bad
-            # runs: an already-stale leg keeps its ORIGINAL stamp
-            return dict(old, stale_from=old.get(
-                "stale_from", old.get("measured_at",
-                                      prior.get("measured_at"))))
-
-        if prior_legs:
-            # a run with NO legs at all (--legs none, or everything
-            # skipped) must not blank the store — the store is
-            # best-known evidence, and preserving it is its only job
-            if not rec.get("legs"):
-                rec["legs"] = {}
-            for name, leg in list(rec["legs"].items()):
-                if isinstance(leg, dict) and "error" in leg:
-                    old = prior_legs.get(name)
-                    if isinstance(old, dict) and "error" not in old:
-                        rec["legs"][name] = _stale(old)
-            # a leg SKIPPED or not attempted this run keeps its prior
-            # measurement, tagged with its original timestamp
-            for name, old in prior_legs.items():
-                if (name not in rec["legs"] and isinstance(old, dict)
-                        and "error" not in old):
-                    rec["legs"][name] = _stale(old)
+    except Exception:  # noqa: BLE001 - torn store must not kill the record
+        prior = None
+    if prior is not None:
+        _flag_suspects(rec, prior)
+        if rec.get("partial") or rec.get("legs_skipped"):
+            # carry the prior completed record (clearly labeled) so rows
+            # this run couldn't measure still ride the printed JSON
+            rec["last_good"] = prior
+    print(json.dumps(rec), flush=True)
+    try:
+        store = _merge_store(rec, prior)
         for path in (_last_good_path(rec["metric"]),
                      _repo_record_path(rec["metric"])):
             if not path:
@@ -1480,7 +1833,7 @@ def _main(argv=None) -> int:
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = f"{path}.tmp{os.getpid()}"
             with open(tmp, "w") as fh:
-                json.dump(rec, fh)
+                json.dump(store, fh)
             os.replace(tmp, path)
     except Exception:  # noqa: BLE001 - telemetry must not fail the run
         pass

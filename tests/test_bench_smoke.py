@@ -18,6 +18,9 @@ def run_bench(capsys, extra=()):
     argv = ["--voices", "2", "--num-irs", "2", "--ir-seconds", "0.05",
             "--block", "256", "--engine-blocks", "4", "--chunks", "4",
             "--chunk", "3", "--reps", "1", "--no-backend-probe",
+            # in-process: these tests exercise the measurement paths, not
+            # the subprocess isolation (test_bench_isolation covers that)
+            "--isolate", "none",
             # never drop tiny-config records into the git-tracked store
             "--record-dir", "", *extra]
     assert bench.main(argv) == 0
@@ -146,7 +149,12 @@ def test_bench_repo_record_survives_cache_wipe(capsys, tmp_path):
         import bench
     finally:
         sys.path.pop(0)
-    rec = run_bench(capsys, extra=["--record-dir", str(tmp_path)])
+    # hermetic stores: a prior record in the shared default .bench_cache
+    # could trigger the plausibility guard (tiny-config CPU timings vary
+    # more than the 1.8x band) and make the stored value differ from the
+    # printed one by design
+    rec = run_bench(capsys, extra=["--record-dir", str(tmp_path),
+                                   "--pack-cache", str(tmp_path / "cache")])
     path = tmp_path / f"last_good_{rec['metric']}.json"
     assert path.exists()
     stored = json.loads(path.read_text())
@@ -214,6 +222,7 @@ def test_main_raising_cancels_watchdog():
         bench.main(["--voices", "2", "--num-irs", "0",   # invalid: crashes
                     "--ir-seconds", "0.05", "--engine-blocks", "2",
                     "--chunks", "2", "--chunk", "2", "--reps", "1",
+                    "--isolate", "none", "--record-dir", "",
                     "--no-backend-probe", "--watchdog", "30"])
     assert bench._WATCHDOG_TIMER is not None
     assert not bench._WATCHDOG_TIMER.is_alive()
