@@ -23,7 +23,8 @@
 //
 // Usage:
 //   tpuaudio_jackbridge --in-ring NAME --out-ring NAME [--name tpu_audio]
-//       [--expect-block N] [--connect-in PORT --connect-in PORT]
+//       [--expect-block N] [--expect-rate HZ]
+//       [--connect-in PORT --connect-in PORT]
 //       [--connect-out PORT --connect-out PORT] [--no-connect]
 //       [--max-seconds S]
 // Port defaults mirror the reference wiring (system capture/playback,
@@ -160,6 +161,7 @@ int main(int argc, char** argv) {
     const char* out_ring_name = nullptr;
     const char* name = "tpu_audio";
     long expect_block = 0;
+    long expect_rate = 0;
     double max_seconds = 0.0;
     int do_connect = 1;
     const char* connect_in[2] = {"system:capture_1", "system:capture_2"};
@@ -178,6 +180,7 @@ int main(int argc, char** argv) {
         else if (want("--out-ring")) out_ring_name = argv[++i];
         else if (want("--name")) name = argv[++i];
         else if (want("--expect-block")) expect_block = atol(argv[++i]);
+        else if (want("--expect-rate")) expect_rate = atol(argv[++i]);
         else if (want("--max-seconds")) max_seconds = atof(argv[++i]);
         else if (want("--connect-in")) {
             // count EVERY occurrence so a third one trips the stereo
@@ -203,7 +206,8 @@ int main(int argc, char** argv) {
     if (!in_ring_name || !out_ring_name) {
         fprintf(stderr,
                 "usage: tpuaudio_jackbridge --in-ring NAME --out-ring NAME "
-                "[--name N] [--expect-block B] [--connect-in P x2] "
+                "[--name N] [--expect-block B] [--expect-rate HZ] "
+                "[--connect-in P x2] "
                 "[--connect-out P x2] [--no-connect] [--max-seconds S]\n");
         return 2;
     }
@@ -242,6 +246,18 @@ int main(int argc, char** argv) {
                 "expects %ld: the shm rings carry unframed f32 and a "
                 "mismatch garbles channels — restart jackd with -p%ld\n",
                 block, expect_block, expect_block);
+        b.jack.client_close(b.client);
+        return 6;
+    }
+    // rate mismatch streams pitch-shifted audio with no other symptom
+    // (the reference at least reports the server's rate, jackclient.cu:39
+    // — enforce it like the block check; a wrong rate is never intended)
+    if (expect_rate && (long)rate != expect_rate) {
+        fprintf(stderr,
+                "jackbridge: jackd runs %u Hz but the session expects %ld: "
+                "audio would stream pitch-shifted — restart jackd with "
+                "-r%ld (or the session at %u Hz)\n",
+                rate, expect_rate, expect_rate, rate);
         b.jack.client_close(b.client);
         return 6;
     }

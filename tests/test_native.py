@@ -269,6 +269,36 @@ def test_native_jack_bridge_block_mismatch_refuses(tmp_path):
         out_ring.close(unlink=True)
 
 
+def test_native_jack_bridge_rate_mismatch_refuses(tmp_path):
+    """--expect-rate != jackd's sample rate must exit nonzero with the
+    pitch-shift explanation (a rate mismatch streams pitch-shifted audio
+    with no other symptom; the reference reads the server's rate at
+    jackclient.cu:39)."""
+    import os
+    import subprocess
+
+    exe = native.bridge_path()
+    assert exe, "bridge build failed"
+    stub = _build_jack_stub(tmp_path)
+    tag = np.random.randint(1e9)
+    in_name, out_name = f"/tajbr_in_{tag}", f"/tajbr_out_{tag}"
+    in_ring = native.NativeRing(1024, shm_name=in_name)
+    out_ring = native.NativeRing(1024, shm_name=out_name)
+    try:
+        env = dict(os.environ, TPU_AUDIO_LIBJACK=stub,
+                   JACK_STUB_RATE="48000")
+        proc = subprocess.run(
+            [exe, "--in-ring", in_name, "--out-ring", out_name,
+             "--expect-rate", "44100", "--max-seconds", "1"],
+            env=env, capture_output=True, text=True, timeout=30)
+        assert proc.returncode == 6
+        assert "pitch-shifted" in proc.stderr
+        assert "-r44100" in proc.stderr          # the restart hint
+    finally:
+        in_ring.close(unlink=True)
+        out_ring.close(unlink=True)
+
+
 def test_native_jack_bridge_rejects_extra_connect_ports():
     """A third --connect-in must error like the Python launcher does —
     it used to be silently discarded (only the first two were wired)."""
@@ -410,5 +440,19 @@ def test_ctypes_jack_bridge_block_mismatch_refuses(tmp_path, monkeypatch):
     out_ring = native.NativeRing(1024)
     with pytest.raises(RuntimeError, match="128 frames/period"):
         jb.JackRingBridge(in_ring, out_ring, expect_block=64)
+    in_ring.close()
+    out_ring.close()
+
+
+def test_ctypes_jack_bridge_rate_mismatch_refuses(tmp_path, monkeypatch):
+    """A jackd at 48 kHz feeding a 44.1 kHz session streams pitch-shifted
+    audio with no other symptom; the bridge must refuse loudly at
+    construction (same contract as the block check)."""
+    stub = _build_jack_stub(tmp_path)
+    jb = _fresh_jack(monkeypatch, stub, JACK_STUB_RATE=48000)
+    in_ring = native.NativeRing(1024)
+    out_ring = native.NativeRing(1024)
+    with pytest.raises(RuntimeError, match="pitch-shifted"):
+        jb.JackRingBridge(in_ring, out_ring, expect_rate=44100)
     in_ring.close()
     out_ring.close()

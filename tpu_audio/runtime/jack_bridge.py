@@ -120,11 +120,17 @@ class JackRingBridge:
     match it — the rings carry flat f32 with no framing, so a mismatch
     would not error, it would silently de-interleave into garbled
     channels. Pass None to skip the check (single-purpose rigs).
+
+    ``expect_rate``: the session's sample rate. A jackd at a different
+    rate streams pitch-shifted audio with no other symptom (the reference
+    at least reports the server's rate, jackclient.cu:39) — enforced like
+    the block check. Pass None to skip.
     """
 
     def __init__(self, in_ring, out_ring, name: str = "tpu_audio",
                  server_may_start: bool = False,
                  expect_block: int | None = None,
+                 expect_rate: int | None = None,
                  connect_inputs=None, connect_outputs=None):
         if not jack_available():
             raise RuntimeError("libjack not found on this host")
@@ -150,6 +156,13 @@ class JackRingBridge:
                 f"and a mismatch garbles channels — restart jackd with "
                 f"-p{expect_block} (or the session with --block "
                 f"{self.block})")
+        if expect_rate is not None and self.sample_rate != expect_rate:
+            self.lib.jack_client_close(self.client)
+            raise RuntimeError(
+                f"jackd runs {self.sample_rate} Hz but the session expects "
+                f"{expect_rate}: audio would stream pitch-shifted — restart "
+                f"jackd with -r{expect_rate} (or the session at "
+                f"{self.sample_rate} Hz)")
         self.ports_in = [self.lib.jack_port_register(
             self.client, f"in_{i}".encode(), _JACK_DEFAULT_AUDIO_TYPE,
             _JackPortIsInput, 0) for i in range(2)]
@@ -247,6 +260,10 @@ def main(argv=None) -> int:
     ap.add_argument("--expect-block", type=int, default=None,
                     help="session block size; jackd's period must match "
                          "(the rings carry unframed f32)")
+    ap.add_argument("--expect-rate", type=int, default=None,
+                    help="session sample rate; jackd must match (a "
+                         "mismatch streams pitch-shifted audio with no "
+                         "other symptom)")
     ap.add_argument("--connect-in", action="append", default=None,
                     metavar="PORT",
                     help="external port to wire into channel N's input "
@@ -290,6 +307,8 @@ def main(argv=None) -> int:
                   "--out-ring", args.out_ring, "--name", args.name]
         if args.expect_block is not None:
             argv_c += ["--expect-block", str(args.expect_block)]
+        if args.expect_rate is not None:
+            argv_c += ["--expect-rate", str(args.expect_rate)]
         for p in connect_in or []:
             argv_c += ["--connect-in", p]
         for p in connect_out or []:
@@ -298,6 +317,7 @@ def main(argv=None) -> int:
     bridge = JackRingBridge(NativeRing.open(args.in_ring),
                             NativeRing.open(args.out_ring), name=args.name,
                             expect_block=args.expect_block,
+                            expect_rate=args.expect_rate,
                             connect_inputs=connect_in,
                             connect_outputs=connect_out)
     bridge.start()
