@@ -658,6 +658,88 @@ def run_offline_leg(args, deadline_ms):
     return leg
 
 
+def run_perblock_leg(args, deadline_ms):
+    """On-device PER-BLOCK latency distribution for the engine-true
+    steady step — the airtight basis for BASELINE.md's p99 < 5.8 ms gate.
+
+    The e2e wire p99 is honestly labeled a chunk-average: this rig
+    reaches the chip through a ~32 ms RTT tunnel, so any host-observed
+    per-block time measures the tunnel, not the chip (no deployment
+    topology has it). The device's own profiler timeline sidesteps the
+    host entirely: one XEvent with a picosecond duration per executable
+    execution, parsed schema-free (utils/xplane.py — no tensorflow in
+    this image). The matched event is discovered structurally (the event
+    occurring once per step with the largest total duration — the module
+    event covers every sub-op) and reported by name for honesty."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_audio.utils import xplane
+
+    engine, spectra, control, params, state = build(args)
+    steady = jax.jit(engine.step_coef_steady, donate_argnums=(0,))
+    rng = np.random.default_rng(13)
+    shape = (args.voices, 2, args.block)
+    pool = [jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 0.05)
+            for _ in range(4)]
+    make_block = lambda t: pool[t % len(pool)]
+
+    # compile + settle OUTSIDE the trace window
+    st = state if state is not None else engine.init_converged(spectra,
+                                                               params)
+    for t in range(4):
+        st, out = steady(st, spectra, params, make_block(t))
+    _ = np.asarray(out[..., :1])
+
+    n = max(int(args.engine_blocks), 16)
+    tdir = tempfile.mkdtemp(prefix="tpu_audio_xtrace_")
+    with jax.profiler.trace(tdir):
+        for t in range(n):
+            st, out = steady(st, spectra, params, make_block(t))
+        _ = np.asarray(out[..., :1])   # completion INSIDE the window
+
+    path = xplane.newest_trace(tdir)
+    if path is None:
+        return {"skipped": "profiler produced no trace on this backend"}
+    candidates = []   # (on_device, total_ms, plane, event, durs)
+    for plane, events in xplane.plane_events(path).items():
+        on_device = not any(s in plane.lower()
+                            for s in ("host", "task environment",
+                                      "metadata", "python", "thread"))
+        for ev_name, durs in events.items():
+            if abs(len(durs) - n) > max(2, n // 20):
+                continue   # not once-per-step
+            if not on_device and "Execute" not in ev_name:
+                continue   # host plane: only the executor event is a step
+            ms = [d / 1e9 for d in durs]
+            candidates.append((on_device, sum(ms), plane, ev_name, ms))
+    import shutil
+    shutil.rmtree(tdir, ignore_errors=True)
+    if not candidates:
+        return {"skipped": f"no once-per-step event in the trace "
+                           f"(n={n})"}
+    on_device, _tot, plane, ev_name, ms = max(
+        candidates, key=lambda c: (c[0], c[1]))
+    arr = np.asarray(ms)
+    leg = {"blocks": int(arr.size),
+           "p50_ms": round(float(np.percentile(arr, 50)), 3),
+           "p99_ms": round(float(np.percentile(arr, 99)), 3),
+           "max_ms": round(float(arr.max()), 3),
+           "rtf_p99": round(deadline_ms / float(np.percentile(arr, 99)), 3),
+           "event": ev_name,
+           "plane": plane,
+           "basis": ("on-device XLA trace, duration_ps per executable "
+                     "execution" if on_device else
+                     "host executor span per execution (no device plane "
+                     "in trace)")}
+    log(f"p99_block leg: {arr.size} blocks, p50 {leg['p50_ms']} / "
+        f"p99 {leg['p99_ms']} / max {leg['max_ms']} ms "
+        f"[{ev_name} @ {plane}]")
+    return leg
+
+
 def run_equiv_leg(args, deadline_ms):
     """On-chip ACCURACY leg: the time-parallel automated bounce vs the
     real streaming session performing the same MIDI timeline — the
@@ -1438,7 +1520,8 @@ def _leg_specs(args):
     runs last because its ~2 GB fully-resident bank upload is the one
     unboundedly weather-sensitive cost (it also self-skips on a measured
     bandwidth probe rather than wedging)."""
-    specs = [("offline", run_offline_leg, 100)]
+    specs = [("offline", run_offline_leg, 100),
+             ("p99_block", run_perblock_leg, 60)]
     if args.cascade_voices >= 512:
         # the single-chip voice-capacity point (real-time 2048v bf16,
         # read-side predelay); only meaningful at production scale —
@@ -1677,7 +1760,8 @@ _HEADLINE_KEYS = ("value", "vs_baseline", "wire", "e2e_f32_rtf",
 # 'equiv' is deliberately unguarded: it measures accuracy, not weather
 _LEG_FOM = {"ws": "steady_ms", "sel152": "steady_ms",
             "cascade_hv": "steady_ms", "cascade_2048": "steady_ms",
-            "mono_ref": "steady_ms", "offline": "wall_s"}
+            "mono_ref": "steady_ms", "offline": "wall_s",
+            "p99_block": "p99_ms"}
 # the tunnel's honest run-to-run weather band is ~1.5x; 1.8x has only
 # ever been crossed by congestion artifacts (ws 37.056 vs 1.144 ms,
 # sel152 5.146 vs 2.05 — both 2026-08-20 09:26)
@@ -1813,6 +1897,14 @@ def _finalize(args, rec: dict) -> int:
     _WATCHDOG_DONE = True
     if _WATCHDOG_TIMER is not None:
         _WATCHDOG_TIMER.cancel()
+    # hoist the per-block p99 leg into headline keys: BASELINE's p99 gate
+    # cites the PER-BLOCK on-device distribution, not the chunk-averaged
+    # wire statistic (which stays under p99_ms with its own basis label)
+    pb = (rec.get("legs") or {}).get("p99_block")
+    if isinstance(pb, dict) and isinstance(pb.get("p99_ms"), (int, float)):
+        rec["p99_per_block_ms"] = pb["p99_ms"]
+        rec["p99_per_block_basis"] = (f"{pb.get('basis')}; "
+                                      f"{pb.get('blocks')} chained steps")
     try:
         prior = _load_last_good(rec["metric"])
     except Exception:  # noqa: BLE001 - torn store must not kill the record

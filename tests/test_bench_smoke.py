@@ -98,6 +98,11 @@ def test_bench_extra_legs(capsys):
     assert rec["legs"]["offline"]["rtf"] > 0
     assert rec["legs"]["offline"]["wall_s"] > 0
     assert rec["legs"]["offline"]["track_s"] == 0.5
+    # per-block p99 from the profiler timeline (the airtight p99 basis);
+    # hoisted to the top-level key BASELINE's gate cites
+    assert rec["legs"]["p99_block"]["p99_ms"] > 0
+    assert rec["legs"]["p99_block"]["blocks"] >= 16
+    assert rec["p99_per_block_ms"] == rec["legs"]["p99_block"]["p99_ms"]
     # the accuracy leg: automated bounce == streamed session, per engine
     assert rec["legs"]["equiv"]["pass"] is True
     assert rec["legs"]["equiv"]["maxdiff"] < 1e-4
