@@ -1124,9 +1124,11 @@ def _main(argv=None) -> int:
                     help="comma list of engines the accuracy leg compares "
                          "(cascade's staggered tail is the path that "
                          "exposed the TPU default-precision bug)")
-    ap.add_argument("--leg-budget", type=float, default=400.0,
-                    help="skip extra legs once this many wall seconds have "
-                         "elapsed (the driver caps the whole run at 590 s)")
+    ap.add_argument("--leg-budget", type=float, default=480.0,
+                    help="stop starting extra legs once this many wall "
+                         "seconds have elapsed (the driver caps the whole "
+                         "run at 590 s; per-leg subprocess timeouts are "
+                         "already clamped to the watchdog remainder)")
     ap.add_argument("--engine", default="fmajor",
                     choices=["fmajor", "cascade"],
                     help="'cascade' = two-stage non-uniform partitioning "
@@ -1682,12 +1684,22 @@ def _orchestrate(args, base_argv) -> int:
                 else deadline - time.perf_counter())
 
     head, head_err = None, None
+    # the headline retry must not starve the legs: they are INDEPENDENT
+    # measurements (each in its own child), and on a day when the
+    # headline wedges twice (observed 2026-08-20: backend first-contact
+    # alone took 72 s) the legs are the only this-run evidence we get
+    legs_reserve = 170.0 if _want_legs(args) else 0.0
     for attempt in range(2):
         if remaining() < 75.0:
             head_err = head_err or "no budget left for the headline"
             break
         t = args.child_timeout or 320.0
         t = min(t, max(remaining() - 25.0, 50.0))
+        if attempt == 1:
+            t = min(t, max(remaining() - legs_reserve, 90.0))
+            if remaining() - t < legs_reserve and remaining() < 170.0:
+                head_err = head_err or "no budget left for a retry"
+                break
         rec, fail = _spawn_child("headline", base_argv, t)
         if rec and (rec.get("value") or 0) > 0 and not rec.get("partial"):
             head, head_err = rec, None
