@@ -1175,6 +1175,11 @@ def _main(argv=None) -> int:
     ap.add_argument("--only-legs", default=None,
                     help="comma list restricting which extra legs run "
                          "(targeted on-chip reruns, wedge tests)")
+    ap.add_argument("--no-headline", dest="headline", action="store_false",
+                    help="skip the headline measurement and run only the "
+                         "requested legs (targeted reruns; the record is "
+                         "marked partial and the store backfills the "
+                         "headline from the prior completed record)")
     ap.add_argument("--child-timeout", type=float, default=0.0,
                     help="force the per-child subprocess timeout in seconds "
                          "(0 = auto from per-leg wall estimates)")
@@ -1596,8 +1601,13 @@ def _run_inprocess(args) -> int:
     structure). No isolation: a wedged compile here is only bounded by
     the in-process watchdog."""
     _configure_xla_cache(args)
-    _maybe_wedge("headline")
-    rec = {"metric": _metric_name(args), **run_headline(args)}
+    if args.headline:
+        _maybe_wedge("headline")
+        rec = {"metric": _metric_name(args), **run_headline(args)}
+    else:
+        rec = {"metric": _metric_name(args), "value": 0.0,
+               "unit": "x_realtime", "vs_baseline": 0.0, "partial": True,
+               "error": "headline skipped (--no-headline targeted run)"}
     legs, legs_skipped = ({}, None)
     if _want_legs(args):
         legs, legs_skipped = _run_legs_inprocess(args)
@@ -1689,7 +1699,7 @@ def _orchestrate(args, base_argv) -> int:
     # headline wedges twice (observed 2026-08-20: backend first-contact
     # alone took 72 s) the legs are the only this-run evidence we get
     legs_reserve = 170.0 if _want_legs(args) else 0.0
-    for attempt in range(2):
+    for attempt in range(2 if args.headline else 0):
         if remaining() < 75.0:
             head_err = head_err or "no budget left for the headline"
             break
@@ -1754,7 +1764,10 @@ def _orchestrate(args, base_argv) -> int:
                 out[k] = head[k]
         out["value"] = head.get("value") or 0.0
         out["vs_baseline"] = out["value"]
-    if head_err:
+    if not args.headline:
+        out["partial"] = True
+        out["error"] = "headline skipped (--no-headline targeted run)"
+    elif head_err:
         out["partial"] = True
         out["error"] = f"headline: {head_err}"[:300]
     out["legs"] = legs or None
