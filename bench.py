@@ -1548,6 +1548,34 @@ def _leg_specs(args):
     return specs
 
 
+def _leg_groups(specs):
+    """Child-process grouping: every child pays ~20-40 s of backend init
+    + first tunnel transfer, so the cheap plain-jit legs share children
+    (two groups, streamed as JSONL so a wedge mid-group still delivers
+    the completed legs) while the flagship capacity legs stay ISOLATED —
+    a fresh device session per leg is what removes the cross-leg HBM
+    placement residuals that inflated their readings ~25% (VERDICT r03).
+    A leg that fails inside a group gets one solo retry."""
+    by_name = {s[0]: s for s in specs}
+    groups = []
+    g1 = [by_name[n] for n in ("offline", "p99_block", "mono_ref")
+          if n in by_name]
+    if g1:
+        groups.append(g1)
+    if "cascade_2048" in by_name:
+        groups.append([by_name["cascade_2048"]])
+    g2 = [by_name[n] for n in ("ws", "equiv") if n in by_name]
+    if g2:
+        groups.append(g2)
+    for n in ("cascade_hv", "sel152"):
+        if n in by_name:
+            groups.append([by_name[n]])
+    # anything ungrouped (future legs) runs solo, in spec order
+    placed = {s[0] for g in groups for s in g}
+    groups += [[s] for s in specs if s[0] not in placed]
+    return groups
+
+
 def _maybe_wedge(stage: str) -> None:
     """Test hook: TPU_AUDIO_BENCH_WEDGE='<stage>[:seconds]' simulates a
     wedged remote compile at the named stage (the known failure mode that
@@ -1579,21 +1607,30 @@ def _run_child(args) -> int:
         return 0
     dl_ms = args.block / args.sample_rate * 1e3
     fns = {name: fn for name, fn, _est in _leg_specs(args)}
-    if args.child not in fns:
-        print(json.dumps({"leg": args.child,
-                          "error": f"unknown leg {args.child!r}"}),
-              flush=True)
-        return 2
-    try:
-        result = fns[args.child](args, dl_ms)
-    except Exception as exc:  # noqa: BLE001 - a failed leg is a clean row
-        log(f"{args.child} leg FAILED: {exc!r}")
-        result = {"error": repr(exc)[:200]}
+    names = [n.strip() for n in args.child.split(",") if n.strip()]
+    rc = 0
+    # one JSONL line per completed leg, flushed immediately: a wedge on
+    # leg 3 of a grouped child still delivers legs 1-2 to the orchestrator
+    import gc
+    for name in names:
+        if name not in fns:
+            print(json.dumps({"leg": name,
+                              "error": f"unknown leg {name!r}"}),
+                  flush=True)
+            rc = 2
+            continue
+        try:
+            _maybe_wedge(name)
+            result = fns[name](args, dl_ms)
+        except Exception as exc:  # noqa: BLE001 - a failed leg is a clean row
+            log(f"{name} leg FAILED: {exc!r}")
+            result = {"error": repr(exc)[:200]}
+        print(json.dumps({"leg": name, "result": result}), flush=True)
+        gc.collect()
     _WATCHDOG_DONE = True
     if _WATCHDOG_TIMER is not None:
         _WATCHDOG_TIMER.cancel()
-    print(json.dumps({"leg": args.child, "result": result}), flush=True)
-    return 0
+    return rc
 
 
 def _run_inprocess(args) -> int:
@@ -1650,33 +1687,40 @@ def _run_legs_inprocess(args):
 
 
 def _spawn_child(name: str, base_argv, timeout: float):
-    """Run one measurement unit in a killable child process. Returns
-    (parsed JSON dict or None, failure reason or None). The child gets
-    its own in-process watchdog a little inside our hard timeout so it
-    can emit a partial line; if even that is wedged (a blocked C call),
-    subprocess.run kills the process group at timeout."""
+    """Run one measurement unit (or a comma-grouped list of legs) in a
+    killable child process. Returns (list of parsed JSON lines, failure
+    reason or None). The child streams one JSONL line per completed leg
+    and gets its own in-process watchdog a little inside our hard timeout
+    so it can emit a partial line; if even that is wedged (a blocked C
+    call), subprocess.run kills it at timeout — lines already printed
+    survive in the captured pipe."""
     import subprocess
     cmd = [sys.executable, os.path.abspath(__file__), *base_argv,
            "--child", name, "--isolate", "none", "--no-backend-probe",
            "--record-dir", "", "--watchdog",
            f"{max(timeout - 8.0, 15.0):.0f}"]
     log(f"child[{name}]: start (timeout {timeout:.0f}s)")
+    fail = None
     try:
         r = subprocess.run(cmd, stdout=subprocess.PIPE,
                            timeout=timeout + 15.0)
-    except subprocess.TimeoutExpired:
+        out, rc = r.stdout, r.returncode
+    except subprocess.TimeoutExpired as exc:
         log(f"child[{name}]: KILLED at t+{timeout + 15:.0f}s (wedged "
             f"compile is the known cause)")
-        return None, f"killed at {timeout + 15:.0f}s (wedged)"
-    for line in reversed((r.stdout or b"").decode(errors="replace")
-                         .strip().splitlines()):
+        fail = f"killed at {timeout + 15:.0f}s (wedged)"
+        out, rc = exc.stdout, None
+    rows = []
+    for line in (out or b"").decode(errors="replace").strip().splitlines():
         line = line.strip()
         if line.startswith("{"):
             try:
-                return json.loads(line), None
+                rows.append(json.loads(line))
             except ValueError:
                 continue
-    return None, f"no JSON from child (rc={r.returncode})"
+    if not rows and fail is None:
+        fail = f"no JSON from child (rc={rc})"
+    return rows, fail
 
 
 def _orchestrate(args, base_argv) -> int:
@@ -1710,7 +1754,8 @@ def _orchestrate(args, base_argv) -> int:
             if remaining() - t < legs_reserve and remaining() < 170.0:
                 head_err = head_err or "no budget left for a retry"
                 break
-        rec, fail = _spawn_child("headline", base_argv, t)
+        rows, fail = _spawn_child("headline", base_argv, t)
+        rec = next((r for r in rows if "value" in r), None)
         if rec and (rec.get("value") or 0) > 0 and not rec.get("partial"):
             head, head_err = rec, None
             break
@@ -1723,35 +1768,55 @@ def _orchestrate(args, base_argv) -> int:
         PARTIAL.update({k: head[k] for k in _HEADLINE_KEYS if k in head})
 
     legs, skipped = {}, []
+    retry_queue = []                  # (spec, reason) for a 2nd solo try
     if _want_legs(args):
-        for name, _fn, est_s in _leg_specs(args):
+        for group in _leg_groups(_leg_specs(args)):
+            names = [s[0] for s in group]
             elapsed = time.perf_counter() - _T0
             if elapsed > args.leg_budget:
-                skipped.append(f"{name}+ skipped at t+{elapsed:.0f}s "
+                skipped.append(f"{'+'.join(names)}+ skipped at "
+                               f"t+{elapsed:.0f}s "
                                f"(budget {args.leg_budget:.0f}s)")
                 log(skipped[-1])
                 break
-            if remaining() < est_s + 30.0:
-                skipped.append(f"{name} skipped at t+{elapsed:.0f}s "
-                               f"(needs ~{est_s}s, watchdog at "
-                               f"{args.watchdog:.0f}s)")
+            est_sum = sum(s[2] for s in group)
+            if remaining() < min(s[2] for s in group) + 30.0:
+                skipped.append(f"{'+'.join(names)} skipped at "
+                               f"t+{elapsed:.0f}s (needs ~{est_sum}s, "
+                               f"watchdog at {args.watchdog:.0f}s)")
                 log(skipped[-1])
                 continue
-            for attempt in range(2):
-                t = args.child_timeout or (est_s * 2.0 + 60.0)
-                t = min(t, max(remaining() - 20.0, 45.0))
-                rec, fail = _spawn_child(name, base_argv, t)
-                if rec and "result" in rec:
-                    legs[name] = rec["result"]
-                    break
-                reason = fail or (rec or {}).get("error") or "no result"
-                if attempt == 0 and remaining() > est_s + 45.0:
-                    log(f"child[{name}] failed ({reason}); retrying once")
-                    continue
-                legs[name] = {"error":
-                              f"child failed (x{attempt + 1}): {reason}"[:200]}
-                break
+            t = args.child_timeout or (est_sum * 1.8 + 60.0)
+            t = min(t, max(remaining() - 20.0, 45.0))
+            rows, fail = _spawn_child(",".join(names), base_argv, t)
+            got = {r["leg"]: r["result"] for r in rows
+                   if "leg" in r and "result" in r}
+            legs.update(got)
+            for spec in group:
+                if spec[0] not in got:
+                    retry_queue.append(
+                        (spec, fail or "no result from group child"))
             PARTIAL["legs"] = dict(legs)  # crash-safe progress (backstop)
+        # solo retries AFTER every group had its first attempt: budget
+        # goes to first-attempt coverage before second chances
+        for (name, _fn, est_s), why in retry_queue:
+            if remaining() < est_s + 30.0:
+                legs[name] = {"error": f"child failed (x1): {why}; "
+                                       f"no budget to retry"[:200]}
+                continue
+            t = args.child_timeout or (est_s * 2.0 + 60.0)
+            t = min(t, max(remaining() - 20.0, 45.0))
+            log(f"child[{name}] first attempt failed ({why}); "
+                f"retrying solo")
+            rows, fail = _spawn_child(name, base_argv, t)
+            got = {r["leg"]: r["result"] for r in rows
+                   if "leg" in r and "result" in r}
+            if name in got:
+                legs[name] = got[name]
+            else:
+                legs[name] = {"error": f"child failed (x2): "
+                                       f"{fail or why}"[:200]}
+            PARTIAL["legs"] = dict(legs)
     for name, row in legs.items():
         if isinstance(row, dict) and "skipped" in row:
             skipped.append(f"{name} self-skipped: {row['skipped']}")
