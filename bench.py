@@ -798,6 +798,13 @@ def run_equiv_leg(args, deadline_ms):
             return m
 
         model = fresh()
+        # initial params govern the pre-first-event prefix the golden
+        # sub-check below compares; the MIDI events then mutate the
+        # control plane during the run
+        init_sel = int(model.control.select[0, 0])
+        init_pd = int(model.control.predelay[0, 0])
+        init_wet = float(model.control.wet[0, 0])
+        init_dry = float(model.control.dry[0, 0])
         total = blocks + model.engine.history_blocks
         xpad = np.zeros((2, total * args.block), np.float32)
         xpad[:, :n] = x
@@ -820,6 +827,46 @@ def run_equiv_leg(args, deadline_ms):
             f"{'PASS' if maxdiff < 1e-4 and peak > 1e-3 else 'FAIL'} "
             f"vs 1e-4")
 
+        if engine_name == names[0]:
+            # GOLDEN sub-check (BASELINE.md correctness row, measured in
+            # the driver's own artifact): the streamed ON-CHIP output's
+            # converged prefix (strictly before the first MIDI event)
+            # vs scipy.fftconvolve in float64 — out[o] = clip(wet *
+            # sum_i x_i (*) ir_sel(i)[o], -1, 1) + dry * (x_L + x_R)
+            # with centered pans: the dry tap rides the same summed
+            # input feed as the FFT (reference conv.cu:386-401 mix +
+            # addDryInterleaved semantics; verified by least-squares
+            # component fit against the streamed engine)
+            try:
+                from scipy.signal import fftconvolve
+
+                n_pre = max(events[0][0] - 1, 1) * args.block
+                n_pre = min(n_pre, nn)
+                ir0 = bank.ir(init_sel)
+                pd, wet, dry = init_pd, init_wet, init_dry
+                gmd = 0.0
+                for o in range(2):
+                    conv = (fftconvolve(x[0].astype(np.float64),
+                                        ir0[o].astype(np.float64))
+                            + fftconvolve(x[1].astype(np.float64),
+                                          ir0[o].astype(np.float64)))
+                    want = np.zeros(n_pre)
+                    want[pd:] = conv[:n_pre - pd] if pd else conv[:n_pre]
+                    want = (np.clip(wet * want, -1, 1)
+                            + dry * (x[0, :n_pre].astype(np.float64)
+                                     + x[1, :n_pre].astype(np.float64)))
+                    gmd = max(gmd, float(
+                        np.abs(ref[0, o, :n_pre] - want).max()))
+                engines[engine_name]["golden"] = {
+                    "maxdiff": gmd, "samples": int(n_pre),
+                    "pass": bool(gmd < 2e-3)}
+                log(f"equiv leg [{engine_name}]: GOLDEN streamed prefix "
+                    f"vs scipy float64 maxdiff {gmd:.2e} over {n_pre} "
+                    f"samples — {'PASS' if gmd < 2e-3 else 'FAIL'} vs 2e-3")
+            except Exception as exc:  # noqa: BLE001 - golden is an extra
+                engines[engine_name]["golden"] = {"error": repr(exc)[:120]}
+                log(f"equiv golden sub-check unavailable: {exc!r}")
+
     measured = [e for e in engines.values() if "maxdiff" in e]
     leg = {"voices": voices, "track_s": track_s,
            "events": len(events), "engines": engines,
@@ -827,7 +874,9 @@ def run_equiv_leg(args, deadline_ms):
            "maxdiff": max((e["maxdiff"] for e in measured), default=None),
            "peak": min((e["peak"] for e in measured), default=None),
            "pass": bool(measured) and all(
-               e["maxdiff"] < 1e-4 and e["peak"] > 1e-3 for e in measured)}
+               e["maxdiff"] < 1e-4 and e["peak"] > 1e-3
+               and e.get("golden", {}).get("pass", True)
+               for e in measured)}
     return leg
 
 

@@ -103,8 +103,11 @@ def test_bench_extra_legs(capsys):
     assert rec["legs"]["p99_block"]["p99_ms"] > 0
     assert rec["legs"]["p99_block"]["blocks"] >= 16
     assert rec["p99_per_block_ms"] == rec["legs"]["p99_block"]["p99_ms"]
-    # the accuracy leg: automated bounce == streamed session, per engine
+    # the accuracy leg: automated bounce == streamed session, per engine,
+    # plus the scipy-float64 golden sub-check on the streamed prefix
     assert rec["legs"]["equiv"]["pass"] is True
+    golden = rec["legs"]["equiv"]["engines"]["fmajor"]["golden"]
+    assert golden["pass"] is True and golden["maxdiff"] < 2e-3
     assert rec["legs"]["equiv"]["maxdiff"] < 1e-4
     assert rec["legs"]["equiv"]["peak"] > 1e-3
     for eng in ("fmajor", "cascade"):
