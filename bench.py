@@ -626,16 +626,17 @@ def run_offline_leg(args, deadline_ms):
     # 120 s bounce; the upload is the warm bounce's critical path)
     x = np.round(x * 65536.0).clip(-32768, 32767).astype(
         np.float32) / np.float32(65536.0)
-    # rep 1 always rides the f32 wire: it pays the compile AND verifies
-    # finiteness of the RAW engine output — the pcm16 encoder clips and
-    # casts NaN/Inf into ordinary int16 values, so an isfinite() check
-    # after a pcm16 fetch can never fail (a poisoned session would
-    # otherwise record a plausible-looking RTF)
+    # Every rep rides the production wire: the renderer's in-graph
+    # finiteness accumulator (offline._collect) verifies the RAW engine
+    # output on-device — the pcm16 encoder clips NaN/Inf into ordinary
+    # int16 values, so a wire-side check could never fail, and the old
+    # separate f32 verification rep cost a FULL extra executable set on
+    # the cold-compile path (part of the 32 s cold first_wall, VERDICT
+    # r03 #5). Rep 1 now pays only the production executables.
     t0 = time.perf_counter()
-    out = render_offline(model, x, wire="f32")
+    out = render_offline(model, x, wire=args.offline_wire,
+                         input_wire="auto")
     first_wall = time.perf_counter() - t0
-    if not np.isfinite(out).all():
-        raise RuntimeError("offline bounce produced non-finite output")
     walls = []
     for _ in range(2):
         t0 = time.perf_counter()
@@ -649,12 +650,12 @@ def run_offline_leg(args, deadline_ms):
            "first_wall_s": round(first_wall, 3),
            "wire": args.offline_wire,
            "input_wire": "auto",
-           "verified_wire": "f32",
+           "verified_wire": "in-graph (isfinite accumulator on raw y)",
            "out_bytes": int(out.nbytes)}
     log(f"offline leg: {args.offline_seconds:g} s track bounced in "
-        f"{wall:.3f} s (RTF {leg['rtf']}, {args.offline_wire} wire; f32 "
-        f"verify rep incl. compile {first_wall:.1f} s; reference bounces "
-        f"at 1.0)")
+        f"{wall:.3f} s (RTF {leg['rtf']}, {args.offline_wire} wire, "
+        f"in-graph verified; first rep incl. compile {first_wall:.1f} s; "
+        f"reference bounces at 1.0)")
     return leg
 
 

@@ -344,6 +344,23 @@ def test_offline_auto_segments_and_mono():
     np.testing.assert_allclose(out, ref, atol=3e-5)
 
 
+def test_offline_nonfinite_output_raises_on_every_wire():
+    """The in-graph finiteness accumulator (offline._collect) must catch
+    non-finite engine output on the pcm16 wire too — the encoder clips
+    NaN into ordinary int16 values, so no wire-side check could."""
+    import pytest
+
+    model = build_model(num_voices=1)
+    x = program(10 * 32)
+    x[0, 40] = np.nan
+    for wire in ("f32", "pcm16"):
+        with pytest.raises(RuntimeError, match="non-finite"):
+            render_offline(model, x, segments=2, wire=wire)
+    # and a clean input still renders on both wires
+    out = render_offline(model, program(10 * 32), segments=2, wire="pcm16")
+    assert np.isfinite(out).all()
+
+
 def test_offline_no_tail_returns_input_length():
     model = build_model(num_voices=1)
     x = program(10 * 32 + 5)

@@ -330,7 +330,7 @@ def render_offline(model, samples, *, segments: int | None = None,
                   if getattr(seng, "variant", None) == "coef" else seng.step)
 
         def step(carry, xb_a, bank_a, vp_a):
-            st, i = carry
+            st, i, ok = carry
             idx = starts + i - warmup                   # [nseg]
             xi = dec(jnp.take(xb_a, jnp.clip(idx, 0, nt - 1), axis=0))
             if per_voice:                               # [nseg, V, 2, B]
@@ -340,17 +340,22 @@ def render_offline(model, samples, *, segments: int | None = None,
                 xi = jnp.where((idx >= 0)[:, None, None], xi, 0.0)
                 xi = jnp.tile(xi, (v, 1, 1))            # [V*nseg, 2, B]
             st, y = steady(st, bank_a, vp_a, xi)
+            # in-graph honesty accumulator on the RAW output (the pcm16
+            # encoder clips NaN/Inf into ordinary int16 values, so a
+            # wire-side check could never fail): rides the donated carry
+            # at scalar cost and makes every wire self-verifying
+            ok = ok & jnp.all(jnp.isfinite(y))
             if wire == "pcm16":
                 y = encode_pcm16(y)
-            return (st, i + 1), y
+            return (st, i + 1, ok), y
 
         if shardings is None:
             return jax.jit(step, donate_argnums=0)
         state_sh, bank_sh, params_sh, x_sh, repl = shardings
         return jax.jit(step, donate_argnums=0,
-                       in_shardings=((state_sh, repl), repl, bank_sh,
+                       in_shardings=((state_sh, repl, repl), repl, bank_sh,
                                      params_sh),
-                       out_shardings=((state_sh, repl), x_sh))
+                       out_shardings=((state_sh, repl, repl), x_sh))
 
     step = _cached_fn(seng, ("static", per_voice, nseg, seg_len, warmup,
                              nt, mesh, wkey), build_step)
@@ -830,7 +835,7 @@ def _render_automated(model, samples, schedule, *, segments,
     def build_step():
         def step(carry, xb_a, bank_a, tbl_a, off_a):
             rtbl, rstart, rof, evc, evo, evof = tbl_a
-            st, i = carry
+            st, i, ok = carry
             idx = starts + i - warmup                      # [nseg], local
             idxc = jnp.clip(idx, 0, tpad - 1)
             live_in = idx >= 0                  # input exists in THIS tensor
@@ -885,18 +890,21 @@ def _render_automated(model, samples, schedule, *, segments,
                 extra = (params,) if takes_params else ()
                 st = seng.collapse_pure(st, old, chg, *extra)
                 st, y = seng.step_coef_indexed(st, bank_a, params, xi)
+            # in-graph honesty accumulator on the RAW output (see the
+            # static path's note: pcm16 clips NaN into valid samples)
+            ok = ok & jnp.all(jnp.isfinite(y))
             if wire == "pcm16":
                 y = encode_pcm16(y)
-            return (st, i + 1), y
+            return (st, i + 1, ok), y
 
         if shardings is None:
             return jax.jit(step, donate_argnums=0)
         state_sh, bank_sh, _p, x_sh, repl = shardings
         tbl_sh = jax.tree.map(lambda _: repl, tables)
         return jax.jit(step, donate_argnums=0,
-                       in_shardings=((state_sh, repl), repl, bank_sh,
+                       in_shardings=((state_sh, repl, repl), repl, bank_sh,
                                      tbl_sh, repl),
-                       out_shardings=((state_sh, repl), x_sh))
+                       out_shardings=((state_sh, repl, repl), x_sh))
 
     step = _cached_fn(seng, ("auto", selected, takes_params, per_voice,
                              nseg, seg_len, warmup, tpad, tpadg, mesh,
@@ -1050,8 +1058,14 @@ def _collect(step, state, warmup: int, seg_len: int,
     arrays cost ~15 ms/step amortized; even a jitted stack paid ~2.6).
     `consts` are the step's loop-invariant device arguments (input
     tensor, bank, params — explicit jit args so they never inline into
-    the lowered HLO as constants)."""
-    carry = (state, jnp.zeros((), jnp.int32))
+    the lowered HLO as constants).
+
+    The carry's third element is the in-graph finiteness accumulator
+    (every step ANDs `isfinite(raw y).all()` into it before any wire
+    encode); non-finite output raises here, so EVERY wire — pcm16
+    included, whose encoder clips NaN into valid samples — is
+    self-verifying and no separate f32 verification pass is needed."""
+    carry = (state, jnp.zeros((), jnp.int32), jnp.asarray(True))
     for _ in range(warmup):
         carry, _ = step(carry, *consts)
     ys = []
@@ -1062,4 +1076,9 @@ def _collect(step, state, warmup: int, seg_len: int,
         except Exception:
             pass
         ys.append(y)
-    return np.stack([np.asarray(y) for y in ys])
+    out = np.stack([np.asarray(y) for y in ys])
+    if not bool(np.asarray(carry[2])):
+        raise RuntimeError(
+            "offline bounce produced non-finite output (in-graph "
+            "isfinite accumulator on the raw engine output)")
+    return out
