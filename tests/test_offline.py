@@ -361,6 +361,19 @@ def test_offline_nonfinite_output_raises_on_every_wire():
     assert np.isfinite(out).all()
 
 
+def test_offline_background_precompile_opt_in(monkeypatch):
+    """TPU_AUDIO_OFFLINE_PRECOMPILE=1 AOT-compiles the step from a worker
+    thread (cold-start overlap); the rendered output must be identical
+    and the thread must never fail the bounce."""
+    model = build_model(num_voices=1)
+    x = program(10 * 32)
+    base = render_offline(model, x, segments=2)
+    monkeypatch.setenv("TPU_AUDIO_OFFLINE_PRECOMPILE", "1")
+    model2 = build_model(num_voices=1)
+    out = render_offline(model2, x, segments=2)
+    np.testing.assert_array_equal(out, base)
+
+
 def test_offline_no_tail_returns_input_length():
     model = build_model(num_voices=1)
     x = program(10 * 32 + 5)

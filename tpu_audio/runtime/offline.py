@@ -56,6 +56,8 @@ faults are sequential-control-flow by nature) and a single device.
 from __future__ import annotations
 
 import math
+import os
+import time
 from dataclasses import replace
 from functools import partial
 
@@ -294,23 +296,10 @@ def render_offline(model, samples, *, segments: int | None = None,
     host = model.control.snapshot()
     vparams = jax.tree.map(
         lambda a: jnp.asarray(np.repeat(np.asarray(a), nseg, axis=0)), host)
-    state = seng.init_converged(bank, vparams)
-    if shardings is not None:
-        state_sh, bank_sh, params_sh, x_sh, repl = shardings
-        state = jax.device_put(state, state_sh)
-        bank = jax.device_put(bank, bank_sh)
-        vparams = jax.device_put(vparams, params_sh)
 
     nt = xb.shape[0]
     # voice-major virtual packing: virtual voice v*nseg + s
     voice_of = np.repeat(np.arange(v, dtype=np.int32), nseg)
-
-    if fast:
-        t0 = jnp.asarray(np.tile(
-            np.arange(nseg, dtype=np.int32) * seg_len - warmup, v))
-        state = _prime_fast(seng, state, xb_dev, t0, nt,
-                            jnp.asarray(voice_of) if per_voice else None,
-                            shardings, dec=dec, dec_key=wkey[1:])
 
     # the step index rides the donated carry as a DEVICE scalar: a per-step
     # host `jnp.int32(i)` upload serializes dispatches on high-RTT
@@ -359,6 +348,23 @@ def render_offline(model, samples, *, segments: int | None = None,
 
     step = _cached_fn(seng, ("static", per_voice, nseg, seg_len, warmup,
                              nt, mesh, wkey), build_step)
+    # cold-start overlap (opt-in): compile the big step executable from a
+    # worker thread while init_converged / prime compile and run below
+    _precompile_async(step, seng, bank, vparams, xb_dev)
+
+    state = seng.init_converged(bank, vparams)
+    if shardings is not None:
+        state_sh, bank_sh, params_sh, x_sh, repl = shardings
+        state = jax.device_put(state, state_sh)
+        bank = jax.device_put(bank, bank_sh)
+        vparams = jax.device_put(vparams, params_sh)
+
+    if fast:
+        t0 = jnp.asarray(np.tile(
+            np.arange(nseg, dtype=np.int32) * seg_len - warmup, v))
+        state = _prime_fast(seng, state, xb_dev, t0, nt,
+                            jnp.asarray(voice_of) if per_voice else None,
+                            shardings, dec=dec, dec_key=wkey[1:])
 
     Log.info("offline", "bounce: %d blocks as %d segment(s) x %d + %d "
              "warm-up steps (%d virtual voices)",
@@ -1044,6 +1050,47 @@ def _prime_fast(seng, state, xb_dev, t0, nt: int, voice_of=None,
     prime = _cached_fn(
         seng, ("prime", nt, voice_of is not None, mesh_key, dec_key), build)
     return prime(state, xb_dev, spec, t0, voice_of)
+
+
+def _precompile_async(step, seng, bank, vparams, xb_dev) -> None:
+    """Cold-start lever (opt-in: TPU_AUDIO_OFFLINE_PRECOMPILE=1): lower +
+    compile the bounce's step executable — the largest compile on the
+    cold path — from a worker thread while the main thread compiles and
+    runs init_converged / prime. XLA releases the GIL during compiles, so
+    on a backend whose compile service accepts concurrent requests
+    (measure with examples/probe_compile_parallel.py) the serial cold
+    chain init+prime+step collapses toward max() of the pieces. With the
+    persistent compile cache configured, the main thread's own later
+    compile of the identical program loads from disk even though AOT
+    .compile() does not populate the jit wrapper's dispatch cache.
+    Shape/dtype-only: the thread never touches device data."""
+    if os.environ.get("TPU_AUDIO_OFFLINE_PRECOMPILE") != "1":
+        return
+    import threading
+
+    def sds(tree):
+        return jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), tree)
+
+    try:
+        state_aval = jax.eval_shape(seng.init_converged, bank, vparams)
+    except Exception as exc:  # noqa: BLE001 - best-effort optimization
+        Log.debug("offline", "precompile skipped: %r", exc)
+        return
+    carry = (state_aval, jax.ShapeDtypeStruct((), jnp.int32),
+             jax.ShapeDtypeStruct((), jnp.bool_))
+    args = (carry, sds(xb_dev), sds(bank), sds(vparams))
+
+    def work():
+        try:
+            t0 = time.perf_counter()
+            step.lower(*args).compile()
+            Log.info("offline", "background step precompile done in %.1fs",
+                     time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 - never fail the bounce
+            Log.debug("offline", "background precompile failed: %r", exc)
+
+    threading.Thread(target=work, daemon=True).start()
 
 
 def _collect(step, state, warmup: int, seg_len: int,
