@@ -1608,7 +1608,10 @@ def _leg_groups(specs):
     A leg that fails inside a group gets one solo retry."""
     by_name = {s[0]: s for s in specs}
     groups = []
-    g1 = [by_name[n] for n in ("offline", "p99_block", "mono_ref")
+    # p99_block first within its child: it is the deadline-gate metric,
+    # and the offline bounce's transient 323-voice working set would
+    # otherwise leave HBM residuals under it
+    g1 = [by_name[n] for n in ("p99_block", "offline", "mono_ref")
           if n in by_name]
     if g1:
         groups.append(g1)
