@@ -57,6 +57,30 @@ def test_tools_inspect_checkpoint(tmp_path, capsys):
     assert "state_0" in out
 
 
+def test_tools_profile_trace(tmp_path, capsys):
+    """`tools profile` summarises a jax.profiler trace via the
+    schema-free xplane reader — top events with counts and percentiles."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(x):
+        return x @ x + 1.0
+
+    x = jnp.ones((64, 64))
+    np.asarray(f(x))
+    with jax.profiler.trace(str(tmp_path)):
+        for _ in range(5):
+            x = f(x)
+        np.asarray(x)
+    assert tools_main(["profile", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert "plane" in out and "total_ms" in out
+    assert "Execute" in out or "PjitFunction" in out
+    # a missing trace errors cleanly
+    assert tools_main(["profile", str(tmp_path / "nope")]) == 2
+
+
 def test_midi_fifo_transport(tmp_path):
     """Live MIDI over a FIFO reaches the control plane mid-stream."""
     from tpu_audio.runtime.midi_transport import MidiByteStream

@@ -7,6 +7,7 @@ scripts/makeindex.sh, and the operational gaps SURVEY.md §5 lists):
     python -m tpu_audio.app.tools prebuild-cache <index> --block 256 --cache-dir .cache
     python -m tpu_audio.app.tools inspect-checkpoint <ckpt.npz>
     python -m tpu_audio.app.tools bank-info <index>
+    python -m tpu_audio.app.tools profile <trace-dir-or-xplane.pb>
 
 (The reference's clock-governor scripts floorit/jfloorit have no TPU
 equivalent — chip clocks are platform-managed.)
@@ -69,6 +70,44 @@ def cmd_bank_info(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Summarise a jax.profiler trace (capture one around any session or
+    bounce with ``with jax.profiler.trace(dir): ...``): per plane, the
+    top events by total device time with count and p50/p99 per-execution
+    durations. Uses the schema-free xplane reader (utils/xplane.py) — no
+    tensorflow/tensorboard needed on this image."""
+    import os
+
+    from tpu_audio.utils import xplane
+
+    path = args.trace
+    if os.path.isdir(path):
+        path = xplane.newest_trace(path)
+    if path is None or not os.path.exists(path):
+        Log.error("tools", "no .xplane.pb at/under %s", args.trace)
+        return 2
+    print(f"trace: {path}")
+    for plane, events in xplane.plane_events(path).items():
+        rows = []
+        for name, durs in events.items():
+            if not durs:
+                continue
+            ms = np.asarray(durs, np.float64) / 1e9
+            rows.append((float(ms.sum()), len(ms),
+                         float(np.percentile(ms, 50)),
+                         float(np.percentile(ms, 99)), name))
+        if not rows:
+            continue
+        rows.sort(reverse=True)
+        print(f"\nplane {plane!r}: {len(rows)} event kinds")
+        print(f"  {'total_ms':>10}  {'count':>7}  {'p50_ms':>8}  "
+              f"{'p99_ms':>8}  event")
+        for tot, cnt, p50, p99, name in rows[:args.top]:
+            print(f"  {tot:10.3f}  {cnt:7d}  {p50:8.4f}  {p99:8.4f}  "
+                  f"{name[:80]}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="tpu_audio.tools")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -94,6 +133,14 @@ def main(argv=None) -> int:
     bi.add_argument("index")
     bi.add_argument("--block", type=int, default=256)
     bi.set_defaults(fn=cmd_bank_info)
+
+    pr = sub.add_parser("profile",
+                        help="summarise a jax.profiler trace "
+                             "(top device events, counts, p50/p99)")
+    pr.add_argument("trace", help="trace dir or .xplane.pb file")
+    pr.add_argument("--top", type=int, default=12,
+                    help="events shown per plane")
+    pr.set_defaults(fn=cmd_profile)
 
     args = p.parse_args(argv)
     return args.fn(args)
