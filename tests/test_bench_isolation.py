@@ -45,6 +45,23 @@ def test_subprocess_headline_completes(capsys, tmp_path):
     assert rec["p99_ms"] > 0
 
 
+def test_orchestrator_writes_merged_store(capsys, tmp_path):
+    """A completed orchestrated run persists the merged best-known-
+    evidence record to the record dir (same contract as in-process)."""
+    import json as _json
+
+    bench = _bench()
+    # appended flags win in argparse: BASE's --record-dir '' is overridden
+    assert bench.main([*BASE, "--record-dir", str(tmp_path / "rec"),
+                       "--legs", "none",
+                       "--pack-cache", str(tmp_path / "cache")]) == 0
+    rec = _last_json(capsys)
+    stored = _json.loads(
+        (tmp_path / "rec" / f"last_good_{rec['metric']}.json").read_text())
+    assert stored["value"] == rec["value"]
+    assert "measured_at" in stored
+
+
 def test_wedged_leg_cannot_zero_the_run(capsys, tmp_path, monkeypatch):
     """The offline leg wedges hard on BOTH attempts (watchdog suppressed —
     a blocked C call): the orchestrator kills it twice, records the
