@@ -350,7 +350,7 @@ def render_offline(model, samples, *, segments: int | None = None,
                              nt, mesh, wkey), build_step)
     # cold-start overlap (opt-in): compile the big step executable from a
     # worker thread while init_converged / prime compile and run below
-    _precompile_async(step, seng, bank, vparams, xb_dev)
+    _precompile_async(step, seng, bank, vparams, xb_dev, bank, vparams)
 
     state = seng.init_converged(bank, vparams)
     if shardings is not None:
@@ -774,41 +774,9 @@ def _render_automated(model, samples, schedule, *, segments,
         lambda t: jnp.asarray(np.tile(
             np.asarray(t), (nseg,) + (1,) * (np.asarray(t).ndim - 1))),
         host0)
-    state = seng.init_converged(bank, p0)
-    snaps = [sim.snaps[max(s * seg_len - warmup + abs_base, 0)]
-             for s in range(nseg)]
-    g0 = vm(np.stack([s[2] for s in snaps]))
-    state = replace(
-        state,
-        coef_a=jnp.asarray(vm(np.stack([s[0] for s in snaps]))),
-        coef_c=jnp.asarray(vm(np.stack([s[1] for s in snaps]))))
-    if selected:
-        # the 'selected' strategy reads MATERIALIZED per-voice tensors:
-        # the snapshot is still an affine span of the bank (the stream's
-        # collapse is base := a*base + c*bank[old], the same recursion the
-        # host g tracks), so expand g once at init and gather the
-        # pre-event selection
-        sel0 = jnp.asarray(vm(np.stack([s[3] for s in snaps])))
-        selinit = _cached_fn(seng, ("selinit", state.base.dtype),
-                             lambda: jax.jit(lambda bk, gg, ss: (
-                                 seng._span_expand(bk, gg)
-                                 .astype(state.base.dtype),
-                                 seng._gather_selection(bk, ss))))
-        base0, selsp = selinit(bank, jnp.asarray(g0), sel0)
-        state = replace(state, base=base0, sel_spectra=selsp,
-                        base_pure=jnp.zeros((v * nseg, 2), bool))
-    else:
-        if g0.shape[-1] != state.base_g.shape[-1]:
-            raise ValueError(
-                f"span width mismatch: control plane tracks {g0.shape[-1]} "
-                f"IRs, engine state carries {state.base_g.shape[-1]}")
-        state = replace(state, base_g=jnp.asarray(g0),
-                        base_pure=jnp.ones((v * nseg, 2), bool))
-    if shardings is not None:
-        state_sh, bank_sh, _params_sh, x_sh, repl = shardings
-        state = jax.device_put(state, state_sh)
-        bank = jax.device_put(bank, bank_sh)
 
+    # schedule tables BEFORE the engine init: pure host work whose shapes
+    # the (opt-in) background step precompile needs — see the static path
     reg_tbl = {f: jnp.asarray(np.stack([r[f] for r in sim.regimes]))
                for f in _ControlSim.FIELDS}
     reg_start = jnp.asarray(np.asarray(sim.regime_starts, np.int32))
@@ -819,18 +787,6 @@ def _render_automated(model, samples, schedule, *, segments,
 
     starts = jnp.asarray(np.arange(nseg, dtype=np.int32) * seg_len)
     takes_params = getattr(seng, "collapse_pure_takes_params", False)
-
-    if fast:
-        # segment-major virtual packing: t0[s*V + v]
-        t0 = jnp.asarray(np.repeat(
-            np.arange(nseg, dtype=np.int32) * seg_len - warmup, v))
-        vof = (jnp.asarray(np.tile(np.arange(v, dtype=np.int32), nseg))
-               if per_voice else None)
-        state = _prime_fast(seng, state, xb_dev, t0, tpad, vof, shardings,
-                            dec=dec, dec_key=wkey[1:])
-
-    tables = (reg_tbl, reg_start, reg_of_block,
-              ev_changed, ev_old, ev_of_block)
 
     # input, bank, AND the schedule tables ride as explicit jit arguments
     # (a closure-captured device array inlines into the lowered HLO as a
@@ -912,16 +868,65 @@ def _render_automated(model, samples, schedule, *, segments,
                                      tbl_sh, repl),
                        out_shardings=((state_sh, repl, repl), x_sh))
 
+    tables = (reg_tbl, reg_start, reg_of_block,
+              ev_changed, ev_old, ev_of_block)
     step = _cached_fn(seng, ("auto", selected, takes_params, per_voice,
                              nseg, seg_len, warmup, tpad, tpadg, mesh,
                              wkey), build_step)
+    off_dev = jnp.asarray(abs_base, jnp.int32)
+    # cold-start overlap (opt-in): compile the big automated step from a
+    # worker thread while init_converged / selected-init / prime run
+    _precompile_async(step, seng, bank, p0, xb_dev, bank, tables, off_dev)
+
+    state = seng.init_converged(bank, p0)
+    snaps = [sim.snaps[max(s * seg_len - warmup + abs_base, 0)]
+             for s in range(nseg)]
+    g0 = vm(np.stack([s[2] for s in snaps]))
+    state = replace(
+        state,
+        coef_a=jnp.asarray(vm(np.stack([s[0] for s in snaps]))),
+        coef_c=jnp.asarray(vm(np.stack([s[1] for s in snaps]))))
+    if selected:
+        # the 'selected' strategy reads MATERIALIZED per-voice tensors:
+        # the snapshot is still an affine span of the bank (the stream's
+        # collapse is base := a*base + c*bank[old], the same recursion the
+        # host g tracks), so expand g once at init and gather the
+        # pre-event selection
+        sel0 = jnp.asarray(vm(np.stack([s[3] for s in snaps])))
+        selinit = _cached_fn(seng, ("selinit", state.base.dtype),
+                             lambda: jax.jit(lambda bk, gg, ss: (
+                                 seng._span_expand(bk, gg)
+                                 .astype(state.base.dtype),
+                                 seng._gather_selection(bk, ss))))
+        base0, selsp = selinit(bank, jnp.asarray(g0), sel0)
+        state = replace(state, base=base0, sel_spectra=selsp,
+                        base_pure=jnp.zeros((v * nseg, 2), bool))
+    else:
+        if g0.shape[-1] != state.base_g.shape[-1]:
+            raise ValueError(
+                f"span width mismatch: control plane tracks {g0.shape[-1]} "
+                f"IRs, engine state carries {state.base_g.shape[-1]}")
+        state = replace(state, base_g=jnp.asarray(g0),
+                        base_pure=jnp.ones((v * nseg, 2), bool))
+    if shardings is not None:
+        state_sh, bank_sh, _params_sh, x_sh, repl = shardings
+        state = jax.device_put(state, state_sh)
+        bank = jax.device_put(bank, bank_sh)
+
+    if fast:
+        # segment-major virtual packing: t0[s*V + v]
+        t0 = jnp.asarray(np.repeat(
+            np.arange(nseg, dtype=np.int32) * seg_len - warmup, v))
+        vof = (jnp.asarray(np.tile(np.arange(v, dtype=np.int32), nseg))
+               if per_voice else None)
+        state = _prime_fast(seng, state, xb_dev, t0, tpad, vof, shardings,
+                            dec=dec, dec_key=wkey[1:])
 
     Log.info("offline", "automated bounce: %d blocks as %d segment(s) x %d "
              "+ %d warm-up steps (%d virtual voices, %d regime(s), %d "
              "re-select block(s))", total_blocks, nseg, seg_len, warmup,
              v * nseg, len(sim.regimes), len(sim.ev_changed) - 1)
 
-    off_dev = jnp.asarray(abs_base, jnp.int32)
     out = _collect(step, state, warmup, seg_len,
                    (xb_dev, bank, tables, off_dev))
     # [seg_len, nseg*V, 2, B] (segment-major) -> [V, 2, tpad*B]
@@ -1052,7 +1057,7 @@ def _prime_fast(seng, state, xb_dev, t0, nt: int, voice_of=None,
     return prime(state, xb_dev, spec, t0, voice_of)
 
 
-def _precompile_async(step, seng, bank, vparams, xb_dev) -> None:
+def _precompile_async(step, seng, bank, vparams, *extra) -> None:
     """Cold-start lever (opt-in: TPU_AUDIO_OFFLINE_PRECOMPILE=1): lower +
     compile the bounce's step executable — the largest compile on the
     cold path — from a worker thread while the main thread compiles and
@@ -1063,23 +1068,29 @@ def _precompile_async(step, seng, bank, vparams, xb_dev) -> None:
     persistent compile cache configured, the main thread's own later
     compile of the identical program loads from disk even though AOT
     .compile() does not populate the jit wrapper's dispatch cache.
-    Shape/dtype-only: the thread never touches device data."""
+    Shape/dtype-only: the thread never touches device data. ``extra`` are
+    the step's loop-invariant arguments after (carry, input, bank,
+    params) — e.g. the automated path's schedule tables and block offset
+    — as concrete arrays or avals; a shape mismatch only wastes the
+    background compile, it can never affect the bounce."""
     if os.environ.get("TPU_AUDIO_OFFLINE_PRECOMPILE") != "1":
         return
     import threading
 
     def sds(tree):
         return jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), tree)
+            lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype
+                                           if not hasattr(a, "dtype")
+                                           else a.dtype), tree)
 
     try:
         state_aval = jax.eval_shape(seng.init_converged, bank, vparams)
+        carry = (state_aval, jax.ShapeDtypeStruct((), jnp.int32),
+                 jax.ShapeDtypeStruct((), jnp.bool_))
+        args = (carry,) + tuple(sds(a) for a in extra)
     except Exception as exc:  # noqa: BLE001 - best-effort optimization
         Log.debug("offline", "precompile skipped: %r", exc)
         return
-    carry = (state_aval, jax.ShapeDtypeStruct((), jnp.int32),
-             jax.ShapeDtypeStruct((), jnp.bool_))
-    args = (carry, sds(xb_dev), sds(bank), sds(vparams))
 
     def work():
         try:
