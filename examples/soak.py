@@ -129,11 +129,12 @@ def main(argv=None) -> int:
         except Exception as exc:  # noqa: BLE001
             log(f"compile cache unavailable: {exc!r}")
 
-    sys.path.insert(0, repo)
-    try:
-        from bench import make_bank
-    finally:
-        sys.path.pop(0)
+    # keep the repo root on sys.path: running `python examples/soak.py`
+    # puts examples/ (not the repo) at sys.path[0], and the tpu_audio
+    # imports below need it just as much as bench does
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from bench import make_bank
     from tpu_audio.engine.params import CCMapping
     from tpu_audio.models.reverb import ConvolutionReverb
     from tpu_audio.runtime.backends import WavSource
