@@ -2029,6 +2029,14 @@ def _merge_store(rec: dict, prior) -> dict:
         if merged is not None:
             legs[name] = merged
     store["legs"] = legs or None
+    # the per-block p99 headline keys mirror the MERGED p99_block row
+    # (a run that didn't measure the leg must not drop the store's
+    # best-known per-block evidence)
+    pb = (legs or {}).get("p99_block")
+    if isinstance(pb, dict) and isinstance(pb.get("p99_ms"), (int, float)):
+        store["p99_per_block_ms"] = pb["p99_ms"]
+        store["p99_per_block_basis"] = (f"{pb.get('basis')}; "
+                                        f"{pb.get('blocks')} chained steps")
     return store
 
 

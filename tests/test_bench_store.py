@@ -110,6 +110,22 @@ def test_skipped_leg_backfilled_with_provenance():
     assert row["stale_from"] == "T1"
 
 
+def test_perblock_keys_survive_partial_runs():
+    """A targeted/partial run that didn't measure p99_block must not drop
+    the store's per-block evidence: the headline keys re-hoist from the
+    merged (backfilled) leg row."""
+    bench = _bench()
+    prior = mk(value=4.5, at="T1",
+               legs={"p99_block": {"p99_ms": 0.477, "blocks": 100,
+                                   "basis": "on-device XLA trace"}})
+    prior["p99_per_block_ms"] = 0.477
+    new = mk(value=0.0, partial=True, legs=None)
+    store = bench._merge_store(new, prior)
+    assert store["legs"]["p99_block"]["p99_ms"] == 0.477
+    assert store["p99_per_block_ms"] == 0.477
+    assert "on-device" in store["p99_per_block_basis"]
+
+
 def test_flag_suspects_annotates_printed_record_only():
     bench = _bench()
     rec = mk(value=1.0, legs={"ws": {"steady_ms": 37.0}})
