@@ -136,6 +136,12 @@ def main(argv=None) -> int:
         sys.path.insert(0, repo)
     from bench import make_bank
     from tpu_audio.engine.params import CCMapping
+    from tpu_audio.utils.log import Log
+
+    # stdout carries exactly one JSON line; library chatter joins the
+    # progress log on stderr (same contract as bench.py)
+    prev_info = Log.info_to_stderr
+    Log.info_to_stderr = True
     from tpu_audio.models.reverb import ConvolutionReverb
     from tpu_audio.runtime.backends import WavSource
 
@@ -258,6 +264,7 @@ def main(argv=None) -> int:
     else:
         persist()
     print(json.dumps(rec), flush=True)
+    Log.info_to_stderr = prev_info    # library-safe (in-process tests)
     return 0 if ok else 1
 
 
