@@ -348,9 +348,17 @@ def render_offline(model, samples, *, segments: int | None = None,
 
     step = _cached_fn(seng, ("static", per_voice, nseg, seg_len, warmup,
                              nt, mesh, wkey), build_step)
-    # cold-start overlap (opt-in): compile the big step executable from a
-    # worker thread while init_converged / prime compile and run below
-    _precompile_async(step, seng, bank, vparams, xb_dev, bank, vparams)
+    # cold-start overlap (opt-in): compile step + spec + prime from
+    # worker threads while init_converged compiles and runs below (the
+    # endpoint takes concurrent compiles at ~4x, probe_compile_parallel)
+    if os.environ.get("TPU_AUDIO_OFFLINE_PRECOMPILE") == "1":
+        xb_aval, bank_aval, vp_aval = _sds(xb_dev), _sds(bank), _sds(vparams)
+        jobs = [("step", step,
+                 lambda st: (_carry_aval(st), xb_aval, bank_aval, vp_aval))]
+        if fast:
+            jobs += _prime_jobs(seng, nt, per_voice, shardings, dec,
+                                wkey[1:], xb_aval, v * nseg)
+        _precompile_async(seng, bank, vparams, jobs)
 
     state = seng.init_converged(bank, vparams)
     if shardings is not None:
@@ -874,9 +882,17 @@ def _render_automated(model, samples, schedule, *, segments,
                              nseg, seg_len, warmup, tpad, tpadg, mesh,
                              wkey), build_step)
     off_dev = jnp.asarray(abs_base, jnp.int32)
-    # cold-start overlap (opt-in): compile the big automated step from a
-    # worker thread while init_converged / selected-init / prime run
-    _precompile_async(step, seng, bank, p0, xb_dev, bank, tables, off_dev)
+    # cold-start overlap (opt-in): compile step + spec + prime from
+    # worker threads while init_converged / selected-init / prime run
+    if os.environ.get("TPU_AUDIO_OFFLINE_PRECOMPILE") == "1":
+        xb_aval = _sds(xb_dev)
+        jobs = [("step", step,
+                 lambda st: (_carry_aval(st), xb_aval, _sds(bank),
+                             _sds(tables), _sds(off_dev)))]
+        if fast:
+            jobs += _prime_jobs(seng, tpad, per_voice, shardings, dec,
+                                wkey[1:], xb_aval, v * nseg)
+        _precompile_async(seng, bank, p0, jobs)
 
     state = seng.init_converged(bank, p0)
     snaps = [sim.snaps[max(s * seg_len - warmup + abs_base, 0)]
@@ -1030,13 +1046,23 @@ def _prime_fast(seng, state, xb_dev, t0, nt: int, voice_of=None,
     mesh-sharded bounce's state/output placements; `dec` decodes the
     pcm16 input wire in-graph (identity for f32; `dec_key` is its
     cache identity)."""
+    spec_fn, prime = _prime_fns(seng, nt, voice_of is not None, shardings,
+                                dec, dec_key)
+    spec = spec_fn(xb_dev)
+    return prime(state, xb_dev, spec, t0, voice_of)
+
+
+def _prime_fns(seng, nt: int, per_voice: bool, shardings, dec, dec_key):
+    """The prime stage's two jits (bulk input spectra + fdl gather),
+    memoized on the virtual engine — factored out of _prime_fast so the
+    background precompiler can AOT-compile them from avals before any
+    device work runs."""
     mesh_key = None if shardings is None else shardings[4].mesh
     repl_kw = ({} if shardings is None
                else {"out_shardings": shardings[4]})
     spec_fn = _cached_fn(seng, ("spec", mesh_key, dec_key),
                          lambda: jax.jit(
         lambda xb_a: seng.input_spectra_bulk(dec(xb_a)), **repl_kw))
-    spec = spec_fn(xb_dev)
 
     def build():
         def _prime(st, xb_a, spec_a, t0_a, vof_a):
@@ -1053,55 +1079,80 @@ def _prime_fast(seng, state, xb_dev, t0, nt: int, voice_of=None,
         return jax.jit(_prime, donate_argnums=0, **kw)
 
     prime = _cached_fn(
-        seng, ("prime", nt, voice_of is not None, mesh_key, dec_key), build)
-    return prime(state, xb_dev, spec, t0, voice_of)
+        seng, ("prime", nt, per_voice, mesh_key, dec_key), build)
+    return spec_fn, prime
 
 
-def _precompile_async(step, seng, bank, vparams, *extra) -> None:
-    """Cold-start lever (opt-in: TPU_AUDIO_OFFLINE_PRECOMPILE=1): lower +
-    compile the bounce's step executable — the largest compile on the
-    cold path — from a worker thread while the main thread compiles and
-    runs init_converged / prime. XLA releases the GIL during compiles, so
-    on a backend whose compile service accepts concurrent requests
-    (measure with examples/probe_compile_parallel.py) the serial cold
-    chain init+prime+step collapses toward max() of the pieces. With the
-    persistent compile cache configured, the main thread's own later
-    compile of the identical program loads from disk even though AOT
-    .compile() does not populate the jit wrapper's dispatch cache.
-    Shape/dtype-only: the thread never touches device data. ``extra`` are
-    the step's loop-invariant arguments after (carry, input, bank,
-    params) — e.g. the automated path's schedule tables and block offset
-    — as concrete arrays or avals; a shape mismatch only wastes the
-    background compile, it can never affect the bounce."""
+def _sds(tree):
+    """Shape/dtype avals for a pytree of arrays (or avals, idempotent)."""
+    return jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a),
+                                       a.dtype if hasattr(a, "dtype")
+                                       else np.asarray(a).dtype), tree)
+
+
+def _precompile_async(seng, bank, vparams, jobs) -> None:
+    """Cold-start lever (opt-in: TPU_AUDIO_OFFLINE_PRECOMPILE=1): AOT
+    lower+compile the bounce's executables CONCURRENTLY from worker
+    threads while the main thread's serial chain (init compiles -> init
+    runs -> prime -> steps) proceeds. XLA releases the GIL during
+    compiles and the remote compile endpoint processes concurrent
+    requests in parallel (measured 4.08x for 4 threads,
+    examples/probe_compile_parallel.py), so the cold chain collapses
+    toward max() of the pieces instead of their sum. With the persistent
+    compile cache configured, the main thread's own later compile of an
+    identical program loads from disk (AOT .compile() does not populate
+    the jit wrapper's dispatch cache).
+
+    ``jobs``: [(label, jit_fn, make_args(state_aval))] — make_args
+    returns the positional avals for fn.lower(). Shape/dtype-only: the
+    threads never touch device data; a mismatch only wastes a background
+    compile, it can never affect the bounce."""
     if os.environ.get("TPU_AUDIO_OFFLINE_PRECOMPILE") != "1":
         return
     import threading
 
-    def sds(tree):
-        return jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype
-                                           if not hasattr(a, "dtype")
-                                           else a.dtype), tree)
-
     try:
         state_aval = jax.eval_shape(seng.init_converged, bank, vparams)
-        carry = (state_aval, jax.ShapeDtypeStruct((), jnp.int32),
-                 jax.ShapeDtypeStruct((), jnp.bool_))
-        args = (carry,) + tuple(sds(a) for a in extra)
     except Exception as exc:  # noqa: BLE001 - best-effort optimization
         Log.debug("offline", "precompile skipped: %r", exc)
         return
 
-    def work():
-        try:
-            t0 = time.perf_counter()
-            step.lower(*args).compile()
-            Log.info("offline", "background step precompile done in %.1fs",
-                     time.perf_counter() - t0)
-        except Exception as exc:  # noqa: BLE001 - never fail the bounce
-            Log.debug("offline", "background precompile failed: %r", exc)
+    for label, fn, make_args in jobs:
+        def work(label=label, fn=fn, make_args=make_args):
+            try:
+                t0 = time.perf_counter()
+                fn.lower(*make_args(state_aval)).compile()
+                Log.info("offline", "background %s precompile done in "
+                         "%.1fs", label, time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001 - never fail the bounce
+                Log.debug("offline", "background %s precompile failed: %r",
+                          label, exc)
 
-    threading.Thread(target=work, daemon=True).start()
+        threading.Thread(target=work, daemon=True).start()
+
+
+def _carry_aval(state_aval):
+    return (state_aval, jax.ShapeDtypeStruct((), jnp.int32),
+            jax.ShapeDtypeStruct((), jnp.bool_))
+
+
+def _prime_jobs(seng, nt, per_voice, shardings, dec, dec_key, xb_aval,
+                n_virtual: int):
+    """Precompile jobs for the prime stage (spec + fdl gather)."""
+    spec_fn, prime = _prime_fns(seng, nt, per_voice, shardings, dec,
+                                dec_key)
+    try:
+        spec_aval = jax.eval_shape(spec_fn, xb_aval)
+    except Exception as exc:  # noqa: BLE001
+        Log.debug("offline", "prime precompile skipped: %r", exc)
+        return []
+    t0_aval = jax.ShapeDtypeStruct((n_virtual,), jnp.int32)
+    vof_aval = (jax.ShapeDtypeStruct((n_virtual,), jnp.int32)
+                if per_voice else None)
+    return [("spec", spec_fn, lambda st: (xb_aval,)),
+            ("prime", prime,
+             lambda st: (st, xb_aval, spec_aval, t0_aval, vof_aval))]
 
 
 def _collect(step, state, warmup: int, seg_len: int,
