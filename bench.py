@@ -151,13 +151,21 @@ def build(args):
 
 
 def engine_true_ms(step, state, bank, params, make_block, n, extra=(),
-                   reps=3):
+                   reps=3, warmup_steps=1):
     """Chained-dispatch per-block cost: each step consumes the previous
     state (device executes back to back), ONE sync readback at the end.
-    block_until_ready lies on tunneled transports; a readback does not."""
+    block_until_ready lies on tunneled transports; a readback does not.
+
+    ``warmup_steps``: dispatches before the timed reps. One absorbs the
+    compile; multi-GB configs need a real warm chain — executable load /
+    first-touch HBM placement bleeds across several dispatches (the
+    cascade_2048 probe's first rep reads 211 ms/block for 48 chained
+    blocks; the leg's best-of-2 read 6.5 ms while the same-day
+    same-process breakdown probe read 4.55 once warm)."""
     st = state
-    st, out = step(st, bank, params, *extra, make_block(0))
-    _ = np.asarray(out)  # absorb compile + first-transfer latency
+    for w in range(max(warmup_steps, 1)):
+        st, out = step(st, bank, params, *extra, make_block(w))
+    _ = np.asarray(out)  # absorb compile + load + first-transfer latency
     best = float("inf")
     for _rep in range(reps):
         t0 = time.perf_counter()
@@ -393,7 +401,7 @@ def run_cascade_leg(args, deadline_ms, voices=None, dtype=None,
     log("cascade leg: steady step compiled (pinned layouts)")
     ms, _ = engine_true_ms(steady, state, spectra, params, make_block,
                            max(args.engine_blocks // 2, 16),
-                           reps=max(args.reps - 1, 1))
+                           reps=args.reps, warmup_steps=16)
     leg = {
         "voices": v,
         "dtype": dtype,
@@ -514,7 +522,7 @@ def run_selected_leg(args, deadline_ms):
     blocks = max(args.engine_blocks // 2, 16)
     reps = max(args.reps - 1, 1)
     ms, _ = engine_true_ms(steady, state, spectra, params, make_block,
-                           blocks, reps=reps)
+                           blocks, reps=reps, warmup_steps=16)
     # mid-fade: re-select every voice (materializing collapse), hold the
     # fade in flight (huge vsteps) so every timed block runs the general
     # step over sel AND base rhs
