@@ -171,7 +171,14 @@ def engine_true_ms(step, state, bank, params, make_block, n, extra=(),
         t0 = time.perf_counter()
         for t in range(n):
             st, out = step(st, bank, params, *extra, make_block(t))
-        _ = np.asarray(out)  # forces completion of the whole chain
+        # force completion of the whole chain through a TINY dependent
+        # slice (the established probe pattern): the final block's samples
+        # depend on every prior step, and 16 bytes cost ~RTT — a FULL
+        # output readback amortized ~84 KB/block of tunnel transfer into
+        # the "engine-true" number at 2048 voices (read 6.5 ms on a day
+        # the same-process stage probe read 4.55; output delivery is the
+        # e2e serving measurement's job, with every byte verified there)
+        _ = np.asarray(out[0, 0, :4])
         best = min(best, (time.perf_counter() - t0) / n)
     return best * 1e3, st
 
