@@ -650,8 +650,8 @@ def run_offline_leg(args, deadline_ms):
     # r03 #5). Rep 1 now pays only the production executables, and the
     # background precompiler overlaps their compiles (the remote endpoint
     # takes concurrent compiles at ~4x; measured 274 -> 39 s cold in one
-    # A/B window, the 36 s step compile fully hidden behind init+prime).
-    os.environ.setdefault("TPU_AUDIO_OFFLINE_PRECOMPILE", "1")
+    # A/B window, the 36 s step compile fully hidden behind init+prime;
+    # enabled for every bench child in _configure_xla_cache).
     t0 = time.perf_counter()
     out = render_offline(model, x, wire=args.offline_wire,
                          input_wire="auto")
@@ -1318,6 +1318,10 @@ def _configure_xla_cache(args) -> None:
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # every bench child overlaps its offline-render compiles (the remote
+    # endpoint takes concurrent compiles at ~4x; this also covers the
+    # equiv leg's automated bounces, not just the offline leg)
+    os.environ.setdefault("TPU_AUDIO_OFFLINE_PRECOMPILE", "1")
     if not args.pack_cache:
         return
     try:
