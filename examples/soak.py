@@ -210,10 +210,20 @@ def main(argv=None) -> int:
     trend = []
     end_t = _T0 + args.minutes * 60.0
     seg = 0
+    bytes_per_block = (args.voices * 2 * args.block
+                       * (2 if args.wire == "pcm16" else 4))
     rec.update(voices=args.voices, num_irs=args.num_irs,
                capacity=args.bank_capacity, wire=args.wire,
                realtime=bool(args.realtime), deadline_ms=round(deadline_ms, 3),
-               churn_every_blocks=args.churn_every, trend=trend)
+               churn_every_blocks=args.churn_every,
+               # every byte of output is fetched and spot-verified; on the
+               # tunneled rig this is the dominant per-block cost (a PCIe
+               # host moves it in ~1 ms/batch) — context for the missed
+               # counter alongside the separately-measured engine-true
+               # chip cost (~1.1 ms steady at this config)
+               fetch_mb_per_batch=round(bytes_per_block * args.fetch_batch
+                                        / 1e6, 2),
+               trend=trend)
     try:
         while time.perf_counter() < end_t:
             sched, n_events = churn_schedule(rng, args.segment_blocks,
