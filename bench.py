@@ -1103,6 +1103,10 @@ def main(argv=None) -> int:
     _T0 = time.perf_counter()
     PARTIAL.clear()
     from tpu_audio.utils.log import Log
+    # library-safe: the precompiler opt-in must not leak into the host
+    # process's later library use (in-process smoke tests run bench then
+    # offline tests in one interpreter)
+    prev_pre = os.environ.get("TPU_AUDIO_OFFLINE_PRECOMPILE")
     prev_info = Log.info_to_stderr
     # stdout is the machine-readable record (one JSON line); keep library
     # info chatter (bank caches, working-set faults) on stderr with the
@@ -1118,6 +1122,10 @@ def main(argv=None) -> int:
         raise
     finally:
         Log.info_to_stderr = prev_info
+        if prev_pre is None:
+            os.environ.pop("TPU_AUDIO_OFFLINE_PRECOMPILE", None)
+        else:
+            os.environ["TPU_AUDIO_OFFLINE_PRECOMPILE"] = prev_pre
 
 
 def _main(argv=None) -> int:

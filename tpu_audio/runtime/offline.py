@@ -1121,8 +1121,16 @@ def _precompile_async(seng, bank, vparams, jobs) -> None:
     for label, fn, make_args in jobs:
         def work(label=label, fn=fn, make_args=make_args):
             try:
+                import warnings
                 t0 = time.perf_counter()
-                fn.lower(*make_args(state_aval)).compile()
+                with warnings.catch_warnings():
+                    # AOT compiles from avals have nothing to donate —
+                    # the "donated buffers were not usable" warning is
+                    # expected and meaningless here (the real call's
+                    # donation is unaffected)
+                    warnings.filterwarnings(
+                        "ignore", message=".*donated buffers.*")
+                    fn.lower(*make_args(state_aval)).compile()
                 Log.info("offline", "background %s precompile done in "
                          "%.1fs", label, time.perf_counter() - t0)
             except Exception as exc:  # noqa: BLE001 - never fail the bounce
