@@ -165,7 +165,11 @@ def engine_true_ms(step, state, bank, params, make_block, n, extra=(),
     st = state
     for w in range(max(warmup_steps, 1)):
         st, out = step(st, bank, params, *extra, make_block(w))
-    _ = np.asarray(out)  # absorb compile + load + first-transfer latency
+    # absorb compile + load + first-transfer latency, syncing through the
+    # SAME tiny dependent slice the timed reps use — otherwise the slice
+    # executable's own compile lands inside timed rep 1 (visible at
+    # --reps 1 on the remote-compile backend; best-of-N hid it)
+    _ = np.asarray(out[0, 0, :4])
     best = float("inf")
     for _rep in range(reps):
         t0 = time.perf_counter()
@@ -290,7 +294,7 @@ def run_ws_leg(args, deadline_ms):
     # store). Same policy as the headline's steady/fade consistency
     # check: re-measure the identical computation once, keep the better
     # reading. Skipped on CPU smoke runs (no real deadline there).
-    dl_ms = args.block / args.sample_rate * 1e3
+    dl_ms = deadline_ms
     if ms > dl_ms and jax.devices()[0].platform != "cpu":
         log(f"ws leg: steady {ms:.3f} ms exceeds the {dl_ms:.3f} ms "
             f"deadline (serves at RTF ~5 by design); re-probing")
@@ -720,23 +724,30 @@ def run_perblock_leg(args, deadline_ms):
             st, out = steady(st, spectra, params, make_block(t))
         _ = np.asarray(out[..., :1])   # completion INSIDE the window
 
-    path = xplane.newest_trace(tdir)
-    if path is None:
-        return {"skipped": "profiler produced no trace on this backend"}
-    candidates = []   # (on_device, total_ms, plane, event, durs)
-    for plane, events in xplane.plane_events(path).items():
-        on_device = not any(s in plane.lower()
-                            for s in ("host", "task environment",
-                                      "metadata", "python", "thread"))
-        for ev_name, durs in events.items():
-            if abs(len(durs) - n) > max(2, n // 20):
-                continue   # not once-per-step
-            if not on_device and "Execute" not in ev_name:
-                continue   # host plane: only the executor event is a step
-            ms = [d / 1e9 for d in durs]
-            candidates.append((on_device, sum(ms), plane, ev_name, ms))
     import shutil
-    shutil.rmtree(tdir, ignore_errors=True)
+    try:
+        path = xplane.newest_trace(tdir)
+        if path is None:
+            return {"skipped": "profiler produced no trace on this backend"}
+        candidates = []   # (on_device, total_ms, plane, event, durs)
+        try:
+            planes = xplane.plane_events(path)
+        except (ValueError, IndexError) as exc:
+            # a malformed/truncated trace is a skip, not a leg error
+            return {"skipped": f"unparseable trace: {exc}"}
+        for plane, events in planes.items():
+            on_device = not any(s in plane.lower()
+                                for s in ("host", "task environment",
+                                          "metadata", "python", "thread"))
+            for ev_name, durs in events.items():
+                if abs(len(durs) - n) > max(2, n // 20):
+                    continue   # not once-per-step
+                if not on_device and "Execute" not in ev_name:
+                    continue   # host plane: only the executor is a step
+                ms = [d / 1e9 for d in durs]
+                candidates.append((on_device, sum(ms), plane, ev_name, ms))
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
     if not candidates:
         return {"skipped": f"no once-per-step event in the trace "
                            f"(n={n})"}
@@ -1002,6 +1013,81 @@ def _load_last_good(metric: str):
     return best
 
 
+_CHILD_MODE = False
+# the driver records only a 2,000-char stdout TAIL; round 4's official
+# artifact was parsed:null because the full merged record grew to
+# ~2.35 KB and the line's HEAD (including "value":) fell off the window
+# (BENCH_r04.json). The final stdout line is now a bounded digest with
+# >= 2x headroom; the full record ships on stderr and in the store.
+_COMPACT_BUDGET = 1100
+
+
+def _compact_summary(rec: dict) -> str:
+    """The digest printed as the LAST stdout line: headline keys, one
+    figure-of-merit per leg, provenance flags — never the full record."""
+    out = {"metric": rec.get("metric"), "value": rec.get("value"),
+           "unit": rec.get("unit", "x_realtime"),
+           "vs_baseline": rec.get("vs_baseline")}
+    for k in ("engine_steady_ms", "p99_per_block_ms"):
+        v = rec.get(k)
+        if isinstance(v, (int, float)):
+            out[k] = round(v, 3)
+    if rec.get("partial"):
+        out["partial"] = True
+    if rec.get("error"):
+        out["error"] = str(rec["error"])[:140]
+    lg = rec.get("last_good")
+    if isinstance(lg, dict) and isinstance(lg.get("value"), (int, float)):
+        out["last_good_value"] = lg["value"]
+    legs, stale = {}, []
+    for name, row in (rec.get("legs") or {}).items():
+        if not isinstance(row, dict):
+            continue
+        if "error" in row:
+            legs[name] = "error"
+            continue
+        if "skipped" in row:
+            legs[name] = "skipped"
+            continue
+        key = _LEG_FOM.get(name)
+        v = row.get(key) if key else None
+        if isinstance(v, (int, float)):
+            legs[name] = round(v, 3)
+        elif name == "equiv":
+            legs[name] = "pass" if row.get("pass") else "FAIL"
+        else:
+            legs[name] = "ok"
+        if "stale_from" in row:
+            stale.append(name)
+    if legs:
+        out["legs"] = legs
+    if stale:
+        out["stale_legs"] = stale
+    if rec.get("legs_skipped"):
+        out["legs_skipped"] = str(rec["legs_skipped"])[:100]
+    line = json.dumps(out)
+    # belt-and-braces: the digest must NEVER outgrow the tail window
+    for drop in ("legs_skipped", "error", "stale_legs", "legs"):
+        if len(line) <= _COMPACT_BUDGET:
+            break
+        out.pop(drop, None)
+        line = json.dumps(out)
+    return line
+
+
+def _emit_record(rec: dict) -> None:
+    """Print a run record. A child's stdout goes to the orchestrator,
+    which parses the FULL record; the driver-facing process prints the
+    full record on stderr and the bounded digest as the final stdout
+    line (the driver keeps only a 2,000-char stdout tail)."""
+    import sys
+    if _CHILD_MODE:
+        print(json.dumps(rec), flush=True)
+        return
+    print(json.dumps(rec), file=sys.stderr, flush=True)
+    print(_compact_summary(rec), flush=True)
+
+
 def _emit_partial(error: str) -> None:
     """Print a partial JSON record (headline + whatever legs finished) —
     a partial record beats an empty BENCH file. If a previous run of the
@@ -1022,7 +1108,7 @@ def _emit_partial(error: str) -> None:
             rec["last_good"] = good
     except Exception:  # noqa: BLE001 - never let telemetry kill the record
         pass
-    print(json.dumps(rec), flush=True)
+    _emit_record(rec)
 
 
 def _wait_for_backend(deadline_t: float) -> None:
@@ -1267,6 +1353,8 @@ def _main(argv=None) -> int:
                          "post-import config update works — and a child "
                          "process must apply it itself)")
     args = ap.parse_args(argv)
+    global _CHILD_MODE
+    _CHILD_MODE = bool(args.child)
     if args.chunks < 2:
         # the pipelined e2e loop needs >= 2 chunks to produce one timed
         # sample (--chunks 1 used to crash np.percentile on an empty
@@ -1302,10 +1390,13 @@ def _main(argv=None) -> int:
     if args.child:
         return _run_child(args)
 
-    if args.backend_probe:
+    if args.backend_probe and not args.platform:
         # don't crash an entire round's BENCH record on a transiently-down
         # tunnel: wait (in throwaway subprocesses) for the backend to come
-        # back, up to half the watchdog window
+        # back, up to half the watchdog window. Skipped when --platform
+        # forces a specific backend: children apply it post-import
+        # themselves, and probing the (possibly wedged) default TPU
+        # backend would block a CPU run for half the watchdog window.
         _wait_for_backend(_T0 + (args.watchdog * 0.5 if args.watchdog
                                  else 240.0))
 
@@ -2097,7 +2188,7 @@ def _finalize(args, rec: dict) -> int:
             # carry the prior completed record (clearly labeled) so rows
             # this run couldn't measure still ride the printed JSON
             rec["last_good"] = prior
-    print(json.dumps(rec), flush=True)
+    _emit_record(rec)
     try:
         store = _merge_store(rec, prior)
         for path in (_last_good_path(rec["metric"]),

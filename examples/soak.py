@@ -150,17 +150,30 @@ def main(argv=None) -> int:
     rec = {"metric": metric, "unit": "serving_soak", "partial": True}
 
     def persist(final=False):
+        """Crash-safe persistence. In-flight snapshots go to a SEPARATE
+        partial_<metric>.json path: a 1-minute aborted soak must never
+        clobber the completed 30-minute last_good evidence (the exact
+        newest-wins failure bench._merge_store exists to prevent). Only
+        a FINAL record replaces last_good_<metric>.json — and the
+        partial twin is removed so a torn run cannot masquerade on."""
         rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                            time.gmtime())
         if final:
             rec.pop("partial", None)
         if record_dir:
             os.makedirs(record_dir, exist_ok=True)
-            path = os.path.join(record_dir, f"last_good_{metric}.json")
+            name = ("last_good_" if final else "partial_") + metric
+            path = os.path.join(record_dir, f"{name}.json")
             tmp = f"{path}.tmp{os.getpid()}"
             with open(tmp, "w") as fh:
                 json.dump(rec, fh)
             os.replace(tmp, path)
+            if final:
+                try:
+                    os.remove(os.path.join(record_dir,
+                                           f"partial_{metric}.json"))
+                except OSError:
+                    pass
 
     import signal
 

@@ -31,7 +31,24 @@ BASE = ["--voices", "2", "--num-irs", "2", "--ir-seconds", "0.05",
 
 
 def _last_json(capsys):
-    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    """The FULL record (stderr) — and assert the driver-facing stdout
+    digest stays inside the 2,000-char tail window with 2x headroom and
+    agrees on the headline value (BENCH_r04 was parsed:null because the
+    full record outgrew the tail)."""
+    cap = capsys.readouterr()
+    full = None
+    for line in cap.err.strip().splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                full = json.loads(line)
+            except ValueError:
+                continue
+    last = cap.out.strip().splitlines()[-1]
+    assert len(last) < 1200
+    digest = json.loads(last)
+    assert full is not None and digest["value"] == full["value"]
+    return full
 
 
 def test_subprocess_headline_completes(capsys, tmp_path):

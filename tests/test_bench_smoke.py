@@ -9,6 +9,26 @@ import numpy as np
 import pytest
 
 
+def parse_streams(cap):
+    """(full record from stderr, compact digest = last stdout line).
+
+    The driver records only a 2,000-char stdout TAIL: round 4's official
+    artifact was parsed:null because the full record outgrew it. The
+    full record now ships on stderr; the final stdout line is a bounded
+    digest (asserted < 1200 chars everywhere it is parsed here)."""
+    full = None
+    for line in cap.err.strip().splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                full = json.loads(line)
+            except ValueError:
+                continue
+    last = cap.out.strip().splitlines()[-1]
+    assert len(last) < 1200, f"compact digest too long: {len(last)} chars"
+    return full, json.loads(last)
+
+
 def run_bench(capsys, extra=()):
     sys.path.insert(0, "/root/repo")
     try:
@@ -24,8 +44,12 @@ def run_bench(capsys, extra=()):
             # never drop tiny-config records into the git-tracked store
             "--record-dir", "", *extra]
     assert bench.main(argv) == 0
-    out = capsys.readouterr().out.strip().splitlines()[-1]
-    return json.loads(out)
+    full, compact = parse_streams(capsys.readouterr())
+    assert full is not None, "no full record on stderr"
+    # the digest must agree with the full record on the headline value
+    assert compact["value"] == full["value"]
+    assert compact["metric"] == full["metric"]
+    return full
 
 
 def test_bench_json_line(capsys):
@@ -115,6 +139,85 @@ def test_bench_extra_legs(capsys):
     assert rec["legs_skipped"] is None
 
 
+def test_compact_digest_fits_driver_tail_at_full_leg_set():
+    """BENCH_r04 was parsed:null: the full merged record grew to ~2.35 KB
+    and the driver's 2,000-char stdout tail lost the line's head. The
+    digest of a full-scale record (every production leg, stale + skipped
+    provenance, last_good attached) must stay under 1,200 chars — >= 2x
+    headroom inside the tail window — and still carry the headline."""
+    sys.path.insert(0, "/root/repo")
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+    legs = {
+        "p99_block": {"blocks": 100, "p50_ms": 0.475, "p99_ms": 0.477,
+                      "max_ms": 0.531, "rtf_p99": 12.176,
+                      "event": "jit_step_coef_steady(2737422282137560849)",
+                      "plane": "/device:TPU:0",
+                      "basis": "on-device XLA trace, duration_ps per "
+                               "executable execution"},
+        "offline": {"track_s": 120.0, "wall_s": 4.113, "rtf": 29.2,
+                    "first_wall_s": 5.264, "wire": "pcm16",
+                    "input_wire": "auto",
+                    "verified_wire": "in-graph (isfinite accumulator)",
+                    "out_bytes": 43835136},
+        "mono_ref": {"steady_ms": 1.082, "rtf": 5.365, "fft_size": 131072,
+                     "voices": 1,
+                     "regressed_from": {"steady_ms": 0.414,
+                                        "measured_at":
+                                            "2026-08-20T16:31:33Z"}},
+        "cascade_2048": {"voices": 2048, "dtype": "bf16", "ratio": 16,
+                         "steady_ms": 4.623, "rtf": 1.256},
+        "ws": {"irs": 152, "capacity": 16, "steady_ms": 1.572,
+               "rtf": 3.693, "fault_ms": 211.6, "fault_first_ms": 219.2,
+               "warmup_ms": 1274.3, "faults": 6},
+        "equiv": {"voices": 8, "track_s": 5.0, "events": 3,
+                  "engines": {"fmajor": {"maxdiff": 7.33e-06,
+                                         "peak": 1.1153,
+                                         "golden": {"maxdiff": 2.2e-05,
+                                                    "samples": 27136,
+                                                    "pass": True}},
+                              "cascade": {"maxdiff": 3.12e-05,
+                                          "peak": 1.1153}},
+                  "maxdiff": 3.12e-05, "peak": 1.1153, "pass": True},
+        "cascade_hv": {"voices": 1024, "dtype": "f32", "ratio": 16,
+                       "steady_ms": 3.913, "rtf": 1.483},
+        "sel152": {"voices": 64, "num_irs": 152, "strategy": "selected",
+                   "ratio": 16, "steady_ms": 3.089, "rtf": 1.879,
+                   "fade_general_ms": 2.566,
+                   "stale_from": "2026-08-20T17:20:41Z"},
+    }
+    rec = {"metric": "rtf_64voices_4sIR_44k256", "value": 3.206,
+           "unit": "x_realtime", "vs_baseline": 3.206, "wire": "pcm16",
+           "e2e_f32_rtf": 1.838, "e2e_fade_rtf": 1.823,
+           "engine_steady_ms": 1.054, "engine_fade_indexed_ms": 0.759,
+           "engine_fade_general_ms": 3.269, "engine_steady_rtf": 5.508,
+           "p99_ms": 2.267, "p99_basis": "per-64-block-chunk avg, best rep",
+           "transport_bound": False, "legs": legs,
+           "legs_skipped": "sel152 self-skipped: needs ~235s, 188s left "
+                           "in this leg's budget (congested tunnel)",
+           "p99_per_block_ms": 0.477,
+           "p99_per_block_basis": "on-device XLA trace; 100 chained steps",
+           "last_good": {"value": 3.398, "metric": "rtf_64voices_4sIR_44k256",
+                         "measured_at": "2026-08-20T17:24:00Z"},
+           "partial": True, "error": "headline: partial headline"}
+    assert len(json.dumps(rec)) > 2000      # the r04 failure precondition
+    line = bench._compact_summary(rec)
+    assert len(line) < 1200
+    digest = json.loads(line)
+    assert digest["value"] == 3.206 and digest["vs_baseline"] == 3.206
+    assert digest["legs"]["cascade_2048"] == 4.623
+    assert digest["legs"]["equiv"] == "pass"
+    assert digest["stale_legs"] == ["sel152"]
+    assert digest["p99_per_block_ms"] == 0.477
+    assert digest["last_good_value"] == 3.398
+    # pathological growth (e.g. dozens of future legs) still stays inside
+    rec["legs"] = {f"future_leg_with_a_long_name_{i:02d}": {"error": "x" * 80}
+                   for i in range(60)}
+    assert len(bench._compact_summary(rec)) < 1200
+
+
 def test_bench_tiny_config_skips_legs_by_default(capsys):
     rec = run_bench(capsys)
     assert rec["legs"] is None
@@ -175,10 +278,12 @@ def test_bench_repo_record_survives_cache_wipe(capsys, tmp_path):
         bench.PARTIAL.clear()
         bench.PARTIAL["metric"] = rec["metric"]
         bench._emit_partial("simulated tunnel outage")
-        out = capsys.readouterr().out.strip().splitlines()[-1]
-        partial = json.loads(out)
+        partial, compact = parse_streams(capsys.readouterr())
         assert partial["partial"] is True
         assert partial["last_good"]["value"] == rec["value"]
+        # the bounded stdout digest carries the substitute evidence too
+        assert compact["partial"] is True
+        assert compact["last_good_value"] == rec["value"]
     finally:
         bench._LAST_GOOD_DIR, bench._REPO_RECORD_DIR = old_lg, old_rr
         bench.PARTIAL.clear()
