@@ -47,12 +47,24 @@ def build_parser() -> argparse.ArgumentParser:
                         "full bank in on demand — large banks at "
                         "small-bank speed when few IRs sound at once")
     p.add_argument("--fault-upload", default=None,
-                   choices=["dual", "derived"],
+                   choices=["dual", "derived", "td"],
                    help="working-set fault payload (fmajor, ring and roll "
                         "modes): 'derived' uploads only the spectra slot "
                         "and rebuilds the MAC column on device — half the "
-                        "per-fault bytes, measured 3.4x faster per fault "
-                        "(default: derived for fmajor, dual elsewhere)")
+                        "per-fault bytes, measured 3.4x faster per fault; "
+                        "'td' uploads the raw time-domain IR and runs the "
+                        "partition FFT + pack in the slot-update jit "
+                        "(default: td with --bank-prep device, derived for "
+                        "fmajor, dual elsewhere)")
+    p.add_argument("--bank-prep", default="host",
+                   choices=["host", "device"],
+                   help="where IR spectra + MAC packs are computed: "
+                        "'device' uploads time-domain PCM and builds the "
+                        "bank in-jit on the chip (the reference's "
+                        "prepare() architecture, src/conv.cu:207-253 — "
+                        "~10-20x less wire for big banks and no host FFT); "
+                        "'host' keeps the numpy prep (CPU-test path and "
+                        "engines device prep doesn't cover)")
     p.add_argument("--ws-exhausted", default="defer",
                    choices=["defer", "raise"],
                    help="working-set policy when every resident slot is "
@@ -341,7 +353,8 @@ def main(argv=None) -> int:
         swap_snapshot=not args.no_swap_snapshot,
         cascade_ratio=args.cascade_ratio, bank_capacity=args.bank_capacity,
         async_paging=args.async_paging, predelay_side=args.predelay_side,
-        fault_upload=args.fault_upload, ws_exhausted=args.ws_exhausted)
+        fault_upload=args.fault_upload, ws_exhausted=args.ws_exhausted,
+        bank_prep=args.bank_prep)
 
     if args.offline is not None:
         return _offline(args, [model], mix=False)
@@ -384,7 +397,7 @@ def _run_groups(args) -> int:
         max_ir_seconds=args.max_ir_seconds, verbose=not args.quiet,
         variant=args.variant, block=args.block_size,
         sample_rate=args.sample_rate, cache_dir=args.cache_dir,
-        mac_dtype=args.mac_dtype)
+        mac_dtype=args.mac_dtype, bank_prep=args.bank_prep)
 
     if args.offline is not None:
         # every group bounced over the same input, summed like the JACK

@@ -266,7 +266,13 @@ class FMajorPartitionedConvolution:
         # fault medians 92.6 ms derived vs 317.5 ms dual (3.4x) and
         # first-fault-incl-compile 0.73 s vs 12.8 s — the device rebuild
         # is far cheaper than the extra host pack + tunnel bytes.
-        if fault_upload not in ("dual", "derived"):
+        # "td" goes one step further — the reference's own architecture
+        # (prepare() FFTs on the GPU, src/conv.cu:207-253): upload the
+        # TIME-DOMAIN IR (~1.4 MB f32 at 4 s, vs ~3 MB spectra slot) and
+        # run partition FFT + pack in the slot-update jit itself
+        # (engine/device_prep.py graph pieces; MXU matmul FFT). The host
+        # pays only a pad — no per-fault FFT or strided pack at all.
+        if fault_upload not in ("dual", "derived", "td"):
             raise ValueError(f"unknown fault_upload {fault_upload!r}")
         self.fault_upload = fault_upload
         self.mac_dtype = jnp.float32 if mac_dtype == "f32" else jnp.bfloat16
@@ -496,7 +502,24 @@ class FMajorPartitionedConvolution:
         dt = self.mac_dtype
         ring = self.ring_mode
         derived = self.fault_upload == "derived"
-        if derived and ring:
+        td_mode = self.fault_upload == "td"
+        if td_mode:
+            # reference architecture (prepare() FFTs on-GPU,
+            # src/conv.cu:207-253): the payload is the raw time-domain IR
+            # [O, L]; partition FFT + double/reverse + packs all run in
+            # the slot-update jit (device_prep graph pieces). Host cost:
+            # one zero-pad to the engine's static partition grid.
+            ir = np.asarray(spectra_k, np.float32)
+            if ir.ndim != 2:
+                raise ValueError(f"fault_upload='td' expects a time-domain "
+                                 f"[O, L] IR payload, got {ir.shape}")
+            lp = self.partitions * self.block
+            pad = np.zeros((ir.shape[0], lp), np.float32)
+            pad[:, : min(ir.shape[1], lp)] = ir[:, :lp]
+            payloads = (jnp.zeros((1, 1, 1, 1), dt),
+                        jnp.zeros((1, 1, 1, 1, 1), jnp.float32),
+                        jnp.asarray(pad))
+        elif derived and ring:
             # upload ONLY the rev2 slot; the rhs2 MAC column is the same
             # doubled+reversed data in another axis order — rebuilt on
             # device below (transposes + one negation, no reverse ops),
@@ -539,8 +562,21 @@ class FMajorPartitionedConvolution:
             def upd(bank, mac_p, planar_p, rev2_p, k):
                 from dataclasses import replace as _replace
                 col0 = k * 4
+                if td_mode:
+                    # rev2_p carries the padded time-domain IR [O, Lp]
+                    from tpu_audio.engine import device_prep as _dp
+                    spec = _dp.pad_parts(
+                        _dp.partition_fd(rev2_p[None], self.block,
+                                         self.partitions, 0, self.xf),
+                        self.pp)                       # [1, O, Pp, F]
+                    if ring:
+                        dbl = _dp.double_reversed_j(spec, 2)
+                        rev2_p = _dp.pack_rev2_j(dbl).astype(
+                            bank.spectra_rev2.dtype)
+                    else:
+                        planar_p = _dp.pack_planar_j(spec)
                 if ring:
-                    if derived:
+                    if derived or td_mode:
                         # rev2_p[0]: [F, O, d, 2Pp], d = (br, bi)
                         r = rev2_p[0]
                         mac_p = mac_planes(
@@ -552,7 +588,7 @@ class FMajorPartitionedConvolution:
                     rev = jax.lax.dynamic_update_slice(
                         bank.spectra_rev2, rev2_p, (k, 0, 0, 0, 0))
                     return _replace(bank, rhs2=rhs2, spectra_rev2=rev)
-                if derived:
+                if derived or td_mode:
                     # planar_p[0]: [O, Pp, F, d] — natural partition order
                     pl = planar_p[0]
                     mac_p = mac_planes(

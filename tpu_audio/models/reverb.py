@@ -119,7 +119,8 @@ class ConvolutionReverb:
                  async_paging: bool = False, predelay_side: str = "write",
                  mac_strategy: str = "auto",
                  fault_upload: str | None = None,
-                 ws_exhausted: str = "defer"):
+                 ws_exhausted: str = "defer",
+                 bank_prep: str = "host"):
         self.bank = bank
         self.block = block
         self.sample_rate = sample_rate
@@ -135,14 +136,33 @@ class ConvolutionReverb:
                      sample_rate)
         self.control = ControlPlane(num_voices, len(bank), max_predelay)
         self.working_set = None
+        # bank_prep='device': upload time-domain PCM and compute spectra +
+        # MAC packs on-chip (engine/device_prep.py) — the reference's own
+        # prepare() architecture (src/conv.cu:207-253: cufft on-GPU, only
+        # WAV PCM crosses the bus). ~10-20x less wire than the packed
+        # tensors (152-IR 4 s: ~2.1 GB -> 107-215 MB) and no host-side
+        # FFT/pack at all. 'host' keeps the numpy prep (CPU test path,
+        # and engines device_prep doesn't cover).
+        if bank_prep not in ("host", "device"):
+            raise ValueError(f"unknown bank_prep {bank_prep!r}")
+        if bank_prep == "device" and engine not in ("fmajor", "cascade"):
+            raise ValueError(f"bank_prep='device' covers the fmajor and "
+                             f"cascade engines, not {engine!r}")
+        self.bank_prep = bank_prep
         if fault_upload is None:
             # per-engine resolution: fmajor working-set faults default to
             # 'derived' (measured 3.4x faster warm fault on the tunneled
             # chip — 92.6 vs 317.5 ms median, examples/probe_fault.py,
-            # 2026-08-18 — and bit-equal by test); other engines have no
-            # derived path, so the sentinel resolves to the inert 'dual'
-            # without tripping the explicit-flag guard below
-            fault_upload = "derived" if engine == "fmajor" else "dual"
+            # 2026-08-18 — and bit-equal by test); with bank_prep='device'
+            # they go all the way to 'td' (time-domain payload, FFT+pack
+            # in the slot-update jit — the reference's prepare()
+            # architecture applied to faults, ~2x less wire again); other
+            # engines have no derived path, so the sentinel resolves to
+            # the inert 'dual' without tripping the explicit-flag guard
+            if engine == "fmajor":
+                fault_upload = "td" if bank_prep == "device" else "derived"
+            else:
+                fault_upload = "dual"
         if fault_upload != "dual" and engine != "fmajor":
             # never silently ignore: a user comparing fault latencies must
             # know the flag is inert here (cascade faults already upload
@@ -159,7 +179,7 @@ class ConvolutionReverb:
                 max_partitions, backend, cache_dir, mac_dtype,
                 cascade_ratio, min(bank_capacity, len(bank)),
                 swap_snapshot, sample_rate, async_paging, predelay_side,
-                fault_upload, ws_exhausted)
+                fault_upload, ws_exhausted, bank_prep)
         if engine == "cascade":
             partitions = max_partitions or bank.max_partitions(block)
             ratio = _fit_cascade_ratio(cascade_ratio, num_voices, partitions)
@@ -176,19 +196,19 @@ class ConvolutionReverb:
                 max_predelay=max_predelay, backend=backend,
                 num_irs=len(bank), mac_dtype=mac_dtype,
                 predelay_side=predelay_side, mac_strategy=mac_strategy)
-            self.spectra = self.engine.prepare_bank(bank,
-                                                    cache_dir=cache_dir)
+            if bank_prep == "device":
+                from tpu_audio.engine import device_prep
+                self.spectra = device_prep.prepare_cascade_bank_device(
+                    self.engine, bank)
+            else:
+                self.spectra = self.engine.prepare_bank(bank,
+                                                        cache_dir=cache_dir)
         elif engine in ("fmajor", "partitioned"):
             partitions = max_partitions or bank.max_partitions(block)
-            if cache_dir:
-                spectra = bank.cached_partitioned_spectra(
-                    block, cache_dir, max_partitions=partitions)
-            else:
-                spectra = bank.partitioned_spectra(
-                    block, max_partitions=partitions)
-            if engine == "fmajor":
-                # swap_snapshot=False only composes with the allk strategy;
-                # the auto rule would silently pick 'selected' on big banks
+            if engine == "fmajor" and bank_prep == "device":
+                # the engine resolves 'auto' itself (num_irs is given);
+                # swap_snapshot=False only composes with allk, same rule
+                # as the host branch below
                 strategy = mac_strategy
                 if not swap_snapshot and strategy == "auto":
                     strategy = "allk"
@@ -197,13 +217,37 @@ class ConvolutionReverb:
                     backend=backend, mac_strategy=strategy, num_irs=len(bank),
                     mac_dtype=mac_dtype, swap_snapshot=swap_snapshot,
                     fault_upload=fault_upload)
-                # device bank is a pytree of MAC-ready real layouts
-                self.spectra = self.engine.prepare_bank(
-                    spectra, cache_dir=cache_dir)
+                from tpu_audio.engine import device_prep
+                self.spectra = device_prep.prepare_fmajor_bank_device(
+                    self.engine, bank)
             else:
-                self.engine = PartitionedConvolution(
-                    num_voices, block, partitions, max_predelay=max_predelay,
-                    backend=backend, variant=variant)
+                if cache_dir:
+                    spectra = bank.cached_partitioned_spectra(
+                        block, cache_dir, max_partitions=partitions)
+                else:
+                    spectra = bank.partitioned_spectra(
+                        block, max_partitions=partitions)
+                if engine == "fmajor":
+                    # swap_snapshot=False only composes with the allk
+                    # strategy; the auto rule would silently pick
+                    # 'selected' on big banks
+                    strategy = mac_strategy
+                    if not swap_snapshot and strategy == "auto":
+                        strategy = "allk"
+                    self.engine = FMajorPartitionedConvolution(
+                        num_voices, block, partitions,
+                        max_predelay=max_predelay, backend=backend,
+                        mac_strategy=strategy, num_irs=len(bank),
+                        mac_dtype=mac_dtype, swap_snapshot=swap_snapshot,
+                        fault_upload=fault_upload)
+                    # device bank is a pytree of MAC-ready real layouts
+                    self.spectra = self.engine.prepare_bank(
+                        spectra, cache_dir=cache_dir)
+                else:
+                    self.engine = PartitionedConvolution(
+                        num_voices, block, partitions,
+                        max_predelay=max_predelay, backend=backend,
+                        variant=variant)
         elif engine == "monolithic":
             self.engine = MonolithicConvolution(
                 num_voices, fft_size, block, max_predelay=max_predelay,
@@ -229,12 +273,18 @@ class ConvolutionReverb:
                           mac_dtype, cascade_ratio, capacity,
                           swap_snapshot, sample_rate, async_paging=False,
                           predelay_side="write", fault_upload="dual",
-                          ws_exhausted="defer"):
+                          ws_exhausted="defer", bank_prep="host"):
         """Large banks at small-bank speed: the engine runs the fast all-K
         path over `capacity` resident IR slots; the full bank stays on the
         host and select events page IRs in on demand
         (runtime/working_set.py). Engine geometry is sized by the FULL
-        bank so any member IR fits its slot."""
+        bank so any member IR fits its slot.
+
+        bank_prep='device' + fault_upload='td' (the device default) keeps
+        the ENTIRE spectra pipeline on-chip: residents upload as
+        time-domain PCM and faults upload one [O, L] IR — the host never
+        computes a single FFT (the 152-IR host prep alone used to blow
+        the bench watchdog; reference src/conv.cu:207-253 semantics)."""
         from tpu_audio.runtime.working_set import WorkingSetBank
 
         partitions = max_partitions or bank.max_partitions(block)
@@ -251,26 +301,50 @@ class ConvolutionReverb:
             compact = IRBank(sample_rate=bank.sample_rate)
             for k in residents:
                 compact.append(bank.ir(k))
-            # prepare_bank pads the compact sub-bank up to the engine's
-            # (full-bank-sized) partition grid
-            self.spectra = self.engine.prepare_bank(compact,
-                                                    cache_dir=cache_dir)
+            if bank_prep == "device":
+                from tpu_audio.engine import device_prep
+                self.spectra = device_prep.prepare_cascade_bank_device(
+                    self.engine, compact)
+            else:
+                # prepare_bank pads the compact sub-bank up to the
+                # engine's (full-bank-sized) partition grid
+                self.spectra = self.engine.prepare_bank(compact,
+                                                        cache_dir=cache_dir)
             payload = bank.ir
         elif engine == "fmajor":
-            if cache_dir:
-                full_spectra = bank.cached_partitioned_spectra(
-                    block, cache_dir, max_partitions=partitions)
-            else:
-                full_spectra = bank.partitioned_spectra(
-                    block, max_partitions=partitions)
             self.engine = FMajorPartitionedConvolution(
                 num_voices, block, partitions, max_predelay=max_predelay,
                 backend=backend, mac_strategy="allk", num_irs=capacity,
                 mac_dtype=mac_dtype, swap_snapshot=swap_snapshot,
                 fault_upload=fault_upload)
-            self.spectra = self.engine.prepare_bank(
-                full_spectra[residents], cache_dir=cache_dir)
-            payload = lambda k: full_spectra[k: k + 1]
+            if bank_prep == "device":
+                compact = IRBank(sample_rate=bank.sample_rate)
+                for k in residents:
+                    compact.append(bank.ir(k))
+                from tpu_audio.engine import device_prep
+                self.spectra = device_prep.prepare_fmajor_bank_device(
+                    self.engine, compact)
+            else:
+                if cache_dir:
+                    full_spectra = bank.cached_partitioned_spectra(
+                        block, cache_dir, max_partitions=partitions)
+                else:
+                    full_spectra = bank.partitioned_spectra(
+                        block, max_partitions=partitions)
+                self.spectra = self.engine.prepare_bank(
+                    full_spectra[residents], cache_dir=cache_dir)
+            if fault_upload == "td":
+                payload = bank.ir
+            elif bank_prep == "device":
+                # spectra fault payloads need the host FFT after all —
+                # the full-bank prep this mode exists to avoid
+                raise ValueError(
+                    "bank_prep='device' working sets need "
+                    "fault_upload='td' (time-domain fault payloads); "
+                    f"{fault_upload!r} would re-run the host FFT over "
+                    "the whole bank")
+            else:
+                payload = lambda k: full_spectra[k: k + 1]
         else:
             raise ValueError(f"bank_capacity (working-set residency) needs "
                              f"engine 'fmajor' or 'cascade', not {engine!r}")
