@@ -271,10 +271,23 @@ def run_ws_leg(args, deadline_ms):
 
     bank = make_bank(args.ws_irs, args.ir_seconds, args.sample_rate)
     log(f"ws leg: {args.ws_irs}-IR bank loaded")
+    # 'td' faults compose with device bank prep: residents upload as PCM
+    # and the host computes ZERO spectra — the full-bank host FFT this
+    # model build used to pay (152 x 4 s: minutes of 1-core numpy, the
+    # reason `bench --num-irs 152` blew the watchdog) is gone entirely.
+    # Spectra-payload modes keep the host-prep path for comparison.
+    prep = "device" if args.fault_upload == "td" else "host"
+    t0 = time.perf_counter()
     model = ConvolutionReverb(
         bank, num_voices=args.voices, block=args.block, engine="fmajor",
         max_predelay=8192, bank_capacity=args.ws_capacity,
-        cache_dir=args.pack_cache, fault_upload=args.fault_upload)
+        cache_dir=(None if prep == "device" else args.pack_cache),
+        fault_upload=args.fault_upload, bank_prep=prep)
+    if prep == "device":
+        # force completion: dispatch is async and the prep must not bill
+        # its tail to the first timed step
+        _ = np.asarray(model.spectra.rhs2[0, 0, 0, :4])
+    prep_s = time.perf_counter() - t0
     control, engine, ws = model.control, model.engine, model.working_set
     control.wet[:] = 0.7
     control.dry[:] = 0.2
@@ -343,6 +356,8 @@ def run_ws_leg(args, deadline_ms):
         "fault_first_ms": (round(fault_ms[0], 1) if fault_ms else None),
         "warmup_ms": round(warmup_ms, 1),
         "faults": ws.misses,
+        "bank_prep": prep,
+        "prep_s": round(prep_s, 2),
     }
     log(f"ws leg: fault latency median {leg['fault_ms']} ms "
         f"(first {leg['fault_first_ms']} ms, "
@@ -444,11 +459,16 @@ def sel152_estimate(args):
     d = jax.device_put(x)
     float(jnp.sum(d[:8]))
     bw = probe_mb / max(time.perf_counter() - t0, 1e-3)
-    bank_mb = 2100.0 * (args.ws_irs / 152.0) * (args.ir_seconds / 4.0)
+    # device prep: the wire carries TIME-DOMAIN PCM (~107 MB pcm16 /
+    # ~215 MB f32 at 152 x 4 s), not the 2.1 GB packed tensors — the
+    # upload term shrank ~10-20x and the variable cost is now the
+    # (weather-scaled) pinning + one-off prep compile
+    td_mb = (args.ws_irs * 2 * args.ir_seconds * args.sample_rate
+             * 4) / 1e6
     weather = min(max((65.0 / max(bw, 1.0)) ** 0.5, 1.0), 3.0)
-    est = 90.0 * weather + bank_mb / max(bw, 1.0)
+    est = 120.0 * weather + td_mb / max(bw, 1.0)
     log(f"sel152 estimate: probed H2D {bw:.0f} MB/s -> ~{est:.0f}s "
-        f"({bank_mb / 1024:.1f} GB bank + pinning compiles)")
+        f"({td_mb:.0f} MB time-domain bank + prep/pinning compiles)")
     return est
 
 
@@ -490,18 +510,26 @@ def run_selected_leg(args, deadline_ms):
     engine = CascadeConvolution(
         args.voices, args.block, partitions, ratio=ratio, max_predelay=8192,
         num_irs=k, mac_dtype=args.mac_dtype, mac_strategy="selected")
-    # HOST leaves: uploaded directly into the pinned formats below (one
-    # h2d transfer for the ~2 GB bank, no device-side relayout)
-    spectra = engine.prepare_bank(bank, cache_dir=args.pack_cache,
-                                  device=False)
+    # ON-DEVICE prep (round 5): the wire carries time-domain PCM (pcm16
+    # when the bank rides the 16-bit grid — the tiled reference IRs do)
+    # and the 2.1 GB packed bank builds in-jit on the chip; the host
+    # computes zero FFTs. Replaces the host-leaves + direct-format-upload
+    # path whose 2 GB transfer self-skipped this leg on congested days.
+    # ORDER MATTERS for HBM: pin the serving layouts against the bank's
+    # AVALS first, then materialize the bank directly pinned — a
+    # default-layout prep + place_in_formats relayout double-holds 2.1 GB
+    # on top of the 'selected' state relayout (RESOURCE_EXHAUSTED,
+    # first on-chip attempt 2026-08-20 20:07).
+    from tpu_audio.engine import device_prep
+    td = device_prep.bank_time_domain(bank)
+    bank_avals = device_prep.bank_avals(engine, "cascade", td.shape)
+    prep_s = None
     control = ControlPlane(args.voices, k)
     control.wet[:] = 0.7
     control.dry[:] = 0.2
     control.predelay[:] = 1024
     control.select[:] = np.arange(args.voices * 2).reshape(-1, 2) % k
     params = jax.tree.map(jnp.asarray, control.snapshot())
-    log(f"sel152 leg: {args.voices} voices x {k} IRs, cascade 'selected', "
-        f"ratio {ratio}, bank built")
 
     rng = np.random.default_rng(5)
     shape = (args.voices, 2, args.block)
@@ -509,14 +537,18 @@ def run_selected_leg(args, deadline_ms):
             for _ in range(4)]
     make_block = lambda t: pool[t % len(pool)]
 
-    fresh = lambda: engine.init_converged(spectra, params)
-    pinned = pin_engine_steps(engine, spectra, params,
-                              jax.eval_shape(fresh), pool[0])
+    state_avals = jax.eval_shape(
+        lambda: engine.init_converged(bank_avals, params))
+    pinned = pin_engine_steps(engine, bank_avals, params, state_avals,
+                              pool[0])
+    t0 = time.perf_counter()
     if pinned:
         steady, fade, collapse = (pinned["steady"], pinned["full"],
                                   pinned["collapse"])
-        spectra = place_in_formats(spectra, pinned["bank_format"],
-                                   "sel152 bank")
+        spectra = device_prep.prepare_cascade_bank_device(
+            engine, td, out_formats=pinned["bank_format"])
+        _ = np.asarray(spectra.head_rhs2[0, 0, 0, :4])  # force completion
+        prep_s = time.perf_counter() - t0
         # NOT pinned_init: compiling the 'selected' init (large bank
         # gathers) under pinned out_shardings wedges the remote compiler
         # for >20 min (measured, twice); plain-jit init + verified
@@ -525,15 +557,26 @@ def run_selected_leg(args, deadline_ms):
             engine.init_converged(spectra, params), pinned["state_format"],
             "sel152 state")
     else:
-        spectra = jax.tree.map(jnp.asarray, spectra)
+        spectra = device_prep.prepare_cascade_bank_device(engine, td)
+        _ = np.asarray(spectra.head_rhs2[0, 0, 0, :4])
+        prep_s = time.perf_counter() - t0
+        fresh = lambda: engine.init_converged(spectra, params)
         steady = jax.jit(engine.step_coef_steady, donate_argnums=(0,))
         fade = jax.jit(engine.step_coef, donate_argnums=(0,))
         collapse = jax.jit(engine.collapse)
+    log(f"sel152 leg: bank built ON-DEVICE in {prep_s:.1f}s "
+        f"(time-domain wire, pinned output)")
     state = fresh()
     blocks = max(args.engine_blocks // 2, 16)
     reps = max(args.reps - 1, 1)
-    ms, _ = engine_true_ms(steady, state, spectra, params, make_block,
-                           blocks, reps=reps, warmup_steps=16)
+    ms, state = engine_true_ms(steady, state, spectra, params, make_block,
+                               blocks, reps=reps, warmup_steps=16)
+    # HBM discipline: the 'selected' state is ~3.5 GB and the fade path
+    # below builds a SECOND one — at 64v x 152 IRs on a 16 GB chip the
+    # two states + 2.1 GB bank + relayout transients exceed HBM unless
+    # the steady-phase state is dropped first (RESOURCE_EXHAUSTED in the
+    # first two on-chip runs of the device-prep leg, 2026-08-20)
+    del state
     # mid-fade: re-select every voice (materializing collapse), hold the
     # fade in flight (huge vsteps) so every timed block runs the general
     # step over sel AND base rhs
@@ -544,8 +587,9 @@ def run_selected_leg(args, deadline_ms):
     changed = jnp.asarray(np.ones((args.voices, 2), bool))
     st = collapse(fresh(), spectra, params.select, changed,
                   jnp.asarray(new_sel), params_f)
-    ms_fade, _ = engine_true_ms(fade, st, spectra, params_f, make_block,
-                                blocks, reps=reps)
+    ms_fade, st = engine_true_ms(fade, st, spectra, params_f, make_block,
+                                 blocks, reps=reps)
+    del st
     # Steady contracts ONLY the selected rhs; the general fade adds the
     # base rhs on top — steady reading noticeably ABOVE fade means a
     # congestion burst spanned the steady window (seen 2026-08-20:
@@ -557,21 +601,24 @@ def run_selected_leg(args, deadline_ms):
             log(f"sel152: steady {ms:.3f} ms above fade-general "
                 f"{ms_fade:.3f} ms (steady is the cheaper step); "
                 f"re-probing steady")
-            ms2, _ = engine_true_ms(steady, fresh(), spectra, params,
-                                    make_block, blocks, reps=reps)
+            ms2, st2 = engine_true_ms(steady, fresh(), spectra, params,
+                                      make_block, blocks, reps=reps)
+            del st2
             ms = min(ms, ms2)
         elif ms_fade > 2.5 * ms:
             log(f"sel152: fade-general {ms_fade:.3f} ms inconsistent "
                 f"with steady {ms:.3f} ms; re-probing fade")
             st = collapse(fresh(), spectra, params.select, changed,
                           jnp.asarray(new_sel), params_f)
-            ms2, _ = engine_true_ms(fade, st, spectra, params_f,
-                                    make_block, blocks, reps=reps)
+            ms2, st = engine_true_ms(fade, st, spectra, params_f,
+                                     make_block, blocks, reps=reps)
+            del st
             ms_fade = min(ms_fade, ms2)
     leg = {"voices": args.voices, "num_irs": k, "strategy": "selected",
            "ratio": ratio, "steady_ms": round(ms, 3),
            "rtf": round(deadline_ms / ms, 3),
-           "fade_general_ms": round(ms_fade, 3)}
+           "fade_general_ms": round(ms_fade, 3),
+           "bank_prep": "device", "prep_s": round(prep_s, 2)}
     log(f"sel152 leg: steady {ms:.3f} ms/block (RTF {leg['rtf']}) | "
         f"fade-general {ms_fade:.3f}")
     return leg
@@ -1247,12 +1294,16 @@ def _main(argv=None) -> int:
     ap.add_argument("--ws-irs", type=int, default=152)
     ap.add_argument("--ws-capacity", type=int, default=16)
     ap.add_argument("--ws-faults", type=int, default=6)
-    ap.add_argument("--fault-upload", default="derived",
-                    choices=["dual", "derived"],
+    ap.add_argument("--fault-upload", default="td",
+                    choices=["dual", "derived", "td"],
                     help="ws leg fault payload: 'derived' uploads only the "
                          "rev2 slot and rebuilds the MAC column on device "
-                         "(half the per-fault bytes; the production "
-                         "default — measured 3.4x faster per fault)")
+                         "(half the per-fault bytes, measured 3.4x faster "
+                         "per fault); 'td' (default) uploads the raw "
+                         "time-domain IR and runs the partition FFT + pack "
+                         "in the slot-update jit — ~4x less wire again, "
+                         "and the model builds with bank_prep='device' "
+                         "(no host spectra pipeline at all)")
     ap.add_argument("--cascade-voices", type=int, default=1024)
     ap.add_argument("--cascade-dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--predelay-side", default="write",

@@ -644,43 +644,78 @@ def test_read_side_predelay_equals_write_side_when_constant():
     assert np.abs(want).max() > 1e-4
 
 
-def test_read_side_predelay_edit_retimes_buffered_wet():
-    """Documented deviation guard: after a predelay EDIT the read-side
-    FIFO re-times already-buffered wet (skip/repeat) while the write-side
-    ring keeps it at the old delay — outputs must differ transiently and
-    re-converge once the buffered window drains."""
+def _run_predelay_session(side, edits, blocks=40, seed=14, init_pd=None,
+                          maxpd=None):
+    """Shared driver: cascade session on `side` with scripted host-side
+    predelay edits {block: [V]-array-or-scalar}.
+
+    maxpd: defaults to a DEEP predelay range (8*B + 17, deliberately not
+    a multiple of B) — at the old MAXPD=64 with B=32 the only q=2 value
+    is exactly 64, whose sub-block spill is zero, which made the first
+    version of these tests structurally blind to the spill-slot
+    clear-vs-accumulate bug (content emitting 2+ blocks in the future
+    after a predelay decrease)."""
+    maxpd = maxpd if maxpd is not None else 8 * B + 17
     bank, _, _, _, _ = build()
     p = bank.max_partitions(B)
-
-    def run(side):
-        eng = CascadeConvolution(V, B, p, ratio=M, max_predelay=MAXPD,
-                                 predelay_side=side)
-        dev = eng.prepare_bank(bank)
-        cp = control()
-        cp.predelay[:, 0] = MAXPD  # deepest: maximum buffered window
+    eng = CascadeConvolution(V, B, p, ratio=M, max_predelay=maxpd,
+                             predelay_side=side)
+    dev = eng.prepare_bank(bank)
+    cp = control()
+    cp.predelay[:, 0] = np.minimum(cp.predelay[:, 0], maxpd)
+    if init_pd is not None:
+        cp.predelay[:, 0] = init_pd
+    params = jax.tree.map(jnp.asarray, cp.snapshot())
+    state = eng.init_converged(dev, params)
+    step = jax.jit(eng.step_coef_steady, donate_argnums=())
+    rng = np.random.default_rng(seed)
+    outs = []
+    for t in range(blocks):
+        if t in edits:
+            cp.predelay[:, 0] = edits[t]
         params = jax.tree.map(jnp.asarray, cp.snapshot())
-        state = eng.init_converged(dev, params)
-        step = jax.jit(eng.step_coef_steady, donate_argnums=())
-        rng = np.random.default_rng(14)
-        outs = []
-        for t in range(40):
-            if t == 12:
-                cp.predelay[:, 0] = 0  # jump to zero delay
-            params = jax.tree.map(jnp.asarray, cp.snapshot())
-            x = jnp.asarray(rng.standard_normal((V, 2, B))
-                            .astype(np.float32) * 0.05)
-            state, o = step(state, dev, params, x)
-            outs.append(np.asarray(o))
-            cp.end_block()
-        return np.stack(outs)
+        x = jnp.asarray(rng.standard_normal((V, 2, B))
+                        .astype(np.float32) * 0.05)
+        state, o = step(state, dev, params, x)
+        outs.append(np.asarray(o))
+        cp.end_block()
+    return np.stack(outs)
 
-    got = run("read")
-    want = run("write")
-    nh = MAXPD // B + 2
-    np.testing.assert_array_equal(got[:12], want[:12])   # before the edit
-    assert np.abs(got[12: 12 + nh] - want[12: 12 + nh]).max() > 1e-5
-    # after the buffered window drains both sides agree again
-    np.testing.assert_allclose(got[12 + nh:], want[12 + nh:], atol=1e-6)
+
+def test_read_side_predelay_edit_equals_write_side():
+    """Predelay EDITS are now EXACT on the read side: the edit-block
+    retime (per-voice forward roll + liveness mask, engine/cascade.py
+    _head_stage) keeps every buffered sample's absolute emit time, which
+    is precisely the write-side/reference residual-buffer semantics
+    (src/conv.cu:89-100) — old wet keeps its old delay, new wet lands at
+    the new one. Deepest jump both directions (with nonzero sub-block
+    spill on both sides), plus chained edits inside the drain window."""
+    pd = 8 * B + 17
+    for edits, init_pd in (
+            ({12: 5}, pd),                 # deep -> near-zero (forward roll)
+            ({12: pd}, 5),                 # near-zero -> deep (backward)
+            ({10: pd // 2, 13: 33}, pd),   # chained edits, 2nd inside drain
+            ({12: 0}, pd - 17)):           # r 15 -> 0, q -> 0 crossing
+        got = _run_predelay_session("read", edits, init_pd=init_pd)
+        want = _run_predelay_session("write", edits, init_pd=init_pd)
+        np.testing.assert_array_equal(got, want)
+        assert np.abs(want).max() > 1e-4
+
+
+def test_read_side_predelay_fuzz_equals_write_side():
+    """Randomized per-voice predelay edits (arbitrary magnitudes and
+    spacing, no constraints) — read == write throughout."""
+    rng = np.random.default_rng(99)
+    pd = 8 * B + 17
+    edits = {}
+    for t in sorted(rng.choice(np.arange(2, 46), size=7, replace=False)):
+        edits[int(t)] = rng.integers(0, pd + 1, size=V)
+    got = _run_predelay_session("read", edits, blocks=50, seed=21,
+                                init_pd=pd)
+    want = _run_predelay_session("write", edits, blocks=50, seed=21,
+                                 init_pd=pd)
+    np.testing.assert_array_equal(got, want)
+    assert np.abs(want).max() > 1e-4
 
 
 def test_materialize_base_equals_no_change_collapse():

@@ -142,6 +142,19 @@ class CascadeState:
     sel_tail: jax.Array   # mac [M, Vg, I, d, 2*P2p, OD, F2] (group-major)
     base_head: jax.Array  # mac [F1, V, I, d, 2*P1p, OD]
     base_tail: jax.Array  # mac [M, Vg, I, d, 2*P2p, OD, F2]
+    pd_q: jax.Array       # i32 [V] previous block's block-granular
+                          # predelay — predelay_side='read' detects edits
+                          # (q != pd_q) and re-times the head FIFO so
+                          # buffered wet keeps its absolute emit time
+                          # (exact write-side semantics; see _head_stage).
+                          # Carried (tiny) in write mode too, unused.
+    pd_m: jax.Array       # i32 [V] live margin: highest buffered emit
+                          # time minus current block (max(m-1, q) per
+                          # block). Steady state m == q; after a predelay
+                          # DECREASE m stays at the old q for delta
+                          # blocks — the FIFO spill slot then holds LIVE
+                          # re-timed wet and must be accumulated into,
+                          # not cleared (see _head_stage).
 
 
 class CascadeConvolution:
@@ -506,6 +519,11 @@ class CascadeConvolution:
             sel_tail=jnp.zeros(tsh, self.mac_dtype),
             base_head=jnp.zeros(hsh, self.mac_dtype),
             base_tail=jnp.zeros(tsh, self.mac_dtype),
+            # pd_q=pd_m=0 is safe even when params.predelay != 0: the
+            # first step's retime then rolls an all-zero ring (a numeric
+            # no-op) and the margin converges to q in one block
+            pd_q=jnp.zeros((v,), jnp.int32),
+            pd_m=jnp.zeros((v,), jnp.int32),
         )))()
 
     def init_converged(self, bank: CascadeBank, params: VoiceParams
@@ -631,7 +649,8 @@ class CascadeConvolution:
             t_next = (jax.lax.rem(t + 1, jnp.int32(self.t_modulus))
                       if self.t_modulus else t + 1)
             return replace(state, t=t_next, fdl1=fdl1, prev_in=x,
-                           wet_ring=ring, coef_a=a, coef_c=c), out
+                           wet_ring=ring, coef_a=a, coef_c=c, pd_q=q,
+                           pd_m=jnp.maximum(state.pd_m - 1, q)), out
         return self._tail_stage(state, bank, params, x, with_base, t, a, c,
                                 scale, q, r_pd, nb, emit, slots, fdl1, ring,
                                 head_now)
@@ -691,34 +710,82 @@ class CascadeConvolution:
         head_tail = jnp.where(offs < r_pd[:, None, None], ys1[..., :b], 0.0)
 
         if self.predelay_side == "read":
-            # FIFO: slot t holds tail_{t-1} + main_t (two SMALL writes; the
-            # t+1 write overwrites a slot whose content is provably dead,
-            # NH = maxq + 2); the per-voice delay applies at EMIT via a
-            # one-hot gather — no full-ring write pass (see __init__)
+            # FIFO: slot t holds tail_{t-1} + main_t (SMALL writes; slot
+            # t+1 is cleared then re-accumulated, its pre-clear content
+            # provably dead, NH = maxq + 2); the per-voice delay applies
+            # at EMIT via a one-hot gather — no full-ring write pass.
             s0 = jax.lax.rem(t, jnp.int32(nh))
             s1 = jax.lax.rem(t + 1, jnp.int32(nh))
-            cur = jax.lax.dynamic_slice_in_dim(
-                state.wet_ring, s0, 1, axis=1)[:, 0]
+            # -- predelay-EDIT retime (exact write-side semantics) --------
+            # Steady read-side is exact at constant predelay; an edit
+            # q_prev -> q would re-time ALL buffered wet (the old
+            # skip/repeat deviation). Fix: on the (rare) edit block, roll
+            # each edited voice's ring FORWARD by delta = q_prev - q so
+            # content written at time W keeps its absolute emit time
+            # under the new read rule t - q — matching the reference's
+            # residual buffer, where old wet keeps its old delay
+            # (src/conv.cu:89-100). The roll is a full-ring gather, the
+            # cost write-side pays EVERY block — paid here only on edit
+            # blocks via lax.cond (the identity branch aliases the
+            # donated ring). Liveness bookkeeping: content at slot s is
+            # LIVE iff its offset within the current regime's window
+            # origin t - q_prev is <= m, where m = pd_m is the live
+            # MARGIN (highest buffered emit time minus t). In steady
+            # state m == q; after a DECREASE m stays at the old q for
+            # delta blocks, during which the live window extends into
+            # FUTURE slots (up to t + delta) — the roll mask must keep
+            # them (an age <= q_prev mask killed chained edits) and the
+            # spill-slot write below must ACCUMULATE instead of clearing
+            # while m > q (the old unconditional s1 clear destroyed
+            # re-timed wet emitting at t+2.. — found via session drive,
+            # 2026-08-20; the old tests were blind because MAXPD=64/B=32
+            # makes q=2 reachable only at r_pd=0, whose spill is zero).
+            delta = state.pd_q - q                        # [V]
+            m_prev = state.pd_m
+
+            def _retime(r):
+                src = jax.lax.rem(
+                    slots_h - delta[:, None] + jnp.int32(2 * nh),
+                    jnp.int32(nh))                        # [V, NH]
+                off = jax.lax.rem(
+                    src - (t - state.pd_q[:, None]) + jnp.int32(4 * nh),
+                    jnp.int32(nh))
+                live = (off <= m_prev[:, None])[:, :, None, None]
+                rolled = jnp.take_along_axis(r, src[:, :, None, None],
+                                             axis=1)
+                return jnp.where(live, rolled, 0.0)
+
+            ring0 = jax.lax.cond(jnp.any(delta != 0), _retime,
+                                 lambda r: r, state.wet_ring)
+            cur = jax.lax.dynamic_slice_in_dim(ring0, s0, 1, axis=1)[:, 0]
             # + nh keeps the argument non-negative (lax.rem truncates):
             # t - q >= -(nh - 2) at startup, and t_modulus % nh == 0 keeps
             # the index continuous across the counter wrap. The per-voice
             # emit is a masked VPU reduce over the slot axis — an einsum
             # against the one-hot lowers to V tiny [1,NH]x[NH,2B] matvecs
             # (MXU pass-bound: measured +23% at 2048v). The reduce reads
-            # the PRE-update ring (a pure read of the donated argument, no
-            # read-after-write hazard with the slot writes below); the only
-            # slot whose post-update content could differ is s0, read by
-            # q == 0 voices — corrected explicitly with this block's
-            # head_main (slot s1's write never aliases t - q for q >= 0).
+            # the PRE-slot-write ring (at steady blocks the cond identity
+            # aliases the donated argument, so no read-after-write hazard
+            # with the slot writes below); the only slot whose
+            # post-update content could differ is s0, read by q == 0
+            # voices — corrected explicitly with this block's head_main.
             emit_slot = jax.lax.rem(t - q + jnp.int32(nh), jnp.int32(nh))
             mask = (slots_h == emit_slot[:, None])[:, :, None, None]
-            head_now = jnp.sum(jnp.where(mask, state.wet_ring, 0.0), axis=1)
+            head_now = jnp.sum(jnp.where(mask, ring0, 0.0), axis=1)
             head_now = head_now + jnp.where(
                 (q == 0)[:, None, None], head_main, 0.0)
             ring = jax.lax.dynamic_update_slice(
-                state.wet_ring, (cur + head_main)[:, None], (0, s0, 0, 0))
+                ring0, (cur + head_main)[:, None], (0, s0, 0, 0))
+            # spill slot: OVERWRITE in steady state (m == q: slot t+1
+            # holds provably-dead content, the clear that keeps the FIFO
+            # from re-emitting stale wet) but ACCUMULATE while m > q
+            # (slot t+1 then holds LIVE re-timed wet from a predelay
+            # decrease, emitting at t+1+q)
+            cur1 = jax.lax.dynamic_slice_in_dim(ring, s1, 1, axis=1)[:, 0]
+            keep1 = (m_prev > q)[:, None, None]
             ring = jax.lax.dynamic_update_slice(
-                ring, head_tail[:, None], (0, s1, 0, 0))
+                ring, (jnp.where(keep1, cur1, 0.0) + head_tail)[:, None],
+                (0, s1, 0, 0))
         else:
             oh_q = (slots_h == jax.lax.rem(t + q, jnp.int32(nh))[:, None]
                     ).astype(jnp.float32)
@@ -953,9 +1020,11 @@ class CascadeConvolution:
 
         t_next = (jax.lax.rem(t + 1, jnp.int32(self.t_modulus))
                   if self.t_modulus else t + 1)
+        q = params.predelay[:, 0] // b
         return replace(state, t=t_next, fdl1=fdl1, prev_in=x, inbuf2=inbuf2,
                        fdl2=fdl2, wet_ring=ring, tail_ring=tring,
-                       coef_a=a, coef_c=c), out
+                       coef_a=a, coef_c=c, pd_q=q,
+                       pd_m=jnp.maximum(state.pd_m - 1, q)), out
 
     # -- coef-engine interface (StreamSession) ---------------------------------------
 

@@ -233,27 +233,50 @@ def _prep_fn(engine, kind: str, td_shape):
         lambda: jax.jit(partial(graph, engine)))
 
 
-def prepare_fmajor_bank_device(engine, td, wire: str = "auto"):
+def bank_avals(engine, kind: str, td_shape):
+    """ShapeDtypeStruct pytree of the bank this engine's device prep
+    would build from a [K, O, L] input — lets layout-pinning callers
+    choose serving formats BEFORE the bank exists (pin_engine_steps
+    lowers against avals), then materialize it directly pinned."""
+    graph = _fmajor_graph if kind == "fmajor" else _cascade_graph
+    return jax.eval_shape(partial(graph, engine),
+                          jax.ShapeDtypeStruct(td_shape, jnp.float32))
+
+
+def _prepare_device(engine, kind, td, wire, out_formats):
+    td = td if isinstance(td, np.ndarray) else bank_time_domain(td)
+    if engine.num_irs is not None and td.shape[0] != engine.num_irs:
+        raise ValueError(f"bank has {td.shape[0]} IRs, engine was built "
+                         f"for num_irs={engine.num_irs}")
+    engine.num_irs = td.shape[0]
+    dev, _w = upload_bank_td(td, wire)
+    if out_formats is None:
+        return _prep_fn(engine, kind, dev.shape)(dev)
+    # out_formats: emit the bank DIRECTLY in the caller's (pinned
+    # serving) layouts — a post-hoc place_in_formats would transiently
+    # double-hold the bank (2x 2.1 GB at the 152-IR cascade scale, which
+    # tipped the sel152 leg into RESOURCE_EXHAUSTED on top of the
+    # 'selected' state relayout). compile_pinned bypasses the layout-
+    # blind persistent cache (utils/layouts.py policy) — a fresh compile
+    # per process, same as every other pinned compile here.
+    from tpu_audio.utils.layouts import compile_pinned
+    graph = _fmajor_graph if kind == "fmajor" else _cascade_graph
+    return compile_pinned(partial(graph, engine), (dev,), (None,),
+                          out_formats)(dev)
+
+
+def prepare_fmajor_bank_device(engine, td, wire: str = "auto",
+                               out_formats=None):
     """[K, O, L] host f32 (or IRBank) -> device FMajorBank, spectra +
     packs computed on-chip. Mirrors engine.prepare_bank(spectra) to the
-    device FFT's tolerance."""
-    td = td if isinstance(td, np.ndarray) else bank_time_domain(td)
-    if engine.num_irs is not None and td.shape[0] != engine.num_irs:
-        raise ValueError(f"bank has {td.shape[0]} IRs, engine was built "
-                         f"for num_irs={engine.num_irs}")
-    engine.num_irs = td.shape[0]
-    dev, _w = upload_bank_td(td, wire)
-    return _prep_fn(engine, "fmajor", dev.shape)(dev)
+    device FFT's tolerance. out_formats (a bank-shaped Format pytree)
+    materializes the bank directly in those layouts."""
+    return _prepare_device(engine, "fmajor", td, wire, out_formats)
 
 
-def prepare_cascade_bank_device(engine, td, wire: str = "auto"):
+def prepare_cascade_bank_device(engine, td, wire: str = "auto",
+                                out_formats=None):
     """[K, O, L] host f32 (or IRBank) -> device CascadeBank, computed
     on-chip (the ~2.1 GB packed 152-IR upload becomes a ~107-215 MB PCM
-    upload + one cached compile)."""
-    td = td if isinstance(td, np.ndarray) else bank_time_domain(td)
-    if engine.num_irs is not None and td.shape[0] != engine.num_irs:
-        raise ValueError(f"bank has {td.shape[0]} IRs, engine was built "
-                         f"for num_irs={engine.num_irs}")
-    engine.num_irs = td.shape[0]
-    dev, _w = upload_bank_td(td, wire)
-    return _prep_fn(engine, "cascade", dev.shape)(dev)
+    upload + one cached compile). out_formats: see fmajor variant."""
+    return _prepare_device(engine, "cascade", td, wire, out_formats)

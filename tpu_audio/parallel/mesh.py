@@ -308,6 +308,8 @@ def _cascade_state_specs(selected: bool = False):
         sel_tail=rhs,
         base_head=rhs,
         base_tail=rhs,
+        pd_q=P("voice"),
+        pd_m=P("voice"),
     )
 
 
