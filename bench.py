@@ -773,48 +773,23 @@ def run_perblock_leg(args, deadline_ms):
 
     import shutil
     try:
-        path = xplane.newest_trace(tdir)
-        if path is None:
-            return {"skipped": "profiler produced no trace on this backend"}
-        candidates = []   # (on_device, total_ms, plane, event, durs)
-        try:
-            planes = xplane.plane_events(path)
-        except (ValueError, IndexError) as exc:
-            # a malformed/truncated trace is a skip, not a leg error
-            return {"skipped": f"unparseable trace: {exc}"}
-        for plane, events in planes.items():
-            on_device = not any(s in plane.lower()
-                                for s in ("host", "task environment",
-                                          "metadata", "python", "thread"))
-            for ev_name, durs in events.items():
-                if abs(len(durs) - n) > max(2, n // 20):
-                    continue   # not once-per-step
-                if not on_device and "Execute" not in ev_name:
-                    continue   # host plane: only the executor is a step
-                ms = [d / 1e9 for d in durs]
-                candidates.append((on_device, sum(ms), plane, ev_name, ms))
+        stats = xplane.per_block_stats(tdir, n)
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
-    if not candidates:
-        return {"skipped": f"no once-per-step event in the trace "
-                           f"(n={n})"}
-    on_device, _tot, plane, ev_name, ms = max(
-        candidates, key=lambda c: (c[0], c[1]))
-    arr = np.asarray(ms)
-    leg = {"blocks": int(arr.size),
-           "p50_ms": round(float(np.percentile(arr, 50)), 3),
-           "p99_ms": round(float(np.percentile(arr, 99)), 3),
-           "max_ms": round(float(arr.max()), 3),
-           "rtf_p99": round(deadline_ms / float(np.percentile(arr, 99)), 3),
-           "event": ev_name,
-           "plane": plane,
-           "basis": ("on-device XLA trace, duration_ps per executable "
-                     "execution" if on_device else
-                     "host executor span per execution (no device plane "
-                     "in trace)")}
-    log(f"p99_block leg: {arr.size} blocks, p50 {leg['p50_ms']} / "
+    if "skipped" in stats:
+        # no trace / malformed trace / no once-per-step event: a skip
+        # row, not a leg error
+        return stats
+    on_device = stats.pop("on_device")
+    leg = dict(stats,
+               rtf_p99=round(deadline_ms / stats["p99_ms"], 3),
+               basis=("on-device XLA trace, duration_ps per executable "
+                      "execution" if on_device else
+                      "host executor span per execution (no device plane "
+                      "in trace)"))
+    log(f"p99_block leg: {leg['blocks']} blocks, p50 {leg['p50_ms']} / "
         f"p99 {leg['p99_ms']} / max {leg['max_ms']} ms "
-        f"[{ev_name} @ {plane}]")
+        f"[{leg['event']} @ {leg['plane']}]")
     return leg
 
 
@@ -2107,13 +2082,23 @@ def _flag_suspects(rec: dict, prior: dict) -> None:
                                  "stale_from", prior.get("measured_at"))}
 
 
-def _merge_leg_row(name, new, old, new_at, old_at):
+def _merge_leg_row(name, new, old, new_at, old_at, others_healthy=None):
     """Best-known-evidence merge for ONE leg row. Newest wins ONLY when
     plausible: a reading > _SUSPECT_RATIO x worse than the stored one is
     kept OUT of the store (tagged suspect_congestion with the rejected
     reading) unless the stored row is itself already suspect-tagged — a
     second consecutive bad reading is accepted as a real regression
-    (tagged regressed_from) so the store can never lie forever."""
+    (tagged regressed_from) so the store can never lie forever.
+
+    others_healthy: cross-leg weather covariate (VERDICT r04 weak #2 —
+    mono_ref read 1.082 vs 0.414 across two congested runs and the
+    two-strike rule confirmed it; a clean re-measure later read 0.401).
+    True = every OTHER comparable leg of this run is within its
+    plausibility band, so a second strike measures a REAL regression;
+    False = the rest of the run is also elevated (global congestion /
+    tunnel weather), so the second strike re-tags instead of confirming;
+    None = no other comparable legs exist (targeted rerun) — fall back
+    to the plain two-strike rule."""
     def stale(row):
         # provenance must not drift forward across consecutive bad runs
         return dict(row, stale_from=row.get(
@@ -2134,8 +2119,9 @@ def _merge_leg_row(name, new, old, new_at, old_at):
     nv, ov = (new.get(key), old.get(key)) if key else (None, None)
     if (isinstance(nv, (int, float)) and isinstance(ov, (int, float))
             and ov > 0 and nv > _SUSPECT_RATIO * ov):
-        if "suspect_congestion" in old:
-            # confirmed twice against the same stored value: accept
+        if "suspect_congestion" in old and others_healthy is not False:
+            # second strike on a healthy-looking run (or no covariate
+            # available): accept as a real regression
             row = dict(new)
             row["regressed_from"] = {key: ov,
                                      "measured_at": old.get("stale_from",
@@ -2159,6 +2145,25 @@ def _merge_store(rec: dict, prior) -> dict:
                                          time.gmtime())
     new_at = store["measured_at"]
     old_at = (prior or {}).get("measured_at")
+
+    # cross-leg weather covariate: per-leg new/old figure-of-merit ratios
+    # for every leg measured in BOTH records (errors/skips excluded)
+    prior_legs0 = (prior or {}).get("legs") or {}
+    ratios = {}
+    for nm, row in (store.get("legs") or {}).items():
+        key = _LEG_FOM.get(nm)
+        old = prior_legs0.get(nm)
+        if (key and isinstance(row, dict) and isinstance(old, dict)
+                and "error" not in row and "skipped" not in row
+                and isinstance(row.get(key), (int, float))
+                and isinstance(old.get(key), (int, float)) and old[key] > 0):
+            ratios[nm] = row[key] / old[key]
+
+    def _others_healthy(exclude):
+        rs = [r for n, r in ratios.items() if n != exclude]
+        if not rs:
+            return None
+        return all(r <= _SUSPECT_RATIO for r in rs)
 
     if prior:
         pv = prior.get("value") or 0
@@ -2186,7 +2191,8 @@ def _merge_store(rec: dict, prior) -> dict:
             # measured headline (tagged), this run's legs still merge in
             keep_prior_headline()
         elif good_old and good_new and nv * _SUSPECT_RATIO < pv:
-            if "suspect_congestion" in prior:
+            if ("suspect_congestion" in prior
+                    and _others_healthy(None) is not False):
                 store["regressed_from"] = {
                     "value": pv,
                     "measured_at": prior.get("headline_stale_from", old_at)}
@@ -2198,7 +2204,8 @@ def _merge_store(rec: dict, prior) -> dict:
     legs = dict(store.get("legs") or {})
     for name in set(legs) | set(prior_legs):
         merged = _merge_leg_row(name, legs.get(name), prior_legs.get(name),
-                                new_at, old_at)
+                                new_at, old_at,
+                                others_healthy=_others_healthy(name))
         if merged is not None:
             legs[name] = merged
     store["legs"] = legs or None

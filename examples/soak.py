@@ -62,11 +62,11 @@ class CheckedNullSink:
         pass
 
 
-def churn_schedule(rng, blocks: int, channels: int, every: int):
+def churn_events(rng, blocks: int, channels: int, every: int):
     """Random CC re-selects + occasional wet/speed edits on mapped
-    channels, one event every ~``every`` blocks."""
-    from tpu_audio.runtime.stream import MidiSchedule
-
+    channels, one event every ~``every`` blocks. Returns the raw
+    (block, port, bytes) list so the caller can split it across a
+    traced head + untraced remainder."""
     events: list = []
     b = max(int(rng.integers(1, every)), 1)
     while b < blocks:
@@ -82,7 +82,30 @@ def churn_schedule(rng, blocks: int, channels: int, every: int):
             events.append((b, "", bytes([0xB0 | ch, 25,
                                          int(rng.integers(5, 40))])))
         b += max(int(rng.integers(every // 2, every * 3 // 2)), 1)
-    return MidiSchedule(events), len(events)
+    return events
+
+
+def segment_device_stats(tdir, n_blocks):
+    """Per-block DEVICE latency stats for one traced soak window.
+
+    The session mixes step variants (steady / indexed, switching with
+    fade activity), so no single event matches the block count — union
+    every 'step_coef' executable's device executions (exactly one per
+    block, whichever variant ran) and take percentiles over the union.
+    Falls back to the generic once-per-step finder when the union does
+    not cover the window (e.g. a renamed step)."""
+    from tpu_audio.utils import xplane
+
+    durs = xplane.device_step_durations_ms(tdir, "step_coef")
+    ms = [m for v in durs.values() for m in v]
+    if len(ms) >= max(n_blocks - max(2, n_blocks // 20), 1):
+        arr = np.asarray(ms)
+        return {"blocks": int(arr.size),
+                "p50_ms": round(float(np.percentile(arr, 50)), 3),
+                "p99_ms": round(float(np.percentile(arr, 99)), 3),
+                "max_ms": round(float(arr.max()), 3),
+                "events": sorted(durs)}
+    return xplane.per_block_stats(tdir, n_blocks)
 
 
 def main(argv=None) -> int:
@@ -97,6 +120,13 @@ def main(argv=None) -> int:
     ap.add_argument("--segment-blocks", type=int, default=4096)
     ap.add_argument("--churn-every", type=int, default=32,
                     help="~blocks between MIDI events (hot churn)")
+    ap.add_argument("--trace-blocks", type=int, default=128,
+                    help="per-segment ON-DEVICE evidence: the first N "
+                         "blocks of every segment run inside a "
+                         "jax.profiler.trace and the device-plane "
+                         "per-block p50/p99 joins the trend — proving "
+                         "the ENGINE held real time regardless of tunnel "
+                         "weather (0 disables)")
     ap.add_argument("--fetch-batch", type=int, default=64)
     ap.add_argument("--wire", default="pcm16", choices=["f32", "pcm16"])
     ap.add_argument("--no-realtime", dest="realtime", action="store_false",
@@ -237,13 +267,45 @@ def main(argv=None) -> int:
                fetch_mb_per_batch=round(bytes_per_block * args.fetch_batch
                                         / 1e6, 2),
                trend=trend)
+    from tpu_audio.runtime.stream import MidiSchedule
+
+    tb = max(min(args.trace_blocks, args.segment_blocks // 2), 0)
     try:
         while time.perf_counter() < end_t:
-            sched, n_events = churn_schedule(rng, args.segment_blocks,
-                                             channels, args.churn_every)
+            events = churn_events(rng, args.segment_blocks, channels,
+                                  args.churn_every)
+            n_events = len(events)
             t0 = time.perf_counter()
-            state = session.run(state, max_blocks=args.segment_blocks,
-                                midi=sched)
+            dev = None
+            if tb:
+                # traced head: the first tb blocks of the segment run
+                # inside a profiler window (churn included — events are
+                # split and re-based so the timeline is unchanged); the
+                # device-plane per-block distribution is the segment's
+                # engine-held-real-time proof, independent of tunnel
+                # weather. Profiler overhead rides the WALL numbers of
+                # this window only (labeled in the record).
+                import shutil
+                import tempfile
+
+                head = [e for e in events if e[0] < tb]
+                tail = [(b - tb, p, d) for (b, p, d) in events if b >= tb]
+                tdir = tempfile.mkdtemp(prefix="tpu_audio_soaktrace_")
+                try:
+                    with jax.profiler.trace(tdir):
+                        state = session.run(state, max_blocks=tb,
+                                            midi=MidiSchedule(head))
+                    dev = segment_device_stats(tdir, tb)
+                except Exception as exc:  # noqa: BLE001 - evidence only
+                    dev = {"skipped": f"{type(exc).__name__}: {exc}"[:120]}
+                finally:
+                    shutil.rmtree(tdir, ignore_errors=True)
+                state = session.run(
+                    state, max_blocks=args.segment_blocks - tb,
+                    midi=MidiSchedule(tail))
+            else:
+                state = session.run(state, max_blocks=args.segment_blocks,
+                                    midi=MidiSchedule(events))
             wall = time.perf_counter() - t0
             seg += 1
             s = session.timer.summary(args.block / args.sample_rate)
@@ -255,7 +317,26 @@ def main(argv=None) -> int:
                      "faults": ws.misses if ws else None,
                      "starved": getattr(ws, "starved", 0) if ws else None,
                      "events": n_events}
+            if dev is not None:
+                if "p99_ms" in dev:
+                    entry["dev_p50_ms"] = dev["p50_ms"]
+                    entry["dev_p99_ms"] = dev["p99_ms"]
+                    entry["dev_blocks"] = dev["blocks"]
+                else:
+                    entry["dev_skipped"] = dev.get("skipped")
             trend.append(entry)
+            dev_p99s = [e["dev_p99_ms"] for e in trend
+                        if "dev_p99_ms" in e]
+            if dev_p99s:
+                rec.update(
+                    device_p99_ms_max=max(dev_p99s),
+                    device_p99_segments=len(dev_p99s),
+                    device_p99_basis=(
+                        f"on-device XLA trace per segment: first {tb} "
+                        f"blocks of each segment traced, per-block step-"
+                        f"executable durations (steady+indexed union); "
+                        f"engine-held-real-time proof independent of "
+                        f"tunnel wall pacing"))
             rec.update(blocks=sink.blocks, peak=round(sink.peak, 4),
                        nonfinite_checks=sink.nonfinite,
                        avg_ms=round(s["avg_ms"], 3),
@@ -270,10 +351,12 @@ def main(argv=None) -> int:
                        wall_s=round(time.perf_counter() - _T0, 1),
                        segments=seg)
             persist()
+            devtxt = (f" | dev p99 {entry['dev_p99_ms']}"
+                      if "dev_p99_ms" in entry else "")
             log(f"seg {seg}: {entry['seg_ms_per_block']} ms/block avg | "
                 f"p99cum {entry['p99_ms_cum']} | missed {entry['missed_cum']}"
                 f" | faults {entry['faults']} starved {entry['starved']} | "
-                f"{sink.blocks} blocks")
+                f"{sink.blocks} blocks{devtxt}")
     except KeyboardInterrupt:
         rec["error"] = "interrupted"
     except Exception as exc:  # noqa: BLE001 - partial evidence beats none

@@ -140,3 +140,66 @@ def test_flag_suspects_annotates_printed_record_only():
     store = bench._merge_store(rec, prior)
     assert "suspect" not in store
     assert "suspect" not in store["legs"]["ws"]
+
+
+def test_covariate_blocks_confirmation_when_run_is_globally_congested():
+    """Cross-leg weather covariate (round-5): a SECOND bad reading for a
+    leg is only accepted as a real regression when the OTHER comparable
+    legs of the same run are within their plausibility bands. mono_ref
+    read 1.082 vs 0.414 across two congested runs in round 4 and the
+    plain two-strike rule shipped regressed_from; a clean re-measure
+    later read 0.401 — the regression was weather."""
+    bench = _bench()
+    prior = mk(legs={
+        "mono_ref": {"steady_ms": 0.414,
+                     "suspect_congestion": {"steady_ms": 1.0,
+                                            "measured_at": "T2"}},
+        "ws": {"steady_ms": 1.1}}, at="T1")
+    # second bad mono_ref reading, but ws is ALSO 3x its band: global
+    # congestion -> keep the prior row, refresh the suspect tag
+    new = mk(legs={"mono_ref": {"steady_ms": 1.082},
+                   "ws": {"steady_ms": 3.5}})
+    row = bench._merge_store(new, prior)["legs"]["mono_ref"]
+    assert row["steady_ms"] == 0.414
+    assert row["suspect_congestion"]["steady_ms"] == 1.082
+
+
+def test_covariate_allows_confirmation_when_other_legs_healthy():
+    bench = _bench()
+    prior = mk(legs={
+        "mono_ref": {"steady_ms": 0.414,
+                     "suspect_congestion": {"steady_ms": 1.0,
+                                            "measured_at": "T2"}},
+        "ws": {"steady_ms": 1.1}}, at="T1")
+    # second bad mono_ref reading on an otherwise-healthy run: a REAL
+    # regression, accepted with provenance
+    new = mk(legs={"mono_ref": {"steady_ms": 1.082},
+                   "ws": {"steady_ms": 1.15}})
+    row = bench._merge_store(new, prior)["legs"]["mono_ref"]
+    assert row["steady_ms"] == 1.082
+    assert row["regressed_from"]["steady_ms"] == 0.414
+
+
+def test_covariate_absent_falls_back_to_two_strike():
+    """Targeted single-leg reruns have no covariate — the plain
+    two-strike rule applies (the pre-covariate behavior)."""
+    bench = _bench()
+    prior = mk(legs={"ws": {"steady_ms": 1.144,
+                            "suspect_congestion": {"steady_ms": 37.0,
+                                                   "measured_at": "T2"}}},
+               at="T1")
+    new = mk(legs={"ws": {"steady_ms": 30.0}})
+    row = bench._merge_store(new, prior)["legs"]["ws"]
+    assert row["steady_ms"] == 30.0
+    assert row["regressed_from"]["steady_ms"] == 1.144
+
+
+def test_covariate_gates_headline_confirmation_too():
+    bench = _bench()
+    prior = mk(value=4.5, legs={"ws": {"steady_ms": 1.1}}, at="T1")
+    prior["suspect_congestion"] = {"value": 1.0, "measured_at": "T2"}
+    # second bad headline on a run whose ws leg is also 3x its band
+    new = mk(value=1.1, legs={"ws": {"steady_ms": 3.5}})
+    store = bench._merge_store(new, prior)
+    assert store["value"] == 4.5          # kept prior, not confirmed
+    assert store["suspect_congestion"]["value"] == 1.1

@@ -158,3 +158,50 @@ def device_step_durations_ms(logdir: str, name_substr: str,
                 out.setdefault(ev_name, []).extend(
                     d / 1e9 for d in durs)    # ps -> ms
     return out
+
+
+def per_block_stats(logdir: str, n_blocks: int):
+    """Per-block latency distribution of the dominant once-per-block
+    event in the newest ``jax.profiler.trace`` under ``logdir``.
+
+    The heuristic (shared by bench.py's p99_block leg and the soak's
+    per-segment on-device evidence): among all planes, keep events whose
+    occurrence count matches ``n_blocks`` within 5% (once per step),
+    prefer DEVICE planes over host ones (host planes only qualify via
+    their 'Execute' span), and pick the event with the largest total
+    duration — the step executable. Returns a dict with blocks/p50_ms/
+    p99_ms/max_ms/event/plane/on_device, or a {'skipped': reason} dict
+    when no trace, an unparseable trace, or no once-per-step event is
+    found (callers decide whether that is an error)."""
+    import numpy as np
+
+    path = newest_trace(logdir)
+    if path is None:
+        return {"skipped": "profiler produced no trace on this backend"}
+    try:
+        planes = plane_events(path)
+    except (ValueError, IndexError) as exc:
+        return {"skipped": f"unparseable trace: {exc}"}
+    candidates = []   # (on_device, total_ms, plane, event, durs_ms)
+    for plane, events in planes.items():
+        on_device = not any(s in plane.lower()
+                            for s in ("host", "task environment",
+                                      "metadata", "python", "thread"))
+        for ev_name, durs in events.items():
+            if abs(len(durs) - n_blocks) > max(2, n_blocks // 20):
+                continue   # not once-per-step
+            if not on_device and "Execute" not in ev_name:
+                continue   # host plane: only the executor is a step
+            ms = [d / 1e9 for d in durs]
+            candidates.append((on_device, sum(ms), plane, ev_name, ms))
+    if not candidates:
+        return {"skipped": f"no once-per-step event in the trace "
+                           f"(n={n_blocks})"}
+    on_device, _tot, plane, ev_name, ms = max(
+        candidates, key=lambda c: (c[0], c[1]))
+    arr = np.asarray(ms)
+    return {"blocks": int(arr.size),
+            "p50_ms": round(float(np.percentile(arr, 50)), 3),
+            "p99_ms": round(float(np.percentile(arr, 99)), 3),
+            "max_ms": round(float(arr.max()), 3),
+            "event": ev_name, "plane": plane, "on_device": on_device}
