@@ -365,6 +365,110 @@ def run_ws_leg(args, deadline_ms):
     return leg
 
 
+def run_groups_leg(args, deadline_ms):
+    """Heterogeneous conv-pairs leg: the reference's actual shipped
+    topology is count/2 INDEPENDENT Convolution instances on one GPU,
+    each pair with its own fftSize/index (reference src/main.cu:31-39) —
+    ReverbGroups is the TPU-idiomatic form (one batched engine per
+    distinct geometry). This leg builds a TWO-geometry settings file
+    from the reference's own WAVs (two pairs long-IR group + two pairs
+    short-IR group, differing maxPredelay), through the REAL
+    ReverbGroups.from_settings path (CC mappings, initial values,
+    per-channel banks), and measures each group's engine-true steady
+    cost plus the combined per-block cost — serving all pairs live on
+    one chip means every group's step must fit the same block deadline."""
+    import glob
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_audio.models.reverb import ReverbGroups
+
+    wavs = sorted(glob.glob("/root/reference/ir/1/*.wav"))
+    tdir = tempfile.mkdtemp(prefix="tpu_audio_groups_")
+    try:
+        if wavs:
+            idx_a = os.path.join(tdir, "a.index")
+            idx_b = os.path.join(tdir, "b.index")
+            with open(idx_a, "w") as fh:
+                fh.write("\n".join(wavs[:4]) + "\n")
+            with open(idx_b, "w") as fh:
+                fh.write("\n".join(wavs[4:8]) + "\n")
+        else:  # no reference checkout (CI smoke): synthesize tiny WAVs
+            from tpu_audio.io.wav import write_wav
+            rng = np.random.default_rng(0)
+            paths = []
+            for i in range(8):
+                p = os.path.join(tdir, f"ir{i}.wav")
+                n = int(args.sample_rate * min(args.ir_seconds, 0.2))
+                write_wav(p, (rng.standard_normal((2, n)) * 0.2
+                              ).astype(np.float32), args.sample_rate)
+                paths.append(p)
+            idx_a = os.path.join(tdir, "a.index")
+            idx_b = os.path.join(tdir, "b.index")
+            with open(idx_a, "w") as fh:
+                fh.write("\n".join(paths[:4]) + "\n")
+            with open(idx_b, "w") as fh:
+                fh.write("\n".join(paths[4:]) + "\n")
+        lines = ["conv.count 4"]
+        for n_ch, (fft, maxpd, idx) in enumerate(
+                [(131072, 8192, idx_a), (131072, 8192, idx_a),
+                 (65536, 4096, idx_b), (65536, 4096, idx_b)]):
+            lines += [f"conv[{n_ch}].fftSize {fft}",
+                      f"conv[{n_ch}].maxPredelay {maxpd}",
+                      f"conv[{n_ch}].index {idx}",
+                      f"conv[{n_ch}].cc.message {176 + (n_ch // 2)}",
+                      f"conv[{n_ch}].cc.select 21",
+                      f"conv[{n_ch}].cc.wet 24",
+                      f"conv[{n_ch}].value.select {n_ch % 4}",
+                      f"conv[{n_ch}].value.predelay 1024",
+                      f"conv[{n_ch}].value.dry 0.3",
+                      f"conv[{n_ch}].value.wet 0.7"]
+        spath = os.path.join(tdir, "two_geometry.txt")
+        with open(spath, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        groups = ReverbGroups.from_settings(
+            spath, engine="fmajor", max_ir_seconds=args.ir_seconds,
+            verbose=False, block=args.block,
+            sample_rate=args.sample_rate, bank_prep="device")
+    finally:
+        import shutil
+        shutil.rmtree(tdir, ignore_errors=True)
+
+    rng = np.random.default_rng(9)
+    per_group = []
+    combined = 0.0
+    blocks = max(args.engine_blocks // 2, 16)
+    reps = max(args.reps - 1, 1)
+    for model, pairs in zip(groups.models, groups.pair_ids):
+        engine = model.engine
+        params = jax.tree.map(jnp.asarray, model.control.snapshot())
+        state = engine.init_converged(model.spectra, params)
+        steady = jax.jit(engine.step_coef_steady, donate_argnums=(0,))
+        shape = (engine.num_voices, 2, args.block)
+        pool = [jnp.asarray(rng.standard_normal(shape)
+                            .astype(np.float32) * 0.05) for _ in range(4)]
+        ms, state = engine_true_ms(
+            steady, state, model.spectra, params,
+            lambda t: pool[t % len(pool)], blocks, reps=reps)
+        del state
+        per_group.append({"pairs": len(pairs),
+                          "num_irs": len(model.bank),
+                          "partitions": engine.partitions,
+                          "steady_ms": round(ms, 3)})
+        combined += ms
+    leg = {"groups": per_group, "combined_ms": round(combined, 3),
+           "rtf": round(deadline_ms / combined, 3),
+           "basis": ("sum of per-group engine-true steady ms — all "
+                     "groups share one chip, so live serving fits the "
+                     "deadline iff the sum does")}
+    log(f"groups leg: {len(per_group)} geometry groups, combined "
+        f"{combined:.3f} ms/block (RTF {leg['rtf']}) "
+        f"{[g['steady_ms'] for g in per_group]}")
+    return leg
+
+
 def run_cascade_leg(args, deadline_ms, voices=None, dtype=None,
                     predelay_side=None):
     """High-voice cascade leg: one > 512-voice scaling point on the
@@ -1738,6 +1842,7 @@ def _leg_specs(args):
     specs += [("cascade_hv", run_cascade_leg, 60),
               ("ws", run_ws_leg, 120),
               ("mono_ref", run_mono_leg, 40),
+              ("groups", run_groups_leg, 50),
               ("equiv", run_equiv_leg, 75),
               ("sel152", run_selected_leg, 110)]
     if args.only_legs is not None:
@@ -1759,7 +1864,8 @@ def _leg_groups(specs):
     # p99_block first within its child: it is the deadline-gate metric,
     # and the offline bounce's transient 323-voice working set would
     # otherwise leave HBM residuals under it
-    g1 = [by_name[n] for n in ("p99_block", "offline", "mono_ref")
+    g1 = [by_name[n] for n in ("p99_block", "offline", "mono_ref",
+                               "groups")
           if n in by_name]
     if g1:
         groups.append(g1)
@@ -2052,7 +2158,7 @@ _HEADLINE_KEYS = ("value", "vs_baseline", "wire", "e2e_f32_rtf",
 _LEG_FOM = {"ws": "steady_ms", "sel152": "steady_ms",
             "cascade_hv": "steady_ms", "cascade_2048": "steady_ms",
             "mono_ref": "steady_ms", "offline": "wall_s",
-            "p99_block": "p99_ms"}
+            "p99_block": "p99_ms", "groups": "combined_ms"}
 # the tunnel's honest run-to-run weather band is ~1.5x; 1.8x has only
 # ever been crossed by congestion artifacts (ws 37.056 vs 1.144 ms,
 # sel152 5.146 vs 2.05 — both 2026-08-20 09:26)
