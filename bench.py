@@ -815,8 +815,14 @@ def _leg_specs(args):
               ("ws", run_ws_leg, 120),
               ("mono_ref", run_mono_leg, 40),
               ("groups", run_groups_leg, 50),
-              ("equiv", run_equiv_leg, 75),
-              ("sel152", run_selected_leg, 110)]
+              # sel152 before equiv since round 5: with on-device prep
+              # the leg runs in ~30-70 s (the ~2 GB weather-unbounded
+              # upload that justified last place is gone); equiv's
+              # cascade half is the remaining most-variable wall (a
+              # congested-evening bounce compile ran 255 s) and it
+              # already self-skips its cascade engine near the watchdog
+              ("sel152", run_selected_leg, 80),
+              ("equiv", run_equiv_leg, 75)]
     if args.only_legs is not None:
         keep = {s.strip() for s in args.only_legs.split(",") if s.strip()}
         specs = [s for s in specs if s[0] in keep]
@@ -843,12 +849,16 @@ def _leg_groups(specs):
         groups.append(g1)
     if "cascade_2048" in by_name:
         groups.append([by_name["cascade_2048"]])
+    # sel152 before the ws+equiv group since round 5: with on-device
+    # prep it is a ~30-70 s leg, and equiv's congested-evening cascade
+    # bounce (seen 255 s) must not spend sel152's budget first
+    if "sel152" in by_name:
+        groups.append([by_name["sel152"]])
     g2 = [by_name[n] for n in ("ws", "equiv") if n in by_name]
     if g2:
         groups.append(g2)
-    for n in ("cascade_hv", "sel152"):
-        if n in by_name:
-            groups.append([by_name[n]])
+    if "cascade_hv" in by_name:
+        groups.append([by_name["cascade_hv"]])
     # anything ungrouped (future legs) runs solo, in spec order
     placed = {s[0] for g in groups for s in g}
     groups += [[s] for s in specs if s[0] not in placed]

@@ -99,12 +99,7 @@ def segment_device_stats(tdir, n_blocks):
     durs = xplane.device_step_durations_ms(tdir, "step_coef")
     ms = [m for v in durs.values() for m in v]
     if len(ms) >= max(n_blocks - max(2, n_blocks // 20), 1):
-        arr = np.asarray(ms)
-        return {"blocks": int(arr.size),
-                "p50_ms": round(float(np.percentile(arr, 50)), 3),
-                "p99_ms": round(float(np.percentile(arr, 99)), 3),
-                "max_ms": round(float(arr.max()), 3),
-                "events": sorted(durs)}
+        return dict(xplane.duration_stats_ms(ms), events=sorted(durs))
     return xplane.per_block_stats(tdir, n_blocks)
 
 

@@ -691,13 +691,26 @@ def test_read_side_predelay_edit_equals_write_side():
     the new one. Deepest jump both directions (with nonzero sub-block
     spill on both sides), plus chained edits inside the drain window."""
     pd = 8 * B + 17
-    for edits, init_pd in (
-            ({12: 5}, pd),                 # deep -> near-zero (forward roll)
-            ({12: pd}, 5),                 # near-zero -> deep (backward)
-            ({10: pd // 2, 13: 33}, pd),   # chained edits, 2nd inside drain
-            ({12: 0}, pd - 17)):           # r 15 -> 0, q -> 0 crossing
-        got = _run_predelay_session("read", edits, init_pd=init_pd)
-        want = _run_predelay_session("write", edits, init_pd=init_pd)
+    nh = pd // B + 2
+    late = 6 * nh + 3   # WELL past t = 4*nh, where the first mask broke
+    for edits, init_pd, blocks in (
+            ({12: 5}, pd, 40),             # deep -> near-zero (forward roll)
+            ({12: pd}, 5, 40),             # near-zero -> deep (backward)
+            ({10: pd // 2, 13: 33}, pd, 40),  # chained, 2nd inside drain
+            ({12: 0}, pd - 17, 40),        # r 15 -> 0, q -> 0 crossing
+            # LATE edits: the retime's liveness offset must reduce t mod
+            # nh BEFORE subtracting — the first implementation's
+            # `src - (t - pd_q) + 4*nh` went negative past t ~ 4*nh,
+            # truncating rem returned negative offsets that always
+            # passed the live test, and stale already-emitted wet rolled
+            # into live slots (review repro: maxdiff 0.31 at t=60 while
+            # t=12 was bit-exact — every early test was blind)
+            ({late: 5, late + 2 * nh: pd}, pd, late + 4 * nh),
+            ({200: 33}, pd, 230)):
+        got = _run_predelay_session("read", edits, init_pd=init_pd,
+                                    blocks=blocks)
+        want = _run_predelay_session("write", edits, init_pd=init_pd,
+                                     blocks=blocks)
         np.testing.assert_array_equal(got, want)
         assert np.abs(want).max() > 1e-4
 
@@ -708,11 +721,13 @@ def test_read_side_predelay_fuzz_equals_write_side():
     rng = np.random.default_rng(99)
     pd = 8 * B + 17
     edits = {}
-    for t in sorted(rng.choice(np.arange(2, 46), size=7, replace=False)):
+    # spread edits across the whole 150-block horizon (early tests only
+    # edited before t=46 and missed the t > 4*nh mask bug)
+    for t in sorted(rng.choice(np.arange(2, 146), size=10, replace=False)):
         edits[int(t)] = rng.integers(0, pd + 1, size=V)
-    got = _run_predelay_session("read", edits, blocks=50, seed=21,
+    got = _run_predelay_session("read", edits, blocks=150, seed=21,
                                 init_pd=pd)
-    want = _run_predelay_session("write", edits, blocks=50, seed=21,
+    want = _run_predelay_session("write", edits, blocks=150, seed=21,
                                  init_pd=pd)
     np.testing.assert_array_equal(got, want)
     assert np.abs(want).max() > 1e-4

@@ -256,3 +256,31 @@ def test_bank_prep_validation():
     with pytest.raises(ValueError, match="fault_upload='td'"):
         ConvolutionReverb(bank, engine="fmajor", bank_capacity=2,
                           bank_prep="device", fault_upload="derived")
+
+
+def test_cascade_device_prep_short_resident_bank():
+    """Review repro (round 5): a working-set compact sub-bank whose
+    longest resident IR is SHORTER than the cascade head (2*ratio*block)
+    made partition_fd's tail slice start past the input length
+    (TypeError: slice limit_indices...) while the host prepare_bank
+    zero-pads the same case. The engine geometry is sized by the FULL
+    bank, so short residents are a normal configuration."""
+    rng = np.random.default_rng(4)
+    full = IRBank(sample_rate=44100)
+    full.append((rng.standard_normal((2, 9000)) * 0.1).astype(np.float32))
+    for _ in range(3):   # residents far shorter than head = 2*2*256
+        full.append((rng.standard_normal((2, 400)) * 0.1
+                     ).astype(np.float32))
+    block = 256
+    parts = full.max_partitions(block)
+    compact = IRBank(sample_rate=44100)
+    for k in (1, 2, 3):
+        compact.append(full.ir(k))
+
+    def eng():
+        return CascadeConvolution(4, block, parts, ratio=2,
+                                  max_predelay=1024, num_irs=3)
+    host = eng().prepare_bank(compact)
+    dev = dp.prepare_cascade_bank_device(eng(), compact)
+    _close(dev.head_rhs2, host.head_rhs2)
+    _close(dev.tail_rhs2, host.tail_rhs2)

@@ -747,9 +747,21 @@ class CascadeConvolution:
                 src = jax.lax.rem(
                     slots_h - delta[:, None] + jnp.int32(2 * nh),
                     jnp.int32(nh))                        # [V, NH]
-                off = jax.lax.rem(
-                    src - (t - state.pd_q[:, None]) + jnp.int32(4 * nh),
+                # reduce t mod nh BEFORE subtracting: t itself is only
+                # bounded by t_modulus, so `src - (t - pd_q) + 4*nh` goes
+                # negative once t > ~4*nh and lax.rem (truncating)
+                # returns a NEGATIVE off that always satisfies the live
+                # test — the mask collapsed to all-live and rolled stale
+                # already-emitted wet into live slots for any edit after
+                # ~0.8 s of session (review repro 2026-08-20, maxdiff
+                # 0.31 at t=60; t=12 edits were bit-exact, which is why
+                # the first round of tests passed). origin and src are
+                # both in [0, nh), so off's argument stays positive.
+                origin = jax.lax.rem(
+                    t - state.pd_q[:, None] + jnp.int32(2 * nh),
                     jnp.int32(nh))
+                off = jax.lax.rem(src - origin + jnp.int32(nh),
+                                  jnp.int32(nh))
                 live = (off <= m_prev[:, None])[:, :, None, None]
                 rolled = jnp.take_along_axis(r, src[:, :, None, None],
                                              axis=1)

@@ -51,6 +51,13 @@ from tpu_audio.utils.jitcache import instance_cached
 # a power of two, so the decode multiply below is EXACT in f32.
 _PCM16_SCALE = 65536.0
 
+# module-level jit: a per-call jax.jit(lambda ...) wrapper re-traces and
+# re-loads its executable on every upload (the exact pattern
+# utils/jitcache.instance_cached exists to kill); one shared wrapper
+# retraces only per input shape
+_decode_pcm16 = jax.jit(lambda a: a.astype(jnp.float32)
+                        * jnp.float32(1.0 / _PCM16_SCALE))
+
 
 def bank_time_domain(bank) -> np.ndarray:
     """IRBank -> [K, O, Lmax] float32, IRs zero-padded to the bank's
@@ -88,9 +95,7 @@ def upload_bank_td(td: np.ndarray, wire: str = "auto"):
     if wire != "f32":
         q = encode_pcm16_exact(td)
         if q is not None:
-            dec = jax.jit(lambda a: a.astype(jnp.float32)
-                          * jnp.float32(1.0 / _PCM16_SCALE))
-            return dec(jnp.asarray(q)), "pcm16"
+            return _decode_pcm16(jnp.asarray(q)), "pcm16"
         if wire == "pcm16":
             raise ValueError("pcm16 td wire requested but the bank is not "
                              "on the 16-bit grid (normalized or >16-bit "
@@ -110,7 +115,12 @@ def partition_fd(td, block: int, parts: int, offset: int, xf):
     lead = td.shape[:-1]
     length = td.shape[-1]
     keep = max(min(length - offset, parts * block), 0)
-    x = jax.lax.slice_in_dim(td, offset, offset + keep, axis=td.ndim - 1)
+    # clamp the slice START too: offset > length is legal input (e.g. a
+    # working-set compact sub-bank whose resident IRs are all shorter
+    # than the cascade head, 2*ratio*block — the host prepare_bank
+    # zero-pads the same case) but slice_in_dim requires start <= length
+    start = min(offset, length)
+    x = jax.lax.slice_in_dim(td, start, start + keep, axis=td.ndim - 1)
     x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, parts * block - keep)])
     x = x.reshape(lead + (parts, block))
     x = jnp.pad(x, [(0, 0)] * (len(lead) + 1) + [(0, block)])

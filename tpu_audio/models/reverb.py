@@ -203,20 +203,20 @@ class ConvolutionReverb:
             else:
                 self.spectra = self.engine.prepare_bank(bank,
                                                         cache_dir=cache_dir)
-        elif engine in ("fmajor", "partitioned"):
+        elif engine == "fmajor":
             partitions = max_partitions or bank.max_partitions(block)
-            if engine == "fmajor" and bank_prep == "device":
-                # the engine resolves 'auto' itself (num_irs is given);
-                # swap_snapshot=False only composes with allk, same rule
-                # as the host branch below
-                strategy = mac_strategy
-                if not swap_snapshot and strategy == "auto":
-                    strategy = "allk"
-                self.engine = FMajorPartitionedConvolution(
-                    num_voices, block, partitions, max_predelay=max_predelay,
-                    backend=backend, mac_strategy=strategy, num_irs=len(bank),
-                    mac_dtype=mac_dtype, swap_snapshot=swap_snapshot,
-                    fault_upload=fault_upload)
+            # swap_snapshot=False only composes with the allk strategy;
+            # the auto rule would silently pick 'selected' on big banks
+            # (the engine resolves 'auto' itself — num_irs is given)
+            strategy = mac_strategy
+            if not swap_snapshot and strategy == "auto":
+                strategy = "allk"
+            self.engine = FMajorPartitionedConvolution(
+                num_voices, block, partitions, max_predelay=max_predelay,
+                backend=backend, mac_strategy=strategy, num_irs=len(bank),
+                mac_dtype=mac_dtype, swap_snapshot=swap_snapshot,
+                fault_upload=fault_upload)
+            if bank_prep == "device":
                 from tpu_audio.engine import device_prep
                 self.spectra = device_prep.prepare_fmajor_bank_device(
                     self.engine, bank)
@@ -227,27 +227,21 @@ class ConvolutionReverb:
                 else:
                     spectra = bank.partitioned_spectra(
                         block, max_partitions=partitions)
-                if engine == "fmajor":
-                    # swap_snapshot=False only composes with the allk
-                    # strategy; the auto rule would silently pick
-                    # 'selected' on big banks
-                    strategy = mac_strategy
-                    if not swap_snapshot and strategy == "auto":
-                        strategy = "allk"
-                    self.engine = FMajorPartitionedConvolution(
-                        num_voices, block, partitions,
-                        max_predelay=max_predelay, backend=backend,
-                        mac_strategy=strategy, num_irs=len(bank),
-                        mac_dtype=mac_dtype, swap_snapshot=swap_snapshot,
-                        fault_upload=fault_upload)
-                    # device bank is a pytree of MAC-ready real layouts
-                    self.spectra = self.engine.prepare_bank(
-                        spectra, cache_dir=cache_dir)
-                else:
-                    self.engine = PartitionedConvolution(
-                        num_voices, block, partitions,
-                        max_predelay=max_predelay, backend=backend,
-                        variant=variant)
+                # device bank is a pytree of MAC-ready real layouts
+                self.spectra = self.engine.prepare_bank(
+                    spectra, cache_dir=cache_dir)
+        elif engine == "partitioned":
+            partitions = max_partitions or bank.max_partitions(block)
+            if cache_dir:
+                spectra = bank.cached_partitioned_spectra(
+                    block, cache_dir, max_partitions=partitions)
+            else:
+                spectra = bank.partitioned_spectra(
+                    block, max_partitions=partitions)
+            self.engine = PartitionedConvolution(
+                num_voices, block, partitions,
+                max_predelay=max_predelay, backend=backend,
+                variant=variant)
         elif engine == "monolithic":
             self.engine = MonolithicConvolution(
                 num_voices, fft_size, block, max_predelay=max_predelay,

@@ -199,9 +199,18 @@ def per_block_stats(logdir: str, n_blocks: int):
                            f"(n={n_blocks})"}
     on_device, _tot, plane, ev_name, ms = max(
         candidates, key=lambda c: (c[0], c[1]))
+    return dict(duration_stats_ms(ms),
+                event=ev_name, plane=plane, on_device=on_device)
+
+
+def duration_stats_ms(ms):
+    """blocks/p50/p99/max summary of a per-block duration list (ms) —
+    the one shape both bench's p99_block leg and the soak's per-segment
+    device evidence report."""
+    import numpy as np
+
     arr = np.asarray(ms)
     return {"blocks": int(arr.size),
             "p50_ms": round(float(np.percentile(arr, 50)), 3),
             "p99_ms": round(float(np.percentile(arr, 99)), 3),
-            "max_ms": round(float(arr.max()), 3),
-            "event": ev_name, "plane": plane, "on_device": on_device}
+            "max_ms": round(float(arr.max()), 3)}
