@@ -258,9 +258,18 @@ def run_cascade_leg(args, deadline_ms, voices=None, dtype=None,
         num_irs=args.num_irs, mac_dtype=dtype,
         predelay_side=(predelay_side
                        or getattr(args, "predelay_side", "write")))
-    # HOST leaves: the pinned path lowers against ShapeDtypeStructs and
-    # uploads the bank DIRECTLY into the compiler-chosen formats — one
-    # h2d transfer, no device-side relayout (utils/layouts.py notes)
+    # HOST leaves, uploaded DIRECTLY into the pinned formats below (one
+    # h2d transfer, no device-side relayout). Round 5 tried on-device
+    # prep here and REVERTED it: with pinned serving layouts the bank
+    # must land in compiler-chosen formats, and BOTH routes there from a
+    # device-resident prep pay a cache-bypassed remote compile EVERY
+    # process (policy: layout-constrained compiles never touch the
+    # layout-blind persistent cache; loaded layout-constrained
+    # executables are landmine 7d) — measured 204 s (pinned-output prep)
+    # and two >550 s wedges (plain prep + place_in_formats d2d relayout)
+    # on 2026-08-20 evening, vs a bounded 25-69 MB direct upload. The
+    # pinning-free fmajor legs and the HBM-bound sel152 keep device
+    # prep; host->device device_put into Formats is a pure transfer.
     spectra = engine.prepare_bank(bank, cache_dir=args.pack_cache,
                                   device=False)
     control = ControlPlane(v, args.num_irs)

@@ -61,14 +61,21 @@ def build(args):
             predelay_side=getattr(args, "predelay_side", "write"),
             mac_strategy="allk" if capacity else args.mac_strategy)
         if capacity:
+            # residency mode keeps the host spectra path (its fault
+            # payload contract is spectra slices unless fault_upload=td)
             compact = IRBank(sample_rate=sr)
             for k in range(capacity):
                 compact.append(bank.ir(k))
             spectra = engine.prepare_bank(
                 compact, cache_dir=getattr(args, "pack_cache", None))
         else:
-            spectra = engine.prepare_bank(
-                bank, cache_dir=getattr(args, "pack_cache", None))
+            # on-device prep (round 5): the packed bank never crosses
+            # the wire — ~2.8 MB of pcm16 time-domain PCM replaces the
+            # 25-69 MB packed upload EVERY child process pays, which on
+            # congested evenings (0.5-8 MB/s bulk H2D) was 10-140 s of
+            # each leg's budget
+            from tpu_audio.engine import device_prep
+            spectra = device_prep.prepare_cascade_bank_device(engine, bank)
     else:
         engine = FMajorPartitionedConvolution(
             args.voices, args.block, partitions,
@@ -76,10 +83,14 @@ def build(args):
             mac_dtype=args.mac_dtype, swap_snapshot=not args.no_swap_snapshot,
             mac_strategy="allk" if capacity else args.mac_strategy,
             num_irs=capacity or args.num_irs, pv_mac=args.pv_mac)
-        full_spectra = bank.partitioned_spectra(args.block)
-        spectra = engine.prepare_bank(
-            full_spectra[: capacity] if capacity else full_spectra,
-            cache_dir=getattr(args, "pack_cache", None))
+        if capacity:
+            full_spectra = bank.partitioned_spectra(args.block)
+            spectra = engine.prepare_bank(
+                full_spectra[: capacity],
+                cache_dir=getattr(args, "pack_cache", None))
+        else:
+            from tpu_audio.engine import device_prep
+            spectra = device_prep.prepare_fmajor_bank_device(engine, bank)
     control = ControlPlane(args.voices, args.num_irs)
     control.wet[:] = 0.7
     control.dry[:] = 0.2

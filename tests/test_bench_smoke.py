@@ -338,4 +338,8 @@ def test_main_raising_cancels_watchdog():
                     "--isolate", "none", "--record-dir", "",
                     "--no-backend-probe", "--watchdog", "30"])
     assert bench._WATCHDOG_TIMER is not None
+    # cancel() is synchronous but the timer THREAD exits asynchronously:
+    # join with a bound (an armed-but-uncancelled timer waits its full
+    # 30 s interval, so a leak still fails here after 2 s)
+    bench._WATCHDOG_TIMER.join(timeout=2)
     assert not bench._WATCHDOG_TIMER.is_alive()
