@@ -46,7 +46,6 @@ run.
 from __future__ import annotations
 
 import argparse
-import collections
 import json
 import os
 import sys

@@ -11,7 +11,7 @@ import numpy as np
 
 from benchlib import measure
 from benchlib.util import elapsed, log
-from benchlib.measure import build, e2e_throughput, make_bank
+from benchlib.measure import build, make_bank
 
 
 def run_ws_leg(args, deadline_ms):

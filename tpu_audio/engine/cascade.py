@@ -1032,7 +1032,10 @@ class CascadeConvolution:
 
         t_next = (jax.lax.rem(t + 1, jnp.int32(self.t_modulus))
                   if self.t_modulus else t + 1)
-        q = params.predelay[:, 0] // b
+        # pd_q stores the SAME q the head-stage retime used this block
+        # (threaded from _step) — re-deriving it here from params would
+        # desynchronize the edit-detection basis if a caller ever passed
+        # a transformed q
         return replace(state, t=t_next, fdl1=fdl1, prev_in=x, inbuf2=inbuf2,
                        fdl2=fdl2, wet_ring=ring, tail_ring=tring,
                        coef_a=a, coef_c=c, pd_q=q,

@@ -328,6 +328,20 @@ class ConvolutionReverb:
                 self.spectra = self.engine.prepare_bank(
                     full_spectra[residents], cache_dir=cache_dir)
             if fault_upload == "td":
+                if bank_prep == "host":
+                    # allowed (useful for A/B tests) but mixed FFT
+                    # provenance: residents carry host-pocketfft spectra
+                    # while faulted slots are rebuilt by the device
+                    # matmul FFT (~1e-6 relative apart) — re-selecting a
+                    # previously-resident IR after its eviction plays
+                    # very slightly differently, and the working set's
+                    # bit-equality to a full-bank engine becomes
+                    # FFT-tolerance equality. Never silent.
+                    Log.warn(
+                        "reverb", "fault_upload='td' with "
+                        "bank_prep='host' mixes host- and device-FFT "
+                        "slots in one bank (~1e-6 relative); use "
+                        "bank_prep='device' for uniform provenance")
                 payload = bank.ir
             elif bank_prep == "device":
                 # spectra fault payloads need the host FFT after all —

@@ -173,8 +173,6 @@ def per_block_stats(logdir: str, n_blocks: int):
     p99_ms/max_ms/event/plane/on_device, or a {'skipped': reason} dict
     when no trace, an unparseable trace, or no once-per-step event is
     found (callers decide whether that is an error)."""
-    import numpy as np
-
     path = newest_trace(logdir)
     if path is None:
         return {"skipped": "profiler produced no trace on this backend"}
