@@ -701,6 +701,11 @@ def run_equiv_leg(args, deadline_ms):
     blocks = int(track_s * args.sample_rate / args.block)
     events = [(max(blocks // 8, 1), "",
                bytes([0xB0, 0x15, 0x7F])),             # re-select, fades
+              (max(blocks // 3, 2), "",
+               bytes([0xB0, 0x16, 0x09])),             # predelay edit (round
+                                                       # 5: drives the read-
+                                                       # side FIFO retime in
+                                                       # the cascade engine)
               (max(blocks // 2, 2), "",
                bytes([0xB0, 0x18, 0x50])),             # wet mid-fade
               (max(int(blocks * 0.8), 3), "",
@@ -721,14 +726,21 @@ def run_equiv_leg(args, deadline_ms):
             continue
 
         def fresh(eng=engine_name):
+            # cascade runs predelay_side='read' here: with the predelay
+            # event above, the driver's own accuracy artifact exercises
+            # the round-5 edit-exact FIFO retime ON HARDWARE (live
+            # session AND in-graph automation replay must agree)
+            kw = {"predelay_side": "read"} if eng == "cascade" else {}
             m = ConvolutionReverb(bank, num_voices=voices, block=args.block,
                                   sample_rate=args.sample_rate,
-                                  engine=eng, cache_dir=args.pack_cache)
+                                  engine=eng, cache_dir=args.pack_cache,
+                                  **kw)
             m.control.wet[:] = 0.7
             m.control.dry[:] = 0.2
+            m.control.predelay[:, 0] = 1024
             for v in range(voices):
                 m.control.set_mapping(v, 0, CCMapping(
-                    message=0xB0, select=21, wet=24, speed=25))
+                    message=0xB0, select=21, predelay=22, wet=24, speed=25))
             return m
 
         model = fresh()
@@ -776,6 +788,10 @@ def run_equiv_leg(args, deadline_ms):
 
                 n_pre = max(events[0][0] - 1, 1) * args.block
                 n_pre = min(n_pre, nn)
+                if init_pd >= n_pre:
+                    raise ValueError(
+                        f"prefix {n_pre} shorter than predelay "
+                        f"{init_pd} (tiny smoke config)")
                 ir0 = bank.ir(init_sel)
                 pd, wet, dry = init_pd, init_wet, init_dry
                 gmd = 0.0
