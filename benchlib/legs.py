@@ -559,9 +559,12 @@ def run_offline_leg(args, deadline_ms):
     from tpu_audio.runtime.offline import render_offline
 
     bank = make_bank(args.num_irs, args.ir_seconds, args.sample_rate)
+    # bank_prep='device': ~2.8 MB pcm16 time-domain upload instead of
+    # the 69 MB packed bank (10-140 s of child budget on congested
+    # links); virtual-voice clones share the device bank untouched
     model = ConvolutionReverb(bank, num_voices=1, block=args.block,
                               sample_rate=args.sample_rate, engine="fmajor",
-                              cache_dir=args.pack_cache)
+                              bank_prep="device")
     model.control.wet[:] = 0.7
     model.control.dry[:] = 0.2
     rng = np.random.default_rng(11)
@@ -733,8 +736,7 @@ def run_equiv_leg(args, deadline_ms):
             kw = {"predelay_side": "read"} if eng == "cascade" else {}
             m = ConvolutionReverb(bank, num_voices=voices, block=args.block,
                                   sample_rate=args.sample_rate,
-                                  engine=eng, cache_dir=args.pack_cache,
-                                  **kw)
+                                  engine=eng, bank_prep="device", **kw)
             m.control.wet[:] = 0.7
             m.control.dry[:] = 0.2
             m.control.predelay[:, 0] = 1024
