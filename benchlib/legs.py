@@ -674,6 +674,40 @@ def run_perblock_leg(args, deadline_ms):
     log(f"p99_block leg: {leg['blocks']} blocks, p50 {leg['p50_ms']} / "
         f"p99 {leg['p99_ms']} / max {leg['max_ms']} ms "
         f"[{leg['event']} @ {leg['plane']}]")
+
+    # MID-FADE per-block distribution (round 5): the span-fade claim —
+    # a crossfading block costs the same as a steady one — measured at
+    # the SAME per-block on-device granularity as the gate itself, not
+    # only as a chained average. step_coef_indexed is the production
+    # fade path (converged AND interrupted re-selects).
+    control.vsteps[:] = 1 << 20          # hold the fade in flight
+    params_f = None
+    try:
+        import jax.numpy as jnp
+
+        params_f = jax.tree.map(jnp.asarray, control.snapshot())
+        fade = jax.jit(engine.step_coef_indexed, donate_argnums=(0,))
+        for t in range(4):               # compile/settle outside the trace
+            st, out = fade(st, spectra, params_f, make_block(t))
+        _ = np.asarray(out[..., :1])
+        tdir = tempfile.mkdtemp(prefix="tpu_audio_xtrace_")
+        try:
+            with jax.profiler.trace(tdir):
+                for t in range(n):
+                    st, out = fade(st, spectra, params_f, make_block(t))
+                _ = np.asarray(out[..., :1])
+            fstats = xplane.per_block_stats(tdir, n)
+        finally:
+            shutil.rmtree(tdir, ignore_errors=True)
+        if "skipped" not in fstats:
+            fstats.pop("on_device", None)
+            leg["fade_indexed"] = fstats
+            log(f"p99_block leg: FADE p50 {fstats['p50_ms']} / "
+                f"p99 {fstats['p99_ms']} ms [{fstats['event']}]")
+        else:
+            leg["fade_indexed"] = fstats
+    except Exception as exc:  # noqa: BLE001 - the steady gate stands alone
+        leg["fade_indexed"] = {"skipped": repr(exc)[:120]}
     return leg
 
 
